@@ -1,0 +1,61 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries (catalog entries registered with bench=True)
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through a noop sink (full plan runs,
+nothing collected to the driver beyond metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mysql_cdc_redis_spark.plans import all_queries
+    from mysql_cdc_redis_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    catalog = all_queries()
+    headline = {n: q for n, q in sorted(catalog.items()) if q.bench}
+
+    # warmup: spin executors + JIT on a trivial plan
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, q in headline.items():
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Changelog compaction — the reference's core operator family (SURVEY.md
+§2.3, M1-M5): an incremental keyed upsert that folds a stream of
+insert/update/delete row events down to at most one row per primary key.
+
+Reference semantics being reproduced:
+
+* ``_gen_rid`` (rcache.py:186-193): composite keys serialize by joining
+  stringified values with ``"&"``; missing/derivable-to-null keys raise
+  ``SaveIgnore`` (rcache.py:242-245) and the event is dropped (M3).
+* ``_merge_row`` (rcache.py:196-222): a left-fold over per-key events of
+  the action algebra
+
+      empty  + x       -> x
+      insert + delete  -> empty            (annihilation: row vanishes,
+                                            rcache.py:214-215)
+      insert + x       -> insert           (x in {insert, update})
+      update + insert  -> update           ("maybe truncate table
+                                            happened", rcache.py:218-221)
+      delete + insert  -> update           (rcache.py:216-217)
+      state  + x       -> x                (all other pairs keep new)
+
+  with *values always taken wholesale from the newest event*
+  (rcache.py:222 — no per-column merge).
+* ``save`` (rcache.py:224-259): HGETALL -> merge -> HMSET/DEL per key;
+  idempotent on replay (M5).
+
+Spark realization — one shuffle, all JVM built-ins, no Python UDFs:
+
+  groupBy(tbl, rid).agg(
+      max_by(struct(payload), seq)          # last values win wholesale
+      array_sort(collect_list(struct(seq, action)))   # per-key event log
+  )
+  + F.aggregate(...) fold of the action algebra over the sorted actions
+  + filter(state != SENTINEL)               # annihilated keys vanish
+
+Per-key event counts are bounded by the changelog between compactions
+(the reference flushes at cache_max_rows=2e6, cdc_config.py:42), so the
+collect_list stays small; the aggregate itself is a standard partial/
+final hash aggregate that scales linearly with executors.  The streaming
+twin (streaming/compact_stream.py) holds (fold_state, last_row) per key
+in the state store — O(1) per event — and must produce identical output
+(tested in tests/test_streaming_parity.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fold state meaning "row absent" — both the initial state (empty cache)
+# and the post-annihilation state are the same absent state.  Plain ASCII
+# (never a valid action) so the DuckDB oracle can spell it identically.
+ACTION_FOLD_SENTINEL = "#absent#"
+
+
+def rid_expr(pk_cols: list[str] | tuple[str, ...]) -> Column:
+    """P3: composite row-id — ``"&".join(str(v) for v in pk)`` per
+    rcache.py:186-193.  NULL in any key component nullifies the rid
+    (concat_ws would silently skip nulls, which would alias distinct
+    keys — explicitly propagate NULL instead) so M3 can reject it."""
+    any_null = reduce(or_, [F.col(c).isNull() for c in pk_cols])
+    return F.when(any_null, F.lit(None)).otherwise(
+        F.concat_ws("&", *[F.col(c).cast("string") for c in pk_cols])
+    )
+
+
+def with_rid(df: DataFrame, pk_cols: list[str] | tuple[str, ...]) -> DataFrame:
+    return df.withColumn("rid", rid_expr(pk_cols))
+
+
+def reject_null_keys(df: DataFrame, pk_cols: list[str] | tuple[str, ...]) -> DataFrame:
+    """M3: the SaveIgnore reject stream (rcache.py:242-245) — events whose
+    key cannot be derived.  The caller logs/sinks these; compaction drops
+    them."""
+    return with_rid(df, pk_cols).filter(F.col("rid").isNull())
+
+
+def _fold_actions(sorted_actions: Column) -> Column:
+    """Left-fold the reference's `_merge_row` algebra (rcache.py:196-222)
+    over a seq-sorted array of action strings.  Runs entirely in JVM
+    codegen via F.aggregate."""
+    sentinel = F.lit(ACTION_FOLD_SENTINEL)
+
+    def merge(state: Column, x: Column) -> Column:
+        return (
+            F.when(state == sentinel, x)  # empty + x -> x
+            .when(
+                state == "insert",
+                F.when(x == "delete", sentinel).otherwise(F.lit("insert")),
+            )
+            # state in {update, delete}: insert revives to update
+            # (rcache.py:216-221); update/delete keep the new action.
+            .otherwise(F.when(x == "insert", F.lit("update")).otherwise(x))
+        )
+
+    return F.aggregate(sorted_actions, sentinel, merge)
+
+
+def compact(
+    changelog: DataFrame,
+    pk_cols: list[str] | tuple[str, ...],
+    payload_cols: list[str] | tuple[str, ...],
+    table_col: str = "tbl",
+    seq_col: str = "seq",
+    action_col: str = "cdc_action",
+) -> DataFrame:
+    """M1+M2: fold a changelog to ≤1 row per (table, rid).
+
+    Returns columns: ``tbl, rid, cdc_action`` + payload (last event's
+    values, wholesale).  Annihilated keys (insert...delete epochs) are
+    absent; tombstones (first action delete/update then delete) survive
+    with cdc_action='delete' — exactly rcache.py:214 firing only on
+    old=insert.
+    """
+    keyed = with_rid(changelog, pk_cols).filter(F.col("rid").isNotNull())
+    grouped = keyed.groupBy(F.col(table_col).alias("tbl"), "rid").agg(
+        # last values win wholesale (rcache.py:222); seq is unique so
+        # max_by is deterministic.
+        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), F.col(seq_col)).alias("_last"),
+        # per-key ordered action log; sorted by seq (struct sort order is
+        # field order, seq first).
+        F.array_sort(
+            F.collect_list(F.struct(F.col(seq_col).alias("s"), F.col(action_col).alias("a")))
+        ).alias("_evs"),
+    )
+    folded = grouped.withColumn(
+        "cdc_action",
+        _fold_actions(F.transform(F.col("_evs"), lambda ev: ev["a"])),
+    )
+    alive = folded.filter(F.col("cdc_action") != ACTION_FOLD_SENTINEL)
+    return alive.select("tbl", "rid", "cdc_action", "_last.*")
+
+
+# ---------------------------------------------------------------------------
+# Stream-shaping filters (S2/S3) and the latency monitor (P5)
+# ---------------------------------------------------------------------------
+
+
+def filter_events(df: DataFrame, events: list[str] | None, action_col: str = "cdc_action") -> DataFrame:
+    """S2: restrict to configured event classes (`_trans_events`,
+    cdc.py:43-49).  None ≡ all events (cdc_config.py:39 default)."""
+    if not events:
+        return df
+    return df.filter(F.col(action_col).isin(*events))
+
+
+def filter_tables(
+    df: DataFrame,
+    schemas: list[str] | None = None,
+    tables: list[str] | None = None,
+    db_col: str = "db",
+    table_col: str = "tbl",
+) -> DataFrame:
+    """S3: only_schemas / only_tables pushdown (cdc.py:92-93); None ≡ all.
+    On a parquet/Delta-backed changelog these predicates push into the
+    scan (partition pruning when the changelog is partitioned by table)."""
+    if schemas:
+        df = df.filter(F.col(db_col).isin(*schemas))
+    if tables:
+        df = df.filter(F.col(table_col).isin(*tables))
+    return df
+
+
+def latency_flag(
+    df: DataFrame,
+    now: Column,
+    max_latency_s: int = 60_000,
+    ts_col: str = "cdc_ts",
+) -> DataFrame:
+    """P5: flag events older than binlog_max_latency (warn-only in the
+    reference, cdc.py:101-103; default 60,000 s, cdc_config.py:48).
+    Streaming form: an observe() metric; batch form: a boolean column."""
+    return df.withColumn(
+        "late",
+        (F.unix_timestamp(now) - F.unix_timestamp(F.col(ts_col))) > max_latency_s,
+    )

@@ -1,0 +1,351 @@
+"""CDC query-catalog entries — the reference's operator surface expressed
+as oracle-checkable plans (SURVEY.md §2.1-2.4, §2.6-2.7).
+
+The DuckDB oracles reconstruct the same changelog via the shared
+dialect-neutral SQL (sources/changelog.py) and implement the compaction
+algebra *independently*: ``list(cdc_action ORDER BY seq)`` +
+``list_reduce`` of the rcache.py:196-222 merge table, vs. the Spark
+side's groupBy + max_by + F.aggregate fold.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.compaction import (
+    ACTION_FOLD_SENTINEL,
+    compact,
+    filter_events,
+    filter_tables,
+    latency_flag,
+    reject_null_keys,
+)
+from ..sources import load_table
+from ..sources.changelog import (
+    LINEITEM_CHANGELOG_SQL,
+    LINEITEM_PAYLOAD,
+    LINEITEM_PK,
+    ORDERS_CHANGELOG_SQL,
+    ORDERS_PAYLOAD,
+    ORDERS_PK,
+    lineitem_changelog,
+    orders_changelog,
+)
+from .catalog import register
+
+# DuckDB spelling of the action-algebra fold (rcache.py:196-222); the
+# lambda mirrors operators/compaction.py::_fold_actions.
+_FOLD_LAMBDA = (
+    "list_reduce(list(cdc_action ORDER BY seq), (s, x) -> CASE "
+    f"WHEN s = '{ACTION_FOLD_SENTINEL}' THEN x "
+    f"WHEN s = 'insert' THEN (CASE WHEN x = 'delete' THEN '{ACTION_FOLD_SENTINEL}' ELSE 'insert' END) "
+    "ELSE (CASE WHEN x = 'insert' THEN 'update' ELSE x END) END)"
+)
+
+
+def _oracle_compact_sql(changelog_sql: str, pk: tuple[str, ...], payload: tuple[str, ...]) -> str:
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in pk)
+    rid = " || '&' || ".join(f"CAST({c} AS VARCHAR)" for c in pk)
+    last_vals = ",\n         ".join(f"arg_max({c}, seq) AS {c}" for c in payload)
+    return f"""
+WITH ch AS ({changelog_sql})
+SELECT * FROM (
+  SELECT tbl, {rid} AS rid,
+         {_FOLD_LAMBDA} AS cdc_action,
+         {last_vals}
+  FROM ch
+  WHERE {not_null}
+  GROUP BY 1, 2
+)
+WHERE cdc_action <> '{ACTION_FOLD_SENTINEL}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# M1/M2: compaction, scalar and composite keys
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_compact_orders",
+    doc="M1+M2 on a scalar-pk changelog: keyed upsert-compaction of the "
+    "orders event stream — one shuffle, action algebra folded JVM-side.",
+    tags=("cdc", "ref:M1", "ref:M2"),
+    bench=True,
+    oracle=_oracle_compact_sql(ORDERS_CHANGELOG_SQL, ORDERS_PK, ORDERS_PAYLOAD),
+)
+def cdc_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD)
+
+
+@register(
+    "cdc_compact_lineitem",
+    doc="M1+M2 with a composite key: rid = concat_ws('&', l_orderkey, "
+    "l_linenumber) per rcache.py:186-193 (P3).",
+    tags=("cdc", "ref:M1", "ref:M2", "ref:P3"),
+    bench=True,
+    oracle=_oracle_compact_sql(LINEITEM_CHANGELOG_SQL, LINEITEM_PK, LINEITEM_PAYLOAD),
+)
+def cdc_compact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compact(lineitem_changelog(spark, sf_dir), LINEITEM_PK, LINEITEM_PAYLOAD)
+
+
+# ---------------------------------------------------------------------------
+# M3: SaveIgnore reject stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_rejects_null_pk",
+    doc="M3: events whose key cannot be derived (SaveIgnore, "
+    "rcache.py:242-245) routed to a reject stream instead of the cache.",
+    tags=("cdc", "ref:M3"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT seq, tbl, cdc_action, o_custkey
+FROM ch WHERE o_orderkey IS NULL
+ORDER BY seq
+""",
+)
+def cdc_rejects_null_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    return (
+        reject_null_keys(ch, ORDERS_PK)
+        .select("seq", "tbl", "cdc_action", "o_custkey")
+        .orderBy("seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2/S3: event-type and schema/table selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_filter_events_tables",
+    doc="S2+S3: only_events / only_schemas / only_tables pushdown "
+    "(cdc.py:84-93) as declarative filters over the unified changelog.",
+    tags=("cdc", "ref:S2", "ref:S3"),
+    oracle=f"""
+WITH och AS ({ORDERS_CHANGELOG_SQL}), lch AS ({LINEITEM_CHANGELOG_SQL}),
+ch AS (
+  SELECT seq, db, tbl, cdc_action FROM och
+  UNION ALL
+  SELECT seq, db, tbl, cdc_action FROM lch
+)
+SELECT tbl, cdc_action, count(*) AS n
+FROM ch
+WHERE cdc_action IN ('insert', 'delete') AND db = 'tpch' AND tbl = 'orders'
+GROUP BY tbl, cdc_action
+ORDER BY tbl, cdc_action
+""",
+)
+def cdc_filter_events_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["seq", "db", "tbl", "cdc_action"]
+    ch = orders_changelog(spark, sf_dir).select(cols).unionByName(
+        lineitem_changelog(spark, sf_dir).select(cols)
+    )
+    ch = filter_events(ch, ["insert", "delete"])
+    ch = filter_tables(ch, schemas=["tpch"], tables=["orders"])
+    return (
+        ch.groupBy("tbl", "cdc_action")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tbl", "cdc_action")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5: latency monitor
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_latency_flag",
+    doc="P5: binlog_max_latency monitor (cdc.py:101-103) — events older "
+    "than the threshold vs a pinned 'now', counted per table and flag.",
+    tags=("cdc", "ref:P5"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT tbl,
+       (date_diff('second', cdc_ts, TIMESTAMP '2001-08-01 00:00:00') > 31536000) AS late,
+       count(*) AS n
+FROM ch
+GROUP BY 1, 2
+ORDER BY tbl, late
+""",
+)
+def cdc_latency_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    flagged = latency_flag(
+        ch, F.lit("2001-08-01 00:00:00").cast("timestamp"), max_latency_s=31_536_000
+    )
+    return (
+        flagged.groupBy("tbl", "late")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("tbl", "late")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2: cache-size and per-table counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_counts_per_table",
+    doc="A1+A2: DBSIZE / SCARD analogs — events and distinct live keys per "
+    "table over the unified changelog.",
+    tags=("cdc", "ref:A1", "ref:A2"),
+    oracle=f"""
+WITH och AS ({ORDERS_CHANGELOG_SQL}), lch AS ({LINEITEM_CHANGELOG_SQL}),
+ch AS (
+  SELECT seq, tbl, CAST(o_orderkey AS VARCHAR) AS rid FROM och WHERE o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT seq, tbl, CAST(l_orderkey AS VARCHAR) || '&' || CAST(l_linenumber AS VARCHAR) AS rid
+  FROM lch WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+)
+SELECT tbl, count(*) AS n_events, count(DISTINCT rid) AS n_keys
+FROM ch GROUP BY tbl ORDER BY tbl
+""",
+)
+def cdc_counts_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import rid_expr
+
+    o = orders_changelog(spark, sf_dir).withColumn("rid", rid_expr(ORDERS_PK))
+    l = lineitem_changelog(spark, sf_dir).withColumn("rid", rid_expr(LINEITEM_PK))
+    ch = o.select("seq", "tbl", "rid").unionByName(l.select("seq", "tbl", "rid")).filter(
+        F.col("rid").isNotNull()
+    )
+    return (
+        ch.groupBy("tbl")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("rid").alias("n_keys"))
+        .orderBy("tbl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4/M5: replay + idempotence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_replay_idempotent",
+    doc="M4+M5: re-saving a compacted dump through the same merge path "
+    "(loadcsv.py:60-71) reproduces the compacted state exactly — the "
+    "oracle is the *single*-compaction result.",
+    tags=("cdc", "ref:M4", "ref:M5"),
+    oracle=_oracle_compact_sql(ORDERS_CHANGELOG_SQL, ORDERS_PK, ORDERS_PAYLOAD),
+)
+def cdc_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    once = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD)
+    # Re-emit the dump as a fresh changelog (one event per key, original
+    # action preserved — exactly what loadcsv replays) into an empty cache.
+    replayed = once.withColumn("seq", F.lit(0).cast("long"))
+    return compact(replayed, ORDERS_PK, ORDERS_PAYLOAD)
+
+
+# ---------------------------------------------------------------------------
+# A4/P4: schema fingerprint + drift detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_fingerprint_drift",
+    doc="P4+A4: per-row schema fingerprint (sorted field names, "
+    "dump2csv.py:50-60) over a drifted payload (10%% of rows carry an "
+    "extra column); >1 fingerprint per table ⇒ drift flag "
+    "(dump2csv.py:78-80).  Spark models the dynamic row as a map column "
+    "and fingerprints real map_keys.",
+    tags=("cdc", "ref:P4", "ref:A4"),
+    oracle="""
+WITH rows_fp AS (
+  SELECT CASE WHEN o_orderkey % 11 = 0
+              THEN 'o_comment,o_orderkey,o_totalprice'
+              ELSE 'o_orderkey,o_totalprice' END AS fingerprint
+  FROM orders
+)
+SELECT 'orders' AS tbl, fingerprint, count(*) AS n_rows,
+       (count(*) <> (SELECT count(*) FROM rows_fp)) AS drifted
+FROM rows_fp
+GROUP BY fingerprint
+ORDER BY fingerprint
+""",
+)
+def cdc_fingerprint_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import schema_fingerprint
+
+    orders = load_table(spark, sf_dir, "orders")
+    # Dynamic-schema rows: the payload is a map whose key set varies per
+    # row (the per-row dict of rcache.py:139); 1-in-11 rows drift.
+    payload = F.when(
+        F.col("o_orderkey") % 11 == 0,
+        F.create_map(
+            F.lit("o_orderkey"), F.col("o_orderkey").cast("string"),
+            F.lit("o_totalprice"), F.col("o_totalprice").cast("string"),
+            F.lit("o_comment"), F.lit("x"),
+        ),
+    ).otherwise(
+        F.create_map(
+            F.lit("o_orderkey"), F.col("o_orderkey").cast("string"),
+            F.lit("o_totalprice"), F.col("o_totalprice").cast("string"),
+        )
+    )
+    rows_fp = orders.select(schema_fingerprint(payload).alias("fingerprint"))
+    w_tbl = Window.partitionBy(F.lit(1))
+    return (
+        rows_fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("tbl", F.lit("orders"))
+        .withColumn("drifted", F.col("n_rows") != F.sum("n_rows").over(w_tbl))
+        .select("tbl", "fingerprint", "n_rows", "drifted")
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1 + S4 + A3: date-partitioned CSV dump, then scan it back
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_csv_roundtrip",
+    doc="K1 sink + S4 scan: compacted state dumped to date-partitioned, "
+    "header'd CSV (save2csv, dump2csv.py:62-103) and read back; per-date "
+    "counts prove the partition layout (A3).",
+    tags=("cdc", "ref:K1", "ref:S4", "ref:A3"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+compacted AS (
+  SELECT * FROM (
+    SELECT tbl, CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(cdc_ts, seq) AS cdc_ts,
+           arg_max(o_totalprice, seq) AS o_totalprice
+    FROM ch WHERE o_orderkey IS NOT NULL
+    GROUP BY 1, 2
+  ) WHERE cdc_action <> '{ACTION_FOLD_SENTINEL}'
+)
+SELECT strftime(cdc_ts, '%Y%m') AS dt, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total_price
+FROM compacted GROUP BY dt ORDER BY dt
+""",
+)
+def cdc_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dump import dump_to_csv, read_dump
+
+    compacted = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD).select(
+        "tbl", "rid", "cdc_action", "cdc_ts", "o_totalprice"
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), "cdc_csv_roundtrip")
+    dump_to_csv(compacted, out_dir, date_col="cdc_ts", fmt="yyyyMM")
+    back = read_dump(spark, out_dir, schema=compacted.schema)
+    return (
+        back.groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("dt")
+    )

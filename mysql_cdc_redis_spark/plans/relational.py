@@ -1,0 +1,644 @@
+"""Relational breadth queries (SURVEY.md §2 EXT rows: A6/A7, J5/J6/J7,
+W5/W6, P8, T6-batch).
+
+The reference has no relational joins/aggregates (SURVEY.md §2.5 — its
+closest idioms are key lookups and manifest anti-joins), but the driver
+contract requires a full oracle-checkable relational surface.  Every plan
+here is pure DataFrame API: Catalyst handles pushdown/pruning, AQE picks
+broadcast vs sort-merge at runtime.  Small dims (region, nation,
+supplier) are explicitly broadcast — at 100 TB those stay < 1 MB while
+lineitem is ~70 TB, so the hint removes a full shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# A6: grouped aggregation — TPC-H Q1 shape (pricing summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    doc="TPC-H Q1-style pricing summary: hash aggregate with partial/final "
+    "(map-side combine) over the fact table; filter pushed to parquet scan.",
+    tags=("agg", "ext"),
+    bench=True,
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                    AS avg_qty,
+       round(avg(l_extendedprice), 4)                               AS avg_price,
+       round(avg(l_discount), 4)                                    AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 + W6: join + top-k — TPC-H Q3 shape (shipping priority)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_shipping_priority",
+    doc="TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, filtered both sides, "
+    "grouped revenue, global top-10 (Spark plans TakeOrderedAndProject — "
+    "no full sort at scale).",
+    tags=("join", "topk", "ext"),
+    bench=True,
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1999-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1999-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 flagship: TPC-H Q5 shape — revenue by nation (the entry() query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_revenue_by_nation",
+    doc="TPC-H Q5-style 5-way star join: lineitem ⋈ orders ⋈ customer ⋈ "
+    "nation ⋈ region with nation/region broadcast (tiny dims never "
+    "shuffle the fact table).",
+    tags=("join", "agg", "ext", "flagship"),
+    bench=True,
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # region/nation are O(10²) rows at any scale factor: broadcast them so
+    # the only shuffles are the two fact-side equi-joins (AQE may even turn
+    # those into broadcasts at small SF).
+    dim = F.broadcast(
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")).join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: ranking window — top customers per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_top_customers_per_nation",
+    doc="Per-group top-k via row_number window (the W1 last-event-per-key "
+    "pattern generalized): rank customers by acctbal within nation.",
+    tags=("window", "ext"),
+    oracle="""
+SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal, rk
+FROM (
+  SELECT n_name, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rk <= 3
+ORDER BY n_name, rk
+""",
+)
+def window_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "rk")
+        .orderBy("n_name", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: analytic window — running revenue + lag/lead
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_revenue_by_month",
+    doc="Monthly order revenue with running cumulative sum and lag — "
+    "rowsBetween frame over an ordered partition.",
+    tags=("window", "ext"),
+    oracle="""
+SELECT yr, mon, revenue,
+       round(sum(revenue) OVER (PARTITION BY yr ORDER BY mon
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue,
+       round(coalesce(lag(revenue) OVER (PARTITION BY yr ORDER BY mon), 0.0), 2) AS prev_month_revenue
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT)  AS yr,
+         CAST(month(o_orderdate) AS INT) AS mon,
+         round(sum(o_totalprice), 2)     AS revenue
+  FROM orders GROUP BY 1, 2
+)
+ORDER BY yr, mon
+""",
+)
+def window_running_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("yr").orderBy("mon")
+    return (
+        monthly.withColumn(
+            "running_revenue",
+            F.round(F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2),
+        )
+        .withColumn("prev_month_revenue", F.round(F.coalesce(F.lag("revenue").over(w), F.lit(0.0)), 2))
+        .orderBy("yr", "mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_region_nation",
+    doc="ROLLUP (region, nation) revenue — hierarchical subtotals + grand "
+    "total in one pass (Catalyst expands to a single Expand+Aggregate).",
+    tags=("agg", "rollup", "ext"),
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       round(sum(c_acctbal), 2) AS total_acctbal, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region, nation
+""",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_acctbal",
+            "n_customers",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    doc="CUBE (orderstatus, orderpriority): all 4 grouping-set combinations "
+    "in one aggregate.",
+    tags=("agg", "cube", "ext"),
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: count distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_customers_per_status",
+    doc="COUNT(DISTINCT) per group — Catalyst plans a two-phase distinct "
+    "aggregate (Expand + partial) instead of a naive re-shuffle.",
+    tags=("agg", "ext"),
+    oracle="""
+SELECT o_orderstatus AS status,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+)
+def agg_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 (as left_anti) + J7: anti join, set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_anti_customers_without_orders",
+    doc="LEFT ANTI join — the reference's manifest set-difference idiom "
+    "(dump2csv.py:207,230 `set(a) - set(b)`) as a distributed anti join.",
+    tags=("join", "anti", "ref:J3"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+""",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "set_ops_urgent_vs_building",
+    doc="UNION / INTERSECT / EXCEPT over key sets (J7): customers with "
+    "urgent orders vs BUILDING-segment customers, tagged by membership.",
+    tags=("setop", "ext"),
+    oracle="""
+WITH urgent AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     building AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'both' AS membership, custkey FROM (SELECT custkey FROM urgent INTERSECT SELECT custkey FROM building)
+UNION ALL
+SELECT 'urgent_only' AS membership, custkey FROM (SELECT custkey FROM urgent EXCEPT SELECT custkey FROM building)
+UNION ALL
+SELECT 'building_only' AS membership, custkey FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM urgent)
+ORDER BY membership, custkey
+""",
+)
+def set_ops_urgent_vs_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = urgent.intersect(building).select(F.lit("both").alias("membership"), "custkey")
+    u_only = urgent.exceptAll(building).select(
+        F.lit("urgent_only").alias("membership"), "custkey"
+    )
+    b_only = building.exceptAll(urgent).select(
+        F.lit("building_only").alias("membership"), "custkey"
+    )
+    return both.unionByName(u_only).unionByName(b_only).orderBy("membership", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# P8: scalar function breadth (string / date / math)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_date_math",
+    doc="Scalar-function breadth (P8): upper/substring/concat, year/month/"
+    "datediff, round/abs/ln — all JVM built-ins inside whole-stage codegen.",
+    tags=("scalar", "ext"),
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand)                                   AS brand_upper,
+       substring(p_name, 1, 8)                          AS name_prefix,
+       concat(p_brand, ':', p_type)                     AS brand_type,
+       length(p_name)                                   AS name_len,
+       round(p_retailprice * 1.1, 2)                    AS price_with_tax,
+       round(abs(p_retailprice - 1000.0), 2)            AS price_dist_1000,
+       round(ln(p_retailprice + 1.0), 6)                AS log_price,
+       CAST(p_size % 5 AS INT)                          AS size_mod5
+FROM part
+ORDER BY p_partkey
+""",
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_with_tax"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 2).alias("price_dist_1000"),
+        F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("log_price"),
+        (F.col("p_size") % 5).cast("int").alias("size_mod5"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_json_events",
+    doc="JSON extraction over events.props (P8): get_json_object stays "
+    "JVM-side; grouped stats per event_type and extracted key bucket.",
+    tags=("scalar", "json", "ext"),
+    oracle="""
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, k_bucket
+""",
+)
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k_bucket", (F.get_json_object("props", "$.k").cast("bigint") % 10)
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6 (batch form): tumbling window aggregation over the events stream table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_tumbling_events_10min",
+    doc="Tumbling 10-minute event-time windows (T6, batch form of the "
+    "streaming window): F.window ≡ DuckDB time_bucket.",
+    tags=("window", "time", "ext"),
+    bench=True,
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def window_tumbling_events_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: as-of join — latest order at or before each event, per customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_event_last_order",
+    doc="AS-OF join (J6): for each event, the customer's latest order with "
+    "o_orderdate <= ts.  Spark has no ASOF keyword; the scalable spelling "
+    "is union-both-sides + last(ignorenulls) over one (key, time) window — "
+    "a single shuffle, no range cross-join.  Oracle uses DuckDB ASOF JOIN.",
+    tags=("join", "asof", "ext"),
+    bench=True,
+    oracle="""
+WITH ded_orders AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+FROM events e
+ASOF JOIN ded_orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+)
+def join_asof_event_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    # Dedupe orders to one per (custkey, orderdate) so the as-of pick is
+    # deterministic on ties (both sides use max orderkey).
+    ded = orders.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    right = ded.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),  # orders sort before events at equal t (>= is inclusive)
+        F.col("o_orderkey").alias("orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("orderkey"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        right.unionByName(left)
+        .withColumn("last_orderkey", F.last("orderkey", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .filter(F.col("last_orderkey").isNotNull())
+        .select("event_id", F.col("k").alias("user_id"), "last_orderkey")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: range join — events within 1 day after an order by the same customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_range_event_near_order",
+    doc="Range/interval join (J6): equi key (customer) + time-band predicate. "
+    "The equi component keeps it a hash join with a residual band filter — "
+    "never a cross join.",
+    tags=("join", "range", "ext"),
+    oracle="""
+SELECT o.o_orderkey, e.event_id,
+       CAST(date_diff('second', o.o_orderdate, e.ts) AS BIGINT) AS secs_after
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts <  o.o_orderdate + INTERVAL 1 DAY
+ORDER BY o.o_orderkey, e.event_id
+""",
+)
+def join_range_event_near_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            events,
+            (F.col("user_id") == F.col("o_custkey"))
+            & (F.col("ts") >= F.col("o_orderdate"))
+            & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")),
+        )
+        .select(
+            "o_orderkey",
+            "event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("o_orderdate")).alias("secs_after"),
+        )
+        .orderBy("o_orderkey", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6: global top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_largest_orders",
+    doc="Global top-k: orderBy+limit plans as TakeOrderedAndProject "
+    "(per-partition heap + driver merge of k rows, never a full sort).",
+    tags=("topk", "ext"),
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def topk_largest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderstatus")
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are sized for the local[32] test harness but every knob is the
+one you would also set on a real cluster:
+
+* AQE on — runtime coalescing of shuffle partitions, skew-join splitting
+  and dynamic broadcast decisions are exactly what a 100 TB run needs.
+* Arrow on — every Pandas UDF / applyInPandas crosses the JVM/Python
+  boundary in columnar batches instead of pickled rows.
+* Session timezone pinned to UTC — the DuckDB oracle reads the same
+  parquet files as naive-UTC timestamps; an unpinned session would make
+  every timestamp-bearing query hash-mismatch on machines in other zones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mysql-cdc-redis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    On a real cluster you would drop ``master`` and submit with
+    spark-submit; everything else carries over unchanged.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- correctness-critical ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # the events fixture stores timestamp[ns]; Spark has no ns type —
+        # read as long and convert at the scan (sources/tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- scale-critical: adaptive execution ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # --- python boundary: Arrow batches, never pickled rows ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: parquet splits that fit executor memory ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast: dims up to 64 MB go map-side, no shuffle ---
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        # quiet the local harness
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

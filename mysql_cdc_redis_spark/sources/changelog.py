@@ -1,0 +1,171 @@
+"""Synthetic CDC changelog source (FIXTURES.md §B).
+
+Models the annotated binlog row stream of the reference (cdc.py:60-74):
+one row per binlog row event with system columns ``cdc_action`` /
+``cdc_ts`` (cdc.py:65-72), a monotonic ``seq`` standing in for binlog
+position (cdc.py:134), and the full after-image of the row (the
+reference drops before-images, cdc.py:66-67).
+
+The changelog is *derived deterministically from the fixture tables* via
+dialect-neutral SQL that parses identically in Spark SQL and DuckDB —
+that way the driver's oracle harness reconstructs the exact same event
+stream on its side and the comparison exercises only the operator under
+test (compaction), not the fixture generator.
+
+Scenario per key, chosen by ``pk mod 10`` — drawn so every cell of the
+reference's 3x3 action-pair merge table (rcache.py:196-222) is hit:
+
+  k=0,1 : [insert]                      -> insert
+  k=2   : [insert, delete, insert]      -> insert   (epoch reset after annihilation)
+  k=3   : [insert, update]              -> insert   (insert+update->insert)
+  k=4   : [insert, delete]              -> GONE     (annihilation, rcache.py:214-215)
+  k=5   : [update, update]              -> update
+  k=6   : [delete, insert]              -> update   (rcache.py:216-217)
+  k=7   : [update, insert]              -> update   ("maybe truncate", rcache.py:218-221)
+  k=8   : [insert, update, delete]      -> GONE
+  k=9   : [delete]                      -> delete   (tombstone survives)
+
+plus, for keys with ``pk % 97 == 0``, one extra event with a NULL pk —
+the SaveIgnore reject path (rcache.py:242-245).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .tables import load_table
+
+# Shared CASE expressions (dialect-neutral).
+_ACTION0 = (
+    "CASE WHEN k <= 4 OR k = 8 THEN 'insert' "
+    "WHEN k IN (5, 7) THEN 'update' ELSE 'delete' END"
+)
+_ACTION1 = (
+    "CASE WHEN k IN (2, 4) THEN 'delete' "
+    "WHEN k IN (3, 5, 8) THEN 'update' ELSE 'insert' END"
+)
+_ACTION2 = "CASE WHEN k = 2 THEN 'insert' ELSE 'delete' END"
+
+
+ORDERS_CHANGELOG_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         CAST(o_orderkey % 10 AS INT) AS k
+  FROM orders
+),
+ev AS (
+  SELECT 0 AS e, {_ACTION0} AS cdc_action,
+         o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM base
+  UNION ALL
+  SELECT 1 AS e, {_ACTION1} AS cdc_action,
+         o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM base WHERE k BETWEEN 2 AND 8
+  UNION ALL
+  SELECT 2 AS e, {_ACTION2} AS cdc_action,
+         o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM base WHERE k IN (2, 8)
+)
+SELECT CAST(o_orderkey * 4 + e AS BIGINT) AS seq,
+       'tpch' AS db, 'orders' AS tbl, cdc_action,
+       o_orderdate AS cdc_ts,
+       o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice + 7.0 * e, 2) AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM ev
+UNION ALL
+SELECT CAST(o_orderkey * 4 + 3 AS BIGINT) AS seq,
+       'tpch' AS db, 'orders' AS tbl, 'insert' AS cdc_action,
+       o_orderdate AS cdc_ts,
+       CAST(NULL AS BIGINT) AS o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM base WHERE o_orderkey % 97 = 0
+"""
+
+# Composite-key changelog over lineitem: pk = (l_orderkey, l_linenumber),
+# the concat_ws("&", ...) rid test case (rcache.py:186-193).
+LINEITEM_CHANGELOG_SQL = f"""
+WITH base0 AS (
+  -- the fixture's (l_orderkey, l_linenumber) is not unique; collapse to
+  -- one deterministic row per composite key so seq stays unique
+  SELECT l_orderkey, l_linenumber,
+         max(l_partkey) AS l_partkey, max(l_suppkey) AS l_suppkey,
+         max(l_quantity) AS l_quantity, max(l_extendedprice) AS l_extendedprice,
+         max(l_returnflag) AS l_returnflag, max(l_shipdate) AS l_shipdate
+  FROM lineitem
+  GROUP BY l_orderkey, l_linenumber
+),
+base AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+         l_extendedprice, l_returnflag, l_shipdate,
+         CAST((l_orderkey * 7 + l_linenumber) % 10 AS INT) AS k
+  FROM base0
+),
+ev AS (
+  SELECT 0 AS e, {_ACTION0} AS cdc_action,
+         l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+         l_extendedprice, l_returnflag, l_shipdate
+  FROM base
+  UNION ALL
+  SELECT 1 AS e, {_ACTION1} AS cdc_action,
+         l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+         l_extendedprice, l_returnflag, l_shipdate
+  FROM base WHERE k BETWEEN 2 AND 8
+  UNION ALL
+  SELECT 2 AS e, {_ACTION2} AS cdc_action,
+         l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+         l_extendedprice, l_returnflag, l_shipdate
+  FROM base WHERE k IN (2, 8)
+)
+SELECT CAST((l_orderkey * 10 + l_linenumber) * 4 + e AS BIGINT) AS seq,
+       'tpch' AS db, 'lineitem' AS tbl, cdc_action,
+       l_shipdate AS cdc_ts,
+       l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       round(l_quantity + 1.0 * e, 2) AS l_quantity,
+       l_extendedprice, l_returnflag, l_shipdate
+FROM ev
+UNION ALL
+SELECT CAST((l_orderkey * 10 + l_linenumber) * 4 + 3 AS BIGINT) AS seq,
+       'tpch' AS db, 'lineitem' AS tbl, 'insert' AS cdc_action,
+       l_shipdate AS cdc_ts,
+       l_orderkey, CAST(NULL AS INT) AS l_linenumber, l_partkey, l_suppkey,
+       l_quantity, l_extendedprice, l_returnflag, l_shipdate
+FROM base WHERE (l_orderkey * 7 + l_linenumber) % 97 = 0
+"""
+
+# Payload (after-image) columns carried by each changelog, excluding the
+# system columns seq/db/tbl/cdc_action.  cdc_ts rides with the payload:
+# the reference stores it inside the row hash (cdc.py:72), so the merged
+# row keeps the *last* event's timestamp.
+ORDERS_PK = ("o_orderkey",)
+ORDERS_PAYLOAD = (
+    "cdc_ts",
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+LINEITEM_PK = ("l_orderkey", "l_linenumber")
+LINEITEM_PAYLOAD = (
+    "cdc_ts",
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_shipdate",
+)
+
+
+def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(ORDERS_CHANGELOG_SQL)
+
+
+def lineitem_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(LINEITEM_CHANGELOG_SQL)
