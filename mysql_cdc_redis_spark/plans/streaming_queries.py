@@ -1,3 +1,121 @@
-"""Structured Streaming query-catalog entries (SURVEY.md §7 Phase 3).
+"""Structured Streaming query-catalog entries (SURVEY.md §2.8, §7 Phase 3).
 
-Filled in Phase 3 — module exists so catalog imports stay stable."""
+Each entry runs a real Structured Streaming query in the reference's
+blocking=False mode (trigger availableNow ≡ cdc_config.py:36) to
+completion, then returns the finalized result as a batch DataFrame so
+the driver can diff it against the same DuckDB oracle as the batch twin
+— the strongest possible cross-paradigm check."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from ..sources.changelog import (
+    ORDERS_CHANGELOG_SQL,
+    ORDERS_PAYLOAD,
+    ORDERS_PK,
+    orders_changelog,
+)
+from ..streaming import run_compaction_stream
+from ..streaming.changelog_files import stage_changelog_files
+from .catalog import register
+from .cdc import _oracle_compact_sql
+
+
+def _tmp(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "cdc_compact_stream_orders",
+    doc="S1+T4: the streaming twin of cdc_compact_orders — file-backed "
+    "changelog stream, applyInPandasWithState keyed cache (the Redis "
+    "analog, rcache.py:224-259), foreachBatch sink, availableNow "
+    "trigger.  Must hash-match the *batch* compaction oracle.",
+    tags=("cdc", "streaming", "ref:S1", "ref:T4"),
+    oracle=_oracle_compact_sql(ORDERS_CHANGELOG_SQL, ORDERS_PK, ORDERS_PAYLOAD),
+)
+def cdc_compact_stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("stream_src")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    return run_compaction_stream(
+        spark,
+        source_dir,
+        ch.schema,
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+        checkpoint_dir=_tmp("stream_ckpt"),
+        emissions_dir=_tmp("stream_emit"),
+        max_files_per_trigger=1,
+    )
+
+
+@register(
+    "stream_windowed_event_counts",
+    doc="T6 streaming: tumbling 10-minute event-time windows with a "
+    "watermark (T2) over a file-backed events stream; update-mode "
+    "emissions finalized per window.  Matches the batch tumbling oracle.",
+    tags=("streaming", "window", "ext"),
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("evstream_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    emissions_dir = _tmp("evstream_emit")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            emissions_dir
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", _tmp("evstream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # finalize: last emission per (window, event_type) is the closed count
+    emitted = spark.read.parquet(emissions_dir)
+    return (
+        emitted.groupBy("w", "event_type")
+        .agg(
+            F.max_by(F.struct("n_events", "sum_value"), F.col("batch_id")).alias("m")
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("m.n_events").alias("n_events"),
+            F.round(F.col("m.sum_value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,3 @@
+from .compact_stream import compact_stream, finalize_stream_output, run_compaction_stream
+
+__all__ = ["compact_stream", "finalize_stream_output", "run_compaction_stream"]

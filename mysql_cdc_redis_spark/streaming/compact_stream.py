@@ -1,0 +1,204 @@
+"""Streaming twin of the batch compaction operator (SURVEY.md §7 Phase 3,
+§2.8 T1-T4; reference cdc.py event loop + rcache.py save path).
+
+The reference's live path is: binlog stream -> per-event HGETALL ->
+_merge_row -> HMSET/DEL (rcache.py:224-259), with offsets committed after
+each save (cdc.py:134, at-least-once).  The Spark twin is:
+
+    readStream (file changelog)                      # S1
+      -> applyInPandasWithState keyed by (tbl, rid)  # T4: the cache
+      -> memory/parquet sink, checkpointed           # K5: offsets
+
+State per key = (fold_state, last_seq, payload_json): O(1) per event,
+exactly the (first_action, last_row) pair SURVEY.md M2 identifies.  The
+payload rides as a JSON string — faithful to the reference, where every
+cached value degrades to a string in Redis (rcache.py:139); typed
+columns are restored JVM-side with from_json after the fold.
+
+Annihilation removes the key's state entirely (state.remove()), so a
+later insert starts a fresh epoch from the empty state — identical to
+the batch fold's sentinel reset.  Each update-mode emission carries
+last_seq; the final answer per key is the emission with the largest
+last_seq (finalize_stream_output), letting the parity test assert
+stream ≡ batch on any micro-batch slicing.
+
+Delivery: Spark checkpoints offsets+state (exactly-once within the
+pipeline), strictly stronger than the reference's at-least-once; the
+compaction stays idempotent anyway (M5), as the reference's replay
+safety requires.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.compaction import ACTION_FOLD_SENTINEL, rid_expr
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("tbl", StringType()),
+        StructField("rid", StringType()),
+        StructField("cdc_action", StringType()),
+        StructField("last_seq", LongType()),
+        StructField("payload_json", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("fold_state", StringType()),
+        StructField("last_seq", LongType()),
+        StructField("payload_json", StringType()),
+    ]
+)
+
+
+def _fold(state: str, action: str) -> str:
+    """The rcache.py:196-222 merge table — same algebra as the batch
+    _fold_actions, scalar form."""
+    if state == ACTION_FOLD_SENTINEL:
+        return action
+    if state == "insert":
+        return ACTION_FOLD_SENTINEL if action == "delete" else "insert"
+    return "update" if action == "insert" else action
+
+
+def _compact_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    tbl, rid = key
+    if state.exists:
+        fold_state, last_seq, payload_json = state.get
+    else:
+        fold_state, last_seq, payload_json = ACTION_FOLD_SENTINEL, -1, None
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        for action in pdf["cdc_action"]:
+            fold_state = _fold(fold_state, action)
+        tail = pdf.iloc[-1]
+        if int(tail["seq"]) > last_seq:
+            last_seq = int(tail["seq"])
+            payload_json = tail["payload_json"]
+
+    if fold_state == ACTION_FOLD_SENTINEL:
+        # row vanished: drop the key's state so a future insert starts a
+        # fresh epoch (batch-fold sentinel reset), but still emit the
+        # annihilation so downstream can retract earlier emissions.
+        state.remove()
+    else:
+        state.update((fold_state, last_seq, payload_json))
+    yield pd.DataFrame(
+        [
+            {
+                "tbl": tbl,
+                "rid": rid,
+                "cdc_action": fold_state,
+                "last_seq": last_seq,
+                "payload_json": payload_json,
+            }
+        ]
+    )
+
+
+def compact_stream(
+    changelog: DataFrame,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    table_col: str = "tbl",
+) -> DataFrame:
+    """Wire the stateful compactor onto a (streaming) changelog
+    DataFrame.  Returns the update-mode emission stream."""
+    keyed = (
+        changelog.withColumn("rid", rid_expr(pk_cols))
+        .filter(F.col("rid").isNotNull())  # M3 reject path
+        .withColumn("payload_json", F.to_json(F.struct(*[F.col(c) for c in payload_cols])))
+        .select(F.col(table_col).alias("tbl"), "rid", "seq", "cdc_action", "payload_json")
+    )
+    return keyed.groupBy("tbl", "rid").applyInPandasWithState(
+        _compact_group,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_stream_output(
+    emissions: DataFrame, payload_schema: StructType
+) -> DataFrame:
+    """Collapse update-mode emissions to the final state: per key keep the
+    emission with the largest last_seq, drop annihilated keys, restore
+    typed payload columns from JSON."""
+    final = (
+        emissions.groupBy("tbl", "rid")
+        .agg(
+            F.max_by(
+                F.struct("cdc_action", "last_seq", "payload_json"), F.col("last_seq")
+            ).alias("m")
+        )
+        .select("tbl", "rid", F.col("m.cdc_action").alias("cdc_action"), F.col("m.payload_json").alias("payload_json"))
+        .filter(F.col("cdc_action") != ACTION_FOLD_SENTINEL)
+    )
+    return final.select(
+        "tbl",
+        "rid",
+        "cdc_action",
+        F.from_json("payload_json", payload_schema).alias("p"),
+    ).select("tbl", "rid", "cdc_action", "p.*")
+
+
+def run_compaction_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    emissions_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """End-to-end run in the reference's blocking=False mode
+    (cdc_config.py:36): consume everything currently available
+    (trigger(availableNow)), then return the finalized compacted state.
+
+    source_dir: directory of changelog parquet files (the file-backed
+    stand-in for the binlog stream, same columns — SURVEY.md S1).
+
+    Emissions land in emissions_dir via foreachBatch parquet appends —
+    the T7 dump-pipeline fan-out shape — which, unlike the memory sink,
+    supports checkpoint recovery: a restarted query resumes from the
+    committed offsets (K5/T1) with state intact."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    emissions = compact_stream(stream, pk_cols, payload_cols)
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions_dir)
+
+    q = (
+        emissions.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    payload_schema = StructType([source_schema[c] for c in payload_cols])
+    return finalize_stream_output(spark.read.parquet(emissions_dir), payload_schema)

@@ -1,0 +1,149 @@
+"""Semantics unit tests for the compaction algebra (SURVEY.md §5.2-5.3):
+the full 3x3 action-pair table of rcache.py:196-222, sequence tests,
+annihilation/epoch-reset, and the idempotent-replay property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_redis_spark.operators.compaction import (
+    compact,
+    reject_null_keys,
+    with_rid,
+)
+
+PK = ("id",)
+PAYLOAD = ("id", "v")
+
+
+def _changelog(spark, events):
+    """events: list of (seq, id, action, v)."""
+    return spark.createDataFrame(
+        [(int(s), i, a, v, "t") for s, i, a, v in events],
+        "seq long, id int, cdc_action string, v string, tbl string",
+    )
+
+
+def _compact_map(spark, events):
+    df = compact(_changelog(spark, events), PK, PAYLOAD)
+    return {r["rid"]: (r["cdc_action"], r["v"]) for r in df.collect()}
+
+
+# --- the 3x3 pair table (old action x new action), rcache.py:196-222 ----
+# (old, new) -> expected final action, or None if the row must vanish
+PAIR_TABLE = [
+    ("insert", "insert", "insert"),   # rcache.py: other pairs keep new
+    ("insert", "update", "insert"),   # rcache.py:208-209
+    ("insert", "delete", None),       # annihilation, rcache.py:214-215
+    ("update", "insert", "update"),   # "maybe truncate", rcache.py:218-221
+    ("update", "update", "update"),
+    ("update", "delete", "delete"),
+    ("delete", "insert", "update"),   # rcache.py:216-217
+    ("delete", "update", "update"),
+    ("delete", "delete", "delete"),
+]
+
+
+@pytest.mark.parametrize("old,new,expected", PAIR_TABLE)
+def test_action_pairs(spark, old, new, expected):
+    out = _compact_map(spark, [(1, 1, old, "a"), (2, 1, new, "b")])
+    if expected is None:
+        assert out == {}
+    else:
+        # last values win wholesale (rcache.py:222)
+        assert out == {"1": (expected, "b")}
+
+
+def test_single_events(spark):
+    # empty + x -> x for each action
+    for action in ("insert", "update", "delete"):
+        out = _compact_map(spark, [(1, 1, action, "a")])
+        assert out == {"1": (action, "a")}
+
+
+SEQUENCES = [
+    # insert -> update -> delete: annihilates (fold: I,u->I; I,d->gone)
+    ([("insert", "a"), ("update", "b"), ("delete", "c")], None),
+    # delete -> insert -> update: tombstone revived then updated
+    ([("delete", "a"), ("insert", "b"), ("update", "c")], ("update", "c")),
+    # insert -> delete -> insert: epoch reset, fresh insert
+    ([("insert", "a"), ("delete", "b"), ("insert", "c")], ("insert", "c")),
+    # insert -> delete -> update: epoch reset, bare update
+    ([("insert", "a"), ("delete", "b"), ("update", "c")], ("update", "c")),
+    # update -> delete -> insert: delete then revive -> update
+    ([("update", "a"), ("delete", "b"), ("insert", "c")], ("update", "c")),
+    # long chain ending gone
+    (
+        [("insert", "a"), ("update", "b"), ("update", "c"), ("delete", "d")],
+        None,
+    ),
+]
+
+
+@pytest.mark.parametrize("seq_events,expected", SEQUENCES)
+def test_sequences(spark, seq_events, expected):
+    events = [(i + 1, 7, a, v) for i, (a, v) in enumerate(seq_events)]
+    out = _compact_map(spark, events)
+    if expected is None:
+        assert out == {}
+    else:
+        assert out == {"7": expected}
+
+
+def test_arrival_order_is_seq_not_input_order(spark):
+    # shuffle input order; seq must decide
+    events = [(3, 1, "delete", "z"), (1, 1, "insert", "a"), (2, 1, "update", "b")]
+    assert _compact_map(spark, events) == {}
+
+
+def test_multiple_keys_independent(spark):
+    events = [
+        (1, 1, "insert", "a"),
+        (2, 2, "insert", "b"),
+        (3, 1, "delete", "x"),
+        (4, 3, "update", "c"),
+    ]
+    out = _compact_map(spark, events)
+    assert out == {"2": ("insert", "b"), "3": ("update", "c")}
+
+
+def test_replay_idempotence(spark):
+    """M5: re-saving a compacted dump through the same merge path leaves
+    the state unchanged (loadcsv.py:60-71 + rcache.py:246-254)."""
+    events = [
+        (1, 1, "insert", "a"),
+        (2, 1, "update", "b"),
+        (3, 2, "insert", "c"),
+        (4, 2, "delete", "d"),
+        (5, 3, "delete", "e"),
+        (6, 4, "update", "f"),
+    ]
+    once = compact(_changelog(spark, events), PK, PAYLOAD)
+    replayed = compact(once.withColumn("seq", F.lit(0).cast("long")), PK, PAYLOAD)
+    a = {r["rid"]: (r["cdc_action"], r["v"]) for r in once.collect()}
+    b = {r["rid"]: (r["cdc_action"], r["v"]) for r in replayed.collect()}
+    assert a == b == {"1": ("insert", "b"), "3": ("delete", "e"), "4": ("update", "f")}
+
+
+# --- rid derivation (P3) + reject path (M3) ----------------------------
+
+
+def test_composite_rid_and_null_rejects(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 1, "insert"), (2, 10, None, "insert"), (3, None, 2, "update")],
+        "seq long, a int, b int, cdc_action string",
+    )
+    with_ids = with_rid(df, ("a", "b"))
+    rids = {r["seq"]: r["rid"] for r in with_ids.collect()}
+    assert rids == {1: "10&1", 2: None, 3: None}
+    rejects = reject_null_keys(df, ("a", "b"))
+    assert {r["seq"] for r in rejects.collect()} == {2, 3}
+
+
+def test_scalar_vs_composite_equivalence(spark):
+    """P3 property: a scalar key behaves exactly like a 1-column composite."""
+    events = [(1, 5, "insert", "a"), (2, 5, "update", "b")]
+    df = _changelog(spark, events)
+    scalar = {r["rid"]: r["v"] for r in compact(df, ("id",), PAYLOAD).collect()}
+    assert scalar == {"5": "b"}

@@ -1,0 +1,93 @@
+"""Streaming-vs-batch parity (SURVEY.md §5.4): the applyInPandasWithState
+compactor over a chunked file stream must equal the batch window-dedup
+result on the same changelog — the live-vs-replay equivalence implied by
+loadcsv.py:68.  Plus checkpoint-resume (K5/T1)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_cdc_redis_spark.operators.compaction import compact
+from mysql_cdc_redis_spark.sources.changelog import (
+    ORDERS_PAYLOAD,
+    ORDERS_PK,
+    orders_changelog,
+)
+from mysql_cdc_redis_spark.streaming import run_compaction_stream
+from mysql_cdc_redis_spark.streaming.changelog_files import stage_changelog_files
+
+
+def _rows(df, cols):
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in df.collect()
+    )
+
+
+def _tmp(name):
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uuid.uuid4().hex[:8]}")
+
+
+def test_stream_equals_batch(spark, sf_dir):
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("chglog")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    batch = compact(ch, ORDERS_PK, ORDERS_PAYLOAD)
+    streamed = run_compaction_stream(
+        spark,
+        source_dir,
+        ch.schema,
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+        checkpoint_dir=_tmp("ckpt"),
+        emissions_dir=_tmp("emit"),
+        max_files_per_trigger=1,  # force one micro-batch per chunk
+    )
+    cols = ["tbl", "rid", "cdc_action", *ORDERS_PAYLOAD]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir):
+    """K5/T1: offsets live in the checkpoint; a restarted stream resumes
+    past already-consumed files and state carries over."""
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 3)
+    # k=3 keys have [insert(e0), update(e1)]; split events into two files
+    first = ch.filter(F.col("seq") % 4 == 0)   # the inserts
+    second = ch.filter(F.col("seq") % 4 == 1)  # the updates
+    d = _tmp("resume_src")
+    ckpt = _tmp("resume_ckpt")
+    emit = _tmp("resume_emit")
+    stage_changelog_files(first, d, n_chunks=1)
+
+    out1 = run_compaction_stream(
+        spark, d, ch.schema, ORDERS_PK, ORDERS_PAYLOAD, ckpt, emit
+    )
+    r1 = {r["rid"]: r["cdc_action"] for r in out1.collect()}
+    assert r1 and set(r1.values()) == {"insert"}
+    n_emissions_run1 = spark.read.parquet(emit).count()
+
+    # append the update events as a new file, same checkpoint
+    tmp = f"{d}/_stage_x"
+    second.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = f"{d}/chunk-9999.parquet"
+    shutil.move(f"{tmp}/{part}", dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (time.time(), time.time()))
+
+    out2 = run_compaction_stream(
+        spark, d, ch.schema, ORDERS_PK, ORDERS_PAYLOAD, ckpt, emit
+    )
+    # the second run appended ONLY re-emitted keys from the new file
+    # (offset resume skipped the already-committed first file)...
+    assert spark.read.parquet(emit).count() == n_emissions_run1 + second.count()
+    # ...and state carried over: insert+update folds to insert (M2)
+    r2 = {r["rid"]: r["cdc_action"] for r in out2.collect()}
+    assert set(r2.values()) == {"insert"}
+    assert set(r2) == set(r1)
