@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines (EXT; SURVEY.md §7
+Phase 4): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB story):
+* exact dedup — one hash-shuffle on a 16-byte digest, never on raw text.
+* n-gram Jaccard — the *exact* baseline: inverted-index join on 60-bit
+  shingle hashes (explode → equi-join on longs → count), never an
+  all-pairs cross join.  Cost is O(Σ_sh df(sh)²) — inherently quadratic
+  in shingle document-frequency, which is why the scale path is MinHash.
+* MinHash+LSH — k=16 signature from a universal integer hash family
+  h_i(x) = (a_i·x + b_i) mod p over the 32-bit-reduced shingle hash
+  (pure JVM integer arithmetic, no per-hash md5), b=4 bands × r=4 rows;
+  candidates share a band digest (equi-join), then exact Jaccard is
+  verified *candidate-driven* — common-shingle counts are computed only
+  for candidate pairs, so verification cost is O(candidates · shingles
+  per doc), independent of corpus pair count.
+* SimHash — 16-bit signature from token-frequency-weighted bit votes;
+  all bit arithmetic in JVM expressions.
+
+Everything is built-in DataFrame ops — no Python in the hot path — and
+every operator has a DuckDB oracle twin in plans/llm.py reproducing the
+identical hash constants."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5long, norm_text
+from .textstats import fingerprint
+
+# Universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod HASH_P
+# over x < 2^32; constants < 2^30 so a_i*x stays below 2^62 (no int64
+# overflow in either engine).  Drawn deterministically (seed 42) and
+# shared verbatim with the oracle SQL.
+HASH_P = 4_294_967_311  # prime > 2^32
+_rng = random.Random(42)
+HASH_A = [_rng.randrange(1, 1 << 30) for _ in range(64)]
+HASH_B = [_rng.randrange(0, 1 << 30) for _ in range(64)]
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group documents by content fingerprint; keeper = min id per group.
+    Returns (fp, keeper, n_copies).  Shuffles 16-byte digests, not
+    documents."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors only — dropDuplicates on content with a deterministic
+    keeper (min id)."""
+    w_fp = exact_dedup_groups(docs, id_col, text_col).select(
+        "fp", F.col("keeper").alias(id_col)
+    )
+    keyed = docs.withColumn("fp", fingerprint(F.col(text_col)))
+    return keyed.join(w_fp, ["fp", id_col], "inner").drop("fp")
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, sh).
+
+    The token array is materialized as a column BEFORE the gram
+    expression: element_at over a column reference evaluates the split
+    once per row, whereas inlining the split expression would re-execute
+    it per gram element (~100× per row).  element_at is 1-based —
+    mirrors the oracle's DuckDB list indexing."""
+    toks_df = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(norm_text(F.col(text_col)), " ").alias("toks"),
+    ).where(F.size("toks") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return toks_df.select("doc_id", F.explode(F.array_distinct(grams)).alias("sh"))
+
+
+def shingle_hashes(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, h): distinct 60-bit shingle hashes — 8-byte join keys
+    instead of shingle strings, the shuffle-friendly representation."""
+    return shingles(docs, n, id_col, text_col).select(
+        "doc_id", md5long(F.col("sh")).alias("h")
+    ).distinct()
+
+
+def _jaccard(col_common, col_a, col_b):
+    return F.round(col_common / (col_a + col_b - col_common), 6)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact near-dup pairs by n-gram Jaccard ≥ threshold (inverted-index
+    join on hashed shingles)."""
+    # three downstream branches (sizes, both join sides) — cache the
+    # shingle relation instead of re-shingling per branch
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "h")
+    b = sh.select(F.col("doc_id").alias("b"), "h")
+    common = (
+        a.join(b, "h")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh_hashed: DataFrame, k: int = 16) -> DataFrame:
+    """k MinHash values per doc from the universal family over the 32-bit
+    reduced shingle hash: one aggregate, k min() columns, pure integer
+    arithmetic (no md5 in the loop)."""
+    hashed = sh_hashed.select(
+        "doc_id",
+        *[
+            ((F.lit(HASH_A[i]) * (F.col("h") % HASH_P) + F.lit(HASH_B[i])) % HASH_P).alias(
+                f"g{i}"
+            )
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"g{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """Band the signature (r = k/bands rows per band) and equi-join on the
+    band digest: candidates = pairs agreeing on ≥1 full band."""
+    r = k // bands
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    left = banded.select(F.col("doc_id").alias("a"), "band", "bkey")
+    right = banded.select(F.col("doc_id").alias("b"), "band", "bkey")
+    return (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle-hash → sign → band → candidate
+    equi-join → candidate-driven exact-Jaccard verify ≥ threshold.
+    Output (a, b, jaccard)."""
+    # four downstream branches (signature, sizes, both verify sides) —
+    # cache the shingle relation instead of re-shingling per branch
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    cand = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # verification restricted to candidates: cand × A-shingles, matched
+    # against B-shingles on (b, h) — cost ∝ |cand| · shingles/doc
+    a_sh = sh.select(F.col("doc_id").alias("a"), "h")
+    b_sh = sh.select(F.col("doc_id").alias("b"), "h")
+    common = (
+        cand.join(a_sh, "a")
+        .join(b_sh, ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document: per-token 60-bit hash, token-frequency
+    weighted ±1 votes per bit position, sign → bit.  Returns
+    (doc_id, simhash)."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", md5long(F.col("tok")))
+    )
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        "w",
+        "h",
+    ).withColumn(
+        # the python shiftright() wrapper only takes a literal shift; the
+        # SQL expression form accepts a column
+        "vote",
+        F.when(F.expr("(shiftright(h, j) & 1) = 1"), F.col("w")).otherwise(-F.col("w")),
+    )
+    return (
+        votes.groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,80 @@
+"""Multimodal column plumbing (EXT; SURVEY.md §7 Phase 4).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side plumbing here is real and tested — schema, Arrow batch
+shape, mapInPandas signature, partitioning — while the actual media
+decode is STUBBED (this container ships no image/audio libraries): the
+decoder derives deterministic fake dimensions from the payload bytes so
+oracles can verify the pipeline end to end.  Swapping in PIL/ffmpeg is a
+one-function change (``_decode_stub``), nothing in the plan changes.
+
+Scale notes: binary payloads ride Arrow batches into Python only inside
+mapInPandas (batched, zero-copy); metadata extraction that does NOT need
+the bytes (length, content hash) stays JVM-side.  Partition sizing for
+blob columns: keep spark.sql.files.maxPartitionBytes moderate so a
+partition of blobs fits executor memory."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: dimensions derived from byte length.
+    Replace with a real decoder (PIL / torchaudio / pyav) in production —
+    the signature (bytes -> metadata tuple) is the extension point."""
+    n = len(payload)
+    width = 64 + (n % 577)
+    height = 64 + (n % 311)
+    n_frames = 1 + (n % 7)
+    return width, height, n_frames
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in media ingestion: the document text utf-8 encoded as the
+    opaque blob (real pipelines read blob columns from parquet the same
+    way)."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def decode_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: Arrow-batched binary in, typed metadata out.
+    One Python crossing for the whole pipeline; everything before and
+    after stays in the JVM."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_frames": [m[2] for m in meta],
+                }
+            )
+
+    return with_payload.select(id_col, "payload").mapInPandas(
+        _decode, schema=DECODED_META_SCHEMA
+    )

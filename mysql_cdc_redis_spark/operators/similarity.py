@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (EXT; SURVEY.md §7 Phase 4).
+
+Two paths:
+* brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the candidate corpus; per-row dot product via
+  zip_with + aggregate (JVM higher-order functions, no Python).  At
+  100 TB the corpus side stays partitioned; only queries broadcast.
+* hyperplane-LSH ANN — the scale path: 16 deterministic random
+  hyperplanes (md5long-derived ±1 weights) bucket each vector by the sign
+  pattern of its projections; search joins on bucket equality first, so
+  the exact rerank touches only same-bucket candidates.  Recall/cost is
+  tunable by bands of planes; buckets are an equi-join key, which keeps
+  the plan a hash join instead of a cross join.
+
+All arithmetic is done in float64 with a fixed fold order so the DuckDB
+oracle reproduces results bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared vector expressions (element 1-based to mirror DuckDB lists)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: for each query vector, the k nearest corpus vectors by
+    cosine.  Queries broadcast (small side); score rounded to 6 dp BEFORE
+    ranking so ranking is engine-portable; ties broken by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "q_id",
+        "n_id",
+        F.round(_dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")), 6).alias(
+            "cos"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_weight_expr():
+    """±1 weight of plane p at dimension d — engine-portable determinism:
+    sign of the parity of md5long('p|d')."""
+    from ..functions.hashing import md5long
+
+    return F.when(
+        md5long(F.concat_ws("|", F.col("p").cast("string"), F.col("d").cast("string"))) % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket id per vector: bit p = [dot(v, plane_p) > 0], bucket =
+    Σ bit<<p.  Explode (vector × plane × dim), one aggregation — linear
+    shuffle, no pairwise work."""
+    vd = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("d0", "x"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x"))
+    vpd = vd.crossJoin(F.broadcast(
+        vectors.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("p"))
+    ))
+    proj = (
+        vpd.withColumn("w", _plane_weight_expr())
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("proj"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's LSH bucket, then
+    exact cosine rerank.  Returns (q_id, n_id, rank, cos); queries whose
+    bucket holds < k corpus vectors return fewer rows (ANN semantics)."""
+    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        "vec_id", "q_id"
+    )
+    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        "vec_id", "n_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
+    ).join(qb, "q_id")
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), _norm(F.col(vec_col)).alias("n_norm")
+    ).join(cb, "n_id")
+    scored = (
+        F.broadcast(q.withColumnRenamed("bucket", "qb"))
+        .join(c, F.col("qb") == F.col("bucket"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")), 6
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )

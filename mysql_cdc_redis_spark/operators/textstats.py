@@ -1,0 +1,78 @@
+"""Text-analysis operators for training-data pipelines (EXT; SURVEY.md §7
+Phase 4): tokenization, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+All column expressions are JVM built-ins (regexp/split/aggregate) so the
+hot path stays inside whole-stage codegen — at 100 TB these run at scan
+speed with zero Python boundary crossings."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5long, norm_text
+
+# Tiny English stopword list shared verbatim with the oracle SQL.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+# BPE-ish pre-tokenizer: runs of alphanumerics OR single non-space symbols
+# (the classic GPT-2-style pre-split, ASCII approximation).
+BPE_TOKEN_RE = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization over normalized text."""
+    return F.split(norm_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    return F.size(F.regexp_extract_all(norm_text(col), F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return n_stop / F.size(toks)
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword
+    presence + mean token length band.  Deterministic, oracle-portable."""
+    n = F.length(norm_text(col))
+    len_ok = (n >= 100) & (n <= 2000)
+    stop_ok = stopword_ratio(col) >= 0.03
+    tok_ok = (avg_token_len(col) >= 3.0) & (avg_token_len(col) <= 10.0)
+    return (
+        len_ok.cast("double") * 0.4 + stop_ok.cast("double") * 0.3 + tok_ok.cast("double") * 0.3
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram-free heuristic language ID: English if function-word density
+    clears a threshold, else unknown.  (The container has no langdetect —
+    the heuristic is the deliverable, not the model.)"""
+    return F.when(stopword_ratio(col) >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (exact-dup key).
+    Engine-portable; the rolling/simhash variants live in dedup.py."""
+    return F.md5(norm_text(col))
+
+
+def content_hash60(col: Column) -> Column:
+    """60-bit integer fingerprint (join-friendly)."""
+    return md5long(norm_text(col))

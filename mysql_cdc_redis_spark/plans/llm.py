@@ -1,4 +1,417 @@
-"""LLM-data-pipeline query-catalog entries (SURVEY.md §7 Phase 4):
-dedup, similarity search, text analysis, multimodal plumbing.
+"""LLM-data-pipeline query-catalog entries (EXT; SURVEY.md §7 Phase 4):
+deduplication, similarity search, text analysis, multimodal plumbing.
 
-Filled in Phase 4 — module exists so catalog imports stay stable."""
+Each oracle reproduces the operator's math independently in DuckDB using
+the shared engine-portable hash (functions/hashing.py), so hash-matches
+verify the actual sketch computations, not just row counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import textstats as ts
+from ..sources import load_table
+from .catalog import register
+
+# --- shared DuckDB fragments ------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_MD5LONG = "('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+_DOCS_SHINGLES = f"""
+d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tk AS (SELECT doc_id, string_split(norm, ' ') AS l FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+    FROM tk WHERE len(l) >= 3
+  )
+),
+shh AS (SELECT DISTINCT doc_id, {_MD5LONG.format(e='sh')} AS h FROM sh)"""
+
+_PAIR_JACCARD = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM shh x JOIN shh y ON x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT a, b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+)"""
+
+_JACCARD_THRESHOLD = 0.2
+_MINHASH_K = 16
+_MINHASH_BANDS = 4
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    doc="Exact dedup via content fingerprint (md5 of normalized text): "
+    "shuffles 16-byte digests, never documents; keeper = min doc_id.",
+    tags=("dedup", "ext"),
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+SELECT md5(norm) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+FROM d GROUP BY fp ORDER BY fp
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(docs).orderBy("fp")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    doc="Near-dup pairs by word-3-gram Jaccard via inverted-index self-join "
+    "(explode shingles → equi-join → count), never an all-pairs cross "
+    "join.",
+    tags=("dedup", "ext"),
+    bench=True,
+    oracle=f"""
+WITH {_DOCS_SHINGLES},
+{_PAIR_JACCARD}
+SELECT a, b, jaccard FROM jacc
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+ORDER BY a, b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, n=3, threshold=_JACCARD_THRESHOLD).orderBy("a", "b")
+
+
+def _minhash_oracle() -> str:
+    from ..operators.dedup import HASH_A, HASH_B, HASH_P
+
+    k, bands = _MINHASH_K, _MINHASH_BANDS
+    r = k // bands
+    min_terms = [
+        f"min(({HASH_A[i]} * (h % {HASH_P}) + {HASH_B[i]}) % {HASH_P}) AS mh{i}"
+        for i in range(k)
+    ]
+    mins = ",\n         ".join(min_terms)
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
+            b=b,
+            expr=" || ',' || ".join(f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_DOCS_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+common AS (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT a, b, round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {_JACCARD_THRESHOLD}
+ORDER BY a, b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    doc="MinHash(k=16) + LSH(4 bands × 4 rows): shingle → sign → band "
+    "digest equi-join → candidates → exact-Jaccard verify.  Shuffle "
+    "volume O(docs × bands), independent of pair count — the 100 TB "
+    "near-dup path.",
+    tags=("dedup", "lsh", "ext"),
+    bench=True,
+    oracle=_minhash_oracle(),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, n=3, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD
+    ).orderBy("a", "b")
+
+
+@register(
+    "dedup_simhash",
+    doc="16-bit SimHash per document: token-frequency-weighted ±1 bit "
+    "votes, sign → bit; all bit arithmetic JVM-side.",
+    tags=("dedup", "ext"),
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tokw AS (
+  SELECT doc_id, tok, count(*) AS w FROM (
+    SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM d
+  ) GROUP BY doc_id, tok
+),
+tokh AS (SELECT doc_id, w, {_MD5LONG.format(e='tok')} AS h FROM tokw),
+votes AS (
+  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN w ELSE -w END) AS s
+  FROM tokh, range(16) t(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash16(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_EXPR = """
+round(
+  list_reduce(list_transform(list_zip({a}, {b}),
+                             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+              (p, q) -> p + q)
+  / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+     * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))), 6)
+"""
+
+
+@register(
+    "sim_cosine_topk_bruteforce",
+    doc="Exact ANN baseline: brute-force cosine top-5 for 8 query vectors "
+    "over the corpus; queries broadcast, dot product via zip_with + "
+    "fold (JVM higher-order functions), fixed fold order for oracle "
+    "parity.",
+    tags=("similarity", "ext"),
+    bench=True,
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 8),
+scored AS (
+  SELECT q_id, n_id, {_COS_EXPR.format(a='qv', b='nv')} AS cos
+  FROM q, c
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+""",
+)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return sim.cosine_topk_bruteforce(queries, corpus, k=5).orderBy("q_id", "rank")
+
+
+_LSH_PLANES = 8
+
+
+def _lsh_oracle() -> str:
+    plane_hash = _MD5LONG.format(e="CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)")
+    w_expr = f"CASE WHEN {plane_hash} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    return f"""
+WITH planes AS (
+  SELECT p, d, {w_expr} AS w
+  FROM range({_LSH_PLANES}) tp(p), range(1, 65) td(d)
+),
+vecd AS (
+  SELECT vec_id, d, CAST(embedding[CAST(d AS INT)] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) td(d)
+),
+proj AS (
+  SELECT vec_id, p, sum(x * w) AS proj
+  FROM vecd JOIN planes USING (d) GROUP BY vec_id, p
+),
+bucket AS (
+  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id AS q_id, e.embedding AS qv, b.bucket AS qb
+  FROM embeddings e JOIN bucket b USING (vec_id) WHERE e.vec_id < 8
+),
+c AS (
+  SELECT e.vec_id AS n_id, e.embedding AS nv, b.bucket AS bucket
+  FROM embeddings e JOIN bucket b USING (vec_id) WHERE e.vec_id >= 8
+),
+scored AS (
+  SELECT q_id, n_id, {_COS_EXPR.format(a='qv', b='nv')} AS cos
+  FROM q JOIN c ON q.qb = c.bucket
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+@register(
+    "sim_cosine_topk_lsh",
+    doc="ANN scale path: hyperplane-LSH bucketing (8 deterministic planes "
+    "→ 256 buckets) restricts the exact rerank to same-bucket "
+    "candidates; bucket equality is an equi-join key, so the plan is a "
+    "hash join, never a cross join.",
+    tags=("similarity", "lsh", "ext"),
+    oracle=_lsh_oracle(),
+)
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return sim.cosine_topk_lsh(queries, corpus, k=5, n_planes=_LSH_PLANES).orderBy(
+        "q_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in ts.STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_profile",
+    doc="Per-document text analytics: char/token counts, BPE-ish token "
+    "count, mean token length, stopword ratio, heuristic language ID, "
+    "composite quality score, md5 fingerprint — all JVM built-ins at "
+    "scan speed.",
+    tags=("text", "ext"),
+    bench=True,
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+t AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM d
+),
+m AS (
+  SELECT doc_id, norm, toks,
+         length(norm) AS n_chars,
+         len(toks) AS n_tokens,
+         len(regexp_extract_all(norm, '[a-z0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+         list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b) / len(toks) AS avg_token_len,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) / len(toks) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+       round(avg_token_len, 4) AS avg_token_len,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred,
+       round(CAST(
+         (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4
+         + (CASE WHEN stopword_ratio >= 0.03 THEN 1.0 ELSE 0.0 END) * 0.3
+         + (CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
+       AS DOUBLE), 2) AS quality,
+       md5(norm) AS fingerprint
+FROM m ORDER BY doc_id
+""",
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(ts.norm_text(txt)).alias("n_chars"),
+        ts.token_count(txt).alias("n_tokens"),
+        ts.bpe_token_count(txt).alias("n_bpe_tokens"),
+        F.round(ts.avg_token_len(txt), 4).alias("avg_token_len"),
+        F.round(ts.stopword_ratio(txt), 4).alias("stopword_ratio"),
+        ts.lang_id(txt).alias("lang_pred"),
+        F.round(ts.quality_score(txt), 2).alias("quality"),
+        ts.fingerprint(txt).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_distribution",
+    doc="Corpus-level language/quality distribution: predicted language × "
+    "source with document counts and mean quality.",
+    tags=("text", "agg", "ext"),
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, {_NORM} AS norm FROM documents),
+t AS (SELECT doc_id, source, string_split(norm, ' ') AS toks FROM d),
+m AS (
+  SELECT doc_id, source,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) / len(toks) AS stopword_ratio
+  FROM t
+)
+SELECT source,
+       CASE WHEN stopword_ratio >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred,
+       count(*) AS n_docs,
+       round(avg(stopword_ratio), 4) AS avg_stopword_ratio
+FROM m GROUP BY 1, 2 ORDER BY source, lang_pred
+""",
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return (
+        docs.select(
+            "source",
+            ts.lang_id(txt).alias("lang_pred"),
+            ts.stopword_ratio(txt).alias("sr"),
+        )
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sr"), 4).alias("avg_stopword_ratio"),
+        )
+        .orderBy("source", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_decode_metadata",
+    doc="Multimodal plumbing: opaque binary payload column → Arrow-batched "
+    "mapInPandas decode (STUB decoder, deterministic fake dims) → typed "
+    "metadata.  The Spark-side schema/batching/partitioning is real; "
+    "swap _decode_stub for PIL/ffmpeg in production.",
+    tags=("multimodal", "ext"),
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+       CAST(64 + octet_length(encode(text)) % 311 AS INT) AS height,
+       CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+FROM documents ORDER BY doc_id
+""",
+)
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.decode_metadata(mm.attach_binary_payload(docs)).orderBy("doc_id")

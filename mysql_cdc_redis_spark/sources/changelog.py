@@ -161,11 +161,96 @@ LINEITEM_PAYLOAD = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Spark-side builders.  Same rows as the SQL templates above (equality is
+# oracle-checked), but built as a single-pass explode plan: the UNION
+# template would re-execute the base scan (and, for lineitem, the dedup
+# GROUP BY) once per branch — 4 scans instead of 1 at 100 TB.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Column  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _scenario_events(k: Column, extra_pred: Column) -> Column:
+    """Array of (e, act) event structs for scenario k (nulls filtered):
+    the explode-form of the _ACTION0/1/2 + null-pk UNION branches."""
+    a0 = (
+        F.when((k <= 4) | (k == 8), F.lit("insert"))
+        .when(k.isin(5, 7), F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    a1 = (
+        F.when(k.isin(2, 4), F.lit("delete"))
+        .when(k.isin(3, 5, 8), F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    a2 = F.when(k == 2, F.lit("insert")).otherwise(F.lit("delete"))
+    evs = F.array(
+        F.struct(F.lit(0).alias("e"), a0.alias("act")),
+        F.when((k >= 2) & (k <= 8), F.struct(F.lit(1).alias("e"), a1.alias("act"))),
+        F.when(k.isin(2, 8), F.struct(F.lit(2).alias("e"), a2.alias("act"))),
+        F.when(extra_pred, F.struct(F.lit(3).alias("e"), F.lit("insert").alias("act"))),
+    )
+    return F.filter(evs, lambda x: x.isNotNull())
+
+
 def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(ORDERS_CHANGELOG_SQL)
+    o = load_table(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 10).cast("int")
+    ev = o.withColumn("ev", F.explode(_scenario_events(k, F.col("o_orderkey") % 97 == 0)))
+    e = F.col("ev.e")
+    return ev.select(
+        (F.col("o_orderkey") * 4 + e).cast("long").alias("seq"),
+        F.lit("tpch").alias("db"),
+        F.lit("orders").alias("tbl"),
+        F.col("ev.act").alias("cdc_action"),
+        F.col("o_orderdate").alias("cdc_ts"),
+        F.when(e == 3, F.lit(None).cast("long")).otherwise(F.col("o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        "o_custkey",
+        "o_orderstatus",
+        F.when(e == 3, F.col("o_totalprice"))
+        .otherwise(F.round(F.col("o_totalprice") + 7.0 * e, 2))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
 
 
 def lineitem_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(LINEITEM_CHANGELOG_SQL)
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_partkey").alias("l_partkey"),
+        F.max("l_suppkey").alias("l_suppkey"),
+        F.max("l_quantity").alias("l_quantity"),
+        F.max("l_extendedprice").alias("l_extendedprice"),
+        F.max("l_returnflag").alias("l_returnflag"),
+        F.max("l_shipdate").alias("l_shipdate"),
+    )
+    kexpr = ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 10).cast("int")
+    extra = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 97 == 0
+    ev = base.withColumn("ev", F.explode(_scenario_events(kexpr, extra)))
+    e = F.col("ev.e")
+    return ev.select(
+        ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 4 + e)
+        .cast("long")
+        .alias("seq"),
+        F.lit("tpch").alias("db"),
+        F.lit("lineitem").alias("tbl"),
+        F.col("ev.act").alias("cdc_action"),
+        F.col("l_shipdate").alias("cdc_ts"),
+        "l_orderkey",
+        F.when(e == 3, F.lit(None).cast("int")).otherwise(F.col("l_linenumber")).alias(
+            "l_linenumber"
+        ),
+        "l_partkey",
+        "l_suppkey",
+        F.when(e == 3, F.col("l_quantity"))
+        .otherwise(F.round(F.col("l_quantity") + 1.0 * e, 2))
+        .alias("l_quantity"),
+        "l_extendedprice",
+        "l_returnflag",
+        "l_shipdate",
+    )
