@@ -642,3 +642,222 @@ def topk_largest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6: HAVING — post-aggregate filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_having_big_customers",
+    doc="Aggregate + HAVING: customers with >= 12 orders and total spend "
+    "above 1M; the filter lands after the final aggregate.",
+    tags=("agg", "ext"),
+    oracle="""
+SELECT o_custkey AS custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12 AND sum(o_totalprice) > 1000000
+ORDER BY custkey
+""",
+)
+def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 1_000_000))
+        .select("custkey", "n_orders", F.round("_spend", 2).alias("total_spend"))
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: left semi — EXISTS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_customers_with_urgent",
+    doc="LEFT SEMI join (EXISTS): customers having at least one urgent "
+    "order — probe side streams, no duplicate inflation.",
+    tags=("join", "semi", "ext"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+""",
+)
+def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: conditional aggregation (pivot-shaped)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_conditional_pivot_status",
+    doc="Pivot-shaped conditional aggregation: one row per nation with "
+    "per-orderstatus revenue columns via sum(CASE WHEN ...) — a single "
+    "aggregate pass instead of three.",
+    tags=("agg", "pivot", "ext"),
+    oracle="""
+SELECT n_name,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_rev,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS filled_rev,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS partial_rev
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def agg_conditional_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def rev(status: str) -> F.Column:
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        )
+
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            rev("O").alias("open_rev"),
+            rev("F").alias("filled_rev"),
+            rev("P").alias("partial_rev"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6: session windows (batch form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_session_events",
+    doc="Session windows per user with a 30-minute gap (session_window); "
+    "oracle spells the same semantics with lag + cumulative flag — a "
+    "genuinely different formulation, strong cross-check.",
+    tags=("window", "session", "ext"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: sketch aggregates (approx_count_distinct) — rows-only check: the
+# HLL estimate is Spark-specific, no engine-portable oracle exists.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_approx_distinct_users",
+    doc="approx_count_distinct (HyperLogLog++) next to the exact count — "
+    "the mergeable-sketch path for 100 TB cardinality estimation.  No "
+    "oracle: the estimate is implementation-specific (driver records "
+    "rows-only).",
+    tags=("agg", "sketch", "ext"),
+    oracle=None,
+)
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 / §1.3: cast breadth + type fidelity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_cast_fidelity",
+    doc="Type-map fidelity (§1.3): int↔string↔double↔timestamp↔date casts "
+    "round-tripping through the warehouse type system; the reference "
+    "stringifies everything in Redis (rcache.py:139) — these casts are "
+    "the typed-engine replacement.",
+    tags=("scalar", "types", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_int,  -- duckdb rounds on cast, spark truncates; floor pins both
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS is_even
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def scalar_cast_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_even"),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,137 @@
+"""Schema tooling + path-derivation catalog entries (SURVEY.md §2.10
+C1/C2, §2.2 P6/P7).
+
+The schema-inference oracle is DuckDB's own information_schema.columns —
+a genuinely independent reimplementation of the reference's MySQL
+information_schema scan (bq_schema_from_mysql.py:134-152)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.schema_tool import warehouse_schema
+from ..sources import load_table
+from .catalog import register
+
+_SCHEMA_TABLES = ("customer", "lineitem", "nation", "orders", "part", "region", "supplier")
+
+
+@register(
+    "schema_infer_warehouse",
+    doc="C1+S9: per-table warehouse schema — Spark StructType reflection "
+    "translated through the reference's type map (ints→integer, "
+    "decimal/float→float, dates→string, datetime→timestamp, unknown→"
+    "string), system columns cdc_action/cdc_ts appended, name-sorted "
+    "(bq_schema_from_mysql.py:54-88,150-157).  Oracle = DuckDB's own "
+    "information_schema.columns under the same translation.",
+    tags=("schema", "ref:C1", "ref:S9"),
+    oracle=f"""
+SELECT table_name AS tbl, column_name, CASE
+         WHEN data_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT','BOOLEAN') THEN 'integer'
+         WHEN data_type IN ('FLOAT','DOUBLE','REAL') OR data_type LIKE 'DECIMAL%' THEN 'float'
+         WHEN data_type IN ('TIMESTAMP','TIMESTAMP_NS','TIMESTAMP WITH TIME ZONE') THEN 'timestamp'
+         ELSE 'string' END AS wtype
+FROM information_schema.columns
+WHERE table_name IN {_SCHEMA_TABLES!r}
+UNION ALL
+SELECT t.tbl, c.column_name, c.wtype
+FROM (VALUES {", ".join(f"('{t}')" for t in _SCHEMA_TABLES)}) t(tbl),
+     (VALUES ('cdc_action', 'string'), ('cdc_ts', 'timestamp')) c(column_name, wtype)
+ORDER BY tbl, column_name
+""",
+)
+def schema_infer_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for t in _SCHEMA_TABLES:
+        for name, wtype in warehouse_schema(load_table(spark, sf_dir, t)):
+            rows.append((t, name, wtype))
+    return spark.createDataFrame(rows, "tbl string, column_name string, wtype string").orderBy(
+        "tbl", "column_name"
+    )
+
+
+@register(
+    "path_table_derivation",
+    doc="P6: derive 'db.table' from the scanned file's basename "
+    "(loadcsv.py:83-89) via input_file_name + regexp; oracle uses "
+    "DuckDB read_parquet(filename=true).  Paths are pinned to the "
+    "driver's sf0.01 fixture dir on the oracle side.",
+    tags=("scalar", "ref:P6"),
+    oracle="""
+SELECT tbl, count(*) AS n_rows FROM (
+  SELECT 'tpch.' || regexp_extract(filename, '([^/]+)[.]parquet$', 1) AS tbl
+  FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename=true)
+  UNION ALL
+  SELECT 'tpch.' || regexp_extract(filename, '([^/]+)[.]parquet$', 1) AS tbl
+  FROM read_parquet('/root/testdata/sf0.01/nation.parquet', filename=true)
+)
+GROUP BY tbl ORDER BY tbl
+""",
+)
+def path_table_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(name: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, name)
+            .select(F.input_file_name().alias("path"))
+            .select(
+                F.concat(
+                    F.lit("tpch."), F.regexp_extract("path", r"([^/]+)[.]parquet$", 1)
+                ).alias("tbl")
+            )
+        )
+
+    return (
+        one("orders")
+        .unionByName(one("nation"))
+        .groupBy("tbl")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("tbl")
+    )
+
+
+@register(
+    "gs_url_parse",
+    doc="P7: parse the gs:// dump URL back into (system, sid, db, table, "
+    "ts) — dump2csv.py:236-238's split idiom over URLs synthesized from "
+    "orders rows; pure string functions both sides.",
+    tags=("scalar", "ref:P7"),
+    oracle="""
+WITH urls AS (
+  SELECT 'gs://bucket/binlog/' || CAST(o_custkey AS VARCHAR) || '/20240101/tpch.orders.'
+         || CAST(o_orderkey AS VARCHAR) || '.csv' AS url
+  FROM orders
+),
+parts AS (
+  -- split of gs://bucket/binlog/<sid>/<date>/<file> yields 7 segments:
+  -- [gs:, '', bucket, binlog, sid, date, file]
+  SELECT url,
+         string_split(url, '/') AS seg,
+         string_split(string_split(url, '/')[7], '.') AS base
+  FROM urls
+)
+SELECT seg[4] AS system, seg[5] AS sid, base[1] AS db, base[2] AS tb,
+       CAST(base[3] AS BIGINT) AS file_ts
+FROM parts ORDER BY CAST(base[3] AS BIGINT)
+""",
+)
+def gs_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urls = orders.select(
+        F.concat(
+            F.lit("gs://bucket/binlog/"),
+            F.col("o_custkey").cast("string"),
+            F.lit("/20240101/tpch.orders."),
+            F.col("o_orderkey").cast("string"),
+            F.lit(".csv"),
+        ).alias("url")
+    )
+    seg = F.split(F.col("url"), "/")
+    base = F.split(F.element_at(seg, 7), r"\.")
+    return urls.select(
+        F.element_at(seg, 4).alias("system"),
+        F.element_at(seg, 5).alias("sid"),
+        F.element_at(base, 1).alias("db"),
+        F.element_at(base, 2).alias("tb"),
+        F.element_at(base, 3).cast("long").alias("file_ts"),
+    ).orderBy("file_ts")

@@ -15,7 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mysql_cdc_redis_spark.session import get_spark  # noqa: E402
 from mysql_cdc_redis_spark.sources.tables import TABLES  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# default to sf0.01 — the scale the driver's t2 correctness gate runs at
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
