@@ -1,0 +1,144 @@
+"""Unit tests for the sink family (K1/K4/K6, W3 chunking) and the
+operational policies (T3 flush, A5/P5 observe metrics)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_redis_spark.operators.compaction import compact
+from mysql_cdc_redis_spark.operators.dump import (
+    dump_state_parquet,
+    dump_to_csv,
+    read_dump,
+)
+from mysql_cdc_redis_spark.sources.changelog import (
+    ORDERS_PAYLOAD,
+    ORDERS_PK,
+    orders_changelog,
+)
+from mysql_cdc_redis_spark.streaming.policies import FlushPolicy, with_progress_metrics
+
+
+def _tmp(name):
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uuid.uuid4().hex[:8]}")
+
+
+def test_csv_dump_chunking_and_layout(spark, sf_dir):
+    """K1+W3: date partitions on disk, header per file, ≤ max_rows rows
+    per file (the reference's 1e6 default scaled down to force splits)."""
+    compacted = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD).select(
+        "tbl", "rid", "cdc_action", "cdc_ts", "o_totalprice"
+    )
+    out = _tmp("dump_csv")
+    dump_to_csv(compacted, out, date_col="cdc_ts", fmt="yyyy", max_rows_per_file=500)
+    # partition dirs dt=<yyyy>
+    parts = sorted(os.path.basename(p) for p in glob.glob(f"{out}/dt=*"))
+    assert parts and all(p.startswith("dt=") for p in parts)
+    # chunk limit respected
+    for f in glob.glob(f"{out}/dt=*/*.csv"):
+        with open(f) as fh:
+            n = sum(1 for _ in fh) - 1  # minus header
+        assert n <= 500
+    # header + roundtrip row count
+    back = read_dump(spark, out, schema=compacted.schema)
+    assert back.count() == compacted.count()
+
+
+def test_state_sink_partition_overwrite(spark, sf_dir):
+    """K4+K6: table-partitioned parquet state; a per-table clear is a
+    partition overwrite that leaves other tables untouched."""
+    compacted = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD).select(
+        "tbl", "rid", "cdc_action"
+    )
+    path = _tmp("state")
+    dump_state_parquet(compacted, path)
+    n0 = spark.read.parquet(path).count()
+    assert n0 == compacted.count()
+    assert os.path.isdir(f"{path}/tbl=orders")
+    # K6 destructive clear of one table = dynamic partition overwrite
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        empty = compacted.limit(1).withColumn("cdc_action", F.lit("delete"))
+        empty.write.mode("overwrite").partitionBy("tbl").parquet(path)
+        after = spark.read.parquet(path)
+        assert after.count() == 1  # orders partition replaced wholesale
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+
+def test_observe_metrics_batch(spark, sf_dir):
+    """A5+P5: observe() counts events and late events without touching
+    the data path; on a batch DF the metrics arrive via collect."""
+    from pyspark.sql import Observation
+
+    ch = orders_changelog(spark, sf_dir)
+    obs = Observation("cdc_ingest")
+    lag = F.unix_timestamp(F.current_timestamp()) - F.unix_timestamp(F.col("cdc_ts"))
+    observed = ch.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((lag > 60_000).cast("long")).alias("n_late"),
+    )
+    total = observed.count()
+    assert obs.get["n_events"] == total
+    # fixture timestamps are 1995-2001 — everything is "late" vs now
+    assert obs.get["n_late"] == total
+
+
+def test_with_progress_metrics_runs_on_stream(spark, sf_dir):
+    """The observe() wrapper must attach cleanly to a streaming changelog
+    and surface metrics in StreamingQueryProgress."""
+    from mysql_cdc_redis_spark.streaming.changelog_files import stage_changelog_files
+
+    ch = orders_changelog(spark, sf_dir)
+    src = _tmp("obs_src")
+    stage_changelog_files(ch.limit(1000), src, n_chunks=1)
+    stream = spark.readStream.schema(ch.schema).parquet(src)
+    metered = with_progress_metrics(stream, name="ingest_metrics")
+    q = (
+        metered.writeStream.format("noop")
+        .option("checkpointLocation", _tmp("obs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p.observedMetrics.get("ingest_metrics")]
+    assert progress, "observed metrics missing from StreamingQueryProgress"
+    m = progress[-1].observedMetrics["ingest_metrics"]
+    assert m["n_events"] > 0 and m["n_late"] == m["n_events"]
+
+
+def test_flush_policy_triggers_on_threshold(spark, sf_dir):
+    """T3: the dump-when-big policy fires once the tracked key count
+    crosses cache_max_rows, then resets (cdc.py:130-133 semantics)."""
+    flushes = []
+    policy = FlushPolicy(max_rows=100, flush=lambda: flushes.append(1))
+    batch = (
+        orders_changelog(spark, sf_dir)
+        .select(F.col("o_orderkey").cast("string").alias("rid"))
+        .distinct()
+        .limit(70)
+    )
+    policy.observe(batch)  # 70 keys — below threshold
+    assert not flushes
+    policy.observe(batch)  # 140 ≥ 100 — flush + reset
+    assert len(flushes) == 1 and policy.seen_keys == 0
+    policy.observe(batch)
+    policy.observe(batch)
+    assert len(flushes) == 2
+
+
+def test_flush_policy_disabled_at_zero(spark, sf_dir):
+    """cache_max_rows=0 disables the proactive dump (cdc_config.py:42)."""
+    flushes = []
+    policy = FlushPolicy(max_rows=0, flush=lambda: flushes.append(1))
+    batch = orders_changelog(spark, sf_dir).select(
+        F.col("o_orderkey").cast("string").alias("rid")
+    )
+    policy.observe(batch)
+    assert not flushes
