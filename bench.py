@@ -32,8 +32,20 @@ def main() -> None:
     catalog = all_queries()
     headline = {n: q for n, q in sorted(catalog.items()) if q.bench}
 
-    # warmup: spin executors + JIT on a trivial plan
+    # warmup: spin executors + JIT through a representative plan shape
+    # (parquet scan -> shuffle agg), so the first timed query isn't
+    # paying classloading/codegen costs
+    from mysql_cdc_redis_spark.sources import load_table
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name, q in headline.items():

@@ -139,6 +139,39 @@ def compact(
 # ---------------------------------------------------------------------------
 
 
+def merge_state(
+    state: DataFrame,
+    new_changelog: DataFrame,
+    pk_cols: list[str] | tuple[str, ...],
+    payload_cols: list[str] | tuple[str, ...],
+    table_col: str = "tbl",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Incremental compaction — the reference's continuous-ingest shape
+    (SURVEY.md §4 'incremental computation': only changed rows flow;
+    state holds ≤1 row per key).
+
+    A compacted state re-enters the merge as a changelog whose per-key
+    event is its stored action (exactly what the save path does when it
+    HGETALLs the old row before merging, rcache.py:246-254).  Replaying
+    state events with seq = -∞ (below every new seq) and folding the
+    union through the same algebra reproduces event-at-a-time ingestion:
+    state action ∘ new events ≡ fold(state_events ++ new_events).
+
+    Batch cost per increment ∝ |state keys touched| + |new events| after
+    the groupBy — at scale, partition the state by bucket(rid) so the
+    union co-locates."""
+    state_as_events = state.withColumn(seq_col, F.lit(-(2**62)).cast("long")).select(
+        [table_col, seq_col, "cdc_action", *payload_cols]
+    )
+    fresh = with_rid(new_changelog, pk_cols).filter(F.col("rid").isNotNull()).select(
+        [table_col, seq_col, "cdc_action", *payload_cols]
+    )
+    unioned = state_as_events.unionByName(fresh)
+    # state rows already carry their rid-able pk columns in the payload
+    return compact(unioned, pk_cols, payload_cols, table_col, seq_col)
+
+
 def filter_events(df: DataFrame, events: list[str] | None, action_col: str = "cdc_action") -> DataFrame:
     """S2: restrict to configured event classes (`_trans_events`,
     cdc.py:43-49).  None ≡ all events (cdc_config.py:39 default)."""

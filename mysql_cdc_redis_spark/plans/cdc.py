@@ -349,3 +349,22 @@ def cdc_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
         .orderBy("dt")
     )
+
+
+@register(
+    "cdc_incremental_merge",
+    doc="Incremental compaction (SURVEY.md §4): state from the first half "
+    "of the changelog merged with the second half through merge_state — "
+    "must equal single-shot compaction of the whole changelog (the "
+    "continuous-ingest equivalence of rcache.py:246-254).",
+    tags=("cdc", "incremental", "ref:M1"),
+    oracle=_oracle_compact_sql(ORDERS_CHANGELOG_SQL, ORDERS_PK, ORDERS_PAYLOAD),
+)
+def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import merge_state
+
+    ch = orders_changelog(spark, sf_dir)
+    cut = ch.selectExpr("percentile_approx(seq, 0.5, 10000) AS m").collect()[0]["m"]
+    first = compact(ch.filter(F.col("seq") <= cut), ORDERS_PK, ORDERS_PAYLOAD)
+    second = ch.filter(F.col("seq") > cut)
+    return merge_state(first, second, ORDERS_PK, ORDERS_PAYLOAD)

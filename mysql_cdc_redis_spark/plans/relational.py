@@ -861,3 +861,39 @@ def scalar_cast_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("yr"),
         (F.col("o_orderkey") % 2 == 0).alias("is_even"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# A6: statistical aggregates — exact percentile + stddev
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentile_stddev",
+    doc="Exact interpolated median (percentile ≡ quantile_cont) and sample "
+    "stddev of order totals per status; spread metrics rounded to absorb "
+    "shuffle-order float noise.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+SELECT o_orderstatus AS status,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(stddev_samp(o_totalprice), 2) AS sd_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+)
+def agg_percentile_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("status")
+    )

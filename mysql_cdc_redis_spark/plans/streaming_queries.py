@@ -119,3 +119,50 @@ def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "stream_dedup_events",
+    doc="Streaming exact dedup: dropDuplicates on event_id within a "
+    "watermark over a file-backed events stream — the streaming twin of "
+    "exact dedup; result equals batch DISTINCT.",
+    tags=("streaming", "dedup", "ext"),
+    oracle="""
+SELECT event_type, count(*) AS n_unique
+FROM (SELECT DISTINCT event_id, event_type, ts FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("dedupstream_src")
+    # duplicate the stream on purpose: two copies of every event
+    events.unionByName(events).orderBy("ts").coalesce(2).write.mode("overwrite").parquet(
+        source_dir
+    )
+    emissions_dir = _tmp("dedupstream_emit")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions_dir)
+
+    q = (
+        deduped.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", _tmp("dedupstream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(emissions_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,50 @@
+"""Exhaustive semantics check: EVERY action sequence up to length 5
+(3+9+27+81+243 = 363 keys, one DataFrame, one Spark job) compacted and
+compared against an independent pure-Python fold of the reference's
+_merge_row state machine (rcache.py:196-222).  Stronger than sampled
+property testing — the full behavior space at this depth is covered."""
+
+from __future__ import annotations
+
+import itertools
+
+from mysql_cdc_redis_spark.operators.compaction import compact
+
+ACTIONS = ("insert", "update", "delete")
+
+
+def _python_fold(seq_actions):
+    """Independent reimplementation of the reference state machine:
+    state ∈ {absent, insert, update, delete}."""
+    state = None  # absent
+    for a in seq_actions:
+        if state is None:
+            state = a
+        elif state == "insert":
+            state = None if a == "delete" else "insert"
+        else:  # update / delete
+            state = "update" if a == "insert" else a
+    return state
+
+
+def test_all_sequences_up_to_len5(spark):
+    rows = []
+    expected = {}
+    key = 0
+    for length in range(1, 6):
+        for combo in itertools.product(ACTIONS, repeat=length):
+            key += 1
+            for i, a in enumerate(combo):
+                rows.append((i + 1, key, a, f"v{i}", "t"))
+            final = _python_fold(combo)
+            if final is not None:
+                expected[str(key)] = (final, f"v{len(combo) - 1}")
+    df = spark.createDataFrame(
+        rows, "seq long, id int, cdc_action string, v string, tbl string"
+    )
+    out = compact(df, ("id",), ("id", "v"))
+    got = {r["rid"]: (r["cdc_action"], r["v"]) for r in out.collect()}
+    assert got == expected
+    # sanity on the space itself: some sequences must vanish
+    n_total = sum(3**n for n in range(1, 6))
+    assert len(expected) < n_total

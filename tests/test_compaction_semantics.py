@@ -147,3 +147,34 @@ def test_scalar_vs_composite_equivalence(spark):
     df = _changelog(spark, events)
     scalar = {r["rid"]: r["v"] for r in compact(df, ("id",), PAYLOAD).collect()}
     assert scalar == {"5": "b"}
+
+
+def test_incremental_merge_equals_batch(spark):
+    """merge_state(compact(first half), second half) == compact(all) —
+    the continuous-ingest equivalence (rcache.py:246-254 semantics)."""
+    from mysql_cdc_redis_spark.operators.compaction import merge_state
+
+    events = [
+        (1, 1, "insert", "a"),
+        (2, 2, "insert", "b"),
+        (3, 3, "delete", "c"),
+        (4, 4, "update", "d"),
+        # --- split ---
+        (5, 1, "delete", "e"),   # annihilates key 1
+        (6, 2, "update", "f"),   # stays insert
+        (7, 3, "insert", "g"),   # delete+insert -> update
+        (8, 5, "insert", "h"),   # brand-new key
+        (9, 1, "insert", "i"),   # key 1 fresh epoch after annihilation
+    ]
+    full = compact(_changelog(spark, events), PK, PAYLOAD)
+    first = compact(_changelog(spark, [e for e in events if e[0] <= 4]), PK, PAYLOAD)
+    second = _changelog(spark, [e for e in events if e[0] > 4])
+    merged = merge_state(first, second, PK, PAYLOAD)
+    as_map = lambda df: {r["rid"]: (r["cdc_action"], r["v"]) for r in df.collect()}
+    assert as_map(merged) == as_map(full) == {
+        "1": ("insert", "i"),
+        "2": ("insert", "f"),
+        "3": ("update", "g"),
+        "4": ("update", "d"),
+        "5": ("insert", "h"),
+    }
