@@ -1,0 +1,54 @@
+"""Scale-out join strategies beyond what AQE does automatically
+(SURVEY.md 'Optimize for scale'): bucketed co-located joins and manual
+key salting for pathological skew.
+
+* Bucketing: persisting both join sides bucketed by the join key with
+  the same bucket count lets Spark plan a shuffle-free sort-merge join —
+  at 100 TB the fact-table shuffle IS the job cost, so curated warehouse
+  tables (state store, hot dimensions) should be written bucketed.
+* Salting: AQE's skew-join splits oversized partitions at runtime, but
+  a single mega-hot key inside one partition still serializes; salting
+  the hot side key into S sub-keys and replicating the other side S×
+  restores parallelism deterministically."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32
+) -> None:
+    """Persist as a bucketed warehouse table (sorted within buckets so
+    merge joins skip the sort too)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to left-side key skew: left rows get a random
+    salt in [0, n_salts); right rows are replicated across all salts.
+    Output is identical to left.join(right, key, how) for inner/left
+    joins on non-null keys.
+
+    Salt is derived from a hash of the full left row (deterministic for
+    a deterministic input, unlike rand()) so retried tasks produce the
+    same assignment — exactly-once sinks stay correct."""
+    salt = (F.abs(F.hash(*left.columns)) % n_salts).alias("_salt")
+    salted_left = left.withColumn("_salt", salt)
+    exploded_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_left.join(exploded_right, [key, "_salt"], how).drop("_salt")

@@ -368,3 +368,58 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = compact(ch.filter(F.col("seq") <= cut), ORDERS_PK, ORDERS_PAYLOAD)
     second = ch.filter(F.col("seq") > cut)
     return merge_state(first, second, ORDERS_PK, ORDERS_PAYLOAD)
+
+
+@register(
+    "cdc_parse_debezium",
+    doc="S1 production path: Debezium JSON envelopes (synthesized from "
+    "orders) parsed JVM-side (from_json) into the changelog schema — "
+    "op c/u/d/r mapping, before-image for deletes, ts_ms/pos metadata. "
+    "Oracle computes the expected parse output directly from orders.",
+    tags=("cdc", "debezium", "ref:S1"),
+    oracle="""
+SELECT o_orderkey AS seq, 'tpch' AS db, 'orders' AS tbl,
+       CASE CAST(o_orderkey % 4 AS INT)
+         WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+         WHEN 2 THEN 'delete' ELSE 'insert' END AS cdc_action,
+       o_orderdate AS cdc_ts,
+       o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY seq
+""",
+)
+def cdc_parse_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    from ..sources.debezium import parse_debezium
+
+    orders = load_table(spark, sf_dir, "orders")
+    row = F.struct(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    op = F.element_at(
+        F.array(F.lit("c"), F.lit("u"), F.lit("d"), F.lit("r")),
+        (F.col("o_orderkey") % 4).cast("int") + 1,
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op == "d", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+                op.alias("op"),
+                (F.unix_timestamp("o_orderdate") * 1000).alias("ts_ms"),
+                F.struct(
+                    F.lit("tpch").alias("db"),
+                    F.lit("orders").alias("table"),
+                    F.col("o_orderkey").alias("pos"),
+                ).alias("source"),
+            ).alias("payload")
+        )
+    )
+    raw = orders.select(envelope.alias("value"))
+    row_schema = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("o_custkey", "long")
+        .add("o_totalprice", "double")
+    )
+    return parse_debezium(raw, row_schema).orderBy("seq")
