@@ -210,3 +210,36 @@ def latency_flag(
         "late",
         (F.unix_timestamp(now) - F.unix_timestamp(F.col(ts_col))) > max_latency_s,
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    pk_cols: list[str] | tuple[str, ...],
+    payload_cols: list[str] | tuple[str, ...],
+    table_col: str = "tbl",
+    seq_col: str = "seq",
+    ts_col: str = "cdc_ts",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) view of the changelog: instead
+    of compacting to the latest row (M1), keep EVERY version with its
+    validity interval — valid_from = its event time, valid_to = the next
+    event's time (null = still current), is_current flag.
+
+    The reference only materializes latest-state (Redis overwrite,
+    rcache.py:246-251); this is the standard warehouse-side history the
+    same changelog supports for free once it's in Spark.  One window over
+    (tbl, rid) ordered by seq — same single shuffle as compact()."""
+    from pyspark.sql.window import Window
+
+    keyed = with_rid(changelog, pk_cols).filter(F.col("rid").isNotNull())
+    w = Window.partitionBy(table_col, "rid").orderBy(seq_col)
+    return keyed.select(
+        F.col(table_col).alias("tbl"),
+        "rid",
+        F.col("cdc_action"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        (F.lead(seq_col).over(w).isNull()).alias("is_current"),
+        F.row_number().over(w).alias("version"),
+        *[F.col(c) for c in payload_cols if c not in (ts_col,)],
+    )

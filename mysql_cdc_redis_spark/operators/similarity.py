@@ -168,3 +168,96 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its n_probe nearest centroids by cosine.
+    centroids: (cid, cvec) — O(100s-1000s) rows, broadcast; assignment is
+    a linear scan per vector (corpus × centroids), one shuffle for the
+    per-vector top-n_probe.  Returns (vec_id, cid, rankc)."""
+    from pyspark.sql.window import Window
+
+    c = F.broadcast(
+        centroids.select(
+            F.col("cid"),
+            F.col("cvec"),
+            _norm(F.col("cvec")).alias("c_norm"),
+        )
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v_vec"),
+        _norm(F.col(vec_col)).alias("v_norm"),
+    )
+    scored = v.crossJoin(c).select(
+        "vec_id",
+        "cid",
+        F.round(_dot(F.col("v_vec"), F.col("cvec")) / (F.col("v_norm") * F.col("c_norm")), 6).alias(
+            "ccos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("rankc", F.row_number().over(w))
+        .filter(F.col("rankc") <= n_probe)
+        .select("vec_id", "cid", "rankc")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in 1 centroid cell each; a query
+    probes its n_probe nearest cells and reranks only those cells'
+    vectors exactly.  Cell membership is an equi-join key (like the LSH
+    bucket) — the candidate join is a hash join on cid, never a cross
+    join.  At 100 TB the cell lists are the 'inverted file': partition
+    the corpus by cid so a probe touches n_probe partitions."""
+    from pyspark.sql.window import Window
+
+    corpus_cells = ivf_assignments(corpus, centroids, 1, id_col, vec_col).select(
+        F.col("vec_id").alias("n_id"), "cid"
+    )
+    query_cells = ivf_assignments(queries, centroids, n_probe, id_col, vec_col).select(
+        F.col("vec_id").alias("q_id"), "cid"
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
+    ).join(F.broadcast(query_cells), "q_id")
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), _norm(F.col(vec_col)).alias("n_norm")
+    ).join(corpus_cells, "n_id")
+    scored = (
+        q.join(c, "cid")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")), 6
+            ).alias("cos"),
+        )
+        .distinct()  # a neighbor reachable via 2 probed cells counts once
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )

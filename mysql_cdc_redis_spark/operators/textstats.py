@@ -76,3 +76,39 @@ def fingerprint(col: Column) -> Column:
 def content_hash60(col: Column) -> Column:
     """60-bit integer fingerprint (join-friendly)."""
     return md5long(norm_text(col))
+
+
+def winnow_fingerprints(docs, k: int = 8, w: int = 4, id_col: str = "doc_id", text_col: str = "text"):
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-char-gram of the normalized text, slide a w-gram window, keep the
+    window minimum — the classic rolling-hash fingerprint set that is
+    robust to local edits.  Returns (doc_id, fp) distinct.
+
+    All JVM-side: substring over exploded positions + a min window frame.
+    At 100 TB the explode is linear in corpus characters and the window
+    is per-document (no cross-doc shuffle beyond the doc_id partition)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5long
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), norm_text(F.col(text_col)).alias("norm")
+    ).where(F.length("norm") >= k + w - 1)
+    grams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("norm") - (k - 1))).alias("pos"),
+        "norm",
+    ).select(
+        "doc_id", "pos", md5long(F.expr(f"substring(norm, pos, {k})")).alias("h"),
+        (F.length("norm") - (k - 1)).alias("n_grams"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(frame))
+        .where(F.col("pos") <= F.col("n_grams") - (w - 1))  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )

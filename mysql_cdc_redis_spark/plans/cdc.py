@@ -423,3 +423,31 @@ def cdc_parse_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
         .add("o_totalprice", "double")
     )
     return parse_debezium(raw, row_schema).orderBy("seq")
+
+
+@register(
+    "cdc_scd2_history",
+    doc="SCD type-2 history from the changelog: every row version with "
+    "[valid_from, valid_to) interval, version number and is_current "
+    "flag — the warehouse-side complement of latest-state compaction; "
+    "one window, same single shuffle.",
+    tags=("cdc", "scd2", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT tbl, CAST(o_orderkey AS VARCHAR) AS rid, cdc_action,
+       cdc_ts AS valid_from,
+       lead(cdc_ts) OVER w AS valid_to,
+       (lead(seq) OVER w IS NULL) AS is_current,
+       CAST(row_number() OVER w AS INT) AS version,
+       o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM ch
+WHERE o_orderkey IS NOT NULL
+WINDOW w AS (PARTITION BY tbl, CAST(o_orderkey AS VARCHAR) ORDER BY seq)
+ORDER BY rid, version
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import scd2_history
+
+    ch = orders_changelog(spark, sf_dir)
+    return scd2_history(ch, ORDERS_PK, ORDERS_PAYLOAD).orderBy("rid", "version")

@@ -415,3 +415,112 @@ FROM documents ORDER BY doc_id
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.decode_metadata(mm.attach_binary_payload(docs)).orderBy("doc_id")
+
+
+def _ivf_oracle() -> str:
+    cos_qc = _COS_EXPR.format(a="qv", b="cv")
+    cos_nc = _COS_EXPR.format(a="nv", b="cv")
+    cos_qn = _COS_EXPR.format(a="qv", b="nv")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id >= 8 AND vec_id < 24
+),
+corpus AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 8),
+queries AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+corpus_cells AS (
+  SELECT n_id, cid FROM (
+    SELECT n_id, cid,
+           row_number() OVER (PARTITION BY n_id ORDER BY {cos_nc} DESC, cid) AS rankc
+    FROM corpus, cent
+  ) WHERE rankc = 1
+),
+query_cells AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid,
+           row_number() OVER (PARTITION BY q_id ORDER BY {cos_qc} DESC, cid) AS rankc
+    FROM queries, cent
+  ) WHERE rankc <= 2
+),
+scored AS (
+  SELECT DISTINCT q.q_id, c.n_id, {cos_qn} AS cos
+  FROM queries q
+  JOIN query_cells qc ON qc.q_id = q.q_id
+  JOIN corpus_cells cc ON cc.cid = qc.cid
+  JOIN corpus c ON c.n_id = cc.n_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+@register(
+    "sim_cosine_topk_ivf",
+    doc="IVF ANN: 16 deterministic centroid vectors partition the corpus "
+    "into cells (the inverted file); queries probe their 2 nearest "
+    "cells and rerank exactly.  Cell id is an equi-join key — hash "
+    "join, never a cross join; at scale the corpus is partitioned by "
+    "cell so a probe touches n_probe partitions.",
+    tags=("similarity", "ivf", "ext"),
+    oracle=_ivf_oracle(),
+)
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    centroids = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return sim.cosine_topk_ivf(queries, corpus, centroids, k=5, n_probe=2).orderBy(
+        "q_id", "rank"
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    doc="Rolling-hash document fingerprinting (winnowing/MOSS): md5long "
+    "over every 8-char-gram, min over a 4-gram sliding window, distinct "
+    "mins per doc.  Output per-doc fingerprint-set stats so the check "
+    "covers the whole set without shipping it.",
+    tags=("text", "fingerprint", "ext"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS norm FROM documents
+  WHERE length({_NORM}) >= 11
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         {_MD5LONG.format(e='substr(norm, CAST(i AS INT), 8)')} AS h,
+         length(norm) - 7 AS n_grams
+  FROM d, LATERAL unnest(range(1, length(norm) - 6)) t(i)
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos, n_grams,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams
+  ) WHERE pos <= n_grams - 3
+)
+SELECT doc_id, count(*) AS n_fps,
+       min(fp) AS min_fp,
+       CAST(sum(fp % 1000000007) AS BIGINT) AS fp_checksum
+FROM fps GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = ts.winnow_fingerprints(docs, k=8, w=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+            F.sum(F.col("fp") % 1000000007).alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
