@@ -78,3 +78,35 @@ def decode_metadata(with_payload: DataFrame, id_col: str = "doc_id") -> DataFram
     return with_payload.select(id_col, "payload").mapInPandas(
         _decode, schema=DECODED_META_SCHEMA
     )
+
+
+def sample_frames(meta: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame sampling plan: one row per kept frame (frame_idx 0, n, 2n …)
+    from decoded metadata.  The explode is JVM-side — Python was only
+    needed for the decode itself; a real pipeline would then mapInPandas
+    the kept (doc_id, frame_idx) list back through the decoder to pull
+    pixel data."""
+    return meta.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+        ).alias("frame_idx"),
+    )
+
+
+def resize_metadata(meta: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning (stub): target dimensions preserving aspect ratio,
+    clamped to max_side.  Pure column arithmetic — the actual pixel
+    resample would live in the same mapInPandas as the decoder."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("target_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_h"),
+    )

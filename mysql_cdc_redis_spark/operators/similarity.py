@@ -261,3 +261,40 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidate pairs share an LSH
+    bucket (equi-join — O(Σ bucket²) not O(n²)), then exact cosine ≥
+    threshold.  Returns (a, b, cos).  The standard semantic-dedup pass
+    of a training-data pipeline."""
+    from pyspark.sql.window import Window  # noqa: F401  (parity with topk helpers)
+
+    buckets = lsh_buckets(vectors, n_planes, id_col=id_col, vec_col=vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).join(buckets.withColumnRenamed("vec_id", "vid"), "vid")
+    left = v.select(
+        F.col("vid").alias("a"), F.col("vec").alias("va"), F.col("nrm").alias("na"), "bucket"
+    )
+    right = v.select(
+        F.col("vid").alias("b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -524,3 +524,88 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _embdedup_oracle() -> str:
+    plane_hash = _MD5LONG.format(e="CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)")
+    w_expr = f"CASE WHEN {plane_hash} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    cos_ab = _COS_EXPR.format(a="x.embedding", b="y.embedding")
+    return f"""
+WITH planes AS (
+  SELECT p, d, {w_expr} AS w
+  FROM range(8) tp(p), range(1, 65) td(d)
+),
+vecd AS (
+  SELECT vec_id, d, CAST(embedding[CAST(d AS INT)] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) td(d)
+),
+proj AS (
+  SELECT vec_id, p, sum(x * w) AS proj
+  FROM vecd JOIN planes USING (d) GROUP BY vec_id, p
+),
+bucket AS (
+  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+pairs AS (
+  SELECT bx.vec_id AS a, by.vec_id AS b
+  FROM bucket bx JOIN bucket by ON bx.bucket = by.bucket AND bx.vec_id < by.vec_id
+)
+SELECT p.a, p.b, {cos_ab} AS cos
+FROM pairs p
+JOIN embeddings x ON x.vec_id = p.a
+JOIN embeddings y ON y.vec_id = p.b
+WHERE {cos_ab} >= 0.4
+ORDER BY p.a, p.b
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    doc="Embedding-cosine near-dup pass: LSH-bucket candidates (equi-join, "
+    "O(Σ bucket²) not O(n²)) verified with exact cosine ≥ 0.4 — the "
+    "semantic-dedup stage of a training-data pipeline.",
+    tags=("dedup", "similarity", "ext"),
+    oracle=_embdedup_oracle(),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.4).orderBy("a", "b")
+
+
+@register(
+    "mm_frame_sample_resize",
+    doc="Multimodal planning ops downstream of decode: every-2nd-frame "
+    "sampling (JVM explode over n_frames) and aspect-preserving resize "
+    "targets clamped to 256 — per-frame rows with target dims.",
+    tags=("multimodal", "ext"),
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+         CAST(64 + octet_length(encode(text)) % 311 AS INT) AS height,
+         CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, width, height, n_frames, CAST(f AS INT) AS frame_idx
+  FROM meta, LATERAL unnest(range(0, n_frames, 2)) t(f)
+)
+SELECT doc_id, frame_idx,
+       CAST(floor(width * least(1.0, 256.0 / greatest(width, height))) AS INT) AS target_w,
+       CAST(floor(height * least(1.0, 256.0 / greatest(width, height))) AS INT) AS target_h
+FROM frames ORDER BY doc_id, frame_idx
+""",
+)
+def mm_frame_sample_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    meta = mm.decode_metadata(mm.attach_binary_payload(docs))
+    frames = mm.sample_frames(meta, every_nth=2)
+    resized = mm.resize_metadata(meta, max_side=256).select(
+        "doc_id", "target_w", "target_h"
+    )
+    return (
+        frames.join(resized, "doc_id")
+        .select("doc_id", "frame_idx", "target_w", "target_h")
+        .orderBy("doc_id", "frame_idx")
+    )
