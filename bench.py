@@ -55,6 +55,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # throughput context: compaction events/sec (the reference's ingest
+    # loop is bounded by ~4 Redis RTTs per row, i.e. O(10^3-10^4) rows/s
+    # single-node; BASELINE.md publishes no numbers, so we record ours)
+    from mysql_cdc_redis_spark.sources.changelog import (
+        lineitem_changelog,
+        orders_changelog,
+    )
+
+    n_events = orders_changelog(spark, sf_dir).count() + lineitem_changelog(
+        spark, sf_dir
+    ).count()
+    compact_wall = timings.get("cdc_compact_orders", 0) + timings.get(
+        "cdc_compact_lineitem", 0
+    )
+    events_per_sec = round(n_events / compact_wall) if compact_wall else None
+
     print(
         json.dumps(
             {
@@ -63,6 +80,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "compaction_events": n_events,
+                "compaction_events_per_sec": events_per_sec,
             }
         )
     )
