@@ -451,3 +451,48 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = orders_changelog(spark, sf_dir)
     return scd2_history(ch, ORDERS_PK, ORDERS_PAYLOAD).orderBy("rid", "version")
+
+
+@register(
+    "cdc_live_state_analytics",
+    doc="CDC → analytics: relational query over the LIVE compacted state "
+    "(deletes excluded) joined to dimensions — revenue by nation as it "
+    "stands after folding the changelog.  Connects the ingest half of "
+    "the engine to the warehouse half in one plan.",
+    tags=("cdc", "join", "analytics"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+live AS (
+  SELECT * FROM (
+    SELECT tbl, CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_custkey, seq) AS o_custkey,
+           arg_max(o_totalprice, seq) AS o_totalprice
+    FROM ch WHERE o_orderkey IS NOT NULL
+    GROUP BY 1, 2
+  ) WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')
+)
+SELECT n_name, count(*) AS n_live_orders,
+       round(sum(o_totalprice), 2) AS live_revenue
+FROM live
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def cdc_live_state_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD).filter(
+        F.col("cdc_action") != "delete"  # tombstones are not live rows
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        live.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_live_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("live_revenue"),
+        )
+        .orderBy("n_name")
+    )
