@@ -609,3 +609,36 @@ def mm_frame_sample_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "frame_idx", "target_w", "target_h")
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@register(
+    "udaf_gini_acctbal",
+    doc="Grouped-aggregate Pandas UDAF (§2.9 callback surface): Gini "
+    "concentration of customer account balances per market segment — "
+    "Arrow-batched numpy, the escape hatch for aggregates built-ins "
+    "can't express.  Oracle recomputes via the sorted-index formula.",
+    tags=("udaf", "ext"),
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS i,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n,
+         sum(c_acctbal) OVER (PARTITION BY c_mktsegment) AS s
+  FROM customer
+)
+SELECT c_mktsegment AS segment,
+       round(CAST(2.0 * sum(i * c_acctbal) / (n * s) - (n + 1.0) / n AS DOUBLE), 6) AS gini
+FROM ranked
+GROUP BY c_mktsegment, n, s
+ORDER BY segment
+""",
+)
+def udaf_gini_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udafs import gini_udaf
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(gini_udaf("c_acctbal"), 6).alias("gini"))
+        .orderBy("segment")
+    )
