@@ -897,3 +897,122 @@ def agg_percentile_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# J5/A6: correlated scalar subquery — decorrelated as a window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_parts_above_brand_avg",
+    doc="Correlated scalar subquery (parts priced above their brand's "
+    "average) — decorrelated into a single window pass instead of a "
+    "per-row subquery re-scan.",
+    tags=("subquery", "window", "ext"),
+    oracle="""
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+)
+WHERE p_retailprice > brand_avg
+ORDER BY p_partkey
+""",
+)
+def subquery_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+            # brand_avg itself is not emitted: a group mean can land on an
+            # exact rounding half-way point where engine sum order flips
+            # the last digit; membership (strict >) is ulp-stable
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: pattern matching — LIKE / regexp filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_like_regexp_filters",
+    doc="Pattern-matching breadth: LIKE prefix/infix, regexp_like with "
+    "alternation and anchors — all pushdown-friendly JVM predicates.",
+    tags=("scalar", "pattern", "ext"),
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE 'part_1%'
+   OR (p_type LIKE '%BRASS%' AND regexp_matches(p_name, '[02468]$'))
+ORDER BY p_partkey
+""",
+)
+def scalar_like_regexp_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("part_1%")
+            | (F.col("p_type").like("%BRASS%") & F.col("p_name").rlike("[02468]$"))
+        )
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 / §1.3: null semantics — coalesce, nullif, null-safe equality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_null_semantics",
+    doc="NULL-handling surface: nullif to synthesize nulls, coalesce "
+    "defaults, null-safe equality (<=> ≡ IS NOT DISTINCT FROM), and "
+    "null-aware counts — the typed replacement for the reference's "
+    "everything-is-a-string Redis cache.",
+    tags=("scalar", "nulls", "ext"),
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         nullif(o_orderstatus, 'P') AS status_or_null,
+         nullif(CAST(o_orderkey % 5 AS INT), 0) AS mod_or_null
+  FROM orders
+)
+SELECT coalesce(status_or_null, '<none>') AS status_filled,
+       (status_or_null IS NOT DISTINCT FROM 'O') AS is_open_nullsafe,
+       count(*) AS n,
+       count(mod_or_null) AS n_nonnull_mod,
+       count(*) - count(mod_or_null) AS n_null_mod
+FROM t
+GROUP BY 1, 2
+ORDER BY status_filled, is_open_nullsafe
+""",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        F.nullif((F.col("o_orderkey") % 5).cast("int"), F.lit(0)).alias("mod_or_null"),
+    )
+    return (
+        t.groupBy(
+            F.coalesce("status_or_null", F.lit("<none>")).alias("status_filled"),
+            F.col("status_or_null").eqNullSafe(F.lit("O")).alias("is_open_nullsafe"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("mod_or_null").alias("n_nonnull_mod"),
+            (F.count(F.lit(1)) - F.count("mod_or_null")).alias("n_null_mod"),
+        )
+        .orderBy("status_filled", "is_open_nullsafe")
+    )
