@@ -627,7 +627,7 @@ WITH ranked AS (
   FROM customer
 )
 SELECT c_mktsegment AS segment,
-       round(CAST(2.0 * sum(i * c_acctbal) / (n * s) - (n + 1.0) / n AS DOUBLE), 6) AS gini
+       round(CAST(2.0 * sum(i * c_acctbal) / (n * s) - (n + 1.0) / n AS DOUBLE), 4) AS gini
 FROM ranked
 GROUP BY c_mktsegment, n, s
 ORDER BY segment
@@ -639,6 +639,6 @@ def udaf_gini_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         cust.groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.round(gini_udaf("c_acctbal"), 6).alias("gini"))
+        .agg(F.round(gini_udaf("c_acctbal"), 4).alias("gini"))
         .orderBy("segment")
     )
