@@ -110,3 +110,38 @@ def resize_metadata(meta: DataFrame, max_side: int = 256) -> DataFrame:
         F.floor(F.col("width") * scale).cast("int").alias("target_w"),
         F.floor(F.col("height") * scale).cast("int").alias("target_h"),
     )
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction stub with real plumbing: a 16-bucket normalized
+    byte histogram per payload (the stand-in for an image/audio feature
+    net), computed in the same Arrow-batched mapInPandas crossing as the
+    decoder.  Returns (doc_id, features: array<double>)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+    from collections.abc import Iterator
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(p, dtype=np.uint8)
+                hist = np.bincount(b % FEATURE_DIM, minlength=FEATURE_DIM).astype("float64")
+                # no numpy rounding: np.round is half-to-even, Spark/DuckDB round
+                # half-away — the query rounds JVM-side instead
+                feats.append((hist / max(1.0, hist.sum())).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return with_payload.select(id_col, "payload").mapInPandas(_extract, schema=schema)

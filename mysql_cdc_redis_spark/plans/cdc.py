@@ -496,3 +496,84 @@ def cdc_live_state_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "cdc_dump_chunks",
+    doc="S6/W3 as a query: the chunked per-table dump cursor "
+    "(iter_rows, rcache.py:143-159) — rows numbered within table, "
+    "chunk_id = floor(rn / max_rows), ≤500 rows per chunk; per-chunk "
+    "counts prove the chunk boundaries.",
+    tags=("cdc", "ref:S6", "ref:W3"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+live AS (
+  SELECT * FROM (
+    SELECT tbl, CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action
+    FROM ch WHERE o_orderkey IS NOT NULL
+    GROUP BY 1, 2
+  ) WHERE cdc_action <> '{ACTION_FOLD_SENTINEL}'
+),
+numbered AS (
+  SELECT tbl, rid,
+         CAST(floor((row_number() OVER (PARTITION BY tbl ORDER BY rid) - 1) / 500) AS INT) AS chunk_id
+  FROM live
+)
+SELECT tbl, chunk_id, count(*) AS n_rows
+FROM numbered GROUP BY tbl, chunk_id ORDER BY tbl, chunk_id
+""",
+)
+def cdc_dump_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    live = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD)
+    w = Window.partitionBy("tbl").orderBy("rid")
+    return (
+        live.withColumn(
+            "chunk_id", F.floor((F.row_number().over(w) - 1) / 500).cast("int")
+        )
+        .groupBy("tbl", "chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("tbl", "chunk_id")
+    )
+
+
+@register(
+    "cdc_upload_batches",
+    doc="W4 as a query: the 8-file upload batching with a new batch per "
+    "date (group_lst, dump2csv.py:155-172) — dump files synthesized "
+    "from the orders dates, batch = floor((file_rank_within_date - 1) "
+    "/ 8), per-batch file counts.",
+    tags=("cdc", "ref:W4"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+files AS (
+  SELECT DISTINCT strftime(cdc_ts, '%Y%m%d') AS dt,
+         'tpch.orders.' || CAST(seq AS VARCHAR) || '.csv' AS fname
+  FROM ch
+),
+ranked AS (
+  SELECT dt, fname,
+         CAST(floor((row_number() OVER (PARTITION BY dt ORDER BY fname) - 1) / 8) AS INT) AS batch_id
+  FROM files
+)
+SELECT dt, batch_id, count(*) AS n_files
+FROM ranked GROUP BY dt, batch_id ORDER BY dt, batch_id
+""",
+)
+def cdc_upload_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    files = ch.select(
+        F.date_format("cdc_ts", "yyyyMMdd").alias("dt"),
+        F.concat(F.lit("tpch.orders."), F.col("seq").cast("string"), F.lit(".csv")).alias(
+            "fname"
+        ),
+    ).distinct()
+    w = Window.partitionBy("dt").orderBy("fname")
+    return (
+        files.withColumn(
+            "batch_id", F.floor((F.row_number().over(w) - 1) / 8).cast("int")
+        )
+        .groupBy("dt", "batch_id")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy("dt", "batch_id")
+    )

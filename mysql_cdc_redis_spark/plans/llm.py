@@ -642,3 +642,40 @@ def udaf_gini_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(gini_udaf("c_acctbal"), 4).alias("gini"))
         .orderBy("segment")
     )
+
+
+@register(
+    "mm_feature_extract",
+    doc="Multimodal feature extraction (stub net, real plumbing): 16-bucket "
+    "normalized byte histogram per binary payload via the Arrow-batched "
+    "mapInPandas crossing; per-bucket values verified against a SQL "
+    "recomputation over character codes.",
+    tags=("multimodal", "features", "ext"),
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) % 16 AS bucket
+  FROM documents, LATERAL unnest(range(1, length(text) + 1)) t(i)
+),
+hist AS (
+  SELECT doc_id, bucket, count(*) AS n FROM chars GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(n) AS total FROM hist GROUP BY doc_id)
+SELECT h.doc_id, CAST(h.bucket AS INT) AS bucket,
+       round(h.n / t.total, 6) AS weight
+FROM hist h JOIN tot t ON h.doc_id = t.doc_id
+ORDER BY h.doc_id, bucket
+""",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.attach_binary_payload(docs))
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("bucket", "weight"))
+        .filter(F.col("weight") > 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round("weight", 6).alias("weight"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
