@@ -21,6 +21,37 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Force the correctness-critical runtime confs onto ANY session —
+    the driver harness passes its own SparkSession, which may not have
+    been built by get_spark().  All of these are runtime-settable.
+
+    Called from the table scan chokepoint (sources/tables.py) so every
+    catalog query self-configures."""
+    runtime = {
+        "spark.sql.session.timeZone": "UTC",  # oracle reads naive-UTC parquet
+        "spark.sql.legacy.parquet.nanosAsLong": "true",  # events.ts is ns
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.adaptive.enabled": "true",
+    }
+    for k, v in runtime.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+    # a vanilla session defaults to 200 shuffle partitions — wasteful at
+    # test scale; leave any explicit non-default choice alone
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+            )
+    except Exception:
+        pass
+    return spark
+
+
 def get_spark(
     app_name: str = "mysql-cdc-redis-spark",
     master: str | None = None,

@@ -32,6 +32,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (spark.sql.legacy.parquet.nanosAsLong) and we convert to a µs
     timestamp with integer division (double division would lose
     precision above 2^53 ns)."""
+    from ..session import ensure_session_confs
+
+    ensure_session_confs(spark)  # the driver may pass a vanilla session
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
