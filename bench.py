@@ -72,6 +72,26 @@ def main() -> None:
     )
     events_per_sec = round(n_events / compact_wall) if compact_wall else None
 
+    # pure operator throughput: compaction over a pre-staged changelog
+    # (isolates the operator from fixture synthesis)
+    import tempfile
+
+    from mysql_cdc_redis_spark.operators.compaction import compact
+    from mysql_cdc_redis_spark.sources.changelog import (
+        LINEITEM_PAYLOAD,
+        LINEITEM_PK,
+    )
+
+    staged_dir = os.path.join(tempfile.gettempdir(), "bench_staged_changelog")
+    lineitem_changelog(spark, sf_dir).write.mode("overwrite").parquet(staged_dir)
+    staged = spark.read.parquet(staged_dir)
+    n_staged = staged.count()
+    t0 = time.perf_counter()
+    compact(staged, LINEITEM_PK, LINEITEM_PAYLOAD).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    pure_rate = round(n_staged / (time.perf_counter() - t0))
+
     print(
         json.dumps(
             {
@@ -82,6 +102,7 @@ def main() -> None:
                 "sf": sf,
                 "compaction_events": n_events,
                 "compaction_events_per_sec": events_per_sec,
+                "compaction_pure_events_per_sec": pure_rate,
             }
         )
     )

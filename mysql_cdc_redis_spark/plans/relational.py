@@ -1016,3 +1016,48 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status_filled", "is_open_nullsafe")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end surface: the same engine through spark.sql
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_revenue_by_region",
+    doc="The SQL front-end surface: identical star-join semantics "
+    "expressed through spark.sql over registered temp views — the "
+    "engine is equally usable from pure SQL (Catalyst plans both APIs "
+    "to the same physical plan).",
+    tags=("sql", "join", "ext"),
+    oracle="""
+SELECT r_name AS region,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY region
+""",
+)
+def sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name AS region,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY region
+        """
+    )
