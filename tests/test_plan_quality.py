@@ -65,17 +65,21 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
     import io
 
     # AQE wraps the un-executed plan in AdaptiveSparkPlan, which reports 0
-    # codegen subtrees until runtime — turn it off for the static check
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        for name in ("agg_pricing_summary", "text_quality_profile", "dedup_simhash"):
+    # codegen subtrees until runtime — turn it off for the static check.
+    # Build the DataFrames FIRST: load_table self-configures the session
+    # (ensure_session_confs) and would re-enable AQE; physical planning
+    # reads the conf at explain time, after we disable it.
+    for name in ("agg_pricing_summary", "text_quality_profile", "dedup_simhash"):
+        df = _QUERIES[name].fn(spark, sf_dir)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
-                _QUERIES[name].fn(spark, sf_dir).explain("codegen")
+                df.explain("codegen")
             head = buf.getvalue().splitlines()[0]
             # "Found N WholeStageCodegen subtrees." — the hot path must codegen
             assert "WholeStageCodegen subtrees" in head and not head.startswith(
                 "Found 0"
             ), f"{name} fell out of codegen: {head}"
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
