@@ -577,3 +577,47 @@ def cdc_upload_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_files"))
         .orderBy("dt", "batch_id")
     )
+
+
+@register(
+    "cdc_compact_unified_cache",
+    doc="Multi-table cache semantics: the reference's single Redis cache "
+    "holds ALL tables' keys ({sid}#{table}.{rid}, rcache.py:20-23); here "
+    "both changelogs fold through ONE compaction keyed by (tbl, rid). "
+    "Output (tbl, rid, cdc_action) — the unified key-space view.",
+    tags=("cdc", "ref:M1", "ref:S8"),
+    oracle=f"""
+WITH och AS ({ORDERS_CHANGELOG_SQL}), lch AS ({LINEITEM_CHANGELOG_SQL}),
+ch AS (
+  SELECT seq, tbl, CAST(o_orderkey AS VARCHAR) AS rid, cdc_action
+  FROM och WHERE o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT seq, tbl, CAST(l_orderkey AS VARCHAR) || '&' || CAST(l_linenumber AS VARCHAR) AS rid, cdc_action
+  FROM lch WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+)
+SELECT * FROM (
+  SELECT tbl, rid, {_FOLD_LAMBDA} AS cdc_action
+  FROM ch GROUP BY tbl, rid
+)
+WHERE cdc_action <> '{ACTION_FOLD_SENTINEL}'
+ORDER BY tbl, rid
+""",
+)
+def cdc_compact_unified_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import rid_expr
+
+    o = orders_changelog(spark, sf_dir).select(
+        "seq", "tbl", rid_expr(ORDERS_PK).alias("rid"), "cdc_action"
+    )
+    l = lineitem_changelog(spark, sf_dir).select(
+        "seq", "tbl", rid_expr(LINEITEM_PK).alias("rid"), "cdc_action"
+    )
+    unified = o.unionByName(l).filter(F.col("rid").isNotNull())
+    # compact() re-derives rid from pk cols; here the unified stream has
+    # heterogeneous payloads, so rid IS the key column (payload = seq to
+    # avoid duplicating the key column in the output struct)
+    return (
+        compact(unified, ("rid",), ("seq",))
+        .select("tbl", "rid", "cdc_action")
+        .orderBy("tbl", "rid")
+    )

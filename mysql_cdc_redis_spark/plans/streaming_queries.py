@@ -17,9 +17,13 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..sources.changelog import (
+    LINEITEM_CHANGELOG_SQL,
+    LINEITEM_PAYLOAD,
+    LINEITEM_PK,
     ORDERS_CHANGELOG_SQL,
     ORDERS_PAYLOAD,
     ORDERS_PK,
+    lineitem_changelog,
     orders_changelog,
 )
 from ..streaming import run_compaction_stream
@@ -165,4 +169,28 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "cdc_compact_stream_lineitem",
+    doc="Streaming compaction with a COMPOSITE key: the applyInPandasWith"
+    "State cache keyed by (tbl, concat_ws('&', l_orderkey, l_linenumber))"
+    " — hash-matches the batch composite-key oracle.",
+    tags=("cdc", "streaming", "ref:S1", "ref:T4", "ref:P3"),
+    oracle=_oracle_compact_sql(LINEITEM_CHANGELOG_SQL, LINEITEM_PK, LINEITEM_PAYLOAD),
+)
+def cdc_compact_stream_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = lineitem_changelog(spark, sf_dir)
+    source_dir = _tmp("stream_li_src")
+    stage_changelog_files(ch, source_dir, n_chunks=3)
+    return run_compaction_stream(
+        spark,
+        source_dir,
+        ch.schema,
+        LINEITEM_PK,
+        LINEITEM_PAYLOAD,
+        checkpoint_dir=_tmp("stream_li_ckpt"),
+        emissions_dir=_tmp("stream_li_emit"),
+        max_files_per_trigger=1,
     )
