@@ -46,6 +46,22 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # compile the higher-order-function shingle plan on a 50-doc sample —
+    # expression codegen for that shape costs ~3s once per JVM
+    from mysql_cdc_redis_spark.operators.dedup import shingle_hashes
+
+    shingle_hashes(load_table(spark, sf_dir, "documents").limit(50)).count()
+    # likewise the compaction fold shape (collect_list + aggregate + max_by)
+    from mysql_cdc_redis_spark.operators.compaction import compact
+    from mysql_cdc_redis_spark.sources.changelog import (
+        ORDERS_PAYLOAD as _OP,
+        ORDERS_PK as _OK,
+        orders_changelog as _oc,
+    )
+
+    compact(_oc(spark, sf_dir).limit(1000), _OK, _OP).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, q in headline.items():
