@@ -1061,3 +1061,184 @@ def sql_api_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY region
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# A7: explicit GROUPING SETS with grouping_id
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_sets",
+    doc="Explicit GROUPING SETS ((status, priority), (status), ()) with "
+    "grouping_id — finer-grained than rollup/cube, one Expand pass.",
+    tags=("agg", "groupingsets", "ext"),
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, status, priority
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, status, priority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: RANGE frame — trailing 30-day revenue per customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_trailing_revenue",
+    doc="RANGE BETWEEN frame keyed on event-time seconds: per customer, "
+    "each order's trailing-30-day revenue (value-based frame, not "
+    "row-based).",
+    tags=("window", "rangeframe", "ext"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_range_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)
+    )
+    return (
+        orders.withColumn("trailing_30d", F.round(F.sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "trailing_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: min_by / max_by argmin-argmax aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_minby_maxby",
+    doc="argmin/argmax aggregates (min_by/max_by ≡ arg_min/arg_max): per "
+    "nation, the cheapest and priciest customer by account balance — "
+    "one aggregate pass, no self-join.",
+    tags=("agg", "argmax", "ext"),
+    oracle="""
+SELECT n_name,
+       arg_min(c_custkey, c_acctbal ORDER BY c_custkey) AS poorest_cust,
+       arg_max(c_custkey, c_acctbal ORDER BY c_custkey) AS richest_cust,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # deterministic on acctbal ties: pick by (acctbal, custkey) pairs
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.min_by("c_custkey", F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias(
+                "poorest_cust"
+            ),
+            F.max_by("c_custkey", F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias(
+                "richest_cust"
+            ),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: higher-order array functions over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_hof_embedding_stats",
+    doc="Higher-order array functions (transform/filter/aggregate/exists) "
+    "over the embedding column: element stats without exploding — the "
+    "array stays packed in Tungsten format.",
+    tags=("array", "hof", "ext"),
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       round(CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS DOUBLE), 5) AS sum_all,
+       round(CAST(list_reduce(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE)), (a, b) -> a + b) AS DOUBLE), 5) AS l1_norm,
+       (len(list_filter(embedding, x -> abs(x) > 0.25)) > 0) AS has_large_component
+FROM embeddings ORDER BY vec_id
+""",
+)
+def array_hof_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    dbl = lambda x: x.cast("double")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("int").alias("n_positive"),
+        F.round(F.aggregate(e, F.lit(0.0), lambda a, x: a + dbl(x)), 5).alias("sum_all"),
+        F.round(F.aggregate(e, F.lit(0.0), lambda a, x: a + F.abs(dbl(x))), 5).alias("l1_norm"),
+        F.exists(e, lambda x: F.abs(x) > 0.25).alias("has_large_component"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# A6: ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_string_concat_ordered",
+    doc="Ordered string aggregation (string_agg / sort_array+concat_ws): "
+    "per region, the alphabetized nation list — deterministic ordering "
+    "makes listagg engine-portable.",
+    tags=("agg", "stringagg", "ext"),
+    oracle="""
+SELECT r_name AS region,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY region
+""",
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("region")
+    )
