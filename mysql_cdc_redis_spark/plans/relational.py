@@ -1242,3 +1242,45 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6: unpivot / melt — wide measures to long
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_lineitem_measures",
+    doc="UNPIVOT/melt: lineitem's four numeric measures to long form "
+    "(measure, value) and aggregated per measure — the wide→long "
+    "reshape for metric pipelines.",
+    tags=("reshape", "ext"),
+    oracle="""
+WITH long_form AS (
+  SELECT l_orderkey, measure, value
+  FROM lineitem
+  UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
+       round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+FROM long_form GROUP BY measure ORDER BY measure
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long_form = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long_form.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+        .orderBy("measure")
+    )

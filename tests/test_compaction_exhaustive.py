@@ -48,3 +48,31 @@ def test_all_sequences_up_to_len5(spark):
     # sanity on the space itself: some sequences must vanish
     n_total = sum(3**n for n in range(1, 6))
     assert len(expected) < n_total
+
+
+def test_random_long_sequences_seeded(spark):
+    """Randomized complement to the exhaustive test: 300 keys with
+    action sequences up to length 12 (seed 42), one Spark job, compared
+    against the independent Python fold."""
+    import random
+
+    rng = random.Random(42)
+    rows, expected = [], {}
+    for key in range(1, 301):
+        length = rng.randint(1, 12)
+        combo = [rng.choice(ACTIONS) for _ in range(length)]
+        # scatter seqs (non-contiguous, shuffled insert order)
+        seqs = sorted(rng.sample(range(1, 10_000), length))
+        order = list(range(length))
+        rng.shuffle(order)
+        for i in order:
+            rows.append((seqs[i], key, combo[i], f"v{i}", "t"))
+        final = _python_fold(combo)
+        if final is not None:
+            expected[str(key)] = (final, f"v{length - 1}")
+    df = spark.createDataFrame(
+        rows, "seq long, id int, cdc_action string, v string, tbl string"
+    )
+    out = compact(df, ("id",), ("id", "v"))
+    got = {r["rid"]: (r["cdc_action"], r["v"]) for r in out.collect()}
+    assert got == expected
