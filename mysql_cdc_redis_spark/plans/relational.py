@@ -1284,3 +1284,248 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# W5: distribution windows — ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ntile_percentrank",
+    doc="Distribution windows (W5): quartile bucket (ntile), percent_rank "
+    "and cume_dist of customers by account balance within market segment. "
+    "Total order (acctbal DESC, custkey) makes every rank engine-portable; "
+    "the rank ratios are exact rationals so 6dp rounding is ulp-safe.",
+    tags=("window", "distribution", "ext"),
+    oracle="""
+SELECT c_custkey, c_mktsegment AS segment,
+       CAST(ntile(4) OVER w AS INT)            AS quartile,
+       round(percent_rank() OVER w, 6)         AS pct_rank,
+       round(cume_dist() OVER w, 6)            AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+""",
+)
+def window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J5: FULL OUTER join — nations present on either side
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_full_outer_nation_presence",
+    doc="FULL OUTER join (J5 breadth): deeply-negative-balance customer "
+    "counts vs supplier counts per nation — each side misses nations, so "
+    "both null wings of the full join are exercised.  Both pre-aggregates "
+    "shrink the sides to <= 25 rows before the join (aggregate-then-join, "
+    "never join-then-aggregate at scale).",
+    tags=("join", "fullouter", "ext"),
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_poor_cust
+  FROM customer WHERE c_acctbal < -900 GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nk, count(*) AS n_poor_supp
+  FROM supplier WHERE s_acctbal < -900 GROUP BY 1
+)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_poor_cust, 0) AS n_poor_cust,
+       coalesce(n_poor_supp, 0) AS n_poor_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+""",
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_poor_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -900)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_poor_supp"))
+    )
+    return (
+        cust.join(supp, F.col("nk") == F.col("nk_s"), "full_outer")
+        .select(
+            F.coalesce("nk", "nk_s").alias("nationkey"),
+            F.coalesce("n_poor_cust", F.lit(0)).alias("n_poor_cust"),
+            F.coalesce("n_poor_supp", F.lit(0)).alias("n_poor_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 / text: explode (lateral unnest) — top document tokens
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "explode_doc_tokens_top",
+    doc="Lateral explode (generator breadth): documents -> whitespace "
+    "tokens via explode(split(...)), global top-30 tokens.  The explode "
+    "runs inside the scan stage (no pre-shuffle); only the tiny token "
+    "aggregate shuffles.  Oracle: DuckDB lateral unnest of the same split.",
+    tags=("explode", "text", "ext"),
+    oracle="""
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 30
+""",
+)
+def explode_doc_tokens_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: the relational pivot operator (dynamic-column form of the
+# conditional aggregation in agg_conditional_pivot_status)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_priority_by_status",
+    doc="The DataFrame pivot operator: order counts per priority pivoted "
+    "on status with pinned pivot values (['F','O','P'] — explicit values "
+    "skip Catalyst's extra distinct-scan job).  Empty cells stay NULL, "
+    "matching SQL sum-of-empty-set.",
+    tags=("agg", "pivot", "ext"),
+    oracle="""
+SELECT o_orderpriority AS priority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: datetime function breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_datetime_breadth",
+    doc="Datetime breadth (P8): date_trunc, day-of-week, last_day, "
+    "add_months, datediff — engine-portable spellings pinned where the "
+    "engines' conventions differ (DuckDB dayofweek is 0-based Sunday, "
+    "Spark is 1-based).",
+    tags=("scalar", "datetime", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)          AS month_start,
+       CAST(dayofweek(o_orderdate) + 1 AS INT)                      AS dow,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)         AS month_end,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+       CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR)              AS ym
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def scalar_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.last_day(d.cast("date")).cast("string").alias("month_end"),
+        F.add_months(d.cast("date"), 3).cast("string").alias("plus3m"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).cast("int").alias(
+            "days_to_y2k"
+        ),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# J2: literal-map config lookup (the broadcast-map join idiom)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_lookup_priority_rank",
+    doc="Literal create_map lookup (J2 — the reference's "
+    "tables_without_primary_key config dict, cdc.py:114-115): priority "
+    "string -> numeric rank resolved via element_at on a map literal; no "
+    "join, no shuffle beyond the final aggregate.",
+    tags=("map", "scalar", "ref:J2"),
+    oracle="""
+SELECT CASE o_orderpriority
+         WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+         WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE -1
+       END AS prio_rank,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY prio_rank
+""",
+)
+def map_lookup_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rank_map = F.create_map(
+        F.lit("1-URGENT"), F.lit(1),
+        F.lit("2-HIGH"), F.lit(2),
+        F.lit("3-MEDIUM"), F.lit(3),
+        F.lit("4-NOT SPECIFIED"), F.lit(4),
+        F.lit("5-LOW"), F.lit(5),
+    )
+    return (
+        orders.select(
+            F.coalesce(F.element_at(rank_map, F.col("o_orderpriority")), F.lit(-1)).alias(
+                "prio_rank"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("prio_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("prio_rank")
+    )
