@@ -268,3 +268,69 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             ).alias("simhash")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-cluster assignment: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Assign every node the minimum node-id of its connected component.
+
+    This is the step that turns near-dup *pairs* (MinHash/Jaccard output)
+    into dedup *groups*: keep one doc per component.  Implemented as
+    distributed min-label propagation — each iteration every node adopts
+    min(own label, neighbours' labels) via one equi-join + groupBy; the
+    loop stops when an iteration changes no label.
+
+    Scale design: iteration count is bounded by the component diameter,
+    and near-dup clusters are shallow (dozens of docs, diameter ~2-4), so
+    3-5 rounds close at any corpus size.  Each round shuffles only
+    (node, label) longs — never text.  ``localCheckpoint`` truncates the
+    lineage each round so plan depth stays O(1) instead of O(iterations).
+    Analog of the reference's keyed-state reachability — there is none;
+    this is pure EXT (BASELINE.json north-star dedup).
+
+    Returns (id_col, component); isolated nodes are their own component.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "_chg"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_chg")).count()
+        labels = updated.drop("_chg")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")

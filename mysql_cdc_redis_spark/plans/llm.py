@@ -679,3 +679,31 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+@register(
+    "dedup_connected_components",
+    doc="Dedup-cluster assignment: connected components over the n-gram-"
+    "Jaccard near-dup pairs via distributed min-label propagation "
+    "(iterations ~ component diameter; each round shuffles only "
+    "(node,label) longs).  Oracle: DuckDB recursive-CTE transitive "
+    "closure over the identical pair set — a genuinely different "
+    "algorithm computing the same fixpoint.",
+    tags=("dedup", "graph", "ext"),
+    oracle=f"""
+WITH RECURSIVE {_DOCS_SHINGLES},
+{_PAIR_JACCARD},
+e AS (SELECT a, b FROM jacc WHERE jaccard >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edges.dst, reach.lab FROM reach JOIN edges ON edges.src = reach.node
+)
+SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node ORDER BY doc_id
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=_JACCARD_THRESHOLD)
+    return dd.connected_components(docs, pairs).orderBy("doc_id")
