@@ -60,6 +60,36 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "global top-k must not full-sort"
 
 
+def test_full_outer_is_equi_join_on_preaggregated_sides(spark, sf_dir):
+    plan = _plan(_QUERIES["join_full_outer_nation_presence"].fn(spark, sf_dir))
+    assert "FullOuter" in plan, "must plan a full outer equi join"
+    # the equi key must keep it out of the nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # aggregate-then-join: both HashAggregates appear below the join
+    join_pos = plan.index("FullOuter")
+    assert plan.count("HashAggregate", join_pos) >= 2, "sides must pre-aggregate"
+
+
+def test_explode_tokens_prunes_to_text_column(spark, sf_dir):
+    plan = _plan(_QUERIES["explode_doc_tokens_top"].fn(spark, sf_dir))
+    assert "Generate" in plan, "explode must plan as Generate"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # documents has (doc_id, text, lang, source, n_chars); only text is used
+    for unused in ("doc_id", "lang", "source", "n_chars"):
+        assert unused not in read_schema, f"{unused} not pruned from scan"
+    assert "text" in read_schema
+    assert "TakeOrderedAndProject" in plan, "top-30 must not full-sort"
+
+
+def test_ntile_window_prunes_scan(spark, sf_dir):
+    plan = _plan(_QUERIES["window_ntile_percentrank"].fn(spark, sf_dir))
+    assert "Window" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # customer has 8 columns; only custkey/mktsegment/acctbal are used
+    for unused in ("c_name", "c_address", "c_phone", "c_comment", "c_nationkey"):
+        assert unused not in read_schema, f"{unused} not pruned from scan"
+
+
 def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
     import contextlib
     import io
