@@ -173,6 +173,68 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_event_counts",
+    doc="T6 streaming: SLIDING 20-minute windows every 10 minutes with a "
+    "watermark — each event lands in two overlapping windows.  Window "
+    "keys are fixed by event time, so update-mode emissions finalize by "
+    "last-batch-wins regardless of file arrival order (unlike session "
+    "windows, which merge).  Oracle: each event fanned to its two bucket "
+    "starts via lateral unnest.",
+    tags=("streaming", "window", "sliding", "ext"),
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) - j * INTERVAL '10 minutes' AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events, LATERAL unnest(range(2)) t(j)
+GROUP BY 1
+ORDER BY window_start
+""",
+)
+def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("slidestream_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    emissions_dir = _tmp("slidestream_emit")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "20 minutes", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            emissions_dir
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", _tmp("slidestream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(emissions_dir)
+    return (
+        emitted.groupBy("w")
+        .agg(F.max_by(F.struct("n_events", "sum_value"), F.col("batch_id")).alias("m"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("m.n_events").alias("n_events"),
+            F.round(F.col("m.sum_value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
     "cdc_compact_stream_lineitem",
     doc="Streaming compaction with a COMPOSITE key: the applyInPandasWith"
     "State cache keyed by (tbl, concat_ws('&', l_orderkey, l_linenumber))"
