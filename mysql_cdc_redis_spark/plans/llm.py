@@ -707,3 +707,62 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=_JACCARD_THRESHOLD)
     return dd.connected_components(docs, pairs).orderBy("doc_id")
+
+
+@register(
+    "pipeline_curate_corpus",
+    doc="End-to-end training-data curation (the operators composing): "
+    "keep a document iff it is (1) its exact-content group's keeper, "
+    "(2) its near-dup connected component's representative (min doc_id), "
+    "and (3) quality-scored >= 0.7 — then emit id, token count and "
+    "quality.  One pass over text for scoring; dedup stages shuffle only "
+    "hashes and (node,label) longs.  Oracle recomposes all three stages "
+    "independently (recursive-CTE components).",
+    tags=("pipeline", "dedup", "text", "ext"),
+    oracle=f"""
+WITH RECURSIVE {_DOCS_SHINGLES},
+{_PAIR_JACCARD},
+e AS (SELECT a, b FROM jacc WHERE jaccard >= {_JACCARD_THRESHOLD}),
+edges AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edges.dst, reach.lab FROM reach JOIN edges ON edges.src = reach.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node),
+keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(norm)),
+m AS (
+  SELECT doc_id, length(norm) AS n_chars, string_split(norm, ' ') AS toks FROM d
+),
+q AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         round(CAST(
+           (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END) * 0.4
+           + (CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) / len(toks) >= 0.03 THEN 1.0 ELSE 0.0 END) * 0.3
+           + (CASE WHEN list_reduce(list_transform(toks, x -> length(x)), (a, b) -> a + b) / len(toks) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.3
+         AS DOUBLE), 2) AS quality
+  FROM m
+)
+SELECT q.doc_id, q.n_tokens, q.quality
+FROM q
+JOIN comp ON comp.doc_id = q.doc_id AND comp.component = q.doc_id
+JOIN keepers ON keepers.doc_id = q.doc_id
+WHERE q.quality >= 0.7
+ORDER BY q.doc_id
+""",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=_JACCARD_THRESHOLD)
+    comp = dd.connected_components(docs, pairs)
+    keepers = dd.exact_dedup_groups(docs).select(F.col("keeper").alias("doc_id"))
+    return (
+        docs.join(comp, "doc_id")
+        .filter(F.col("doc_id") == F.col("component"))
+        .join(keepers, "doc_id", "left_semi")
+        .withColumn("quality", F.round(ts.quality_score(txt), 2))
+        .filter(F.col("quality") >= 0.7)
+        .select("doc_id", ts.token_count(txt).alias("n_tokens"), "quality")
+        .orderBy("doc_id")
+    )
