@@ -1529,3 +1529,35 @@ def map_lookup_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# J5/A6: aggregate-in-subquery join — TPC-H Q17 shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_small_quantity_revenue",
+    doc="TPC-H Q17 shape: revenue from lineitems whose quantity is below "
+    "20% of the average quantity for their part — the correlated "
+    "aggregate decorrelates into one per-part window pass over a single "
+    "shuffle instead of a per-row re-scan of lineitem.",
+    tags=("subquery", "agg", "ext"),
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM (
+  SELECT l_extendedprice, l_quantity,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem
+)
+WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+def subquery_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
