@@ -1561,3 +1561,37 @@ def subquery_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A6: bivariate statistics — correlation / covariance aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr_covar_qty_price",
+    doc="Bivariate statistical aggregates: Pearson correlation and sample "
+    "covariance of quantity vs extended price per return flag — "
+    "single-pass mergeable moments (scales like any hash aggregate).",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_corr_covar_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
