@@ -33,3 +33,34 @@ def test_disjoint_components_and_isolated(spark):
 def test_cycle_and_duplicate_edges(spark):
     got = _run(spark, [4, 5, 6], [(4, 5), (5, 6), (6, 4), (5, 4)])
     assert got == {4: 4, 5: 4, 6: 4}
+
+def _union_find_components(node_ids, edge_pairs):
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id per component
+    roots = {}
+    for n in node_ids:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+def test_random_graphs_match_union_find(spark):
+    import random
+
+    for seed in (7, 19, 101):
+        rng = random.Random(seed)
+        nodes = list(range(1, 41))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _run(spark, nodes, edges) == _union_find_components(nodes, edges)
