@@ -1595,3 +1595,57 @@ def agg_corr_covar_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 breadth: cross join — exhaustive dimension grid with zero-filled cells
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_join_status_grid",
+    doc="Cross join (dimension grid): region x distinct order status, "
+    "left-joined against actual per-cell counts so empty cells surface "
+    "as zeros.  Safe at scale because both grid sides are tiny "
+    "aggregates (the fact table is reduced before the cross join, "
+    "never fed into it).",
+    tags=("join", "cross", "ext"),
+    oracle="""
+WITH statuses AS (SELECT DISTINCT o_orderstatus AS status FROM orders),
+counts AS (
+  SELECT r_name AS region, o_orderstatus AS status, count(*) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r.r_name AS region, s.status AS status, coalesce(c.n, 0) AS n_orders
+FROM region r CROSS JOIN statuses s
+LEFT JOIN counts c ON c.region = r.r_name AND c.status = s.status
+ORDER BY region, s.status
+""",
+)
+def cross_join_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    statuses = orders.select(F.col("o_orderstatus").alias("status")).distinct()
+    counts = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("cr"), F.col("o_orderstatus").alias("cs"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = region.select(F.col("r_name").alias("region")).crossJoin(statuses)
+    return (
+        grid.join(
+            counts,
+            (F.col("region") == F.col("cr")) & (F.col("status") == F.col("cs")),
+            "left",
+        )
+        .select("region", "status", F.coalesce("n", F.lit(0)).alias("n_orders"))
+        .orderBy("region", "status")
+    )
