@@ -766,3 +766,53 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", ts.token_count(txt).alias("n_tokens"), "quality")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "groupedmap_minmax_normalize",
+    doc="Grouped-map applyInPandas (§2.9 — the batch analog of the "
+    "reference's dump_t per-table callback, rcache.py:83-106): per-"
+    "nation min-max normalization of customer balances as an Arrow-"
+    "batched pandas transform.  Rounding happens JVM-side after the "
+    "UDF (numpy rounds half-to-even; Spark/DuckDB round half-away).  "
+    "Oracle: window min/max.",
+    tags=("udf", "groupedmap", "ext"),
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       round(CASE WHEN mx > mn THEN (c_acctbal - mn) / (mx - mn) ELSE 0.5 END, 6) AS bal_norm
+FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         min(c_acctbal) OVER (PARTITION BY c_nationkey) AS mn,
+         max(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx
+  FROM customer
+)
+ORDER BY c_custkey
+""",
+)
+def groupedmap_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+
+    def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+        norm = (pdf["c_acctbal"] - mn) / (mx - mn) if mx > mn else 0.5
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "bal_norm_raw": norm,
+            }
+        )
+
+    out = cust.groupBy("c_nationkey").applyInPandas(
+        _normalize, schema="c_custkey long, c_nationkey long, bal_norm_raw double"
+    )
+    return (
+        out.select(
+            "c_custkey", "c_nationkey", F.round("bal_norm_raw", 6).alias("bal_norm")
+        )
+        .orderBy("c_custkey")
+    )
