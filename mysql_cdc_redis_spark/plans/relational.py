@@ -1649,3 +1649,37 @@ def cross_join_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("region", "status", F.coalesce("n", F.lit(0)).alias("n_orders"))
         .orderBy("region", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# P8: error-safe arithmetic / casts (ANSI try_ functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_try_arithmetic",
+    doc="Error-safe scalar surface: try_divide yields NULL on zero "
+    "divisors and try_cast yields NULL on malformed input instead of "
+    "failing the job — the behavior a 100 TB pipeline needs when one "
+    "bad row must not kill a 10-hour run.  Oracle spells the same "
+    "semantics with NULLIF and TRY_CAST.",
+    tags=("scalar", "nulls", "ansi", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       round(o_totalprice / NULLIF(CAST(o_orderkey % 3 AS BIGINT), 0), 4) AS price_per_mod3,
+       TRY_CAST(o_orderpriority AS BIGINT)        AS prio_as_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("bigint")), 4
+        ).alias("price_per_mod3"),
+        F.col("o_orderpriority").try_cast("bigint").alias("prio_as_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_digit"),
+    ).orderBy("o_orderkey")
