@@ -1683,3 +1683,289 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").try_cast("bigint").alias("prio_as_int"),
         F.substring("o_orderpriority", 1, 1).try_cast("bigint").alias("prio_digit"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# J5: correlated EXISTS — TPC-H Q4 shape (orders with a late-shipped line)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_exists_late_orders",
+    doc="TPC-H Q4 shape: count orders per priority having EXISTS a lineitem "
+    "shipped >90 days after the order date.  The correlated EXISTS "
+    "decorrelates to a left-semi join (equi key + range post-filter) — "
+    "one shuffle on orderkey, then a tiny hash aggregate; no row "
+    "explosion because semi joins emit each order at most once.",
+    tags=("join", "semi", "subquery", "ext"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def join_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 + A6: two-level aggregate — TPC-H Q13 shape (customer order distribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_count_distribution",
+    doc="TPC-H Q13 shape: LEFT JOIN with a compound ON clause (join-side "
+    "predicate, NOT a where-filter — customers with zero qualifying "
+    "orders must survive), per-customer order counts, then the "
+    "distribution of those counts.  Two cascaded hash aggregates; the "
+    "second input is already tiny (one row per customer).",
+    tags=("join", "agg", "ext"),
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def join_left_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 + subquery: global-share HAVING — TPC-H Q11 shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_share_threshold_nations",
+    doc="TPC-H Q11 shape: per-nation supplier balance kept only where it "
+    "exceeds 4% of the global balance.  The scalar subquery becomes a "
+    "1-row aggregate cross-joined (broadcast) against the grouped "
+    "result — the fact table is scanned twice but never shuffled twice "
+    "at full width, and the threshold compare happens after both "
+    "aggregations have reduced the data to ~nation rows.",
+    tags=("agg", "subquery", "ext"),
+    oracle="""
+SELECT n_name, round(sum(s_acctbal), 2) AS nation_balance
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) * CAST(0.04 AS DOUBLE) FROM supplier)
+ORDER BY nation_balance DESC, n_name
+""",
+)
+def agg_share_threshold_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("raw_balance"))
+    )
+    threshold = sup.agg((F.sum("s_acctbal") * F.lit(0.04)).alias("thresh"))
+    return (
+        per_nation.crossJoin(F.broadcast(threshold))
+        .filter(F.col("raw_balance") > F.col("thresh"))
+        .select("n_name", F.round("raw_balance", 2).alias("nation_balance"))
+        .orderBy(F.desc("nation_balance"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 + J5: conditional-sum ratio — TPC-H Q14 shape (promo revenue share)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_promo_revenue_ratio",
+    doc="TPC-H Q14 shape: percentage of revenue from PROMO parts in one "
+    "month — a conditional sum over a fact ⋈ dim join reduced to a "
+    "single row.  part is broadcast (it stays small relative to "
+    "lineitem at every scale factor); the CASE lives inside the "
+    "aggregate so one pass computes both numerator and denominator.",
+    tags=("agg", "join", "ext"),
+    oracle="""
+SELECT round(
+         CAST(100.0 AS DOUBLE) * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+)
+def agg_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery + anti join: TPC-H Q22 shape (rich customers with no orders)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_rich_idle_customers",
+    doc="TPC-H Q22 shape: customers whose balance beats the positive-balance "
+    "average (uncorrelated scalar subquery → broadcast 1-row join) and "
+    "who have no urgent orders (NOT EXISTS → left-anti join on custkey "
+    "against the filtered order stream — every fixture customer has "
+    "*some* order, so the predicate keeps the result non-trivial), "
+    "bucketed by a derived segment.  The anti join shuffles only keys; "
+    "the scalar threshold never shuffles anything.",
+    tags=("subquery", "anti", "agg", "ext"),
+    oracle="""
+SELECT CAST(c_custkey % 7 AS BIGINT) AS seg,
+       count(*)                      AS numcust,
+       round(sum(c_acctbal), 2)      AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(avg(c_acctbal) AS DOUBLE) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def subquery_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy((F.col("c_custkey") % 7).cast("bigint").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: gap-based sessionization — lag + cumulative-sum session assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events_gap",
+    doc="Gap-based sessionization (batch): a new session starts when a "
+    "user's inter-event gap exceeds 30 minutes — lag() flags the break, "
+    "a running sum turns flags into session ordinals, then one "
+    "aggregate per (user, session).  Everything runs inside a single "
+    "partitioning by user_id (two window functions + groupBy share the "
+    "shuffle under AQE), so the cost at 100 TB is one shuffle of "
+    "(user_id, ts, event_id).  Second-granularity math is integral on "
+    "both engines (DuckDB boundary-count == Spark unix_timestamp "
+    "truncation), so the hash compare is exact.",
+    tags=("window", "session", "ext"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       date_diff('second', min(ts), max(ts)) AS duration_s
+FROM sessions
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+""",
+)
+def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    prev_epoch = F.lag(epoch).over(w)
+    flagged = events.withColumn(
+        "is_new",
+        F.when(prev_epoch.isNull() | ((epoch - prev_epoch) > 1800), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_no")
+    )
