@@ -1,0 +1,140 @@
+"""Training-corpus management operators (EXT; SURVEY.md §7 Phase 4 /
+north-star "large-scale training-data pipeline" ops): deterministic
+train/val/test splitting, token-budget shard packing, and stratified
+per-language sampling.
+
+Reference parity note: the reference (dlf412/mysql-cdc-redis) has no
+corpus tooling — these rows are EXT, driven by BASELINE.json's
+north_star.  The closest reference idiom is the chunked dump cursor
+(rcache.py:143-159), whose "≤ max_rows per chunk" policy is the
+row-count ancestor of the token-budget sharding here.
+
+Scale design:
+* hash_split is stateless per row (a pure column expression) — no
+  shuffle at all, safe at any scale, and stable across reruns/backfills
+  because membership depends only on (seed, id), never on partitioning.
+* pack_token_shards needs a global prefix sum; a naive
+  `Window.orderBy(...)` collapses to ONE partition at 100 TB.  We spell
+  it as the classic distributed scan: per-bucket partial sums (tiny —
+  one row per bucket) are prefix-summed and broadcast back, then each
+  bucket computes only its local cumulative window.  The widest shuffle
+  is a repartition by bucket, and the per-bucket window sorts ~bucket_size
+  rows instead of the corpus.
+* stratified_sample orders every stratum by an engine-portable hash so
+  "10% of each language" is reproducible property of the data, not of
+  the cluster layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import md5long
+from . import textstats as ts
+
+
+def split_bucket(id_col: Column, seed: str, n_buckets: int = 100) -> Column:
+    """Engine-portable deterministic bucket in [0, n_buckets): 60-bit md5
+    of ``"{seed}#{id}"`` mod n_buckets.  Matches DuckDB
+    ``('0x'||substr(md5(seed||'#'||CAST(id AS VARCHAR)),1,15))::BIGINT % n``
+    (the hash is < 2^60, so both sides stay non-negative)."""
+    return F.pmod(md5long(F.concat(F.lit(seed), F.lit("#"), id_col.cast("string"))), F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    weights: tuple[int, ...] = (80, 10, 10),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """Assign a stable train/val/test split label per row.
+
+    Membership is a pure function of (seed, id): adding, removing or
+    re-partitioning other rows never flips a row's split — the property
+    a training pipeline needs for incremental backfills.  Zero shuffles.
+    """
+    if len(weights) != len(labels) or sum(weights) != 100:
+        raise ValueError("weights must align with labels and sum to 100")
+    bucket = split_bucket(F.col(id_col), seed)
+    edge = 0
+    expr = None
+    for w, lab in zip(weights, labels):
+        edge += w
+        expr = F.when(bucket < edge, F.lit(lab)) if expr is None else expr.when(bucket < edge, F.lit(lab))
+    return df.withColumn("split", expr)
+
+
+def pack_token_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    bucket_size: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document (ordered by id) to a token-budget shard:
+    ``shard_id = floor(exclusive_prefix_tokens / budget_tokens)`` — the
+    deterministic block-packing a pre-training data loader wants
+    (documents stay in id order; every shard holds ~budget tokens).
+
+    Distributed prefix sum, not a global window: documents are grouped
+    into ``floor(id / bucket_size)`` buckets; per-bucket token totals
+    (one row per bucket) are prefix-summed with a tiny window and
+    broadcast-joined back as offsets, so the only per-row sort is within
+    a bucket.  Returns (doc_id, n_tokens, shard_id).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ts.token_count(F.col(text_col)).alias("n_tokens"),
+        (F.floor(F.col(id_col) / bucket_size)).alias("bucket"),
+    )
+    per_bucket = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    # One row per bucket: a plain ordered window here is tiny by design.
+    bw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bucket_tokens").over(bw), F.lit(0)).alias("bucket_offset")
+    )
+    local = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn("local_prefix", F.coalesce(F.sum("n_tokens").over(local), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.col("bucket_offset") + F.col("local_prefix")) / budget_tokens).alias(
+                "shard_id"
+            ),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction_pct: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Keep a deterministic ``ceil(fraction_pct%)`` of every stratum,
+    chosen by portable-hash order (so the sample is stable across runs
+    and engines).  Integer math only: a row is kept iff its hash-order
+    rank <= (stratum_count + k) div (100/fraction_pct)-style ceiling,
+    avoiding float thresholds that flip between engines.
+
+    One shuffle on the stratum key; rank and count share the partition.
+    """
+    if not (0 < fraction_pct <= 100):
+        raise ValueError("fraction_pct in (0, 100]")
+    h = split_bucket(F.col(id_col), seed, 1_000_000_007)
+    wr = Window.partitionBy(strata_col).orderBy(h, id_col)
+    wc = Window.partitionBy(strata_col)
+    ranked = df.withColumn("_rn", F.row_number().over(wr)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(wc)
+    )
+    # ceil(cnt * pct / 100) in pure integer arithmetic.
+    quota = F.expr(f"(_cnt * {fraction_pct} + 99) div 100")
+    return ranked.withColumn("sampled", F.col("_rn") <= quota).drop("_rn")

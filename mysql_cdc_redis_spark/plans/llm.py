@@ -816,3 +816,132 @@ def groupedmap_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus management (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKET = (
+    "(('0x' || substr(md5('{seed}#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % {n}"
+)
+
+
+@register(
+    "corpus_hash_split",
+    doc="Deterministic train/val/test split (80/10/10) by seeded portable "
+    "hash of doc_id: membership is a pure function of (seed, id), so "
+    "backfills and re-partitioning never move a document across splits. "
+    "Zero shuffles for the assignment itself; one tiny aggregate here "
+    "to make the result oracle-comparable.",
+    tags=("corpus", "split", "ext"),
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, n_chars, {_SPLIT_BUCKET.format(seed="split-v1", n=100)} AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)     AS n_docs,
+       sum(n_chars) AS total_chars
+FROM b GROUP BY 1 ORDER BY split
+""",
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as cp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cp.hash_split(docs, seed="split-v1")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "corpus_pack_token_shards",
+    doc="Token-budget shard packing: documents in doc_id order are cut "
+    "into ~4096-token shards via shard_id = floor(exclusive-prefix-"
+    "tokens / budget).  The Spark plan computes the prefix sum "
+    "distributively (per-bucket partials + broadcast offsets — no "
+    "global single-partition window); the oracle re-derives the same "
+    "assignment with a plain windowed cumsum, so a hash match proves "
+    "the two-pass decomposition exact.",
+    tags=("corpus", "shard", "ext"),
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+t AS (SELECT doc_id, len(string_split(norm, ' ')) AS n_tokens FROM d),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t
+)
+SELECT CAST(floor(prefix / 4096) AS BIGINT) AS shard_id,
+       count(*)      AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       min(doc_id)   AS first_doc,
+       max(doc_id)   AS last_doc
+FROM c GROUP BY 1 ORDER BY shard_id
+""",
+)
+def corpus_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as cp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cp.pack_token_shards(docs, budget_tokens=4096)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    doc="Stratified 10% sample per language, chosen by seeded-hash order "
+    "with integer-only quota math (ceil via (n*10+99) div 100) — "
+    "reproducible across engines and cluster layouts.  One shuffle on "
+    "the stratum key; rank and stratum count share that partition.",
+    tags=("corpus", "sample", "ext"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         {_SPLIT_BUCKET.format(seed="sample-v1", n=1000000007)} AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+         count(*)     OVER (PARTITION BY lang)                     AS cnt
+  FROM h
+)
+SELECT lang,
+       count(*) AS n_total,
+       sum(CASE WHEN rn <= (cnt * 10 + 99) // 100 THEN 1 ELSE 0 END)       AS n_kept,
+       sum(CASE WHEN rn <= (cnt * 10 + 99) // 100 THEN n_chars ELSE 0 END) AS kept_chars
+FROM r GROUP BY lang ORDER BY lang
+""",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as cp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    sampled = cp.stratified_sample(docs, "lang", fraction_pct=10, seed="sample-v1")
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("sampled").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("sampled"), F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
