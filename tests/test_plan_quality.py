@@ -113,3 +113,38 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
             ), f"{name} fell out of codegen: {head}"
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_promo_ratio_broadcasts_part_and_pushes_shipdate(spark, sf_dir):
+    plan = _plan(_QUERIES["agg_promo_revenue_ratio"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "part dim must broadcast"
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to scan"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _plan(_QUERIES["join_exists_late_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must plan as a left-semi join"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # lineitem side must prune to the two columns the predicate needs
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("l_orderkey" in s and "l_quantity" not in s for s in schemas)
+
+
+def test_sessionize_shares_one_data_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(_QUERIES["sessionize_events_gap"].fn(spark, sf_dir))
+    # both windows AND the (user, session) aggregate reuse the hash(user_id)
+    # partitioning; the only other exchange is the final presentation sort.
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected hash+sort exchanges only, saw {n_exchanges}:\n{plan}"
+
+
+def test_pack_shards_broadcasts_offsets_and_prunes(spark, sf_dir):
+    plan = _plan(_QUERIES["corpus_pack_token_shards"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "bucket offsets must broadcast-join back"
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "lang" not in line and "source" not in line and "n_chars" not in line
