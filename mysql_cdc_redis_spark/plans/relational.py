@@ -1969,3 +1969,143 @@ def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 breadth: bitwise / boolean / conditional-count aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitbool_countif",
+    doc="Bitwise (bit_and/or/xor), boolean (bool_and/or) and conditional "
+    "(count_if) aggregates per order status — all mergeable single-pass "
+    "hash aggregates (partial+final), integral results so the "
+    "cross-engine compare is exact.",
+    tags=("agg", "bitwise", "ext"),
+    oracle="""
+SELECT o_orderstatus,
+       bit_and(o_orderkey)                 AS key_bit_and,
+       bit_or(o_orderkey)                  AS key_bit_or,
+       bit_xor(o_orderkey)                 AS key_bit_xor,
+       bool_and(o_totalprice > 1000.0)     AS all_over_1k,
+       bool_or(o_totalprice > 400000.0)    AS any_over_400k,
+       count_if(o_orderpriority = '1-URGENT') AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_bitbool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_bit_and"),
+            F.bit_or("o_orderkey").alias("key_bit_or"),
+            F.bit_xor("o_orderkey").alias("key_bit_xor"),
+            F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 breadth: first_value / last_value / nth_value over full frames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_first_last_nth",
+    doc="Value-navigation window functions with an explicit full frame "
+    "(ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING): each customer's "
+    "first, latest and second order keys by (orderdate, orderkey) — "
+    "total ordering via the key tiebreak keeps both engines identical.",
+    tags=("window", "ext"),
+    oracle="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+         first_value(o_orderkey) OVER win AS first_key,
+         last_value(o_orderkey)  OVER win AS last_key,
+         nth_value(o_orderkey, 2) OVER win AS second_key
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey, min(first_key) AS first_key, min(last_key) AS last_key,
+       min(second_key) AS second_key, count(*) AS n_orders
+FROM w GROUP BY o_custkey ORDER BY o_custkey
+""",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(win).alias("first_key"),
+            F.last("o_orderkey").over(win).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(win).alias("second_key"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.min("first_key").alias("first_key"),
+            F.min("last_key").alias("last_key"),
+            F.min("second_key").alias("second_key"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 breadth: temporal self-join — order pairs within 30 days per customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_self_pairs_within_30d",
+    doc="Temporal self-join: pairs of orders by the same customer placed "
+    "within 30 days (a < b on orderkey kills mirror/self pairs).  The "
+    "equi key (custkey) carries the join; the date band is a post-scan "
+    "filter — per-customer order counts are small, so the pair "
+    "expansion stays bounded and the shuffle is one hash exchange per "
+    "side.",
+    tags=("join", "self", "interval", "ext"),
+    oracle="""
+SELECT a.o_custkey AS custkey, count(*) AS n_pairs,
+       min(b.o_orderkey) AS min_second_key
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def join_self_pairs_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    a = orders.alias("a")
+    b = orders.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+            & (F.col("b.o_orderdate") <= F.col("a.o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("b.o_orderkey")).alias("min_second_key"),
+        )
+        .orderBy("custkey")
+    )
