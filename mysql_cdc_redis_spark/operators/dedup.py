@@ -143,10 +143,13 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(sh_hashed: DataFrame, k: int = 16) -> DataFrame:
+def minhash_signatures(sh_hashed: DataFrame, k: int = 16, with_sizes: bool = False) -> DataFrame:
     """k MinHash values per doc from the universal family over the 32-bit
     reduced shingle hash: one aggregate, k min() columns, pure integer
-    arithmetic (no md5 in the loop)."""
+    arithmetic (no md5 in the loop).  with_sizes=True folds the per-doc
+    shingle count (n_sh) into the same aggregate — one pass over the
+    shingle relation serves both the signature and the later Jaccard
+    verification, instead of two separate groupBy shuffles."""
     hashed = sh_hashed.select(
         "doc_id",
         *[
@@ -156,9 +159,10 @@ def minhash_signatures(sh_hashed: DataFrame, k: int = 16) -> DataFrame:
             for i in range(k)
         ],
     )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"g{i}").alias(f"mh{i}") for i in range(k)]
-    )
+    aggs = [F.min(f"g{i}").alias(f"mh{i}") for i in range(k)]
+    if with_sizes:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
@@ -208,8 +212,11 @@ def minhash_lsh_pairs(
     # four downstream branches (signature, sizes, both verify sides) —
     # cache the shingle relation instead of re-shingling per branch
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
-    cand = lsh_candidate_pairs(minhash_signatures(sh, k), k, bands)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # one aggregate over sh yields both the signature and n_sh; persist
+    # the (tiny, one-row-per-doc) result so the sizes branch costs nothing
+    sig = minhash_signatures(sh, k, with_sizes=True).persist()
+    cand = lsh_candidate_pairs(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
+    sizes = sig.select("doc_id", "n_sh")
     # verification restricted to candidates: cand × A-shingles, matched
     # against B-shingles on (b, h) — cost ∝ |cand| · shingles/doc
     a_sh = sh.select(F.col("doc_id").alias("a"), "h")
