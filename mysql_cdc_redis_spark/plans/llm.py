@@ -945,3 +945,32 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sim_centroid_by_label",
+    doc="Element-wise embedding centroids per label (the IVF coarse-"
+    "quantizer building block): posexplode the vector once, aggregate "
+    "mean per (label, position) — a single hash aggregate over "
+    "(corpus x dim) rows, no Python, no per-row UDF.  Oracle unrolls "
+    "the same positions with a lateral range unnest (1-based).",
+    tags=("similarity", "embedding", "ext"),
+    oracle="""
+SELECT label, CAST(i AS BIGINT) AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_v,
+       count(*) AS n_vecs
+FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+GROUP BY 1, 2 ORDER BY label, pos
+""",
+)
+def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("p", "v"))
+    return (
+        ex.groupBy("label", (F.col("p") + 1).cast("bigint").alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )

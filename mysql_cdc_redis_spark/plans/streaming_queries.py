@@ -256,3 +256,67 @@ def cdc_compact_stream_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         emissions_dir=_tmp("stream_li_emit"),
         max_files_per_trigger=1,
     )
+
+
+@register(
+    "stream_static_enrich_revenue",
+    doc="Stream-static join (the streaming analog of J2/J5): a file-backed "
+    "events stream is enriched against static customer/nation dims "
+    "(broadcast — the stream side never shuffles for the join), then a "
+    "running per-nation aggregate in update mode; fixed group keys, so "
+    "last-batch-wins finalization is exact.  Matches the batch "
+    "join+aggregate oracle.",
+    tags=("streaming", "join", "ext"),
+    oracle="""
+SELECT n_name, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def stream_static_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    source_dir = _tmp("enrichstream_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    emissions_dir = _tmp("enrichstream_emit")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            emissions_dir
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", _tmp("enrichstream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(emissions_dir)
+    return (
+        emitted.groupBy("n_name")
+        .agg(F.max_by(F.struct("n_events", "sum_value"), F.col("batch_id")).alias("m"))
+        .select(
+            "n_name",
+            F.col("m.n_events").alias("n_events"),
+            F.round(F.col("m.sum_value"), 2).alias("total_value"),
+        )
+        .orderBy("n_name")
+    )
