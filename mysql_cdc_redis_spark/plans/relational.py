@@ -2109,3 +2109,43 @@ def join_self_pairs_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale strategy as a checked query: salted join == plain join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_salted_skew",
+    doc="Skew-salted equi-join (operators/scale.py::salted_join): the hot "
+    "side's key is split across 8 deterministic salts and the dim side "
+    "replicated 8x, restoring parallelism when one key dominates a "
+    "partition.  The oracle is the PLAIN join aggregate — proving the "
+    "salting transform is result-invariant, not just plausible.",
+    tags=("join", "skew", "scale", "ext"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "k", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
