@@ -76,9 +76,15 @@ def subquery_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
 
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("min_price"))
-    # per-part best price via a window over the same l_partkey clustering —
-    # reuses the groupBy shuffle instead of a second aggregate + join
+    # one explicit shuffle by l_partkey: HashPartitioning(l_partkey)
+    # satisfies ClusteredDistribution for BOTH the (partkey, suppkey)
+    # aggregate and the per-part window, so neither re-shuffles
+    ps = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
     w = Window.partitionBy("l_partkey")
     best = ps.withColumn("best_price_raw", F.min("min_price").over(w)).filter(
         F.col("min_price") == F.col("best_price_raw")
@@ -746,20 +752,21 @@ def join_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
-        "is_late", late
-    )
-    stats = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # single pass: the per-order distinct-supplier stats ride a window on
+    # the same l_orderkey clustering the join already shuffled into, so
+    # lineitem is scanned ONCE (vs the textbook three correlated scans)
+    w = Window.partitionBy("l_orderkey")
+    lines = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late", late)
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)),
+        )
     )
     return (
-        lines.filter(F.col("is_late"))
-        .join(
-            stats.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            F.col("l_orderkey") == F.col("ok"),
-            "left_semi",
-        )
+        lines.filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

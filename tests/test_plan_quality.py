@@ -148,3 +148,58 @@ def test_pack_shards_broadcasts_offsets_and_prunes(spark, sf_dir):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "lang" not in line and "source" not in line and "n_chars" not in line
+
+
+def _n_exchanges(plan: str) -> int:
+    """Unique Exchange nodes by id (formatted mode lists tree + details)."""
+    import re
+
+    return len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+
+
+def test_disjunctive_brackets_push_both_scans(spark, sf_dir):
+    plan = _plan(_QUERIES["join_disjunctive_brackets"].fn(spark, sf_dir))
+    # Catalyst must tear the OR apart: the quantity-range union pushes to
+    # the lineitem scan, the brand/size union to the part scan.
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), "qty OR not pushed"
+    assert any("p_brand" in l and "Or(" in l for l in pushed), "brand OR not pushed"
+    assert "SortMergeJoin" not in plan, "part dim must broadcast"
+
+
+def test_min_price_supplier_single_data_shuffle(spark, sf_dir):
+    plan = _plan(_QUERIES["subquery_min_price_supplier"].fn(spark, sf_dir))
+    # hash(l_partkey) is shared by the (partkey, suppkey) aggregate AND the
+    # per-part min window; the only other exchange is the final sort.
+    assert _n_exchanges(plan) == 2, f"expected hash+sort only:\n{plan}"
+    assert "Window" in plan and "SortMergeJoin" not in plan
+
+
+def test_sole_late_supplier_scans_lineitem_once(spark, sf_dir):
+    plan = _plan(_QUERIES["join_sole_late_supplier"].fn(spark, sf_dir))
+    # the decorrelated EXISTS/NOT-EXISTS pair must NOT re-scan lineitem:
+    # one scan, stats via windows on the join's l_orderkey clustering.
+    n_li_scans = sum(
+        1 for l in plan.splitlines() if "Location" in l and "lineitem" in l
+    )
+    assert n_li_scans == 1, f"lineitem scanned {n_li_scans}x:\n{plan}"
+    assert plan.count("(13) Window") or "Window" in plan
+
+
+def test_returned_items_topk_take_ordered(spark, sf_dir):
+    plan = _plan(_QUERIES["join_returned_items_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-20 must not global-sort"
+    assert _n_exchanges(plan) == 1, "per-customer agg should be the only shuffle"
+
+
+def test_large_volume_orders_reuses_aggregate(spark, sf_dir):
+    plan = _plan(_QUERIES["join_large_volume_orders"].fn(spark, sf_dir))
+    # the HAVING filter and the emitted sum_qty come from ONE aggregate
+    n_li_scans = sum(
+        1 for l in plan.splitlines() if "Location" in l and "lineitem" in l
+    )
+    assert n_li_scans == 1, f"lineitem scanned {n_li_scans}x"
+    read_schema = next(
+        l for l in plan.splitlines() if "ReadSchema" in l and "l_quantity" in l
+    )
+    assert "l_extendedprice" not in read_schema, "qty aggregate must prune columns"
