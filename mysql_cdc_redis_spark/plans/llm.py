@@ -974,3 +974,133 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: corpus TF-IDF — per-language top terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    doc="Corpus TF-IDF: tokenize once (split materialized as a column "
+    "before any per-element expression — inlining re-runs the split), "
+    "explode to (doc, term), aggregate term frequency and document "
+    "frequency in one shuffle keyed by term, then keep each language's "
+    "top-5 terms.  Ranking keys are integral (tf, term) so the window "
+    "cut is cross-engine deterministic; the float tf*ln(N/df) score is "
+    "emitted rounded, never used for ordering.  At 100 TB the only "
+    "big exchange is the (lang, term) aggregate; N broadcasts as a "
+    "1-row scalar.",
+    tags=("text", "llm", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents
+), tk AS (
+  SELECT doc_id, lang, term FROM tok WHERE term <> ''
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM tk
+), stats AS (
+  SELECT lang, term,
+         count(*)                 AS tf,
+         count(DISTINCT doc_id)   AS df
+  FROM tk GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, term, tf, df,
+         row_number() OVER (PARTITION BY lang ORDER BY tf DESC, term) AS rk
+  FROM stats
+)
+SELECT r.lang, r.term, r.tf, r.df,
+       round(r.tf * ln(CAST(n.n_docs AS DOUBLE) / r.df), 4) AS tfidf
+FROM ranked r, n
+WHERE r.rk <= 5
+ORDER BY r.lang, r.tf DESC, r.term
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.withColumn(
+        "term", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
+    ).filter(F.col("term") != "")
+    n_docs = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    stats = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        stats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+        .orderBy("lang", F.col("tf").desc(), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: bigram counts — adjacent-pair n-gram table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_top",
+    doc="Top-10 corpus bigrams: token array materialized once per doc, "
+    "adjacent pairs built with a 1-based element_at transform (mirrors "
+    "DuckDB's 1-based list indexing exactly), exploded and counted.  "
+    "The heavy exchange is the bigram aggregate; the top-10 cut uses "
+    "TakeOrderedAndProject on (count desc, bigram) — both integral/"
+    "lexical, so cross-engine stable.",
+    tags=("text", "llm", "ext"),
+    oracle="""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM tk WHERE len(toks) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM bg
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 10
+""",
+)
+def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn(
+        "toks",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""),
+    ).filter(F.size("toks") >= 2)
+    bigrams = toks.withColumn(
+        "bigram",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(10)
+    )

@@ -2149,3 +2149,159 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6: histogram via width_bucket — fixed-bin distribution profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_price_histogram",
+    doc="Order-value histogram: width_bucket(o_totalprice, 0, 500000, 20) "
+    "then count + revenue per bin.  Bucket assignment is pure double "
+    "arithmetic (identical IEEE on both engines); the bin aggregate is "
+    "a 21-group hash agg — the cheapest possible distribution profile "
+    "at any scale (map-side combine collapses everything).",
+    tags=("agg", "scalar", "ext"),
+    oracle="""
+-- DuckDB 1.0 has no width_bucket; with min=0 and an exactly-representable
+-- bin width (500000/20 = 25000), floor(x/25000)+1 is bit-identical
+SELECT CAST(floor(o_totalprice / 25000.0) + 1 AS INT) AS bin,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bin",
+            F.expr("width_bucket(o_totalprice, 0.0D, 500000.0D, 20)").cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/W5: calendar gap-fill — dense daily series with zero-filled holes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gapfill_daily_orders",
+    doc="Zero-filled daily order counts for one month x every priority: "
+    "the dense calendar comes from explode(sequence(date, date)) cross-"
+    "joined with the tiny priority dim, then a LEFT join against the "
+    "real daily aggregate with coalesce(0).  The calendar side is a "
+    "few hundred rows — it broadcasts; the fact side aggregates BEFORE "
+    "the join so the outer join touches day-level rows, never raw "
+    "orders.  The standard time-series densification pattern.",
+    tags=("join", "timeseries", "ext"),
+    oracle="""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-01-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+), prios AS (
+  SELECT DISTINCT o_orderpriority FROM orders
+), daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+         count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT d.day, p.o_orderpriority,
+       coalesce(daily.n, 0) AS n_orders,
+       coalesce(daily.revenue, 0.0) AS revenue
+FROM days d
+CROSS JOIN prios p
+LEFT JOIN daily ON daily.day = d.day AND daily.o_orderpriority = p.o_orderpriority
+ORDER BY d.day, p.o_orderpriority
+""",
+)
+def gapfill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    prios = orders.select("o_orderpriority").distinct()
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            F.to_date("o_orderdate").alias("d_day"),
+            F.col("o_orderpriority").alias("d_prio"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("d_revenue"),
+        )
+    )
+    return (
+        days.crossJoin(prios)
+        .join(
+            daily,
+            (F.col("day") == F.col("d_day"))
+            & (F.col("o_orderpriority") == F.col("d_prio")),
+            "left",
+        )
+        .select(
+            "day",
+            "o_orderpriority",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("d_revenue"), F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("day", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: median / exact midpoint aggregates per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_median_quantity",
+    doc="Exact median quantity per (returnflag, linestatus): quantities "
+    "are integral doubles, so the even-count midpoint average is exact "
+    "(x.0 or x.5) on both engines — no interpolation drift.  Exact "
+    "medians need a full sort within each group at scale; the grouped "
+    "form keeps each sort partition-local after one shuffle.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       median(l_quantity) AS med_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def agg_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
