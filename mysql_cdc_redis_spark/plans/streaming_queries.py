@@ -320,3 +320,85 @@ def stream_static_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    doc="Stream-stream interval join (T6/T7 EXT): views and purchases "
+    "arrive as two independent file-backed streams; an inner join pairs "
+    "each purchase with the same user's views from the preceding 30 "
+    "minutes.  Both sides carry watermarks so the join state is "
+    "bounded — at scale Spark buffers only the watermark horizon per "
+    "side, keyed by user_id (state partitions by the equi key).  "
+    "Emitted pairs are deduped on (view, purchase) ids in the batch "
+    "finalize (foreachBatch append is at-least-once under retries), "
+    "then aggregated per user.  Result equals the batch interval join "
+    "the oracle runs.",
+    tags=("streaming", "join", "ext"),
+    oracle="""
+SELECT a.user_id,
+       count(*) AS n_pairs,
+       min(date_diff('second', a.ts, b.ts)) AS min_lag_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view'
+ AND b.event_type = 'purchase'
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("ssj_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    emissions_dir = _tmp("ssj_emit")
+
+    def _side(etype: str, prefix: str):
+        s = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+            .filter(F.col("event_type") == etype)
+            .withWatermark("ts", "2 hours")
+        )
+        return s.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+        )
+
+    views, buys = _side("view", "v"), _side("purchase", "p")
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions_dir)
+
+    q = (
+        joined.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", _tmp("ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(emissions_dir).dropDuplicates(["v_id", "p_id"])
+    return (
+        emitted.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
+            ).alias("min_lag_s"),
+        )
+        .orderBy("user_id")
+    )
