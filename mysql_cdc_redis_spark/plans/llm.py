@@ -1104,3 +1104,160 @@ def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: repetition-quality profile (Gopher-style signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_profile",
+    doc="Corpus repetition histogram: per document, the duplicate-bigram "
+    "ratio 1 - distinct/total (the classic repetition quality signal), "
+    "bucketed into deciles and counted per language.  Everything after "
+    "tokenization is exact integer-derived arithmetic (ratio = two "
+    "ints divided, bucket = floor(r*10)) so no rounding is needed "
+    "anywhere and the histogram is bit-stable across engines.  "
+    "Per-doc work is embarrassingly parallel; the only shuffle is the "
+    "tiny (lang, bucket) count.",
+    tags=("text", "llm", "quality", "ext"),
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM tk WHERE len(toks) >= 2
+), sig AS (
+  SELECT lang,
+         1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+           AS dup_ratio
+  FROM bg
+)
+SELECT lang,
+       CAST(least(floor(dup_ratio * 10), 9) AS INT) AS decile,
+       count(*) AS n_docs
+FROM sig
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.withColumn(
+        "toks",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""),
+    ).filter(F.size("toks") >= 2)
+    bg = toks.withColumn(
+        "bigrams",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    )
+    sig = bg.withColumn(
+        "dup_ratio",
+        F.lit(1.0)
+        - F.size(F.array_distinct("bigrams")).cast("double") / F.size("bigrams"),
+    )
+    return (
+        sig.groupBy(
+            "lang",
+            F.least(F.floor(F.col("dup_ratio") * 10), F.lit(9)).cast("int").alias("decile"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus decontamination: benchmark n-gram overlap flagging
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_decontaminate",
+    doc="Benchmark-contamination flagging: a training document is "
+    "contaminated if it shares any 5-gram with the held-out set "
+    "(source src0).  Both sides shingle to DISTINCT (doc, 5-gram) "
+    "rows; the benchmark shingle set is small (one source) so the "
+    "overlap check is a broadcast LEFT SEMI join — at 100 TB the "
+    "corpus side streams through map-side, no shuffle of the corpus "
+    "at all.  Counts per (lang, contaminated) are exact integers.",
+    tags=("corpus", "llm", "dedup", "ext"),
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang, source,
+         unnest(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM tk WHERE len(toks) >= 5
+), bench AS (
+  SELECT DISTINCT gram FROM sh WHERE source = 'src0'
+), corpus AS (
+  SELECT DISTINCT s.doc_id, s.lang,
+         max(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY s.doc_id) AS contaminated
+  FROM (SELECT DISTINCT doc_id, lang, gram FROM sh WHERE source <> 'src0') s
+  LEFT JOIN bench b ON b.gram = s.gram
+)
+SELECT lang, contaminated, count(*) AS n_docs
+FROM (SELECT DISTINCT doc_id, lang, contaminated FROM corpus)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = docs.withColumn(
+        "toks",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""),
+    ).filter(F.size("toks") >= 5)
+    grams = toks.withColumn(
+        "gram",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                    F.element_at("toks", i + 4),
+                ),
+            )
+        ),
+    ).select("doc_id", "lang", "source", "gram")
+    bench = (
+        grams.filter(F.col("source") == "src0").select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("source") != "src0").select("doc_id", "lang", "gram")
+    hit = (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .distinct()
+        .join(hit, "doc_id", "left")
+        .groupBy("lang", F.coalesce(F.col("hit"), F.lit(0)).alias("contaminated"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "contaminated")
+    )
