@@ -2305,3 +2305,75 @@ def agg_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale/layout: z-order (Morton) clustering key — multi-dimensional layout
+# ---------------------------------------------------------------------------
+
+
+def _morton_oracle() -> str:
+    # NB: DuckDB gives |, &, <<, >> EQUAL precedence (left-assoc, the
+    # Postgres rule), so every shifted term needs its own parentheses —
+    # `a << 0 | b << 2` would parse as `((a << 0) | b) << 2`.
+    spread_x = " | ".join(
+        f"((((user_id & 65535) >> {i}) & 1) << {2 * i})" for i in range(16)
+    )
+    spread_y = " | ".join(
+        f"(((((date_diff('second', TIMESTAMP '1970-01-01', ts) // 60) & 65535)"
+        f" >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return f"""
+WITH z AS (
+  SELECT ({spread_x}) | ({spread_y}) AS zval
+  FROM events
+)
+SELECT CAST(zval >> 26 AS INT) AS zbucket,
+       count(*) AS n,
+       min(zval) AS zmin,
+       max(zval) AS zmax
+FROM z
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "layout_zorder_events",
+    doc="Z-order clustering key: interleave the low 16 bits of user_id "
+    "with the event's epoch-minute into a 32-bit Morton code, then "
+    "profile the curve by its top-6-bit bucket.  Writing a 100 TB "
+    "events table sorted by zval (repartitionByRange(zval) + "
+    "sortWithinPartitions) gives file-level min/max pruning on BOTH "
+    "user and time predicates at once — the standard multi-dimensional "
+    "layout trick Spark lacks as a built-in.  Bit arithmetic is exact "
+    "and identical on both engines (epoch seconds via the portable "
+    "truncated-second equivalence).",
+    tags=("scale", "layout", "ext"),
+    oracle=_morton_oracle(),
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    x = F.col("user_id").bitwiseAND(F.lit(65535))
+    y = (F.unix_timestamp("ts") / F.lit(60)).cast("bigint").bitwiseAND(F.lit(65535))
+    zval = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i) for i in range(16)]
+        + [
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            for i in range(16)
+        ],
+    )
+    return (
+        ev.withColumn("zval", zval)
+        .groupBy(F.shiftright(F.col("zval"), 26).cast("int").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zval").alias("zmin"),
+            F.max("zval").alias("zmax"),
+        )
+        .orderBy("zbucket")
+    )
