@@ -1253,10 +1253,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # doc universe from the token-level frame (one row per doc already) —
+    # never a distinct over gram-cardinality rows
+    doc_side = toks.filter(F.col("source") != "src0").select("doc_id", "lang")
     return (
-        corpus.select("doc_id", "lang")
-        .distinct()
-        .join(hit, "doc_id", "left")
+        doc_side.join(hit, "doc_id", "left")
         .groupBy("lang", F.coalesce(F.col("hit"), F.lit(0)).alias("contaminated"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "contaminated")
