@@ -203,3 +203,27 @@ def test_large_volume_orders_reuses_aggregate(spark, sf_dir):
         l for l in plan.splitlines() if "ReadSchema" in l and "l_quantity" in l
     )
     assert "l_extendedprice" not in read_schema, "qty aggregate must prune columns"
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    plan = _plan(_QUERIES["corpus_decontaminate"].fn(spark, sf_dir))
+    # the held-out shingle set must broadcast; the corpus side must not
+    # sort-merge against it
+    assert "BroadcastHashJoin LeftSemi" in plan, "overlap check must be broadcast semi"
+    assert "SortMergeJoin LeftSemi" not in plan
+
+
+def test_zorder_stays_in_codegen(spark, sf_dir):
+    # 64 bit-ops must fold into one whole-stage-codegen projection, not
+    # fall out to interpreted evaluation.  Build the DataFrame FIRST:
+    # load_table re-enables AQE (self-configuring), and AQE hides
+    # WholeStageCodegen in pre-execution explain output.
+    df = _QUERIES["layout_zorder_events"].fn(spark, sf_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # formatted mode marks codegen stages with "[codegen id : N]"
+    assert "codegen id" in plan, f"bit-op projection fell out of codegen:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
