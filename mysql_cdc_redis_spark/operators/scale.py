@@ -52,3 +52,52 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_left.join(exploded_right, [key, "_salt"], how).drop("_salt")
+
+
+def zorder_key(x: F.Column, y: F.Column, bits: int = 16) -> F.Column:
+    """Morton (z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns: x occupies even bit positions, y odd.
+
+    Sorting a table by this key clusters rows that are close in BOTH
+    dimensions, so parquet row-group min/max statistics prune scans
+    with predicates on either column (or both) — the multi-dimensional
+    layout optimization Spark lacks as a built-in (Delta/Iceberg expose
+    it as OPTIMIZE ZORDER).  Pure bit arithmetic — stays in whole-stage
+    codegen."""
+    from functools import reduce
+
+    mask = (1 << bits) - 1
+    xm = x.bitwiseAND(F.lit(mask))
+    ym = y.bitwiseAND(F.lit(mask))
+    terms = [
+        F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i) for i in range(bits)
+    ] + [
+        F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet laid out along the z-order curve of
+    (x_col, y_col): range-partition by the Morton key (contiguous,
+    non-overlapping key ranges per file) and sort within partitions so
+    row-group statistics are tight.  Readers with predicates on either
+    dimension skip whole files/row-groups via footer min/max.
+
+    At 100 TB: n_files scales with cluster size; range partitioning
+    samples the key distribution, so skewed curves still split evenly."""
+    keyed = df.withColumn("_z", zorder_key(F.col(x_col), F.col(y_col), bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -2377,3 +2377,77 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale: salted two-phase aggregation — hot-key mitigation for group-by
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_salted_skew_counts",
+    doc="Two-phase salted aggregation: when one grouping key dominates "
+    "(a hot event_type), pre-aggregating by (key, salt) spreads the "
+    "hot key over 16 reducers before the tiny (key) final combine — "
+    "the aggregation twin of join_salted_skew.  The salt is a "
+    "deterministic hash of the row id, so the plan (and the oracle, "
+    "which aggregates unsalted) is reproducible.  Counts and integral "
+    "value sums are exact, so salting cannot change the result.",
+    tags=("agg", "scale", "skew", "ext"),
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def agg_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.collect_set("user_id").alias("pu"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("pu")))).cast("bigint").alias(
+                "n_users"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: approximate percentile sketch (rows-only check; tolerance in tests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_approx_percentile_price",
+    doc="Approximate percentile sketch: approx_percentile(o_totalprice) "
+    "at p50/p90/p99 with accuracy 10000 — the mergeable KLL-style "
+    "sketch Spark ships for 100 TB quantile estimation (exact "
+    "percentiles need a full sort; the sketch is one pass, fixed "
+    "memory, partial-mergeable).  No DuckDB oracle: the sketch is "
+    "engine-specific, so the driver records a rows-only check and "
+    "tests/test_sketch_accuracy.py bounds the error against the exact "
+    "quantile instead.",
+    tags=("agg", "sketch", "ext"),
+    oracle=None,
+)
+def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.round(F.element_at("pcts", 1), 2).alias("p50"),
+        F.round(F.element_at("pcts", 2), 2).alias("p90"),
+        F.round(F.element_at("pcts", 3), 2).alias("p99"),
+        "n",
+    )
