@@ -2451,3 +2451,139 @@ def agg_approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pcts", 3), 2).alias("p99"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: ordered funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    doc="Ordered three-stage funnel: per user, the first view, the first "
+    "click strictly after that view, and the first purchase strictly "
+    "after that click; users counted by the deepest stage reached.  "
+    "The correlated 'first X after Y' chain decorrelates into three "
+    "conditional aggregates joined back on user_id — all four hang on "
+    "the same hash(user_id) clustering, so at scale this is ONE "
+    "logical shuffle of the events table reused three times, never a "
+    "per-user subquery.  Timestamp comparisons are µs-integer on both "
+    "engines.",
+    tags=("agg", "join", "funnel", "ext"),
+    oracle="""
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN u1 ON u1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+), u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN u2 ON u2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+), universe AS (
+  SELECT DISTINCT user_id FROM events
+)
+SELECT CASE WHEN u3.user_id IS NOT NULL THEN 3
+            WHEN u2.user_id IS NOT NULL THEN 2
+            WHEN u1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+       count(*) AS n_users
+FROM universe u
+LEFT JOIN u1 ON u1.user_id = u.user_id
+LEFT JOIN u2 ON u2.user_id = u.user_id
+LEFT JOIN u3 ON u3.user_id = u.user_id
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    universe = ev.select("user_id").distinct()
+    return (
+        universe.join(u1.select("user_id", "t1"), "user_id", "left")
+        .join(u2.select("user_id", "t2"), "user_id", "left")
+        .join(u3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage")
+        )
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_weekly_retention",
+    doc="Weekly cohort retention: users grouped by the ISO week of their "
+    "first event; for offsets 0-3, how many of each cohort were active "
+    "again k weeks later.  Cohort assignment is one aggregate; the "
+    "activity set is DISTINCT (user, week) — week offsets computed as "
+    "integral day-diff div 7 (exact on both engines).  The retention "
+    "join is (user) equi — it reuses the cohort aggregate's "
+    "clustering, and the final matrix is tiny.",
+    tags=("agg", "join", "cohort", "ext"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+       date_diff('day', f.cohort_week, a.act_week) // 7 AS week_offset,
+       count(*) AS n_users
+FROM firsts f
+JOIN activity a ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort_week, a.act_week) // 7 BETWEEN 0 AND 3
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    off = (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("bigint")
+    return (
+        firsts.join(activity, "user_id")
+        .withColumn("week_offset", off)
+        .filter(F.col("week_offset").between(0, 3))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
