@@ -368,13 +368,19 @@ def agg_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_custkey IS NOT NULL
+                          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
 ORDER BY c_custkey
 """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    # subtract only the 1995 manifest so the set-difference is non-trivial
+    # at every SF (every fixture customer has SOME order)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
@@ -589,32 +595,46 @@ def join_asof_event_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never a cross join.",
     tags=("join", "range", "ext"),
     oracle="""
-SELECT o.o_orderkey, e.event_id,
-       CAST(date_diff('second', o.o_orderdate, e.ts) AS BIGINT) AS secs_after
-FROM orders o
-JOIN events e
-  ON e.user_id = o.o_custkey
- AND e.ts >= o.o_orderdate
- AND e.ts <  o.o_orderdate + INTERVAL 1 DAY
-ORDER BY o.o_orderkey, e.event_id
+SELECT a.event_id AS purchase_id, b.event_id AS error_id,
+       CAST(date_diff('second', b.ts, a.ts) AS BIGINT) AS secs_before
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'purchase'
+ AND b.event_type = 'error'
+ AND b.ts >= a.ts - INTERVAL 1 HOUR
+ AND b.ts <  a.ts
+ORDER BY purchase_id, error_id
 """,
 )
 def join_range_event_near_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # purchase-error proximity: errors by the same user in the hour before
+    # a purchase (events and orders live in disjoint eras in the fixtures,
+    # so the band must pair events with events to be non-trivial)
     events = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
     return (
-        orders.join(
-            events,
-            (F.col("user_id") == F.col("o_custkey"))
-            & (F.col("ts") >= F.col("o_orderdate"))
-            & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")),
+        purchases.join(
+            errors,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("e_ts") < F.col("p_ts")),
         )
         .select(
-            "o_orderkey",
-            "event_id",
-            (F.unix_timestamp("ts") - F.unix_timestamp("o_orderdate")).alias("secs_after"),
+            "purchase_id",
+            "error_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("e_ts")).alias("secs_before"),
         )
-        .orderBy("o_orderkey", "event_id")
+        .orderBy("purchase_id", "error_id")
     )
 
 
@@ -952,8 +972,8 @@ def subquery_parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT p_partkey, p_name, p_type
 FROM part
-WHERE p_name LIKE 'part_1%'
-   OR (p_type LIKE '%BRASS%' AND regexp_matches(p_name, '[02468]$'))
+WHERE p_name LIKE 'red %'
+   OR (p_type LIKE '%DARD%' AND regexp_matches(p_name, '(gear|bolt)$'))
 ORDER BY p_partkey
 """,
 )
@@ -961,8 +981,8 @@ def scalar_like_regexp_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return (
         part.filter(
-            F.col("p_name").like("part_1%")
-            | (F.col("p_type").like("%BRASS%") & F.col("p_name").rlike("[02468]$"))
+            F.col("p_name").like("red %")
+            | (F.col("p_type").like("%DARD%") & F.col("p_name").rlike("(gear|bolt)$"))
         )
         .select("p_partkey", "p_name", "p_type")
         .orderBy("p_partkey")
