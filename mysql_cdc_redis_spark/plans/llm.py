@@ -1262,3 +1262,45 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "contaminated")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching: blocked edit-distance join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_blocked_name_pairs",
+    doc="Blocked fuzzy match: near-identical part names (edit distance "
+    "1-3) found WITHOUT the O(n²) cross join — candidates must share a "
+    "blocking key (their last token), so the self-join is equi on the "
+    "block and levenshtein runs only inside blocks.  The standard "
+    "scalable fuzzy-dedup shape: blocking keys shuffle, distances "
+    "stay JVM-side.  a<b ordering dedupes the symmetric pairs.",
+    tags=("fuzzy", "dedup", "llm", "ext"),
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT p_name FROM part
+), keyed AS (
+  SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM keyed a
+JOIN keyed b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+ORDER BY name_a, name_b
+""",
+)
+def fuzzy_blocked_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    keyed = names.withColumn("blk", F.element_at(F.split(F.col("p_name"), " "), -1))
+    a = keyed.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = keyed.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist").between(1, 3))
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )

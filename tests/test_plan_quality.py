@@ -227,3 +227,11 @@ def test_zorder_stays_in_codegen(spark, sf_dir):
     # formatted mode marks codegen stages with "[codegen id : N]"
     assert "codegen id" in plan, f"bit-op projection fell out of codegen:\n{plan}"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    # rank()<=k filters must push a per-partition top-k (WindowGroupLimit,
+    # Spark 3.5+) below the full window sort — at scale this is the
+    # difference between sorting every nation's customers and keeping k
+    plan = _plan(_QUERIES["window_top_customers_per_nation"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, "rank filter did not push a group limit"
