@@ -235,3 +235,17 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     # difference between sorting every nation's customers and keeping k
     plan = _plan(_QUERIES["window_top_customers_per_nation"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan, "rank filter did not push a group limit"
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    # the engine-control surface: hints must switch the physical strategy
+    # (shuffle_hash avoids the sort of SMJ; merge forces it) — on a
+    # fact-fact join AQE would otherwise pick for us
+    from mysql_cdc_redis_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    shj = _plan(li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey))
+    assert "ShuffledHashJoin" in shj, "shuffle_hash hint ignored"
+    smj = _plan(li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey))
+    assert "SortMergeJoin" in smj, "merge hint ignored"
