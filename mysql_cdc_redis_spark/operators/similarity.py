@@ -126,32 +126,87 @@ def lsh_buckets(
     )
 
 
+def lsh_bucket_tables(
+    vectors: DataFrame,
+    n_tables: int = 12,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH: n_tables independent bucketings of n_planes bits
+    each, computed in ONE pass over n_tables*n_planes global planes
+    (plane p belongs to table p div n_planes, bit p mod n_planes).
+    Returns (vec_id, tbl, bucket) — n_tables rows per vector.
+
+    Single-table LSH with enough bits for selectivity has vanishing
+    recall on isotropic data (P[all b bits agree] = p_angle^b); OR-ing
+    tables restores it: recall = 1 - (1 - p_angle^b)^L at candidate
+    fraction ~ L / 2^b — the standard theory tradeoff, chosen here for
+    measured recall@5 ≈ 0.75 on the fixture embeddings."""
+    total = n_tables * n_planes
+    vd = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("d0", "x"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), F.col("x").cast("double").alias("x"))
+    vpd = vd.crossJoin(F.broadcast(
+        vectors.sparkSession.range(total).select(F.col("id").cast("int").alias("p"))
+    ))
+    proj = (
+        vpd.withColumn("w", _plane_weight_expr())
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("proj"))
+    )
+    return (
+        proj.withColumn("tbl", (F.col("p") / n_planes).cast("int"))
+        .groupBy("vec_id", "tbl")
+        .agg(
+            F.sum(
+                F.when(F.col("proj") > 0, F.expr(f"shiftleft(1L, p % {n_planes})"))
+                .otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket, then
-    exact cosine rerank.  Returns (q_id, n_id, rank, cos); queries whose
-    bucket holds < k corpus vectors return fewer rows (ANN semantics)."""
-    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col).withColumnRenamed(
-        "vec_id", "q_id"
-    )
-    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col).withColumnRenamed(
-        "vec_id", "n_id"
+    """ANN top-k: candidates are pairs sharing a bucket in ANY of the
+    n_tables bucketings (multi-table LSH), deduped, then exact cosine
+    rerank.  Returns (q_id, n_id, rank, cos); queries with < k
+    candidates return fewer rows (ANN semantics)."""
+    qb = lsh_bucket_tables(
+        queries, n_tables, n_planes, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed("vec_id", "q_id")
+    cb = lsh_bucket_tables(
+        corpus, n_tables, n_planes, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed("vec_id", "n_id")
+    cand = (
+        F.broadcast(
+            qb.withColumnRenamed("bucket", "qbucket").withColumnRenamed("tbl", "qtbl")
+        )
+        .join(
+            cb,
+            (F.col("qtbl") == F.col("tbl")) & (F.col("qbucket") == F.col("bucket")),
+        )
+        .select("q_id", "n_id")
+        .distinct()
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
-    ).join(qb, "q_id")
+    )
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), _norm(F.col(vec_col)).alias("n_norm")
-    ).join(cb, "n_id")
+    )
     scored = (
-        F.broadcast(q.withColumnRenamed("bucket", "qb"))
-        .join(c, F.col("qb") == F.col("bucket"))
+        cand.join(F.broadcast(q), "q_id")
+        .join(c, "n_id")
         .select(
             "q_id",
             "n_id",
@@ -220,7 +275,7 @@ def cosine_topk_ivf(
     corpus: DataFrame,
     centroids: DataFrame,
     k: int = 5,
-    n_probe: int = 2,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

@@ -233,16 +233,18 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_bruteforce(queries, corpus, k=5).orderBy("q_id", "rank")
 
 
-_LSH_PLANES = 8
+_LSH_PLANES = 4
+_LSH_TABLES = 12
 
 
 def _lsh_oracle() -> str:
     plane_hash = _MD5LONG.format(e="CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)")
     w_expr = f"CASE WHEN {plane_hash} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    total = _LSH_TABLES * _LSH_PLANES
     return f"""
 WITH planes AS (
   SELECT p, d, {w_expr} AS w
-  FROM range({_LSH_PLANES}) tp(p), range(1, 65) td(d)
+  FROM range({total}) tp(p), range(1, 65) td(d)
 ),
 vecd AS (
   SELECT vec_id, d, CAST(embedding[CAST(d AS INT)] AS DOUBLE) AS x
@@ -253,20 +255,22 @@ proj AS (
   FROM vecd JOIN planes USING (d) GROUP BY vec_id, p
 ),
 bucket AS (
-  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
+  SELECT vec_id, p // {_LSH_PLANES} AS tbl,
+         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % {_LSH_PLANES})) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, p // {_LSH_PLANES}
 ),
-q AS (
-  SELECT e.vec_id AS q_id, e.embedding AS qv, b.bucket AS qb
-  FROM embeddings e JOIN bucket b USING (vec_id) WHERE e.vec_id < 8
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+  FROM bucket qb
+  JOIN bucket cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < 8 AND cb.vec_id >= 8
 ),
-c AS (
-  SELECT e.vec_id AS n_id, e.embedding AS nv, b.bucket AS bucket
-  FROM embeddings e JOIN bucket b USING (vec_id) WHERE e.vec_id >= 8
-),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 8),
 scored AS (
-  SELECT q_id, n_id, {_COS_EXPR.format(a='qv', b='nv')} AS cos
-  FROM q JOIN c ON q.qb = c.bucket
+  SELECT cand.q_id, cand.n_id, {_COS_EXPR.format(a='qv', b='nv')} AS cos
+  FROM cand JOIN q USING (q_id) JOIN c USING (n_id)
 ),
 ranked AS (
   SELECT q_id, n_id, cos,
@@ -279,10 +283,13 @@ SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 
 @register(
     "sim_cosine_topk_lsh",
-    doc="ANN scale path: hyperplane-LSH bucketing (8 deterministic planes "
-    "→ 256 buckets) restricts the exact rerank to same-bucket "
-    "candidates; bucket equality is an equi-join key, so the plan is a "
-    "hash join, never a cross join.",
+    doc="ANN scale path: MULTI-TABLE hyperplane LSH (12 tables x 4 "
+    "deterministic planes, all computed in one pass) — candidates are "
+    "pairs sharing a bucket in any table, deduped, then exactly "
+    "reranked.  (tbl, bucket) equality is an equi-join key, so the "
+    "plan is a hash join, never a cross join.  Single-table LSH has "
+    "vanishing recall on isotropic embeddings; the OR over tables "
+    "restores measured recall@5 ≈ 0.75 (tests/test_ann_recall.py).",
     tags=("similarity", "lsh", "ext"),
     oracle=_lsh_oracle(),
 )
@@ -290,7 +297,9 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     corpus = emb.filter(F.col("vec_id") >= 8)
-    return sim.cosine_topk_lsh(queries, corpus, k=5, n_planes=_LSH_PLANES).orderBy(
+    return sim.cosine_topk_lsh(
+        queries, corpus, k=5, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES
+    ).orderBy(
         "q_id", "rank"
     )
 
@@ -440,7 +449,7 @@ query_cells AS (
     SELECT q_id, cid,
            row_number() OVER (PARTITION BY q_id ORDER BY {cos_qc} DESC, cid) AS rankc
     FROM queries, cent
-  ) WHERE rankc <= 2
+  ) WHERE rankc <= 4
 ),
 scored AS (
   SELECT DISTINCT q.q_id, c.n_id, {cos_qn} AS cos
@@ -461,7 +470,7 @@ SELECT q_id, n_id, rank, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 @register(
     "sim_cosine_topk_ivf",
     doc="IVF ANN: 16 deterministic centroid vectors partition the corpus "
-    "into cells (the inverted file); queries probe their 2 nearest "
+    "into cells (the inverted file); queries probe their 4 nearest "
     "cells and rerank exactly.  Cell id is an equi-join key — hash "
     "join, never a cross join; at scale the corpus is partitioned by "
     "cell so a probe touches n_probe partitions.",
@@ -475,7 +484,7 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    return sim.cosine_topk_ivf(queries, corpus, centroids, k=5, n_probe=2).orderBy(
+    return sim.cosine_topk_ivf(queries, corpus, centroids, k=5, n_probe=4).orderBy(
         "q_id", "rank"
     )
 
