@@ -1313,3 +1313,59 @@ def fuzzy_blocked_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_entropy_profile",
+    doc="Character-entropy histogram: per document, Shannon entropy of "
+    "the character distribution (gibberish/boilerplate detector — very "
+    "low or very high entropy is a removal signal), bucketed to "
+    "half-bit bins counted per language.  Frequencies are exact "
+    "rationals; only the log2 is float, and bucketing to floor(2*H) "
+    "absorbs cross-engine ulp differences except exactly on bin edges "
+    "(measure-zero).  One explode pass, tiny final aggregate.",
+    tags=("text", "llm", "quality", "ext"),
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, lang, unnest(string_split_regex(text, '')) AS ch
+  FROM documents
+), freq AS (
+  SELECT doc_id, lang, ch, count(*) AS n FROM chars
+  WHERE ch <> '' GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, sum(n) AS tot FROM freq GROUP BY 1
+), ent AS (
+  SELECT f.lang,
+         -sum((n / t.tot) * log2(n / t.tot)) AS h
+  FROM freq f JOIN tot t USING (doc_id)
+  GROUP BY f.doc_id, f.lang
+)
+SELECT lang, CAST(floor(2 * h) AS INT) AS halfbit_bin, count(*) AS n_docs
+FROM ent
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def text_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    chars = docs.withColumn("ch", F.explode(F.split(F.col("text"), ""))).filter(
+        F.col("ch") != ""
+    )
+    freq = chars.groupBy("doc_id", "lang", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy(F.col("doc_id").alias("tid")).agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    ent = (
+        freq.join(tot, F.col("doc_id") == F.col("tid"))
+        .groupBy("doc_id", "lang")
+        .agg((-F.sum(p * F.log2(p))).alias("h"))
+    )
+    return (
+        ent.groupBy("lang", F.floor(2 * F.col("h")).cast("int").alias("halfbit_bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "halfbit_bin")
+    )

@@ -5,6 +5,8 @@ and compaction must stay a single-shuffle plan.  These lock in the
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mysql_cdc_redis_spark.operators.compaction import compact
 from mysql_cdc_redis_spark.plans import all_queries
 from mysql_cdc_redis_spark.sources.changelog import (
@@ -249,3 +251,34 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in shj, "shuffle_hash hint ignored"
     smj = _plan(li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey))
     assert "SortMergeJoin" in smj, "merge hint ignored"
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    # the 100 TB story depends on runtime re-planning: a join whose side
+    # sizes are unknowable statically must flip to broadcast once the
+    # shuffle stage materializes and the filtered side turns out tiny
+    import contextlib
+    import io
+
+    from mysql_cdc_redis_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 499000)
+        .select("o_orderkey")
+    )
+    static_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+    try:
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy().count()
+        pre = _plan(j)
+        assert "SortMergeJoin" in pre and "BroadcastHashJoin" not in pre
+        j.collect()
+        post = _plan(j)
+        assert "isFinalPlan=true" in post
+        assert "BroadcastHashJoin" in post, "AQE did not re-plan to broadcast"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", static_thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
