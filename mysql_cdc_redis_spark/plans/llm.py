@@ -1369,3 +1369,64 @@ def text_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "halfbit_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning / normalization — the pipeline stage upstream of every
+# dedup & quality signal (C4/RefinedWeb-style normalize step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_clean_normalize",
+    doc="Normalization stage: lowercase, strip non-alphanumerics, collapse "
+    "whitespace, trim — the canonical form every dedup/quality stage "
+    "hashes.  The fixture text is already clean, so a deterministic "
+    "'dirty' envelope (uppercased prefix, doubled spaces, punctuation, "
+    "source tag) is wrapped around it first and the stage must recover "
+    "a canonical string.  Pure per-row narrow ops: zero shuffles until "
+    "the final presentation sort, whole-stage-codegen throughout.",
+    tags=("text", "cleaning", "llm", "ext"),
+    oracle="""
+WITH dirty AS (
+  SELECT doc_id,
+         upper(substr(text, 1, 12)) || '  ' || text || ' -- <' || source || '>!!' AS raw
+  FROM documents
+),
+clean AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(raw), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS cleaned
+  FROM dirty
+)
+SELECT doc_id,
+       md5(cleaned) AS clean_hash,
+       length(cleaned) AS n_chars,
+       len(string_split(cleaned, ' ')) AS n_tokens
+FROM clean
+ORDER BY doc_id
+""",
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.upper(F.substring("text", 1, 12)),
+        F.lit("  "),
+        F.col("text"),
+        F.lit(" -- <"),
+        F.col("source"),
+        F.lit(">!!"),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return (
+        docs.select("doc_id", cleaned.alias("cleaned"))
+        .select(
+            "doc_id",
+            F.md5("cleaned").alias("clean_hash"),
+            F.length("cleaned").alias("n_chars"),
+            F.size(F.split("cleaned", " ")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

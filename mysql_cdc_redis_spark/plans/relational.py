@@ -2607,3 +2607,105 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# W5: LOCF forward fill (IGNORE NULLS window) — time-series gap repair
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_locf_forward_fill",
+    doc="Last-observation-carried-forward: per user, events whose type is "
+    "'view' carry no reading (NULL); fill each gap with the most recent "
+    "non-null value in event order (IGNORE NULLS unbounded-preceding "
+    "frame).  One shuffle on user_id; the fill itself is a single sorted "
+    "pass per partition — no self-join, no collect.",
+    tags=("window", "ignorenulls", "timeseries", "ext"),
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'view' THEN NULL ELSE round(value, 2) END AS v
+  FROM events
+)
+SELECT user_id, event_id, v AS raw_value,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM base
+ORDER BY user_id, event_id
+""",
+)
+def window_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "view", F.lit(None).cast("double")).otherwise(
+        F.round("value", 2)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("raw_value", v)
+        .withColumn("filled_value", F.last("raw_value", ignorenulls=True).over(w))
+        .select("user_id", "event_id", "raw_value", "filled_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: windowed share-of-total (percent-of-parent over an aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_share_within_region",
+    doc="Two-level ratio: each nation's revenue as a share of its region's "
+    "total — a window SUM over the groupBy result, so the heavy fact "
+    "shuffle happens once and the share is computed on the tiny "
+    "aggregate.  DECIMAL sums keep both engines bit-identical before "
+    "the final double division.",
+    tags=("window", "share", "agg", "ext"),
+    oracle="""
+WITH nat AS (
+  SELECT r_name, n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(rev AS DOUBLE) AS nation_revenue,
+       round(CAST(rev AS DOUBLE) /
+             CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 4) AS region_share
+FROM nat
+ORDER BY r_name, n_name
+""",
+)
+def window_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("nation_revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 4
+        ).alias("region_share"),
+    ).orderBy("r_name", "n_name")
