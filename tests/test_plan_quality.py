@@ -282,3 +282,27 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", static_thresh)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_locf_fill_is_one_data_shuffle(spark, sf_dir):
+    plan = _plan(_QUERIES["window_locf_forward_fill"].fn(spark, sf_dir))
+    # hash(user_id) for the window + the final presentation sort — nothing else
+    assert _n_exchanges(plan) == 2, f"expected hash+sort exchanges only:\n{plan}"
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "props" not in line and "ts" not in line, "scan must prune unused cols"
+
+
+def test_share_within_region_broadcasts_dims(spark, sf_dir):
+    plan = _plan(_QUERIES["window_share_within_region"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "nation and region must broadcast"
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_extendedprice" in line:
+            # lineitem scan: join key + measure only
+            assert "l_quantity" not in line and "l_shipdate" not in line
+
+
+def test_clean_normalize_is_narrow_until_sort(spark, sf_dir):
+    plan = _plan(_QUERIES["text_clean_normalize"].fn(spark, sf_dir))
+    # pure per-row ops: the only exchange is the final presentation sort
+    assert _n_exchanges(plan) == 1, f"cleaning must not shuffle:\n{plan}"
