@@ -138,3 +138,80 @@ def stratified_sample(
     # ceil(cnt * pct / 100) in pure integer arithmetic.
     quota = F.expr(f"(_cnt * {fraction_pct} + 99) div 100")
     return ranked.withColumn("sampled", F.col("_rn") <= quota).drop("_rn")
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 28,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    fixed-size windows of ``chunk_size`` tokens advancing by ``stride``
+    (i.e. ``chunk_size - stride`` tokens of overlap), the shape training
+    and RAG pipelines feed to a model.  Returns
+    (doc_id, chunk_idx, n_chunk_tokens, chunk_hash).
+
+    Scale design: pure narrow ops — tokenize once (the array is
+    materialized as a column BEFORE the per-start expressions so the
+    split isn't re-evaluated per element), explode the start offsets,
+    slice.  No shuffle at all; output size ∝ input tokens × (1 +
+    overlap/stride).
+    """
+    if not (0 < stride <= chunk_size):
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))).alias("s"),
+    )
+    chunk = F.slice(F.col("t"), F.col("s") + 1, chunk_size)
+    return starts.select(
+        "doc_id",
+        (F.col("s") / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, int],
+    budget_pct: int = 40,
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Domain-mixture resampling: draw a corpus of ``budget_pct`` % of the
+    input whose composition follows integer ``weights`` (pct per domain,
+    summing to 100) — the "data mixing" step of a training pipeline.
+    Each domain keeps its hash-order-first ``min(domain_count,
+    ceil(budget * w / 100))`` rows, so the draw is reproducible across
+    engines and cluster layouts and all arithmetic stays integral.
+
+    Adds boolean ``kept``.  One shuffle on the domain key; the global
+    budget is a one-row aggregate broadcast back (never a single-
+    partition global window).
+    """
+    if sum(weights.values()) != 100:
+        raise ValueError("weights must sum to 100")
+    h = split_bucket(F.col(id_col), seed, 1_000_000_007)
+    wr = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
+    wc = Window.partitionBy(domain_col)
+    total = df.agg(F.count(F.lit(1)).alias("_tot"))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    ranked = (
+        df.crossJoin(F.broadcast(total))
+        .withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wc))
+        .withColumn("_w", F.coalesce(wmap[F.col(domain_col)], F.lit(0)))
+        .withColumn("_budget", F.expr(f"(_tot * {budget_pct} + 99) div 100"))
+    )
+    quota = F.least(F.col("_cnt"), F.expr("(_budget * _w + 99) div 100"))
+    return ranked.withColumn("kept", F.col("_rn") <= quota).drop(
+        "_rn", "_cnt", "_w", "_budget", "_tot"
+    )

@@ -1430,3 +1430,96 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_chunk_documents",
+    doc="Context-window chunking: each document's token stream cut into "
+    "32-token windows advancing by 28 (4-token overlap) — the sequence "
+    "shape a training/RAG loader consumes.  Tokenize once, explode the "
+    "start offsets, slice; no shuffle before the presentation sort.  "
+    "Oracle mirrors with a lateral range unnest and 1-based inclusive "
+    "list slicing.",
+    tags=("corpus", "chunking", "llm", "ext"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+)
+SELECT doc_id,
+       CAST(s // 28 AS INT) AS chunk_idx,
+       CAST(len(t[s + 1 : s + 32]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(t[s + 1 : s + 32], ' ')) AS chunk_hash
+FROM sized, LATERAL unnest(range(0, n, 28)) u(s)
+ORDER BY doc_id, chunk_idx
+""",
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as cp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cp.chunk_tokens(docs, chunk_size=32, stride=28).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "corpus_mix_sources",
+    doc="Domain-mixture resampling (data mixing): draw 40% of the corpus "
+    "at a 50/30/20 web/books/code composition, each domain keeping its "
+    "hash-order-first ceil quota — reproducible across engines and "
+    "layouts, all-integer arithmetic.  The global budget is a one-row "
+    "broadcast aggregate, never a single-partition global window.",
+    tags=("corpus", "mixing", "llm", "ext"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN CAST(substr(source, 4, 10) AS INT) < 10 THEN 'web'
+              WHEN CAST(substr(source, 4, 10) AS INT) < 15 THEN 'books'
+              ELSE 'code' END AS domain,
+         {_SPLIT_BUCKET.format(seed="mix-v1", n=1000000007)} AS hv
+  FROM documents
+), t AS (SELECT count(*) AS tot FROM d),
+r AS (
+  SELECT d.*, tot,
+         row_number() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rn,
+         count(*)     OVER (PARTITION BY domain)                     AS cnt
+  FROM d, t
+), q AS (
+  SELECT *,
+         CASE domain WHEN 'web' THEN 50 WHEN 'books' THEN 30 ELSE 20 END AS w,
+         (tot * 40 + 99) // 100 AS budget
+  FROM r
+)
+SELECT domain,
+       count(*) AS n_total,
+       sum(CASE WHEN rn <= least(cnt, (budget * w + 99) // 100) THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN rn <= least(cnt, (budget * w + 99) // 100) THEN n_chars ELSE 0 END) AS kept_chars
+FROM q GROUP BY domain ORDER BY domain
+""",
+)
+def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as cp
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.substring("source", 4, 10).cast("int") < 10, F.lit("web"))
+        .when(F.substring("source", 4, 10).cast("int") < 15, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("domain"),
+    )
+    mixed = cp.mix_sources(
+        docs, "domain", {"web": 50, "books": 30, "code": 20}, budget_pct=40, seed="mix-v1"
+    )
+    return (
+        mixed.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("domain")
+    )

@@ -65,3 +65,48 @@ def test_stratified_sample_quota_exact(spark, sf_dir):
     assert agg
     for r in agg:
         assert r.kept == (r.n * 10 + 99) // 100
+
+
+def test_chunk_tokens_covers_every_token_with_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    chunks = cp.chunk_tokens(docs, chunk_size=32, stride=28).collect()
+    n_tokens = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        n = n_tokens[doc_id]
+        # contiguous chunk indexes, strides cover the whole stream
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert (len(rows) - 1) * 28 < n <= len(rows) * 28 or (n <= 32 and len(rows) >= 1)
+        # each chunk holds exactly the tokens remaining in its window
+        assert all(r.n_chunk_tokens == min(32, n - 28 * r.chunk_idx) for r in rows)
+        # total coverage: stride-sum + last chunk length reaches exactly n
+        assert (len(rows) - 1) * 28 + rows[-1].n_chunk_tokens == n
+
+
+def test_mix_sources_hits_quota_and_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.substring("source", 4, 10).cast("int") < 10, F.lit("web"))
+        .when(F.substring("source", 4, 10).cast("int") < 15, F.lit("books"))
+        .otherwise(F.lit("code"))
+        .alias("domain"),
+    )
+    weights = {"web": 50, "books": 30, "code": 20}
+    mixed = cp.mix_sources(docs, "domain", weights, budget_pct=40)
+    rows = mixed.collect()
+    total = len(rows)
+    budget = (total * 40 + 99) // 100
+    per_domain = {d: sum(1 for r in rows if r.domain == d) for d in weights}
+    kept = {d: sum(1 for r in rows if r.domain == d and r.kept) for d in weights}
+    for d, w in weights.items():
+        assert kept[d] == min(per_domain[d], (budget * w + 99) // 100), d
+    # deterministic: a rerun keeps exactly the same ids
+    again = {r.doc_id for r in cp.mix_sources(docs, "domain", weights, budget_pct=40).collect() if r.kept}
+    assert again == {r.doc_id for r in rows if r.kept}
