@@ -112,3 +112,36 @@ def winnow_fingerprints(docs, k: int = 8, w: int = 4, id_col: str = "doc_id", te
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def gopher_flags(col: Column) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public heuristics), as a struct of boolean rule flags:
+
+      * word_count_ok   — 25 ≤ #words ≤ 90
+      * word_len_ok     — 4.0 ≤ mean word length ≤ 5.0
+      * stopword_ok     — ≥ 2 stopword hits (function-word evidence)
+      * repetition_ok   — most frequent word ≤ 9% of all words
+
+    All rule math is built-in higher-order functions over one tokenize —
+    no shuffle, no UDF: at 100 TB this runs at scan speed and the flags
+    feed a single filter/aggregate.  The repetition rule is O(n·distinct)
+    per document in the token array — bounded by document length, never a
+    cross-document explode."""
+    toks = tokens(col)
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    max_freq = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    return F.struct(
+        ((n >= 25) & (n <= 90)).alias("word_count_ok"),
+        ((total_len >= n * 4) & (total_len <= n * 5)).alias("word_len_ok"),
+        (n_stop >= 2).alias("stopword_ok"),
+        ((max_freq * 100) <= (n * 9)).alias("repetition_ok"),
+    )

@@ -1523,3 +1523,182 @@ def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "text_gopher_filters",
+    doc="Gopher-style quality rule gate (Rae et al. 2021 §A1.1 heuristics): "
+    "word-count band, mean-word-length band, stopword evidence, and "
+    "max-word-frequency repetition cap, each an all-integer predicate "
+    "over one tokenize (operators/textstats.py::gopher_flags — "
+    "higher-order functions, no shuffle, no UDF).  Per-source pass "
+    "counts make the gate auditable; at 100 TB this is a scan-speed "
+    "stage whose output is a few rows per source.",
+    tags=("text", "quality", "llm", "ext"),
+    oracle=f"""
+WITH d AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS l FROM documents),
+s AS (
+  SELECT doc_id, source, len(l) AS n,
+         list_aggregate(list_transform(l, w -> len(w)), 'sum') AS total_len,
+         len(list_filter(l, w -> w IN ('the','a','of','to','and','in','is','it','for','on'))) AS n_stop,
+         list_max(list_transform(list_distinct(l), w -> len(list_filter(l, x -> x = w)))) AS max_freq
+  FROM d
+), f AS (
+  SELECT source,
+         (n >= 25 AND n <= 90) AS r1,
+         (total_len >= 4*n AND total_len <= 5*n) AS r2,
+         (n_stop >= 2) AS r3,
+         (100*max_freq <= 9*n) AS r4
+  FROM s
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS n_word_count_ok,
+       sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS n_word_len_ok,
+       sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS n_stopword_ok,
+       sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS n_repetition_ok,
+       sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS n_pass_all
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select("source", ts.gopher_flags(F.col("text")).alias("g"))
+    b = lambda c: F.sum(F.col(c).cast("bigint"))  # noqa: E731
+    return (
+        flagged.select(
+            "source",
+            F.col("g.word_count_ok").alias("r1"),
+            F.col("g.word_len_ok").alias("r2"),
+            F.col("g.stopword_ok").alias("r3"),
+            F.col("g.repetition_ok").alias("r4"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            b("r1").alias("n_word_count_ok"),
+            b("r2").alias("n_word_len_ok"),
+            b("r3").alias("n_stopword_ok"),
+            b("r4").alias("n_repetition_ok"),
+            F.sum(
+                (F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4")).cast("bigint")
+            ).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_pii_redact",
+    doc="PII scrubbing stage: deterministic synthetic emails/phones are "
+    "injected (the fixture corpus carries none), then redacted with "
+    "global regexp_replace and counted with regexp_extract_all — the "
+    "standard pre-training privacy pass.  Pure JVM regex at scan "
+    "speed; the per-document match counts and the md5 of the redacted "
+    "text are both oracle-checked, so the redaction itself (not just "
+    "its count) is verified.",
+    tags=("text", "pii", "llm", "ext"),
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+                          '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+FROM aug ORDER BY doc_id
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"\+1-555-[0-9]{4}"
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone_re), 0)).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("t", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+            )
+        ).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_paragraph_segments",
+    doc="Paragraph-level (segment-level) exact dedup: each document is cut "
+    "into non-overlapping 8-token segments (reusing corpus.chunk_tokens "
+    "with stride == size), segments are keyed by md5, and only the "
+    "globally-first occurrence (min doc_id, seg_idx) of each segment "
+    "survives — the sub-document dedup pass pipelines apply after "
+    "whole-doc dedup.  One shuffle on the 16-byte segment hash (never "
+    "the text); the keep-first rank is a WindowGroupLimit-able "
+    "row_number.  Output: per-document kept/dropped segment accounting.",
+    tags=("dedup", "corpus", "llm", "ext"),
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+segs AS (
+  SELECT doc_id, CAST(s // 8 AS INT) AS seg_idx,
+         md5(array_to_string(t[s + 1 : s + 8], ' ')) AS h
+  FROM sized, LATERAL unnest(range(0, n, 8)) u(s)
+), ranked AS (
+  SELECT doc_id, seg_idx, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dedup_paragraph_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import corpus as cp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = cp.chunk_tokens(docs, chunk_size=8, stride=8)
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    )
+    ranked = segs.select("doc_id", "chunk_idx", "chunk_hash", rn.alias("rn"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("bigint")).alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )

@@ -402,3 +402,93 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_session_event_spans",
+    doc="T6 streaming session windows: built-in session_window(ts, 30 min) "
+    "per user over a file-backed events stream with a watermark — state "
+    "merges adjacent events whose gap < 30 min exactly like the batch "
+    "lag+running-sum sessionization, but incrementally and with "
+    "watermark-driven state eviction (bounded memory at any scale).  "
+    "Append-mode emission (each closed session exactly once); a sentinel event pushes the watermark past every real session so the finite stream closes all state.  The oracle "
+    "recomputes sessions with microsecond-exact gap math (Spark opens a "
+    "new session iff gap >= 30 min, so the oracle compares epoch_us).",
+    tags=("streaming", "session", "window", "ext"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sessions
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, 0.0)], schema=events.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+    source_dir = _tmp("sessstream_src")
+    # sentinel rides in the final data batch: the watermark only advances
+    # AFTER a batch completes, so same-batch real events are never late;
+    # the trailing no-data micro-batch then closes every real session.
+    events.unionByName(sentinel).orderBy("ts").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(source_dir)
+    emissions_dir = _tmp("sessstream_emit")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", _tmp("sessstream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(emissions_dir)
+    return (
+        emitted.where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.round("sum_value", 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -135,3 +135,96 @@ def gs_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(base, 2).alias("tb"),
         F.element_at(base, 3).cast("long").alias("file_ts"),
     ).orderBy("file_ts")
+
+
+# ---------------------------------------------------------------------------
+# Source-format breadth: JSON-lines and ORC roundtrips (S-row extensions —
+# the reference's only interchange format is header'd CSV, dump2csv.py:90-94;
+# a Spark-native warehouse speaks JSON/ORC/parquet interchangeably)
+# ---------------------------------------------------------------------------
+
+
+def _fmt_tmp(name: str) -> str:
+    import os
+    import tempfile
+    import uuid
+
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uuid.uuid4().hex[:8]}")
+
+
+@register(
+    "source_json_roundtrip",
+    doc="JSON-lines sink ∘ source roundtrip: events projected and written "
+    "as newline-delimited JSON, read back with an explicit schema (no "
+    "inference pass — at 100 TB schema inference is a full extra scan), "
+    "then aggregated.  The oracle aggregates the original parquet directly, so "
+    "a match proves the JSON encode/decode is lossless for the typed "
+    "columns.  Timestamps travel as ISO-8601 with microseconds.",
+    tags=("source", "json", "ext"),
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value,
+       CAST(min(ts) AS TIMESTAMP) AS first_ts,
+       CAST(max(ts) AS TIMESTAMP) AS last_ts
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _fmt_tmp("events_json")
+    events.write.mode("overwrite").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(path)
+    back = (
+        spark.read.schema(events.schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    doc="ORC sink ∘ source roundtrip: orders written as ORC (Spark's "
+    "second columnar native format, with its own predicate-pushdown and "
+    "column-pruning path), read back and aggregated; a pushed filter "
+    "(o_orderdate >= 1995-01-01) exercises ORC row-group skipping.  "
+    "Oracle aggregates the original parquet under the same predicate.",
+    tags=("source", "orc", "ext"),
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = _fmt_tmp("orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).where(F.col("o_orderdate") >= F.lit("1995-01-01"))
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
