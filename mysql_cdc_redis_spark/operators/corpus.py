@@ -215,3 +215,42 @@ def mix_sources(
     return ranked.withColumn("kept", F.col("_rn") <= quota).drop(
         "_rn", "_cnt", "_w", "_budget", "_tot"
     )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket_col: str,
+    bucket_size: int = 65536,
+) -> DataFrame:
+    """Contiguous 0-based global row ids in ``order_cols`` order WITHOUT a
+    single-partition global window — the scalable spelling of
+    ``row_number() OVER (ORDER BY ...)`` for assigning stable sample ids
+    to a training corpus.
+
+    Two-level distributed prefix sum (same shape as pack_token_shards):
+    rows land in ``(first order col, floor(bucket_col / bucket_size))``
+    buckets; one tiny ordered window prefix-sums the per-bucket counts
+    (row count == #buckets, thousands at 100 TB); offsets broadcast back
+    and each bucket numbers only its own rows.  Requires ``bucket_col``
+    to be numeric and monotone within the trailing order columns —
+    bucket boundaries then respect the total order.
+
+    Returns the input columns plus ``global_id: bigint``.
+    """
+    lead = order_cols[:-1]
+    b = F.struct(*[F.col(c) for c in lead], F.floor(F.col(bucket_col) / bucket_size).alias("_b"))
+    base = df.withColumn("_bucket", b)
+    per_bucket = base.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    bw = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bucket", F.coalesce(F.sum("_n").over(bw), F.lit(0)).alias("_offset")
+    )
+    local = Window.partitionBy("_bucket").orderBy(*order_cols)
+    return (
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "global_id", (F.col("_offset") + F.row_number().over(local) - 1).cast("bigint")
+        )
+        .drop("_bucket", "_offset")
+    )

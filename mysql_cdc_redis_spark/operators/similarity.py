@@ -353,3 +353,45 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def kmeans_lloyd_step(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd iteration of k-means: assign every vector to its nearest
+    centroid (squared L2, double precision), ready for the re-estimate
+    aggregate.  ``centroids`` is (cluster: int, cvec: array<double>) —
+    K rows, broadcast; the assign is a broadcast nested-loop join plus a
+    min_by, i.e. one scan of the corpus with NO shuffle of the vectors
+    themselves.  Iterating = re-running this step on the re-estimated
+    (rounded) centroids; each iteration is a checkpointable batch job,
+    the idiomatic Spark form of an iterative algorithm at 100 TB.
+
+    Determinism: centroid components must arrive rounded (the caller
+    rounds to 4 dp) so both engines fold bit-identical doubles; the
+    distance is rounded to 6 dp before the argmin and ties break on the
+    lowest cluster id.
+
+    Returns (``id_col``, cluster, dist_r).
+    """
+    from pyspark.sql import functions as F
+
+    pairs = emb.select(
+        F.col(id_col), F.col(vec_col).alias("v")
+    ).crossJoin(F.broadcast(centroids.select("cluster", "cvec")))
+    sqdist = F.aggregate(
+        F.zip_with("v", "cvec", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = pairs.select(
+        id_col, "cluster", F.round(sqdist, 6).alias("dist_r")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min_by(F.struct("cluster", "dist_r"), F.struct("dist_r", "cluster")).alias("m"))
+        .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist_r").alias("dist_r"))
+    )

@@ -1702,3 +1702,95 @@ def dedup_paragraph_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_assign_global_ids",
+    doc="Contiguous 0-based global sample ids in (lang, doc_id) order "
+    "WITHOUT a single-partition global window — the scalable spelling "
+    "of row_number() OVER (ORDER BY ...): rows bucket by (lang, "
+    "doc_id div 64); per-bucket counts (one row per bucket) are "
+    "prefix-summed on a tiny window and broadcast back as offsets; "
+    "each bucket then numbers only its own rows "
+    "(operators/corpus.py::assign_global_ids).  The oracle IS the "
+    "naive global row_number, so the hash match proves the distributed "
+    "prefix sum is exactly order-equivalent.",
+    tags=("corpus", "scale", "llm", "ext"),
+    oracle="""
+SELECT doc_id, lang,
+       row_number() OVER (ORDER BY lang, doc_id) - 1 AS global_id
+FROM documents
+ORDER BY global_id
+""",
+)
+def corpus_assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as cp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = cp.assign_global_ids(docs, ["lang", "doc_id"], "doc_id", bucket_size=64)
+    return out.select("doc_id", "lang", "global_id").orderBy("global_id")
+
+
+@register(
+    "sim_kmeans_lloyd_step",
+    doc="One Lloyd iteration of k-means over the embedding corpus: seed "
+    "centroids = per-label means (rounded 4 dp so both engines fold "
+    "bit-identical doubles), then every vector re-assigns to its "
+    "nearest centroid by squared L2 (sequential double fold, rounded "
+    "6 dp, ties to the lowest cluster id) — "
+    "operators/similarity.py::kmeans_lloyd_step.  K centroids "
+    "broadcast; the corpus is scanned once with no vector shuffle; "
+    "iterating is re-running the step on the re-estimated means, each "
+    "pass a checkpointable batch job (the idiomatic Spark shape for "
+    "iterative ML at 100 TB).  Output: cluster population, how many "
+    "vectors switched off their seed label, and mean distance.",
+    tags=("similarity", "kmeans", "iterative", "ext"),
+    oracle="""
+WITH comp AS (
+  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS cv
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+  GROUP BY label, i
+), cent AS (
+  SELECT label AS cluster, list(cv ORDER BY i) AS cvec FROM comp GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label, c.cluster,
+         round(list_aggregate(
+           list_transform(range(1, len(e.embedding) + 1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                             * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])),
+           'sum'), 6) AS dist_r
+  FROM embeddings e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, label, cluster, dist_r,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist_r, cluster) AS rk
+  FROM scored
+)
+SELECT cluster,
+       count(*) AS n_members,
+       sum(CASE WHEN cluster <> label THEN 1 ELSE 0 END) AS n_switched,
+       round(avg(dist_r), 4) AS avg_dist
+FROM assigned WHERE rk = 1
+GROUP BY cluster ORDER BY cluster
+""",
+)
+def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("p", "v")).groupBy(
+        "label", "p"
+    ).agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("cv"))
+    cent = comp.groupBy(F.col("label").alias("cluster")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "cv"))), lambda s: s.cv
+        ).alias("cvec")
+    )
+    assigned = sim.kmeans_lloyd_step(emb, cent)
+    joined = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    return (
+        joined.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("cluster") != F.col("label")).cast("bigint")).alias("n_switched"),
+            F.round(F.avg("dist_r"), 4).alias("avg_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -110,3 +110,17 @@ def test_mix_sources_hits_quota_and_is_deterministic(spark, sf_dir):
     # deterministic: a rerun keeps exactly the same ids
     again = {r.doc_id for r in cp.mix_sources(docs, "domain", weights, budget_pct=40).collect() if r.kept}
     assert again == {r.doc_id for r in rows if r.kept}
+
+
+def test_assign_global_ids_matches_naive_row_number(spark, sf_dir):
+    """The two-level prefix-sum numbering must equal the naive global
+    row_number in (lang, doc_id) order — with a bucket size small enough
+    that many buckets exist (the distributed path is actually exercised),
+    and ids must be contiguous from 0."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = cp.assign_global_ids(docs, ["lang", "doc_id"], "doc_id", bucket_size=16)
+    rows = sorted(out.collect(), key=lambda r: (r.lang, r.doc_id))
+    assert [r.global_id for r in rows] == list(range(len(rows)))
+    # ordering respected: sorting by global_id reproduces (lang, doc_id) order
+    by_id = sorted(rows, key=lambda r: r.global_id)
+    assert [(r.lang, r.doc_id) for r in by_id] == [(r.lang, r.doc_id) for r in rows]

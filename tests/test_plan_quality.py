@@ -306,3 +306,47 @@ def test_clean_normalize_is_narrow_until_sort(spark, sf_dir):
     plan = _plan(_QUERIES["text_clean_normalize"].fn(spark, sf_dir))
     # pure per-row ops: the only exchange is the final presentation sort
     assert _n_exchanges(plan) == 1, f"cleaning must not shuffle:\n{plan}"
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    """Runtime row-level filtering (the 100 TB shuffle-join safety net):
+    when the dim side is too big to broadcast, Catalyst should inject a
+    bloom filter built from the filtered creation side into the fact
+    scan (`might_contain`), so the big side drops non-joining rows
+    BEFORE the shuffle.  Locks in that our session leaves the feature
+    on and that the join shape is injectable; thresholds are lowered
+    only because local fixtures are tiny."""
+    from mysql_cdc_redis_spark.sources import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, "bloom runtime filter not injected on probe side"
+        assert "bloom_filter_agg" in plan, "bloom filter build side missing"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
