@@ -621,3 +621,75 @@ def cdc_compact_unified_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tbl", "rid", "cdc_action")
         .orderBy("tbl", "rid")
     )
+
+
+@register(
+    "cdc_csv_quoted_newlines",
+    doc="K1/K3 CSV dialect fidelity: values containing commas, embedded "
+    "double quotes and NEWLINES survive a CSV write→read roundtrip "
+    "under RFC-4180 double-quote escaping — the property the reference "
+    "relies on with `bq load --allow_quoted_newlines` "
+    "(dump2csv.py:253) and csv.DictWriter quoting (dump2csv.py:90-94). "
+    "Read-back uses multiLine parsing with an explicit schema.  The "
+    "oracle computes the same aggregate from the original table, so a match "
+    "proves losslessness; the per-priority bit_xor of a 60-bit content "
+    "hash is order-insensitive and exact.",
+    tags=("cdc", "csv", "ref:K1", "ref:K3"),
+    oracle="""
+WITH messy AS (
+  SELECT o_orderkey, o_orderpriority,
+         o_orderpriority || ',"' || chr(10) || 'line2 of ' || CAST(o_orderkey AS VARCHAR) || '"' AS payload
+  FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       sum(len(payload)) AS total_chars,
+       bit_xor(('0x' || substr(md5(payload), 1, 15))::BIGINT) AS content_xor
+FROM messy GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def cdc_csv_quoted_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..functions.hashing import md5long
+
+    orders = load_table(spark, sf_dir, "orders")
+    messy = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.concat(
+            F.col("o_orderpriority"),
+            F.lit(',"'),
+            F.lit("\n"),
+            F.lit("line2 of "),
+            F.col("o_orderkey").cast("string"),
+            F.lit('"'),
+        ).alias("payload"),
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), f"csv_quoted_{uuid.uuid4().hex[:8]}")
+    (
+        messy.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out_dir)
+    )
+    back = (
+        spark.read.schema(messy.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out_dir)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("payload")).alias("total_chars"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(payload), 1, 15), 16, 10) as bigint))"
+            ).alias("content_xor"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1794,3 +1794,71 @@ def sim_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "corpus_incremental_ingest",
+    doc="Incremental corpus ingestion (the CDC∘dedup crossover a 100 TB "
+    "pipeline runs nightly): the even-id half of the corpus stands in "
+    "for the already-ingested fingerprint STATE; the odd-id half is the "
+    "incoming batch.  Each incoming doc is classified new / "
+    "dup_of_corpus (16-byte fingerprint semi-join against state — "
+    "never the text) / dup_in_batch (keep-first row_number within the "
+    "batch).  The fingerprint is the md5 of the first 8 normalized "
+    "tokens (a prefix-identity key, so collisions exist at every SF).  "
+    "State fingerprints broadcast when small, shuffle-join otherwise; "
+    "either way only digests move.  Mirrors the reference's idempotent "
+    "re-save (rcache.py:246-254) generalized to content identity.",
+    tags=("dedup", "corpus", "incremental", "llm", "ext"),
+    oracle=f"""
+WITH d AS (SELECT doc_id, n_chars,
+                  md5(array_to_string(string_split({_NORM}, ' ')[1:8], ' ')) AS fp
+           FROM documents),
+state AS (SELECT DISTINCT fp FROM d WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT doc_id, n_chars, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM d WHERE doc_id % 2 = 1
+), classified AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN fp IN (SELECT fp FROM state) THEN 'dup_of_corpus'
+              WHEN rn > 1 THEN 'dup_in_batch'
+              ELSE 'new' END AS class
+  FROM batch
+)
+SELECT class, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM classified GROUP BY class ORDER BY class
+""",
+)
+def corpus_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import norm_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.array_join(F.slice(F.split(norm_text(F.col("text")), " "), 1, 8), " ")
+        ).alias("fp"),
+    )
+    state = docs.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    batch = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    )
+    in_state = batch.join(F.broadcast(state), "fp", "left_semi").select(
+        "doc_id", F.lit(True).alias("in_state")
+    )
+    classified = batch.join(in_state, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("in_state"), F.lit("dup_of_corpus"))
+        .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("class"),
+    )
+    return (
+        classified.groupBy("class")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("class")
+    )
