@@ -115,6 +115,14 @@ def winnow_fingerprints(docs, k: int = 8, w: int = 4, id_col: str = "doc_id", te
 
 
 def gopher_flags(col: Column) -> Column:
+    """Gopher rules over raw text — see gopher_flags_from_tokens; prefer
+    projecting ``tokens(col)`` as a materialized column first so the
+    tokenizer runs once (Catalyst won't collapse the projection when the
+    alias is referenced by several rules)."""
+    return gopher_flags_from_tokens(tokens(col))
+
+
+def gopher_flags_from_tokens(toks: Column) -> Column:
     """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
     public heuristics), as a struct of boolean rule flags:
 
@@ -128,7 +136,6 @@ def gopher_flags(col: Column) -> Column:
     feed a single filter/aggregate.  The repetition rule is O(n·distinct)
     per document in the token array — bounded by document length, never a
     cross-document explode."""
-    toks = tokens(col)
     n = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])

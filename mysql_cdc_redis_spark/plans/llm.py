@@ -1563,7 +1563,12 @@ FROM f GROUP BY source ORDER BY source
 )
 def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    flagged = docs.select("source", ts.gopher_flags(F.col("text")).alias("g"))
+    # tokenize ONCE as a materialized column; the rule expressions then
+    # reference the array instead of re-running split per rule
+    toked = docs.select("source", ts.tokens(F.col("text")).alias("toks"))
+    flagged = toked.select(
+        "source", ts.gopher_flags_from_tokens(F.col("toks")).alias("g")
+    )
     b = lambda c: F.sum(F.col(c).cast("bigint"))  # noqa: E731
     return (
         flagged.select(

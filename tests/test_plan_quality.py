@@ -350,3 +350,51 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_paragraph_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """Segment dedup must prune the scan to (doc_id, text) and exchange
+    only (doc_id, chunk_idx, chunk_hash) — the document text never
+    crosses the wire after chunk hashing."""
+    plan = _plan(_QUERIES["dedup_paragraph_segments"].fn(spark, sf_dir))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    # exchanges carry the 32-hex hash, not the raw token arrays
+    assert "hashpartitioning(chunk_hash" in plan
+
+
+def test_gopher_filters_single_exchange(spark, sf_dir):
+    """The quality gate is one scan + HOF flags + one hash aggregate:
+    exactly one data exchange (on source), everything else narrow."""
+    import re
+
+    plan = _plan(_QUERIES["text_gopher_filters"].fn(spark, sf_dir))
+    body = plan.split("===== Subqueries =====")[0]
+    exchanges = [
+        l
+        for l in body.splitlines()
+        if re.match(r"\(\d+\) Exchange", l.strip()) and "Reused" not in l
+    ]
+    # one partial/final agg exchange + the presentation sort's range exchange
+    assert len(exchanges) <= 2, exchanges
+    # the tokenizer must be materialized once, not re-expanded per rule
+    assert body.count("regexp_replace(lower(trim(text") <= 2, "split not materialized"
+
+
+def test_global_ids_broadcast_offsets(spark, sf_dir):
+    """assign_global_ids must broadcast the per-bucket offsets (tiny) —
+    a shuffle join here would mean the prefix sum isn't the two-level
+    scan design."""
+    plan = _plan(_QUERIES["corpus_assign_global_ids"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """The Lloyd step's vector×centroid pairing must be a broadcast
+    nested-loop join (K rows broadcast), never a shuffle of the corpus
+    vectors."""
+    plan = _plan(_QUERIES["sim_kmeans_lloyd_step"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the corpus side is exchanged at most for the final small aggregates
+    assert "SortMergeJoin" not in plan.split("BroadcastNestedLoopJoin")[0]
