@@ -1535,6 +1535,7 @@ def corpus_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts make the gate auditable; at 100 TB this is a scan-speed "
     "stage whose output is a few rows per source.",
     tags=("text", "quality", "llm", "ext"),
+    bench=True,
     oracle=f"""
 WITH d AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS l FROM documents),
 s AS (
@@ -1668,6 +1669,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the text); the keep-first rank is a WindowGroupLimit-able "
     "row_number.  Output: per-document kept/dropped segment accounting.",
     tags=("dedup", "corpus", "llm", "ext"),
+    bench=True,
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
@@ -1866,4 +1868,51 @@ def corpus_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         classified.groupBy("class")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("class")
+    )
+
+
+@register(
+    "udtf_token_runs",
+    doc="Python UDTF surface (§2.9, the table-valued analog of the "
+    "reference's per-row callback rcache.py:57-72): token_runs(text) "
+    "expands each document into (run_start, token, run_len) rows for "
+    "every run of >= 2 identical adjacent tokens, called via a "
+    "correlated LATERAL join in SQL.  Row-at-a-time Python — kept off "
+    "the hot path by design (the columnar spelling of repetition "
+    "analysis is text_repetition_profile); this entry pins the API "
+    "surface and its exact semantics against an island-detection "
+    "oracle.",
+    tags=("udtf", "text", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, i, t[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL unnest(range(1, len(t) + 1)) u(i)
+), flagged AS (
+  SELECT doc_id, i, w,
+         CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY i) = w
+              THEN 0 ELSE 1 END AS brk
+  FROM tok
+), grp AS (
+  SELECT doc_id, i, w,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM flagged
+)
+SELECT doc_id, CAST(min(i) AS INT) AS run_start, w AS token,
+       CAST(count(*) AS INT) AS run_len
+FROM grp GROUP BY doc_id, g, w HAVING count(*) >= 2
+ORDER BY doc_id, run_start
+""",
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.run_start, r.token, r.run_len
+        FROM docs_udtf d, LATERAL token_runs(d.text) r
+        ORDER BY d.doc_id, r.run_start
+        """
     )
