@@ -1916,3 +1916,41 @@ def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, r.run_start
         """
     )
+
+
+@register(
+    "mm_audio_window_energy",
+    doc="Multimodal audio plumbing: blobs framed into 16-byte windows, "
+    "per-window energy = Σ byte² computed vectorized in numpy inside "
+    "ONE mapInPandas crossing (operators/multimodal.py::"
+    "audio_window_energy) — the real pipeline swaps the energy kernel "
+    "for MFCC/spectrogram with the same schema/batching.  The blob is "
+    "the utf-8 text (fixtures carry no media), so the oracle can "
+    "recompute the exact byte math with ascii()+range unnesting: the "
+    "Python-side arithmetic itself is hash-verified, not stubbed.",
+    tags=("multimodal", "audio", "pandas-udf", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text, len(text) // 16 AS w FROM documents
+), wins AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(range(1, 17),
+                          j -> CAST(ascii(substr(text, i * 16 + j, 1)) AS BIGINT)
+                             * CAST(ascii(substr(text, i * 16 + j, 1)) AS BIGINT)),
+           'sum') AS e
+  FROM f, LATERAL unnest(range(0, w)) u(i)
+)
+SELECT f.doc_id,
+       CAST(f.w AS INT) AS n_windows,
+       coalesce(sum(wins.e), 0) AS total_energy,
+       coalesce(max(wins.e), 0) AS max_energy
+FROM f LEFT JOIN wins ON wins.doc_id = f.doc_id
+GROUP BY f.doc_id, f.w
+ORDER BY f.doc_id
+""",
+)
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = mm.attach_binary_payload(docs)
+    return mm.audio_window_energy(with_payload).orderBy("doc_id")

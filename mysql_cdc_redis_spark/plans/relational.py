@@ -2709,3 +2709,47 @@ def window_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 4
         ).alias("region_share"),
     ).orderBy("r_name", "n_name")
+
+
+@register(
+    "agg_grouping_sets_id",
+    doc="A7 completion: explicit GROUPING SETS (region-level, "
+    "status-level, grand total) with grouping_id() disambiguating the "
+    "null-key rows — the piece of the rollup/cube family the other "
+    "entries don't pin.  Spark plans one Expand + one hash aggregate "
+    "(partial+final), so the cost is #sets × input in map-side rows, "
+    "never extra shuffles.  Dims broadcast into the fact before the "
+    "expand.",
+    tags=("agg", "grouping", "ext"),
+    oracle="""
+SELECT r.r_name, o.o_orderstatus,
+       CAST(GROUPING(r.r_name) AS INT) AS g_region,
+       CAST(GROUPING(o.o_orderstatus) AS INT) AS g_status,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY GROUPING SETS ((r.r_name), (o.o_orderstatus), ())
+ORDER BY g_region, g_status, r_name, o_orderstatus
+""",
+)
+def agg_grouping_sets_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(
+        """
+        SELECT r.r_name, o.o_orderstatus,
+               CAST(grouping(r.r_name) AS INT) AS g_region,
+               CAST(grouping(o.o_orderstatus) AS INT) AS g_status,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM gs_orders o
+        JOIN gs_customer c ON c.c_custkey = o.o_custkey
+        JOIN gs_nation n ON n.n_nationkey = c.c_nationkey
+        JOIN gs_region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY GROUPING SETS ((r.r_name), (o.o_orderstatus), ())
+        ORDER BY g_region, g_status, r_name, o_orderstatus
+        """
+    )
