@@ -1954,3 +1954,30 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = mm.attach_binary_payload(docs)
     return mm.audio_window_energy(with_payload).orderBy("doc_id")
+
+
+@register(
+    "mm_arrow_byte_census",
+    doc="Zero-copy Arrow crossing (mapInArrow, one level below "
+    "mapInPandas): per-blob byte-class census computed on numpy views "
+    "of the Arrow buffers (operators/multimodal.py::byte_class_profile) "
+    "— the surface byte-level media sniffers use at 100 TB, where "
+    "pandas object-boxing of binary columns is pure overhead.  ASCII "
+    "fixtures make every byte == one char, so the DuckDB oracle "
+    "recomputes the census with regexp class strips and verifies the "
+    "Arrow path exactly.",
+    tags=("multimodal", "arrow", "pandas-udf", "ext"),
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_bytes,
+       CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS INT) AS n_ws,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digit,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha
+FROM documents
+ORDER BY doc_id
+""",
+)
+def mm_arrow_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = mm.attach_binary_payload(docs)
+    return mm.byte_class_profile(with_payload).orderBy("doc_id")

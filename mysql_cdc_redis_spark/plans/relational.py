@@ -2753,3 +2753,230 @@ def agg_grouping_sets_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_region, g_status, r_name, o_orderstatus
         """
     )
+
+
+@register(
+    "cte_recursive_customer_tree",
+    doc="Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): the "
+    "customer keyspace is read as an implicit decimal trie — parent(k) = "
+    "k DIV 10 — and walked root-to-leaf, accumulating depth and the "
+    "single-digit root ancestor.  Each recursion step is one equi-join of "
+    "the (small, shrinking) frontier against the base relation, so the "
+    "plan is a bounded loop of broadcast-able joins: at 100 TB the "
+    "frontier of step d is ~10^d roots, always tiny relative to the "
+    "scan, and the loop depth is log10(max key) ≈ 9-10, never data-"
+    "dependent recursion-per-row.",
+    tags=("cte", "recursive", "ext"),
+    oracle="""
+WITH RECURSIVE tree AS (
+  SELECT c_custkey AS custkey, CAST(c_custkey AS BIGINT) AS root_key,
+         1 AS depth, c_acctbal
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, t.root_key, t.depth + 1, c.c_acctbal
+  FROM customer c JOIN tree t ON c.c_custkey // 10 = t.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       count(*) AS n_customers,
+       count(DISTINCT root_key) AS n_roots,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM tree GROUP BY depth ORDER BY depth
+""",
+)
+def cte_recursive_customer_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS custkey, CAST(c_custkey AS BIGINT) AS root_key,
+                 1 AS depth, c_acctbal
+          FROM rcte_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, t.root_key, t.depth + 1, c.c_acctbal
+          FROM rcte_customer c JOIN tree t ON c.c_custkey DIV 10 = t.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth,
+               count(*) AS n_customers,
+               count(DISTINCT root_key) AS n_roots,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM tree GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+@register(
+    "agg_listagg_nations_per_region",
+    doc="Ordered string aggregation (listagg WITHIN GROUP, Spark 4): "
+    "nations and the distinct market segments concatenated per region in "
+    "name order.  listagg is a real ordered aggregate in the plan "
+    "(SortAggregate), not a collect_list + UDF.  The distinct segment "
+    "set is reduced FIRST (pre-aggregate to ~5×5 rows) and only then "
+    "string-aggregated — at 100 TB the fact-sized input never reaches "
+    "the ordered aggregate, and the per-group payload stays dimension-"
+    "bounded.  (Also sidesteps SPARK's RewriteDistinctAggregates "
+    "ClassCastException on listagg(DISTINCT … ORDER BY …) in 4.1.)",
+    tags=("agg", "listagg", "ext"),
+    oracle="""
+WITH cust AS (
+  SELECT r.r_name, c.c_mktsegment
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+), nations AS (
+  SELECT r.r_name,
+         string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+  FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name
+), segs AS (
+  SELECT r_name,
+         string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segments
+  FROM (SELECT DISTINCT r_name, c_mktsegment FROM cust)
+  GROUP BY r_name
+), counts AS (
+  SELECT r_name, count(*) AS n_customers FROM cust GROUP BY r_name
+)
+SELECT n.r_name, n.nations, s.segments, c.n_customers
+FROM nations n
+JOIN segs s ON s.r_name = n.r_name
+JOIN counts c ON c.r_name = n.r_name
+ORDER BY n.r_name
+""",
+)
+def agg_listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"la_{t}")
+    return spark.sql(
+        """
+        WITH cust AS (
+          SELECT r.r_name, c.c_mktsegment
+          FROM la_region r
+          JOIN la_nation n ON n.n_regionkey = r.r_regionkey
+          JOIN la_customer c ON c.c_nationkey = n.n_nationkey
+        ), nations AS (
+          SELECT r.r_name,
+                 listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+          FROM la_region r JOIN la_nation n ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name
+        ), segs AS (
+          SELECT r_name,
+                 listagg(c_mktsegment, '|')
+                   WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+          FROM (SELECT DISTINCT r_name, c_mktsegment FROM cust)
+          GROUP BY r_name
+        ), counts AS (
+          SELECT r_name, count(*) AS n_customers FROM cust GROUP BY r_name
+        )
+        SELECT n.r_name, n.nations, s.segments, c.n_customers
+        FROM nations n
+        JOIN segs s ON s.r_name = n.r_name
+        JOIN counts c ON c.r_name = n.r_name
+        ORDER BY n.r_name
+        """
+    )
+
+
+@register(
+    "scalar_variant_props",
+    doc="Semi-structured VARIANT path (Spark 4): events.props parsed once "
+    "with parse_json into a VARIANT column, fields extracted with "
+    "variant_get — the open-schema analog of the reference's dict-typed "
+    "rows (SURVEY.md §1.2, dump2csv.py:54-59 drift handling).  Unlike "
+    "get_json_object (string re-parse per extraction), VARIANT parses "
+    "once into a binary encoding and every path read is a cheap "
+    "navigation, the right trade at 100 TB where props would be read by "
+    "many downstream extractions.  Decile-bucketed aggregate keeps the "
+    "output bounded.",
+    tags=("variant", "json", "scalar", "ext"),
+    oracle="""
+SELECT CAST(props->>'$.k' AS INTEGER) // 10 AS k_decile,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY k_decile
+ORDER BY k_decile
+""",
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("v", F.parse_json("props"))
+        .withColumn("k", F.variant_get("v", "$.k", "int"))
+        .groupBy((F.col("k") - F.pmod("k", F.lit(10))).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .withColumn("k_decile", (F.col("k_decile") / 10).cast("int"))
+        .orderBy("k_decile")
+    )
+
+
+@register(
+    "unpivot_status_metrics",
+    doc="Wide-to-long reshape (df.unpivot / SQL-standard UNPIVOT): the "
+    "per-status aggregate is computed once (one hash aggregate over "
+    "orders) and the three metric columns are melted into (metric, "
+    "value) rows.  Unpivot is an Expand node — #metrics × rows emitted "
+    "map-side with no extra shuffle, the same physical shape GROUPING "
+    "SETS uses, so the reshape itself is free at any scale.",
+    tags=("unpivot", "reshape", "ext"),
+    oracle="""
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS DOUBLE)        AS n_orders,
+         round(sum(o_totalprice), 2)     AS total_price,
+         round(avg(o_totalprice), 2)     AS avg_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value
+FROM wide UNPIVOT (value FOR metric IN (n_orders, total_price, avg_price))
+ORDER BY o_orderstatus, metric
+""",
+)
+def unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "avg_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
+@register(
+    "agg_hll_sketch_users",
+    doc="Mergeable HLL sketches (Datasketches hll_sketch_agg / "
+    "hll_union_agg, Spark 4): per-event-type user sketches built in one "
+    "partial+final aggregate, then the bytes re-aggregated into a "
+    "grand-total union row — the two-level pattern that lets 1000 "
+    "executors each ship a ~KB sketch instead of re-shuffling raw user "
+    "ids for a global distinct.  approx_count_distinct (HLL++) covers "
+    "the one-shot case; Datasketches adds the REUSABLE sketch column: "
+    "store per-partition/day sketches once, answer any rollup later by "
+    "union — no second scan of the fact table.  Estimates, so rows-only "
+    "for the driver; the error bound (< 3% at lgK=14) is pinned in "
+    "tests/test_sketch_accuracy.py.",
+    tags=("agg", "sketch", "hll", "ext"),
+)
+def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("n_users_est")
+    )
+    overall = per_type.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("n_users_est"),
+    )
+    return typed.unionByName(overall).orderBy("event_type")

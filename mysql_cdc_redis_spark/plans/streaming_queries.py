@@ -492,3 +492,68 @@ def stream_session_event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    doc="Bounded-state streaming dedup (dropDuplicatesWithinWatermark, "
+    "T2+T4): unlike plain dropDuplicates — whose key state grows forever "
+    "and eventually OOMs a 100 TB ingest — the WithinWatermark variant "
+    "expires each key once the watermark passes it, so state is bounded "
+    "by (event-rate × delay) regardless of total stream length.  The "
+    "trade: only duplicates arriving within the delay of each other are "
+    "suppressed, which is exactly the at-least-once redelivery window "
+    "of the reference's binlog replay (SURVEY.md §2.8 T1 — crash "
+    "redelivery is immediate, not days late).  Fixture duplicates "
+    "arrive in adjacent files ⇒ well inside the 1-hour delay ⇒ result "
+    "equals batch DISTINCT and the oracle is exact.  NOTE: "
+    "transformWithStateInPandas (the Spark 4 arbitrary-state successor) "
+    "is unavailable in this container — its driver worker needs "
+    "google.protobuf — so applyInPandasWithState (streaming/"
+    "compact_stream.py) remains the arbitrary-state surface here.",
+    tags=("streaming", "dedup", "watermark", "ext"),
+    oracle="""
+SELECT event_type, count(*) AS n_unique, round(sum(value), 2) AS total_value
+FROM (SELECT DISTINCT event_id, event_type, ts, value FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("wmdedup_src")
+    # redelivery simulation: the whole stream arrives twice, interleaved
+    # at file granularity — every duplicate lands within the delay window
+    events.unionByName(events).orderBy("ts").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(source_dir)
+    emissions_dir = _tmp("wmdedup_emit")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions_dir)
+
+    q = (
+        deduped.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", _tmp("wmdedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(emissions_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

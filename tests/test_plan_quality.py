@@ -398,3 +398,33 @@ def test_kmeans_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     # the corpus side is exchanged at most for the final small aggregates
     assert "SortMergeJoin" not in plan.split("BroadcastNestedLoopJoin")[0]
+
+
+def test_grouping_sets_single_expand_one_shuffle(spark, sf_dir):
+    """A7 GROUPING SETS: one Expand feeding one partial+final aggregate
+    — the #sets fan-out happens map-side; dims broadcast into the fact
+    before the expand, so the only data shuffle is the aggregate's."""
+    import re
+
+    plan = _plan(_QUERIES["agg_grouping_sets_id"].fn(spark, sf_dir))
+    assert len(set(re.findall(r"\((\d+)\) Expand", plan))) == 1
+    assert len(set(re.findall(r"\((\d+)\) BroadcastHashJoin", plan))) == 3, (
+        "all three dims must broadcast"
+    )
+    # agg exchange + presentation sort exchange only
+    assert _n_exchanges(plan) == 2, f"expected agg+sort exchanges only:\n{plan}"
+
+
+def test_unpivot_is_mapside_expand(spark, sf_dir):
+    """Unpivot lowers to an Expand AFTER the aggregate: the wide→long
+    fan-out never shuffles — #metrics × 3 status rows emitted in place."""
+    plan = _plan(_QUERIES["unpivot_status_metrics"].fn(spark, sf_dir))
+    assert "Expand" in plan, "unpivot must lower to Expand"
+    assert _n_exchanges(plan) == 2, f"agg + sort exchanges only:\n{plan}"
+
+
+def test_recursive_cte_is_union_loop(spark, sf_dir):
+    """WITH RECURSIVE plans as a UnionLoop whose step joins the shrinking
+    frontier against the base scan — not an unrolled/cartesian shape."""
+    plan = _plan(_QUERIES["cte_recursive_customer_tree"].fn(spark, sf_dir))
+    assert "UnionLoop" in plan, f"expected UnionLoop node:\n{plan}"

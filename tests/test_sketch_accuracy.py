@@ -25,3 +25,29 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
     spread = 0.02 * 500000
     for got, want in [(row["p50"], e50), (row["p90"], e90), (row["p99"], e99)]:
         assert abs(got - want) <= spread, f"{got} vs exact {want}"
+
+
+def test_hll_sketch_union_within_tolerance(spark, sf_dir):
+    """Datasketches HLL at lgK=14: relative standard error ≈ 1.04/√2^14
+    ≈ 0.8%; assert 3σ.  The union row must estimate the GLOBAL distinct
+    (users appear under many event types, so Σ per-type ≫ union)."""
+    rows = {
+        r["event_type"]: r["n_users_est"]
+        for r in all_queries()["agg_hll_sketch_users"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    exact_all, = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert abs(rows["ALL"] - exact_all) <= max(3, 0.025 * exact_all)
+    for et, est in rows.items():
+        if et == "ALL":
+            continue
+        exact, = con.execute(
+            f"""SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'
+                WHERE event_type = ?""",
+            [et],
+        ).fetchone()
+        assert abs(est - exact) <= max(3, 0.025 * exact), (et, est, exact)
+    # union < sum of parts (overlapping users), sanity that union merged
+    assert rows["ALL"] <= sum(v for k, v in rows.items() if k != "ALL")
