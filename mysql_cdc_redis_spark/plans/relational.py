@@ -2980,3 +2980,125 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("n_users_est"),
     )
     return typed.unionByName(overall).orderBy("event_type")
+
+
+@register(
+    "agg_bitmap_distinct_users",
+    doc="EXACT distributed distinct-count via bitmaps (Spark 4 bitmap_* "
+    "family) — the deterministic sibling of agg_hll_sketch_users: "
+    "user ids are bucketed (bitmap_bucket_number = id DIV 32768) and "
+    "each bucket folds into a 4 KB bitmap with bitmap_construct_agg; "
+    "per-group cardinality = Σ bitmap_count.  Two cheap aggregates "
+    "replace a count(DISTINCT) whose dedup state would otherwise "
+    "shuffle every raw id: with dense int keys the shuffled payload is "
+    "#buckets × 4 KB per group, independent of row count — at 100 TB "
+    "that's the difference between shuffling ids and shuffling KBs.  "
+    "Exact, so fully oracle-checked.",
+    tags=("agg", "bitmap", "distinct", "ext"),
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    buckets = events.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    return (
+        buckets.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "vec_array_algebra",
+    doc="JVM-side vector algebra via higher-order functions — the "
+    "embedding column never crosses into Python: L2 norm with "
+    "F.aggregate (sequential double fold, same order DuckDB's list_sum "
+    "folds, so 4 dp round-trips exactly), positive-component count with "
+    "F.filter, max component with array_max.  This is the codegen'd "
+    "fast path the ANN operators build on; a Python UDF doing the same "
+    "would pay an Arrow crossing per batch for arithmetic the JVM "
+    "already vectorizes.",
+    tags=("array", "hof", "similarity", "ext"),
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_component
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def vec_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda v: v > 0)).alias("n_positive"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_component"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "layout_hive_partition_pruning",
+    doc="Hive-style partitioned layout + partition pruning (the K1 "
+    "date-partitioned sink read back as a query input): orders written "
+    "partitionBy(order_month) — the Spark spelling of the reference's "
+    "dump_dir/YYYYMMDD/ layout (dump2csv.py:62-103) — then a "
+    "quarter-scoped aggregate reads it back.  The month predicate "
+    "resolves at PLANNING time against directory names "
+    "(PartitionFilters, pinned in tests/test_plan_quality.py): a 100 TB "
+    "store scans only the 3 matching months' files, no footer even "
+    "opened elsewhere — the coarse pruning layer z-ordering then "
+    "refines within files.",
+    tags=("layout", "partitioning", "sink", "ext"),
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-03'
+GROUP BY order_month
+ORDER BY order_month
+""",
+)
+def layout_hive_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), f"hivepart_{uuid.uuid4().hex[:8]}")
+    (
+        orders.withColumn(
+            "order_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        .write.partitionBy("order_month")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("order_month").between("1995-01", "1995-03"))
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("order_month")
+    )

@@ -428,3 +428,15 @@ def test_recursive_cte_is_union_loop(spark, sf_dir):
     frontier against the base scan — not an unrolled/cartesian shape."""
     plan = _plan(_QUERIES["cte_recursive_customer_tree"].fn(spark, sf_dir))
     assert "UnionLoop" in plan, f"expected UnionLoop node:\n{plan}"
+
+
+def test_hive_layout_prunes_partitions(spark, sf_dir):
+    """The month predicate must resolve against directory names at plan
+    time (PartitionFilters on the scan), not as a data filter — the
+    coarse layer that keeps a 100 TB store's non-matching files unopened."""
+    plan = _plan(_QUERIES["layout_hive_partition_pruning"].fn(spark, sf_dir))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "order_month" in pf and ">=" in pf and "<=" in pf, pf
+    # the month column is a partition key, not a data column
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "order_month" not in read_schema
