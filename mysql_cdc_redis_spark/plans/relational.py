@@ -3102,3 +3102,133 @@ def layout_hive_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("order_month")
     )
+
+
+@register(
+    "join_lateral_latest_order",
+    doc="Correlated LATERAL subquery (SQL LATERAL join surface, distinct "
+    "from the UDTF lateral): each nation's customer set is probed for "
+    "its latest-order exemplar through a correlated LATERAL (... ORDER "
+    "BY ... LIMIT 1).  Catalyst decorrelates to a join + per-key "
+    "WindowGroupLimit rather than executing the subquery per outer row "
+    "— at 100 TB the difference between one shuffled window pass and a "
+    "nested loop.  The oracle spells the same decorrelated form with "
+    "row_number, pinning that LATERAL is sugar, not a nested-loop "
+    "commitment.",
+    tags=("join", "lateral", "subquery", "ext"),
+    oracle="""
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n, LATERAL (
+  SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+) t
+ORDER BY n.n_name
+""",
+)
+def join_lateral_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM lat_nation n, LATERAL (
+          SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+          FROM lat_orders o JOIN lat_customer c ON c.c_custkey = o.o_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+        ) t
+        ORDER BY n.n_name
+        """
+    )
+
+
+@register(
+    "map_dynamic_schema_algebra",
+    doc="Map-typed dynamic rows (the §1.2 per-row-schema model made "
+    "queryable): events.props lifted to map<string,int> with str_to_map, "
+    "then enriched (map_concat with a derived field), filtered "
+    "(map_filter), and re-keyed — all JVM-side map algebra.  This is "
+    "how the drift fixture's open-schema payloads (FIXTURES.md §C, "
+    "dump2csv.py:54-59) stay queryable without a fixed StructType: the "
+    "fingerprint op (P4) reads map_keys of exactly this shape.",
+    tags=("map", "schema-drift", "scalar", "ext"),
+    oracle="""
+SELECT CAST(props->>'$.k' AS INTEGER) % 7 AS k_mod,
+       count(*) AS n_events,
+       sum(CASE WHEN CAST(props->>'$.k' AS INTEGER) >= 50 THEN 1 ELSE 0 END) AS n_high
+FROM events
+GROUP BY k_mod
+ORDER BY k_mod
+""",
+)
+def map_dynamic_schema_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # strip {" "} and lift to a real map; derive + filter stay map-typed
+    as_map = events.withColumn(
+        "m",
+        F.str_to_map(
+            F.regexp_replace(F.col("props"), r'[{}"\s]', ""), F.lit(","), F.lit(":")
+        ),
+    ).withColumn("m", F.transform_values("m", lambda _, v: v.cast("int")))
+    enriched = as_map.withColumn(
+        "m",
+        F.map_concat(
+            "m", F.create_map(F.lit("k_mod"), F.element_at("m", "k") % 7)
+        ),
+    ).withColumn("high", F.map_filter("m", lambda k, v: (k == "k") & (v >= 50)))
+    return (
+        enriched.groupBy(F.element_at("m", "k_mod").alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.size("high")).alias("n_high"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "agg_mode_percentile_disc",
+    doc="Ordered-set aggregates: mode() (most frequent priority per "
+    "status, deterministic tie-break) and percentile_disc-style exact "
+    "discrete quantiles via percentile() on totalprice.  mode is a "
+    "hash-aggregate over (group, value) pairs then a per-group argmax — "
+    "two map-combinable aggregates, no sort of the raw data.",
+    tags=("agg", "ordered-set", "ext"),
+    oracle="""
+WITH freq AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), md AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY n DESC, o_orderpriority) AS rn
+        FROM freq)
+  WHERE rn = 1
+), qt AS (
+  SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT md.o_orderstatus, md.mode_priority, qt.p50_price
+FROM md JOIN qt ON qt.o_orderstatus = md.o_orderstatus
+ORDER BY md.o_orderstatus
+""",
+)
+def agg_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # deterministic mode: count pairs, then max_by with a total tie-break
+    freq = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    md = freq.groupBy("o_orderstatus").agg(
+        F.max_by(
+            "o_orderpriority",
+            F.struct(F.col("n"), F.negative(F.ascii("o_orderpriority"))),
+        ).alias("mode_priority"),
+    )
+    qt = orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_price")
+    )
+    return md.join(qt, "o_orderstatus").orderBy("o_orderstatus")

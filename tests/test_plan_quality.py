@@ -440,3 +440,11 @@ def test_hive_layout_prunes_partitions(spark, sf_dir):
     # the month column is a partition key, not a data column
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "order_month" not in read_schema
+
+
+def test_lateral_decorrelates_no_nested_loop(spark, sf_dir):
+    """Correlated LATERAL (... LIMIT 1) must decorrelate to a windowed
+    join — never a per-outer-row nested loop / cartesian execution."""
+    plan = _plan(_QUERIES["join_lateral_latest_order"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "WindowGroupLimit" in plan, plan
