@@ -693,3 +693,52 @@ def cdc_csv_quoted_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "cdc_csv_scalar_roundtrip",
+    doc="Row-level CSV dialect fidelity (the loadcsv.py:91-94 per-row "
+    "DictWriter/reader analog as SCALAR functions): each order struct "
+    "serializes with to_csv and re-parses with from_csv inside one "
+    "projection — no files, no shuffle, pure codegen'd row transforms.  "
+    "The aggregate over the PARSED columns must equal the same "
+    "aggregate over the base table (lossless roundtrip incl. doubles "
+    "and timestamps), which is exactly what the oracle computes from "
+    "the raw parquet.  At 100 TB this is the cheap path for emitting "
+    "line-oriented interchange formats from inside a pipeline stage "
+    "without a sink/source hop.",
+    tags=("cdc", "csv", "scalar", "roundtrip"),
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       sum(o_orderkey) AS key_sum,
+       round(sum(o_totalprice), 2) AS price_sum,
+       CAST(min(o_orderdate) AS TIMESTAMP) AS first_date
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def cdc_csv_scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ (FIXTURES.md): to_csv serializes NTZ
+    # with the ISO default (timestampNTZFormat), so from_csv must parse
+    # back under the same NTZ type — symmetric defaults, no opts needed
+    schema = (
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, "
+        "o_orderdate TIMESTAMP_NTZ"
+    )
+    line = F.to_csv(
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    parsed = orders.select(F.from_csv(line, schema).alias("row")).select("row.*")
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            F.min("o_orderdate").alias("first_date"),
+        )
+        .orderBy("o_orderstatus")
+    )

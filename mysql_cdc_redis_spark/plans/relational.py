@@ -3232,3 +3232,40 @@ def agg_mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_price")
     )
     return md.join(qt, "o_orderstatus").orderBy("o_orderstatus")
+
+
+@register(
+    "agg_regression_price_qty",
+    doc="Closed-form linear-regression aggregates (regr_slope / "
+    "regr_intercept / regr_r2 / regr_count): extendedprice ~ quantity "
+    "fit per returnflag in ONE hash aggregate — the moment sums "
+    "(Σx, Σy, Σxy, Σx²) are map-combinable, so a 100 TB fit costs "
+    "exactly one partial+final pass, no iteration and no driver math.  "
+    "The distributed complement to the k-means Lloyd entry: anything "
+    "with sufficient statistics should be an aggregate, not a loop.",
+    tags=("agg", "statistics", "ext"),
+    oracle="""
+SELECT l_returnflag,
+       regr_count(l_extendedprice, l_quantity)                 AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 2)       AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2)   AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4)          AS r2
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )

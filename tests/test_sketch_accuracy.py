@@ -51,3 +51,20 @@ def test_hll_sketch_union_within_tolerance(spark, sf_dir):
         assert abs(est - exact) <= max(3, 0.025 * exact), (et, est, exact)
     # union < sum of parts (overlapping users), sanity that union merged
     assert rows["ALL"] <= sum(v for k, v in rows.items() if k != "ALL")
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ (approx_count_distinct, rsd=0.01 per the entry): assert the
+    estimate lands within 5% of the exact per-type distinct count."""
+    rows = all_queries()["agg_approx_distinct_users"].fn(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    for r in rows:
+        et = r["event_type"]
+        exact, = con.execute(
+            f"""SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'
+                WHERE event_type = ?""",
+            [et],
+        ).fetchone()
+        est = r[[c for c in rows[0].asDict() if c != "event_type"][0]]
+        assert abs(est - exact) <= max(3, 0.05 * exact), (et, est, exact)
