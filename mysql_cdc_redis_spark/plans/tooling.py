@@ -228,3 +228,113 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "source_json_corrupt_records",
+    doc="Error-tolerant ingestion (the source-layer analog of the "
+    "reference's SaveIgnore drop-and-log, rcache.py:242-245, cdc.py:"
+    "123-124): a JSONL batch where every key≡7 (mod 10) line is "
+    "truncated garbage is read in PERMISSIVE mode with an explicit "
+    "_corrupt_record column — bad rows become quarantine rows instead "
+    "of failing the job or silently vanishing, and the good rows parse "
+    "normally.  The aggregate accounts for BOTH populations, so the "
+    "oracle (which derives good/bad from the same key rule) proves no "
+    "row is lost or double-counted.  At 100 TB, fail-fast on one bad "
+    "line of a trillion is not an option; quarantine-and-count is.",
+    tags=("source", "json", "errors", "ext"),
+    oracle="""
+SELECT CASE WHEN o_orderkey % 10 = 7 THEN 'corrupt' ELSE 'good' END AS record_class,
+       count(*) AS n_rows,
+       sum(CASE WHEN o_orderkey % 10 = 7 THEN NULL ELSE o_orderkey END) AS key_sum,
+       round(sum(CASE WHEN o_orderkey % 10 = 7 THEN NULL ELSE o_totalprice END), 2) AS price_sum
+FROM orders
+GROUP BY record_class
+ORDER BY record_class
+""",
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = _fmt_tmp("orders_dirty_jsonl")
+    # serialize each row as JSON, then deterministically corrupt key≡7 lines
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 10 == 7,
+            F.concat(F.lit('{"k": '), F.col("o_orderkey").cast("string"), F.lit(", TRUNC")),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+                )
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("k BIGINT, p DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        back.groupBy(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("good")
+            .alias("record_class")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.round(F.sum("p"), 2).alias("price_sum"),
+        )
+        .orderBy("record_class")
+    )
+
+
+@register(
+    "source_parquet_schema_evolution",
+    doc="Parquet schema evolution via mergeSchema (the storage-layer "
+    "form of the reference's schema-drift handling, dump2csv.py:54-87: "
+    "old dumps lack columns newer dumps carry): pre-1995 orders land "
+    "WITHOUT o_orderpriority, 1995+ orders WITH it, in the same "
+    "directory; `mergeSchema=true` unifies the footers and back-fills "
+    "NULL for the missing column instead of failing or truncating.  "
+    "One footer-merge at planning; data files are untouched.  The "
+    "oracle recreates the evolution rule with a CASE on the year.",
+    tags=("source", "parquet", "schema-drift", "ext"),
+    oracle="""
+SELECT coalesce(CASE WHEN year(o_orderdate) >= 1995 THEN o_orderpriority END,
+                'MISSING') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY priority
+ORDER BY priority
+""",
+)
+def source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = _fmt_tmp("orders_evolved")
+    old = orders.filter(F.year("o_orderdate") < 1995).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.year("o_orderdate") >= 1995).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(f"{path}/gen=0")
+    new.write.mode("overwrite").parquet(f"{path}/gen=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=0", f"{path}/gen=1"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("MISSING")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
