@@ -172,6 +172,46 @@ def merge_state(
     return compact(unioned, pk_cols, payload_cols, table_col, seq_col)
 
 
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    payload_cols: list[str] | tuple[str, ...],
+    action_col: str = "cdc_action",
+    delete_action: str = "delete",
+) -> DataFrame:
+    """SQL MERGE semantics — the durable-warehouse form of the K4 state
+    sink (SURVEY.md §1.1: "durable form: Delta-style upsert or
+    foreachBatch MERGE").  Applies a compacted changelog state to a
+    target snapshot:
+
+      WHEN MATCHED AND s.action = 'delete'  THEN DELETE
+      WHEN MATCHED                          THEN UPDATE SET * = s.*
+      WHEN NOT MATCHED AND s.action <> 'delete' THEN INSERT *
+
+    (an unmatched delete is a no-op, exactly like rcache.py:252-254
+    DEL-ing a key that was never cached).
+
+    One full-outer sort-merge join on the key — at 100 TB bucket both
+    sides by the key (operators/scale.py::write_bucketed) so the merge
+    runs Exchange-free; with Delta/Iceberg this whole function becomes
+    the engine's native MERGE INTO command."""
+    from operator import and_
+
+    t = target.select(*payload_cols).withColumn("_t", F.lit(True)).alias("t")
+    s = source.select(*payload_cols, action_col).withColumn("_s", F.lit(True)).alias("s")
+    on = reduce(and_, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols])
+    joined = t.join(s, on, "full_outer")
+    source_live = F.col("s._s").isNotNull() & (F.col(f"s.{action_col}") != delete_action)
+    target_kept = F.col("s._s").isNull() & F.col("t._t").isNotNull()
+    return joined.filter(source_live | target_kept).select(
+        *[
+            F.when(source_live, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in payload_cols
+        ]
+    )
+
+
 def filter_events(df: DataFrame, events: list[str] | None, action_col: str = "cdc_action") -> DataFrame:
     """S2: restrict to configured event classes (`_trans_events`,
     cdc.py:43-49).  None ≡ all events (cdc_config.py:39 default)."""

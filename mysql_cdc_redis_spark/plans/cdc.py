@@ -742,3 +742,47 @@ def cdc_csv_scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# K4 durable form: MERGE INTO a warehouse snapshot
+# ---------------------------------------------------------------------------
+
+_WAREHOUSE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "cdc_merge_into_warehouse",
+    doc="K4's durable-warehouse form (SURVEY.md §1.1 'foreachBatch "
+    "MERGE'): apply a compacted changelog state to the orders snapshot "
+    "with SQL MERGE semantics — matched+delete removes the row, matched "
+    "updates wholesale, unmatched non-delete inserts, unmatched delete "
+    "is a no-op (rcache.py:252-254 DEL of an uncached key).  One "
+    "full-outer join on the key; bucket both sides at scale for an "
+    "Exchange-free merge.",
+    tags=("cdc", "ref:K4", "merge"),
+    oracle=f"""
+WITH state AS ({_oracle_compact_sql(ORDERS_CHANGELOG_SQL, ORDERS_PK, ORDERS_PAYLOAD)})
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM state WHERE cdc_action <> 'delete'
+""",
+)
+def cdc_merge_into_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import merge_into
+
+    state = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD)
+    target = load_table(spark, sf_dir, "orders")
+    return merge_into(target, state, ORDERS_PK, _WAREHOUSE_COLS)

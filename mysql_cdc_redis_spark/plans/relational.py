@@ -3269,3 +3269,83 @@ def agg_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithms: one exact PageRank step
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_pagerank_step",
+    doc="One PageRank iteration over the supplier->part edge set in EXACT "
+    "integer arithmetic (contribution = 1e9 div outdeg; rank_e9 = "
+    "0.15e9 + 0.85 * sum) — float-summation order can never flake the "
+    "oracle hash.  Out-degrees are supplier-sized, so the degree join "
+    "broadcasts; only the dst aggregation shuffles.  The full algorithm "
+    "iterates this step with a checkpoint every ~5 rounds to truncate "
+    "lineage (same pattern as similarity.kmeans_lloyd_step).",
+    tags=("graph", "iterative", "ext"),
+    oracle="""
+WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+contrib AS (
+  SELECT e.dst, 1000000000 // d.outdeg AS c
+  FROM edges e JOIN deg d USING (src)
+)
+SELECT dst, CAST(150000000 + (850 * sum(c)) // 1000 AS BIGINT) AS rank_e9,
+       count(*) AS n_in
+FROM contrib GROUP BY dst
+""",
+)
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        edges.join(F.broadcast(deg), "src")
+        .withColumn("c", F.expr("1000000000 div outdeg"))
+        .groupBy("dst")
+        .agg(
+            (F.lit(150000000) + F.expr("(850 * sum(c)) div 1000")).alias("rank_e9"),
+            F.count(F.lit(1)).alias("n_in"),
+        )
+    )
+
+
+@register(
+    "explode_pos_leading_tokens",
+    doc="Positional explode (posexplode generator): the first three "
+    "tokens of every document, counted globally — document-leading "
+    "vocabulary.  The ordinal comes from the generator itself, not a "
+    "window; the explode runs map-side inside the scan stage.  Oracle: "
+    "DuckDB lateral generate_series indexing into the split array.",
+    tags=("explode", "posexplode", "text", "ext"),
+    oracle="""
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(l[1:3]) AS token
+  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS l FROM documents)
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+)
+def explode_pos_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "pos", "token"
+            )
+        )
+        .filter((F.col("pos") < 3) & (F.col("token") != ""))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )

@@ -338,3 +338,70 @@ def source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy: hierarchical table checksum (post-migration verification)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tooling_table_checksum",
+    doc="Hierarchical order-insensitive table checksum — the verification "
+    "step a CDC migration needs after replay (does the warehouse equal "
+    "the source?).  Level 0: per-row md5 over a canonical string form "
+    "(decimals pinned to scale 2, timestamps to dates, so both engines "
+    "render identical text).  Level 1: rows route to 256 buckets by "
+    "digest prefix; each bucket folds to md5(sorted row digests).  "
+    "Level 2: md5 over the 256 bucket digests.  Per-bucket payload is "
+    "|rows|/256 — at 100 TB widen the prefix (4 hex chars = 65k "
+    "buckets) so every ordered aggregate stays memory-bounded; the "
+    "level-2 reduce is always 32 bytes x buckets.  Exactly-equal "
+    "checksums <=> exactly-equal multisets of rows, no row order or "
+    "partitioning assumptions on either side.",
+    tags=("tooling", "checksum", "ext"),
+    oracle="""
+WITH r AS (
+  SELECT md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           o_orderstatus,
+           CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)) AS h
+  FROM orders
+), b AS (
+  SELECT substring(h, 1, 2) AS bucket, count(*) AS n,
+         md5(string_agg(h, '' ORDER BY h)) AS digest
+  FROM r GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_rows,
+       md5(string_agg(digest, '' ORDER BY bucket)) AS checksum
+FROM b
+""",
+)
+def tooling_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").cast("string"),
+            F.col("o_orderdate").cast("date").cast("string"),
+            F.col("o_orderpriority"),
+        )
+    )
+    buckets = (
+        orders.select(h.alias("h"))
+        .withColumn("bucket", F.substring("h", 1, 2))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("md5(listagg(h, '') WITHIN GROUP (ORDER BY h))").alias("digest"),
+        )
+    )
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_rows"),
+        F.expr("md5(listagg(digest, '') WITHIN GROUP (ORDER BY bucket))").alias("checksum"),
+    )

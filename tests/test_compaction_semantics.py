@@ -178,3 +178,31 @@ def test_incremental_merge_equals_batch(spark):
         "4": ("update", "d"),
         "5": ("insert", "h"),
     }
+
+
+def test_merge_into_sql_merge_semantics(spark):
+    """merge_into applies MERGE semantics: matched+delete removes,
+    matched updates wholesale, unmatched non-delete inserts, unmatched
+    delete is a no-op (K4 durable form)."""
+    from mysql_cdc_redis_spark.operators.compaction import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id int, v string"
+    )
+    state = spark.createDataFrame(
+        [
+            (1, "A", "update"),   # matched -> update wholesale
+            (2, "B", "delete"),   # matched -> row removed
+            (5, "E", "insert"),   # unmatched -> insert
+            (6, "F", "delete"),   # unmatched delete -> no-op
+        ],
+        "id int, v string, cdc_action string",
+    )
+    out = merge_into(target, state, ("id",), ("id", "v"))
+    assert {(r["id"], r["v"]) for r in out.collect()} == {
+        (1, "A"),
+        (3, "c"),
+        (4, "d"),
+        (5, "E"),
+    }
+    assert out.columns == ["id", "v"]
