@@ -91,3 +91,84 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir):
     r2 = {r["rid"]: r["cdc_action"] for r in out2.collect()}
     assert set(r2.values()) == {"insert"}
     assert set(r2) == set(r1)
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's Python<->JVM state protocol rides on protobuf;
+    # absent/broken protobuf crashes the streaming runner at init.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf (not in this container)",
+)
+def test_tws_stream_equals_batch(spark, sf_dir):
+    """The transformWithStateInPandas twin (streaming/compact_tws.py)
+    must equal both the batch compaction and, transitively, the
+    applyInPandasWithState twin."""
+    from mysql_cdc_redis_spark.streaming.compact_tws import run_compaction_stream_tws
+
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("tws_src")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    out = run_compaction_stream_tws(
+        spark,
+        source_dir,
+        ch.schema,
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+        checkpoint_dir=_tmp("tws_ckpt"),
+        emissions_dir=_tmp("tws_emit"),
+        max_files_per_trigger=1,
+    )
+    batch = compact(ch, ORDERS_PK, ORDERS_PAYLOAD)
+    cols = batch.columns
+    assert _rows(out.select(*cols), cols) == _rows(batch, cols)
+
+
+def test_tws_processor_fold_logic():
+    """The StatefulProcessor's per-key fold (no Spark): feed micro-batch
+    slices through CompactionProcessor.handleInputRows with a fake state
+    handle and check the M2 algebra incl. annihilation epoch-reset."""
+    import pandas as pd
+
+    from mysql_cdc_redis_spark.streaming.compact_tws import CompactionProcessor
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    proc = CompactionProcessor()
+    proc._state = FakeState()
+
+    def feed(events):  # events: list of (seq, action, payload)
+        pdf = pd.DataFrame(
+            [{"seq": s, "cdc_action": a, "payload_json": p} for s, a, p in events]
+        )
+        return list(proc.handleInputRows(("t", "1"), iter([pdf]), None))[0].iloc[0]
+
+    r1 = feed([(1, "insert", "a"), (2, "update", "b")])
+    assert (r1["cdc_action"], r1["payload_json"]) == ("insert", "b")
+    r2 = feed([(3, "delete", "c")])  # insert+delete annihilates
+    assert r2["cdc_action"] == "#absent#"
+    assert not proc._state.exists()  # epoch reset
+    r3 = feed([(4, "insert", "d")])  # fresh epoch
+    assert (r3["cdc_action"], r3["payload_json"]) == ("insert", "d")
