@@ -3349,3 +3349,198 @@ def explode_pos_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# More relational breadth: equi-depth histogram, interval RANGE frames,
+# null-safe equality join, as-of with tolerance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_equidepth_histogram",
+    doc="Equi-DEPTH histogram (the complement of width_bucket's equi-width "
+    "binning in agg_price_histogram): ntile(8) over order totals splits "
+    "the population into equal-count buckets; per bucket the row count "
+    "and value range.  The ntile ordering carries a unique tiebreak "
+    "(o_orderkey) so bucket membership — hence min/max — is fully "
+    "deterministic on duplicate prices in BOTH engines.",
+    tags=("agg", "histogram", "window", "ext"),
+    oracle="""
+SELECT bucket, count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_totalprice,
+         ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "window_range_trailing_7d",
+    doc="Interval RANGE frame (W5): per customer, each order's trailing "
+    "7-day order count and revenue — frame bounds in VALUE space "
+    "(epoch seconds), not row space, so same-day ties always share one "
+    "frame and the result is order-insensitive.  One shuffle on the "
+    "customer key; the frame scan is linear per partition.",
+    tags=("window", "range-frame", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       count(*) OVER w AS n_7d,
+       round(sum(o_totalprice) OVER w, 2) AS rev_7d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY epoch(o_orderdate)
+  RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
+)
+ORDER BY o_orderkey
+""",
+)
+def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.count(F.lit(1)).over(w).alias("n_7d"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_nullsafe_priority_rollup",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): a coding "
+    "dimension where one code is NULL (NULLIF collapses '1-URGENT') "
+    "must still join its facts — plain equality would silently drop "
+    "every NULL-keyed row.  Distinct operator semantics from J5's "
+    "equality joins; Catalyst still plans a hash join on the null-safe "
+    "key.",
+    tags=("join", "nullsafe", "ext"),
+    oracle="""
+WITH facts AS (
+  SELECT nullif(o_orderpriority, '1-URGENT') AS pk2, o_totalprice FROM orders
+), dim AS (
+  SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS dk,
+         coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT-NULL-KEY') AS label
+  FROM orders
+)
+SELECT d.label, count(*) AS n_orders, round(sum(f.o_totalprice), 2) AS revenue
+FROM facts f JOIN dim d ON f.pk2 IS NOT DISTINCT FROM d.dk
+GROUP BY d.label
+ORDER BY d.label
+""",
+)
+def join_nullsafe_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    facts = orders.select(
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("pk2"), "o_totalprice"
+    )
+    dim = (
+        orders.select(F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("dk"))
+        .distinct()
+        .withColumn("label", F.coalesce("dk", F.lit("URGENT-NULL-KEY")))
+    )
+    return (
+        facts.join(F.broadcast(dim), facts["pk2"].eqNullSafe(dim["dk"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    doc="AS-OF join with a TOLERANCE bound (pandas merge_asof semantics): "
+    "for each purchase event, the same user's most recent 'view' event, "
+    "but only if it happened within the preceding hour — stale matches "
+    "drop out.  Same single-shuffle union+window spelling as "
+    "join_asof_event_last_order, with the tolerance as a post-filter on "
+    "the matched timestamp.  Oracle: DuckDB ASOF JOIN + interval filter.",
+    tags=("join", "asof", "tolerance", "ext"),
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_id, l.view_id, l.gap_s
+FROM purchases p, LATERAL (
+  SELECT v.view_id, CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+  FROM views v
+  WHERE v.user_id = p.user_id AND v.ts <= p.ts
+    AND v.ts >= p.ts - INTERVAL 1 HOUR
+  ORDER BY v.ts DESC LIMIT 1
+) l
+ORDER BY purchase_id
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    right = views.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),  # views sort before purchases at equal t
+        F.col("view_id").alias("vid"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    left = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("vid"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        right.unionByName(left)
+        .withColumn("m", F.last(F.when(F.col("kind") == 0, F.struct("t", "vid")), ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("m").isNotNull())
+    )
+    gap = F.unix_timestamp("t") - F.unix_timestamp("m.t")
+    return (
+        matched.filter(gap <= 3600)
+        .select(
+            "purchase_id",
+            F.col("m.vid").alias("view_id"),
+            gap.cast("long").alias("gap_s"),
+        )
+        .orderBy("purchase_id")
+    )
