@@ -786,3 +786,40 @@ def cdc_merge_into_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD)
     target = load_table(spark, sf_dir, "orders")
     return merge_into(target, state, ORDERS_PK, _WAREHOUSE_COLS)
+
+
+@register(
+    "cdc_xml_scalar_roundtrip",
+    doc="Row-level XML dialect fidelity (sibling of cdc_csv_scalar_"
+    "roundtrip on Spark 4's native XML scalars): each order struct "
+    "serializes with to_xml and re-parses with from_xml inside one "
+    "projection — pure codegen'd row transforms, no files.  Aggregates "
+    "over the PARSED columns must equal the oracle's aggregates over "
+    "the raw parquet (lossless roundtrip).  This is the interchange "
+    "path for XML-consuming downstreams the reference served via CSV "
+    "(dump2csv.py:91-94) — same pipeline shape, different wire format.",
+    tags=("cdc", "xml", "scalar", "roundtrip"),
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       sum(o_orderkey) AS key_sum,
+       round(sum(o_totalprice), 2) AS price_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def cdc_xml_scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.to_xml(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+    schema = "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    parsed = orders.select(F.from_xml(xml, schema).alias("row")).select("row.*")
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1981,3 +1981,47 @@ def mm_arrow_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     with_payload = mm.attach_binary_payload(docs)
     return mm.byte_class_profile(with_payload).orderBy("doc_id")
+
+
+@register(
+    "text_char_logprob_score",
+    doc="Statistical language-model quality score with NO external model: "
+    "a character-unigram distribution is estimated from the corpus "
+    "itself (one aggregate), then every document is scored by its mean "
+    "character log-probability — gibberish and encoding damage sit far "
+    "below the corpus mode, giving a cheap perplexity proxy for "
+    "pretraining filtration.  Two passes over the exploded characters; "
+    "the ~100-row distribution broadcasts back, so the scoring join is "
+    "map-side.  All built-ins (split/explode/ln/avg) — no Python.",
+    tags=("text", "llm", "quality", "ext"),
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '')) AS ch
+  FROM documents
+), c2 AS (SELECT * FROM chars WHERE ch <> ''),
+freq AS (SELECT ch, count(*) AS c FROM c2 GROUP BY ch),
+tot AS (SELECT sum(c) AS t FROM freq)
+SELECT d.doc_id, count(*) AS n_scored,
+       round(avg(ln(f.c / (SELECT t FROM tot))), 5) AS logprob
+FROM c2 d JOIN freq f USING (ch)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def text_char_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    dist = F.broadcast(freq.crossJoin(F.broadcast(tot)))
+    return (
+        chars.join(dist, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 5).alias("logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -448,3 +448,41 @@ def test_lateral_decorrelates_no_nested_loop(spark, sf_dir):
     plan = _plan(_QUERIES["join_lateral_latest_order"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" in plan or "WindowGroupLimit" in plan, plan
+
+
+def test_merge_into_is_single_equi_join(spark, sf_dir):
+    """cdc_merge_into_warehouse: the MERGE resolution must plan as ONE
+    equi join (SortMergeJoin FullOuter) — no nested loop, no extra
+    joins; the filter/when resolution is pure projection on top."""
+    import re
+
+    plan = _plan(_QUERIES["cdc_merge_into_warehouse"].fn(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
+    assert n_joins == 1, f"expected exactly one shuffled join, saw {n_joins}"
+
+
+def test_pagerank_broadcasts_degrees(spark, sf_dir):
+    """graph_pagerank_step: the out-degree side is supplier-sized and
+    must broadcast; the only Exchanges are the edge-dedup and the dst
+    aggregation."""
+    plan = _plan(_QUERIES["graph_pagerank_step"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # edges scan reads only the two key columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_checksum_is_two_level_aggregate(spark, sf_dir):
+    """tooling_table_checksum: the bucket fold must be a real partial/
+    final aggregate pair over ONE shuffle on the bucket key, then a
+    single-partition reduce of 256 digests — never a global sort of
+    row-level digests."""
+    import re
+
+    plan = _plan(_QUERIES["tooling_table_checksum"].fn(spark, sf_dir))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, f"bucket shuffle + final gather only, saw {len(exchanges)}"
+    assert "SinglePartition" in plan  # level-2 reduce is digest-sized
