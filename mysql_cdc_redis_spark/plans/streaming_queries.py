@@ -557,3 +557,121 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    doc="Stream-stream LEFT OUTER join (T6/T7 EXT): views left-join the "
+    "same user's purchases within the following 30 minutes; a view with "
+    "no purchase emits its null-extended row only once the watermark "
+    "passes its join horizon (state eviction), never before — the "
+    "defining outer-join-on-streams semantics.  Two far-future sentinel "
+    "batches push the watermark past every real event so the finite "
+    "stream flushes all pending state (same trick as "
+    "stream_session_event_spans).  State is bounded by the watermark "
+    "horizon per side, keyed by user_id.  The oracle is the batch LEFT "
+    "JOIN with the same band.",
+    tags=("streaming", "join", "outer", "ext"),
+    oracle="""
+WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+SELECT v.user_id,
+       count(DISTINCT v.event_id) AS n_views,
+       count(p.event_id) AS n_pairs,
+       count(DISTINCT CASE WHEN p.event_id IS NULL THEN v.event_id END) AS n_unmatched
+FROM v LEFT JOIN p
+  ON p.user_id = v.user_id AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY v.user_id
+ORDER BY v.user_id
+""",
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("sslo_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    # two sentinel files dated after every real event: file 1 advances the
+    # max event time, file 2 runs under the advanced watermark so evicted
+    # unmatched views actually emit before the availableNow query stops.
+    # Sentinels exist for BOTH event types — the global watermark is the
+    # MIN across the two filtered inputs, so advancing only one side
+    # would leave the join watermark pinned at the other side's tail.
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sent = spark.createDataFrame(
+        [(-1, max_ts, "view"), (-1, max_ts, "purchase")],
+        "user_id long, ts timestamp, event_type string",
+    ).select(
+        F.lit(-9).cast("long").alias("event_id"),
+        "user_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*events.columns)
+    import time as _time
+
+    for i, delta in enumerate(("10", "20")):
+        part = _tmp("sslo_sentinel")
+        sent.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {delta} DAYS")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        for f in os.listdir(part):
+            if f.endswith(".parquet"):
+                dst = f"{source_dir}/zz-sentinel-{i}.parquet"
+                os.rename(f"{part}/{f}", dst)
+                os.utime(dst, None)
+        _time.sleep(0.05)
+
+    emissions_dir = _tmp("sslo_emit")
+
+    def _side(etype: str, prefix: str):
+        s = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+            .filter(F.col("event_type") == etype)
+            .withWatermark("ts", "2 hours")
+        )
+        return s.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+        )
+
+    views, buys = _side("view", "v"), _side("purchase", "p")
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions_dir)
+
+    q = (
+        joined.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", _tmp("sslo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = (
+        spark.read.parquet(emissions_dir)
+        .filter(F.col("v_user") >= 0)  # drop sentinels
+        .dropDuplicates(["v_id", "p_id"])  # foreachBatch is at-least-once
+    )
+    return (
+        emitted.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count_distinct("v_id").alias("n_views"),
+            F.count("p_id").alias("n_pairs"),
+            F.count_distinct(F.when(F.col("p_id").isNull(), F.col("v_id"))).alias(
+                "n_unmatched"
+            ),
+        )
+        .orderBy("user_id")
+    )
