@@ -3544,3 +3544,42 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "window_running_distinct_priorities",
+    doc="Running COUNT DISTINCT over a window — not natively supported as "
+    "a window aggregate in Spark, so the scalable spelling is "
+    "size(collect_set() OVER w): per order, how many distinct "
+    "priorities the customer has used up to that date.  The frame is "
+    "RANGE (value-space) so same-day ties share one frame and the "
+    "result is tie-order-insensitive; the set stays bounded by the "
+    "priority domain (5), so state per row is O(domain), not O(rows).  "
+    "Oracle: DuckDB's native count(DISTINCT) OVER with the same frame.",
+    tags=("window", "distinct", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       count(DISTINCT o_orderpriority) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS n_distinct_prio
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def window_running_distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.size(F.collect_set("o_orderpriority").over(w)).cast("long").alias(
+                "n_distinct_prio"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

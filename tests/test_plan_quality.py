@@ -486,3 +486,33 @@ def test_checksum_is_two_level_aggregate(spark, sf_dir):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 2, f"bucket shuffle + final gather only, saw {len(exchanges)}"
     assert "SinglePartition" in plan  # level-2 reduce is digest-sized
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir):
+    """Dynamic partition pruning: a partitioned fact joined to a FILTERED
+    dim on the partition key must plan a dynamicpruning# subquery in the
+    fact scan's PartitionFilters — at 100 TB the runtime skips every
+    partition the dim filter excludes, without a static predicate."""
+    import os
+    import tempfile
+    import uuid
+
+    from mysql_cdc_redis_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), f"dpp_{uuid.uuid4().hex[:8]}")
+    (
+        orders.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("order_month")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select("order_month")
+        .distinct()
+        .filter(F.col("order_month").between("1995-01", "1995-03"))
+    )
+    joined = fact.join(F.broadcast(dim), "order_month").groupBy("order_month").count()
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), f"no DPP subquery in plan:\n{plan}"
