@@ -228,3 +228,37 @@ def byte_class_profile(with_payload: DataFrame, id_col: str = "doc_id") -> DataF
     return with_payload.select(id_col, "payload").mapInArrow(
         _census, schema=BYTE_CLASS_SCHEMA
     )
+
+
+def build_fake_image(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic fake image blob per document: a 12-byte
+    header (magic 'IMG1' + big-endian u32 width/height derived from the
+    text length — same formulas as the decode stub) followed by the
+    UTF-8 text bytes as the fake pixel payload.  Entirely JVM built-ins
+    (to_binary/hex/concat) — this is the writer half of the binary
+    plumbing, no Python in the loop."""
+    n = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    width = (F.lit(64) + n % 577).cast("bigint")
+    height = (F.lit(64) + n % 311).cast("bigint")
+    header = F.concat(
+        F.to_binary(F.lit("494D4731"), F.lit("hex")),  # 'IMG1'
+        F.to_binary(F.lpad(F.hex(width), 8, "0"), F.lit("hex")),
+        F.to_binary(F.lpad(F.hex(height), 8, "0"), F.lit("hex")),
+        F.encode(F.col(text_col), "UTF-8"),
+    )
+    return docs.withColumn("img", header)
+
+
+def parse_image_header(with_img: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reader half: recover magic / dimensions / payload size from the
+    opaque binary column with substring-on-binary + hex + conv — the
+    header-sniffing a 100 TB media lake does BEFORE deciding which blobs
+    reach the (expensive, Python) decoder.  Stays in whole-stage
+    codegen; only pre-filtered candidates ever cross into mapInPandas."""
+    return with_img.select(
+        id_col,
+        F.decode(F.expr("substring(img, 1, 4)"), "UTF-8").alias("magic"),
+        F.conv(F.hex(F.expr("substring(img, 5, 4)")), 16, 10).cast("int").alias("width"),
+        F.conv(F.hex(F.expr("substring(img, 9, 4)")), 16, 10).cast("int").alias("height"),
+        (F.length("img") - 12).cast("bigint").alias("payload_bytes"),
+    )

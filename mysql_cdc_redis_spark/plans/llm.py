@@ -2025,3 +2025,27 @@ def text_char_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_binary_header_parse",
+    doc="Binary header build∘parse entirely JVM-side (multimodal "
+    "plumbing): a fake 12-byte image header (magic + big-endian u32 "
+    "dims) is synthesized per document with to_binary/hex/concat and "
+    "recovered with substring-on-binary + conv — the header-sniff pass "
+    "that gates which blobs ever reach a Python decoder at 100 TB.  "
+    "Oracle computes the expected fields straight from the text "
+    "lengths; a parse that misreads endianness or offsets cannot "
+    "match.",
+    tags=("multimodal", "binary", "ext"),
+    oracle="""
+SELECT doc_id, 'IMG1' AS magic,
+       CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+       CAST(64 + octet_length(encode(text)) % 311 AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents ORDER BY doc_id
+""",
+)
+def mm_binary_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.parse_image_header(mm.build_fake_image(docs)).orderBy("doc_id")
