@@ -2049,3 +2049,62 @@ FROM documents ORDER BY doc_id
 def mm_binary_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mm.parse_image_header(mm.build_fake_image(docs)).orderBy("doc_id")
+
+
+@register(
+    "text_bm25_scores",
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query "
+    "against every document — the classical relevance ranker a corpus "
+    "search/decontamination pass needs before embeddings exist.  Three "
+    "aggregates (term frequencies, document frequencies, mean length), "
+    "the two tiny ones broadcast back; one shuffle on doc_id.  Pure "
+    "built-ins; the oracle recomputes the identical closed form.",
+    tags=("text", "llm", "retrieval", "ext"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dlen) AS avgdl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS f FROM toks
+  WHERE tok IN ('join', 'vector', 'stream') GROUP BY doc_id, tok
+), df AS (SELECT tok, count(*) AS nd FROM tf GROUP BY tok)
+SELECT t.doc_id,
+       round(sum(
+         ln((s.n_docs - d.nd + 0.5) / (d.nd + 0.5) + 1.0)
+         * t.f * 2.2 / (t.f + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+       ), 5) AS bm25
+FROM tf t
+JOIN df d USING (tok)
+JOIN dlen l USING (doc_id)
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = dlen.agg(F.avg("dl")).first()[0]
+    tf = (
+        toks.filter(F.col("tok").isin("join", "vector", "stream"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("nd"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1.0)
+    denom = F.col("f") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(float(avgdl)))
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dlen, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("f") * 2.2 / denom), 5).alias("bm25"))
+        .orderBy("doc_id")
+    )

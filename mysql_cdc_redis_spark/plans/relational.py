@@ -3583,3 +3583,91 @@ def window_running_distinct_priorities(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "join_range_bucketed_global",
+    doc="PURE range join — no shared equi key at all (purchase↔error "
+    "pairs within 5 minutes across ALL users): the naive plan is a "
+    "nested-loop cross product.  The scale spelling buckets time into "
+    "band-width cells, explodes each left row to its cell and the "
+    "next (2 cells), equi-joins on the cell id, then applies the exact "
+    "band as a residual filter — O(n) state per cell instead of O(n·m) "
+    "pairs, and the join is a plain shuffled hash join on cell.  "
+    "Oracle: the unbucketed band join.",
+    tags=("join", "range", "bucketed", "ext"),
+    oracle="""
+SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+       CAST(date_diff('second', e.ts, p.ts) AS BIGINT) AS gap_s
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+  ON e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts
+ORDER BY purchase_id, error_id
+""",
+)
+def join_range_bucketed_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    band = 300  # seconds
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    # errors within [p_ts - band, p_ts]: the error's cell is either the
+    # purchase's cell or the one before it -> explode purchases to both
+    cell = lambda c: (F.unix_timestamp(c) / band).cast("long")  # noqa: E731
+    p2 = purchases.withColumn(
+        "cell", F.explode(F.array(cell(F.col("p_ts")) - 1, cell(F.col("p_ts"))))
+    )
+    e2 = errors.withColumn("cell", cell(F.col("e_ts")))
+    gap = F.unix_timestamp("p_ts") - F.unix_timestamp("e_ts")
+    return (
+        p2.join(e2, "cell")
+        .filter((gap >= 0) & (gap <= band))
+        .select("purchase_id", "error_id", gap.cast("long").alias("gap_s"))
+        .orderBy("purchase_id", "error_id")
+    )
+
+
+@register(
+    "scalar_url_functions",
+    doc="URL scalar surface (parse_url/url_decode): reconstructable URLs "
+    "are synthesized from order columns (incl. an encoded query value), "
+    "then parsed back into host/path/query parts — the P7 gs-URL parse "
+    "(dump2csv.py:236-238) generalized to the full URL grammar.  Oracle "
+    "computes the expected parts directly from the source columns; any "
+    "drift in escaping or part extraction mismatches.",
+    tags=("scalar", "url", "ref:P7", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       'warehouse.example.com' AS host,
+       '/' || o_orderstatus || '/' || CAST(o_orderkey AS VARCHAR) AS path,
+       CAST(o_custkey AS VARCHAR) AS custkey_param,
+       o_orderpriority AS decoded_priority
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://warehouse.example.com/"),
+        F.col("o_orderstatus"),
+        F.lit("/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?custkey="),
+        F.col("o_custkey").cast("string"),
+        F.lit("&prio="),
+        F.url_encode("o_orderpriority"),
+    )
+    with_url = orders.select("o_orderkey", url.alias("url"))
+    return with_url.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("custkey")).alias("custkey_param"),
+        F.url_decode(F.parse_url("url", F.lit("QUERY"), F.lit("prio"))).alias(
+            "decoded_priority"
+        ),
+    ).orderBy("o_orderkey")

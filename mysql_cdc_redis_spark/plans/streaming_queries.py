@@ -675,3 +675,43 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_global_counts_complete",
+    doc="COMPLETE output mode (the third and last output mode, untouched "
+    "by the other entries): a global streaming aggregate re-emits the "
+    "full result table every micro-batch into a memory sink; the final "
+    "emission IS the answer — no finalize dedup needed, complete mode "
+    "replaces prior output wholesale.  State = one row per event_type "
+    "(A1/A2's cache-size counters as a live streaming dashboard).",
+    tags=("streaming", "complete-mode", "agg", "ext"),
+    oracle="""
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def stream_global_counts_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("cmpl_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    table = f"cmpl_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).orderBy("event_type")
