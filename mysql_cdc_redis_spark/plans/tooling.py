@@ -159,7 +159,10 @@ def _fmt_tmp(name: str) -> str:
     "inference pass — at 100 TB schema inference is a full extra scan), "
     "then aggregated.  The oracle aggregates the original parquet directly, so "
     "a match proves the JSON encode/decode is lossless for the typed "
-    "columns.  Timestamps travel as ISO-8601 with microseconds.",
+    "columns.  Timestamps travel as int64 epoch-microseconds "
+    "(unix_micros ∘ timestamp_micros) — the pattern formatter "
+    "('SSSSSS') silently truncates to milliseconds on the JSON write "
+    "path, so the integer encoding is the only lossless choice.",
     tags=("source", "json", "ext"),
     oracle="""
 SELECT event_type,
@@ -174,16 +177,19 @@ GROUP BY event_type ORDER BY event_type
 )
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
     )
     path = _fmt_tmp("events_json")
-    events.write.mode("overwrite").option(
-        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    ).json(path)
+    events.write.mode("overwrite").json(path)
     back = (
         spark.read.schema(events.schema)
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)
+        .withColumn("ts", F.timestamp_micros("ts_us").cast("timestamp_ntz"))
+        .drop("ts_us")
     )
     return (
         back.groupBy("event_type")
