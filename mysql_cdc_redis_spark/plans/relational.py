@@ -3671,3 +3671,271 @@ def scalar_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decoded_priority"
         ),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "window_ewma_monthly_revenue",
+    doc="Exponentially-weighted moving average (alpha=0.5) over each "
+    "nation's monthly revenue series — the smoothing step of a metrics "
+    "pipeline.  EWMA is a sequential recurrence (ewma_t = a*x_t + "
+    "(1-a)*ewma_{t-1}), not a frame aggregate, so the scalable spelling "
+    "is: aggregate to one row per (nation, month) FIRST (tiny), then "
+    "fold the ordered series per nation with F.aggregate over a "
+    "sort_array'd collect_list — state per group is O(months), never "
+    "O(orders).  Both engines fold left-to-right from the first "
+    "element (DuckDB list_reduce has identical init semantics), so the "
+    "float sequence is bit-compatible.  Closed-form power weights "
+    "would overflow 2^k at series length ~1000; the fold never does.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH monthly AS (
+  SELECT n_name, year(o_orderdate)*100 + month(o_orderdate) AS mkey,
+         sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  GROUP BY n_name, mkey
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+       round(list_reduce(list(rev ORDER BY mkey),
+                         (acc, x) -> acc*0.5 + x*0.5), 4) AS ewma_rev
+FROM monthly GROUP BY n_name ORDER BY n_name
+""",
+)
+def window_ewma_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mkey"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    series = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("mkey", "rev"))), lambda s: s["rev"]
+        ).alias("revs"),
+    )
+    return series.select(
+        "n_name",
+        "n_months",
+        F.round(
+            F.expr(
+                "aggregate(slice(revs, 2, size(revs) - 1), revs[0],"
+                " (acc, x) -> acc * 0.5D + x * 0.5D)"
+            ),
+            4,
+        ).alias("ewma_rev"),
+    ).orderBy("n_name")
+
+
+@register(
+    "agg_max_concurrency",
+    doc="Sweep-line max-concurrency: each event opens a 300 s session "
+    "[t, t+300); per event type, the peak number of simultaneously-open "
+    "sessions.  The interval set becomes +1/-1 deltas on a combined "
+    "key k = 2*t + is_start, so an end at time t sorts BEFORE a start "
+    "at t (half-open intervals never overlap at the boundary) and the "
+    "running sum is a RANGE-frame window over a single numeric key — "
+    "peers share one frame, so same-timestamp ties are order-"
+    "insensitive (a ROWS frame over a non-unique order would be "
+    "nondeterministic).  One shuffle on event_type; pure integer math.",
+    tags=("window", "sweepline", "interval", "ext"),
+    oracle="""
+WITH pts AS (
+  SELECT event_type,
+         2 * date_diff('second', TIMESTAMP '1970-01-01', ts) + 1 AS k, 1 AS delta
+  FROM events
+  UNION ALL
+  SELECT event_type,
+         2 * (date_diff('second', TIMESTAMP '1970-01-01', ts) + 300) AS k, -1 AS delta
+  FROM events
+),
+running AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY k
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts
+)
+SELECT event_type, CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM running GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts")
+    pts = events.select(
+        "event_type", (2 * s + 1).alias("k"), F.lit(1).alias("delta")
+    ).unionByName(
+        events.select(
+            "event_type", (2 * (s + 300)).alias("k"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.select("event_type", F.sum("delta").over(w).alias("conc"))
+        .groupBy("event_type")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "window_mom_growth",
+    doc="Period-over-period growth: monthly order revenue per nation with "
+    "month-over-month relative change via lag() — NULL for each "
+    "nation's first month (no fabricated zero).  Aggregate first "
+    "(per-month rows are tiny), window second over the reduced "
+    "relation; the window repartitions by n_name only after the "
+    "aggregate has collapsed the fact table.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH monthly AS (
+  SELECT n_name, year(o_orderdate)*100 + month(o_orderdate) AS mkey,
+         sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  GROUP BY n_name, mkey
+)
+SELECT n_name, mkey,
+       round(rev, 2) AS rev,
+       round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS mom_growth
+FROM monthly
+WINDOW w AS (PARTITION BY n_name ORDER BY mkey)
+ORDER BY n_name, mkey
+""",
+)
+def window_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mkey"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("mkey")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "n_name",
+        "mkey",
+        F.round("rev", 2).alias("rev"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("mom_growth"),
+    ).orderBy("n_name", "mkey")
+
+
+@register(
+    "graph_triangle_count",
+    doc="Triangle counting over the supplier co-occurrence graph (edge = "
+    "two suppliers ship in the same order): the standard a<b<c "
+    "oriented-edge three-way self-join, which counts each triangle "
+    "exactly once and bounds intermediate size by edge orientation "
+    "(every wedge enumerated has a<b<c, so the candidate set is ~half "
+    "the adjacency square).  Complements PageRank-step and "
+    "connected-components for the graph-analytics row.",
+    tags=("graph", "join", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT s1.l_suppkey AS a, s2.l_suppkey AS b
+  FROM lineitem s1 JOIN lineitem s2
+    ON s1.l_orderkey = s2.l_orderkey AND s1.l_suppkey < s2.l_suppkey
+)
+SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.b = e2.a
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("a"))
+    s2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("b"))
+    edges = (
+        s1.join(s2, "ok").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+@register(
+    "profile_column_stats",
+    doc="Table profiling (the warehouse-side ANALYZE a migration sanity-"
+    "check needs): one pass over orders computes per-column null count, "
+    "exact distinct count, and min/max rendered to text; the wide "
+    "aggregate row is then unpivoted to one row per column via an "
+    "inline array-of-structs (map-side, no extra shuffle or rescan — "
+    "profiling N columns must not cost N scans).",
+    tags=("tooling", "profile", "ext"),
+    oracle="""
+SELECT 'o_orderdate' AS col_name, count(*) AS n_rows,
+       count(*) - count(o_orderdate) AS n_nulls,
+       count(DISTINCT o_orderdate) AS n_distinct,
+       CAST(min(o_orderdate) AS VARCHAR) AS min_val,
+       CAST(max(o_orderdate) AS VARCHAR) AS max_val FROM orders
+UNION ALL
+SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+       count(DISTINCT o_orderkey),
+       CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus) FROM orders
+ORDER BY col_name
+""",
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}_nulls").alias("n_nulls"),
+                F.col(f"{c}_distinct").alias("n_distinct"),
+                F.col(f"{c}_min").alias("min_val"),
+                F.col(f"{c}_max").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    )

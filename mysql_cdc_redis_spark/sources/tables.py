@@ -28,18 +28,26 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table.  Plain parquet scan: pushdown-friendly.
 
-    events.ts is parquet timestamp[ns]; Spark reads it as long nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and we convert to a µs
-    timestamp with integer division (double division would lose
-    precision above 2^53 ns)."""
+    events.ts arrives in whatever physical type the fixture generation
+    chose — timestamp[ns] (read as long nanos via
+    spark.sql.legacy.parquet.nanosAsLong) or timestamp[us] with
+    isAdjustedToUTC=false (read as TIMESTAMP_NTZ).  Both normalize here
+    to a session-UTC TIMESTAMP: watermarks/windows require the LTZ type,
+    and under the pinned-UTC session the NTZ→LTZ cast is wall-clock
+    exact.  Integer division for the ns path — double division would
+    lose precision above 2^53 ns."""
     from ..session import ensure_session_confs
 
     ensure_session_confs(spark)  # the driver may pass a vanilla session
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
