@@ -823,3 +823,81 @@ def cdc_xml_scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "cdc_ivm_agg_maintenance",
+    doc="Incremental view maintenance over the changelog: a per-status "
+    "revenue aggregate is maintained as agg(state0) + delta(batch) — "
+    "the batch's contribution is new-contrib(touched keys after "
+    "merge_state) minus old-contrib(touched keys in state0), so only "
+    "keys the batch touched are re-read; untouched state rows never "
+    "re-enter the plan (SURVEY.md §4 incremental computation, the "
+    "aggregate-level analog of rcache.py:246-254's per-row merge).  "
+    "Money sums run in DECIMAL(18,2) on both engines, so maintained-"
+    "equals-recomputed is exact to the cent, not merely within float "
+    "noise.  The oracle recomputes the aggregate from the fully-"
+    "compacted state — IVM == recompute is the whole point.",
+    tags=("cdc", "incremental", "ivm", "agg"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+state AS (
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_orderstatus, seq) AS o_orderstatus,
+           arg_max(o_totalprice, seq) AS o_totalprice
+    FROM ch WHERE o_orderkey IS NOT NULL
+    GROUP BY 1
+  ) WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_live,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def cdc_ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import merge_state, rid_expr
+
+    ch = orders_changelog(spark, sf_dir)
+    cut = ch.selectExpr("percentile_approx(seq, 0.6, 10000) AS m").collect()[0]["m"]
+    state0 = compact(ch.filter(F.col("seq") <= cut), ORDERS_PK, ORDERS_PAYLOAD)
+    batch = ch.filter(F.col("seq") > cut)
+
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    live = F.col("cdc_action") != "delete"
+
+    # base aggregate over the pre-batch state (this is the maintained view)
+    agg0 = (
+        state0.filter(live)
+        .groupBy("o_orderstatus")
+        .agg(F.sum(price).alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+
+    # keys the batch touches: old contribution retracts, new contribution adds
+    touched = batch.select(rid_expr(ORDERS_PK).alias("rid")).where(
+        F.col("rid").isNotNull()
+    ).distinct()
+    old_touched = state0.join(touched, "rid", "semi")
+    new_touched = merge_state(old_touched, batch, ORDERS_PK, ORDERS_PAYLOAD)
+
+    retract = old_touched.filter(live).select(
+        "o_orderstatus", (-price).alias("v"), F.lit(-1).cast("long").alias("n")
+    )
+    add = new_touched.filter(live).select(
+        "o_orderstatus", price.alias("v"), F.lit(1).cast("long").alias("n")
+    )
+    return (
+        agg0.unionByName(retract)
+        .unionByName(add)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("v").alias("total_price"), F.sum("n").alias("n_live"))
+        .filter(F.col("n_live") > 0)
+        .select(
+            "o_orderstatus",
+            "n_live",
+            F.col("total_price").cast("decimal(18,2)").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

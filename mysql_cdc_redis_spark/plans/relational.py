@@ -3939,3 +3939,181 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("col_name")
     )
+
+
+@register(
+    "join_broadcast_range_lookup",
+    doc="Dimension-interval lookup (the price-bracket / IP-geolocation "
+    "shape): facts land in a bracket via lo <= v < hi with NO equi key, "
+    "so the only sane physical plan is a broadcast nested-loop against "
+    "the tiny interval dim — O(|facts| x |brackets|) with |brackets| "
+    "constant beats any shuffle.  The explicit broadcast() pins that "
+    "choice; at 100 TB the fact side streams through map tasks "
+    "untouched.  Bracket bounds are integers, so membership is exact.",
+    tags=("join", "range", "broadcast", "ext"),
+    oracle="""
+WITH brackets(bracket, lo, hi) AS (
+  VALUES ('p0_low', 0, 20000), ('p1_mid', 20000, 45000),
+         ('p2_high', 45000, 70000), ('p3_lux', 70000, 1000000000)
+)
+SELECT bracket, count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN brackets
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY bracket ORDER BY bracket
+""",
+)
+def join_broadcast_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    brackets = spark.createDataFrame(
+        [
+            ("p0_low", 0, 20_000),
+            ("p1_mid", 20_000, 45_000),
+            ("p2_high", 45_000, 70_000),
+            ("p3_lux", 70_000, 1_000_000_000),
+        ],
+        "bracket string, lo long, hi long",
+    )
+    return (
+        li.join(
+            F.broadcast(brackets),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("bracket")
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    doc="Weighted average (avg price per unit, quantity-weighted) per "
+    "return flag: the numerator and denominator are separate partial-"
+    "aggregable sums (a plain ratio of avgs would be wrong and a "
+    "one-pass UDAF unnecessary); the ratio is taken only at the end "
+    "on the collapsed per-group row.",
+    tags=("agg", "ext"),
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity), 2) AS sum_pq,
+       round(sum(l_quantity), 2) AS sum_q,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS weighted_avg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    q = F.sum("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(pq, 2).alias("sum_pq"),
+            F.round(q, 2).alias("sum_q"),
+            F.round(pq / q, 6).alias("weighted_avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "window_rows_sliding_avg",
+    doc="ROWS-frame moving average (7-row trailing mean of order value "
+    "per priority, ordered by the unique order key): a ROWS frame over "
+    "a non-unique ordering would be nondeterministic, so the frame "
+    "ordering is pinned to the key.  Complements the RANGE/interval "
+    "frames already covered — ROWS and RANGE hit different window-exec "
+    "code paths.",
+    tags=("window", "frame", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_orderkey
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM orders ORDER BY o_orderkey
+""",
+)
+def window_rows_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    return orders.select(
+        "o_orderkey", F.round(F.avg("o_totalprice").over(w), 4).alias("ma7")
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "anomaly_zscore_events",
+    doc="Grouped z-score outlier detection: per event type, flag events "
+    "whose value deviates > 2.5 sample standard deviations from the "
+    "type mean.  Aggregate-then-broadcast-join — the per-type "
+    "moments are 5 rows, so the fact table is scanned once and the "
+    "scoring join is map-side; no window materialization over the full "
+    "stream.",
+    tags=("agg", "anomaly", "ext"),
+    oracle="""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, round(value, 4) AS value,
+       round((value - mu) / sigma, 4) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(value - mu) > 2.5 * sigma
+ORDER BY event_id
+""",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .where(F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "scalar_radix_hex_bin",
+    doc="Radix-rendering scalar surface: hexadecimal and binary text "
+    "forms of the order key (hex/bin — the digest-prefix bucketing of "
+    "the table checksum and the band-key rendering of LSH both lean on "
+    "radix text forms being engine-identical).",
+    tags=("scalar", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       to_hex(o_orderkey) AS key_hex,
+       bin(o_orderkey) AS key_bin,
+       length(bin(o_orderkey)) AS bin_digits
+FROM orders WHERE o_orderkey IS NOT NULL ORDER BY o_orderkey
+""",
+)
+def scalar_radix_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey").isNotNull())
+        .select(
+            "o_orderkey",
+            F.hex("o_orderkey").alias("key_hex"),
+            F.bin("o_orderkey").alias("key_bin"),
+            F.length(F.bin("o_orderkey")).cast("long").alias("bin_digits"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -411,3 +411,38 @@ def tooling_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.expr("md5(listagg(digest, '') WITHIN GROUP (ORDER BY bucket))").alias("checksum"),
     )
+
+
+@register(
+    "tooling_partition_skew_report",
+    doc="Shuffle-balance diagnostic: the row-count histogram a key would "
+    "produce under hash partitioning, approximated engine-neutrally by "
+    "key mod 32 (both engines' internal hashes differ, so the modulo "
+    "proxy keeps the oracle exact while preserving the diagnostic "
+    "shape).  Reports per-bucket counts plus each bucket's ratio to "
+    "the mean — ratio >> 1 is the skewed-reducer warning that says "
+    "'salt this key' before a 100 TB shuffle, not after it dies.",
+    tags=("tooling", "skew", "ext"),
+    oracle="""
+WITH b AS (
+  SELECT o_custkey % 32 AS bucket, count(*) AS n_rows
+  FROM orders GROUP BY bucket
+)
+SELECT bucket, n_rows,
+       round(n_rows / (avg(n_rows) OVER ()), 4) AS ratio_to_mean
+FROM b ORDER BY bucket
+""",
+)
+def tooling_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy((F.col("o_custkey") % 32).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "bucket",
+        "n_rows",
+        F.round(F.col("n_rows") / F.avg("n_rows").over(w), 4).alias("ratio_to_mean"),
+    ).orderBy("bucket")
