@@ -341,3 +341,39 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), "component")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed shingle containment |A∩B| / |A| ≥ threshold — catches a
+    document embedded inside a larger one, which symmetric Jaccard
+    misses (a 100-word doc fully inside a 10k-word doc has Jaccard
+    ≈ 0.01 but containment 1.0).  Same inverted-index join as
+    ngram_jaccard_pairs; the undirected common counts are computed once
+    (a<b) and emitted in both directions, so the quadratic part is not
+    paid twice.  Returns (a, b, containment): fraction of a's shingles
+    inside b."""
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x = sh.select(F.col("doc_id").alias("a"), "h")
+    y = sh.select(F.col("doc_id").alias("b"), "h")
+    common = (
+        x.join(y, "h")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    directed = common.unionByName(
+        common.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_common")
+    )
+    return (
+        directed.join(sizes.select(F.col("doc_id").alias("a"), "n_sh"), "a")
+        .withColumn("containment", F.round(F.col("n_common") / F.col("n_sh"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )

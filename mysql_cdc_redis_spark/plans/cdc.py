@@ -901,3 +901,30 @@ def cdc_ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_TT_CUTOFF = "1995-06-30"
+
+
+@register(
+    "cdc_state_time_travel",
+    doc="Point-in-time state reconstruction (time travel): the warehouse "
+    "state as of a past cutoff is just compaction over the changelog "
+    "prefix cdc_ts <= T — the changelog IS the history, so any "
+    "as-of-T state is recoverable without stored snapshots "
+    "(the reference can only replay forward from CSV dumps, "
+    "loadcsv.py:6-8; a Spark changelog gets arbitrary-T recovery for "
+    "free).  The ts predicate pushes into the changelog scan, so only "
+    "the prefix is read.",
+    tags=("cdc", "timetravel", "ref:M4"),
+    oracle=_oracle_compact_sql(
+        f"SELECT * FROM ({ORDERS_CHANGELOG_SQL}) WHERE cdc_ts <= DATE '{_TT_CUTOFF}'",
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+    ),
+)
+def cdc_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir).filter(
+        F.col("cdc_ts") <= F.lit(_TT_CUTOFF).cast("date")
+    )
+    return compact(ch, ORDERS_PK, ORDERS_PAYLOAD)

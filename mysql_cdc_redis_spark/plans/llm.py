@@ -2108,3 +2108,38 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(idf * F.col("f") * 2.2 / denom), 5).alias("bm25"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    doc="Directed shingle-containment near-dup pairs (|A∩B|/|A| ≥ 0.5): "
+    "the asymmetric complement of Jaccard — a short document wholly "
+    "embedded in a long one scores containment ~1.0 while its Jaccard "
+    "is ~|A|/|B| (invisible at any sane threshold).  Undirected common "
+    "counts computed once (a<b) then emitted both ways; shuffle "
+    "payload is 60-bit shingle hashes, never text.",
+    tags=("dedup", "containment", "ext"),
+    oracle=f"""
+WITH {_DOCS_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM shh x JOIN shh y ON x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT a, b, n_common FROM common
+  UNION ALL
+  SELECT b AS a, a AS b, n_common FROM common
+)
+SELECT a, b, containment FROM (
+  SELECT d.a, d.b, round(d.n_common / s.n_sh, 6) AS containment
+  FROM directed d JOIN sizes s ON s.doc_id = d.a
+)
+WHERE containment >= 0.5
+ORDER BY a, b
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, n=3, threshold=0.5).orderBy("a", "b")

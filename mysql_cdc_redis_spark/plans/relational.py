@@ -4117,3 +4117,152 @@ def scalar_radix_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "window_rank_with_ties",
+    doc="Top-3 orders per priority by value with tie semantics made "
+    "explicit: rank() admits ties (the result set can exceed 3 rows "
+    "per group and is therefore deterministic even on duplicate "
+    "values), dense_rank() shows the gap-free variant alongside — "
+    "complementing the row_number()-based top-k entries whose "
+    "uniqueness comes from the key tiebreak.  Plans as one window "
+    "over a single hash partition exchange; WindowGroupLimit pushes "
+    "the rank filter below the full sort at scale.",
+    tags=("window", "rank", "ext"),
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey,
+         round(o_totalprice, 2) AS price,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+)
+WHERE rnk <= 3
+ORDER BY o_orderpriority, rnk, o_orderkey
+""",
+)
+def window_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .where(F.col("rnk") <= 3)
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    doc="Multiple COUNT(DISTINCT ...) over different columns in ONE "
+    "aggregate: Catalyst plans this via Expand (one row replicated per "
+    "distinct-column group) + two-phase aggregate, so it stays a "
+    "single pass over the fact table instead of one scan per distinct "
+    "column — the plan-shape guardrail asserts the Expand.",
+    tags=("agg", "distinct", "ext"),
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(DISTINCT year(o_orderdate)) AS n_years,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "scalar_string_breadth2",
+    doc="Second string-scalar sweep (P8 continued): lpad/rpad padding, "
+    "translate, repeat, reverse and printf-style formatting — the "
+    "render-side functions a CSV/report sink leans on, pinned "
+    "engine-identical.",
+    tags=("scalar", "ref:P8", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+       rpad(o_orderstatus, 4, '.') AS status_padded,
+       translate(o_orderpriority, '-', '_') AS prio_snake,
+       repeat(o_orderstatus, 3) AS status_x3,
+       reverse(o_orderpriority) AS prio_rev,
+       printf('%s#%d', o_orderstatus, o_orderkey) AS composite
+FROM orders WHERE o_orderkey IS NOT NULL ORDER BY o_orderkey
+""",
+)
+def scalar_string_breadth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey").isNotNull())
+        .select(
+            "o_orderkey",
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+            F.rpad("o_orderstatus", 4, ".").alias("status_padded"),
+            F.translate("o_orderpriority", "-", "_").alias("prio_snake"),
+            F.repeat("o_orderstatus", 3).alias("status_x3"),
+            F.reverse("o_orderpriority").alias("prio_rev"),
+            F.format_string("%s#%d", "o_orderstatus", "o_orderkey").alias("composite"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "layout_compact_small_files",
+    doc="Small-file compaction (OPTIMIZE): a 64-way fragmented parquet "
+    "table is rewritten via repartitionByRange(4, key) — range layout "
+    "gives disjoint per-file key spans (min/max footer stats become "
+    "selective) and ~16x fewer, target-sized files; at 100 TB the "
+    "small-files problem is a namenode/scan-setup killer long before "
+    "it is a CPU one.  The aggregate over the compacted copy proves "
+    "the rewrite is content-preserving (oracle aggregates the "
+    "original); the file-count/layout assertions live in "
+    "tests/test_zorder_layout.py::test_small_file_compaction_layout.",
+    tags=("layout", "sink", "ext"),
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(DISTINCT o_orderkey) AS n_keys
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = os.path.join(tempfile.gettempdir(), f"compact_demo_{uuid.uuid4().hex[:8]}")
+    frag, tidy = f"{base}/frag", f"{base}/tidy"
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartitionByRange(4, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(tidy)
+    return (
+        spark.read.parquet(tidy)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -516,3 +516,60 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, sf_dir):
     joined = fact.join(F.broadcast(dim), "order_month").groupBy("order_month").count()
     plan = _plan(joined)
     assert "dynamicpruning" in plan.lower(), f"no DPP subquery in plan:\n{plan}"
+
+
+def test_broadcast_range_lookup_is_bnlj(spark, sf_dir):
+    # no equi key: the interval dim must go broadcast nested-loop, and
+    # the fact side must never shuffle
+    plan = _plan(_QUERIES["join_broadcast_range_lookup"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    import re
+
+    pre_agg = plan.split("HashAggregate")[0]
+    assert not re.search(r"\(\d+\) Exchange", pre_agg), "fact side shuffled before join"
+
+
+def test_anomaly_zscore_broadcasts_moments(spark, sf_dir):
+    # the 5-row moments relation must broadcast; the events scan must
+    # not shuffle to meet it
+    plan = _plan(_QUERIES["anomaly_zscore_events"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ewma_aggregates_before_fold(spark, sf_dir):
+    # the collect_list fold must run over the per-(nation, month)
+    # aggregate (tiny), never over raw orders: two hash aggregates
+    # (month rollup, series assembly) precede the projection
+    plan = _plan(_QUERIES["window_ewma_monthly_revenue"].fn(spark, sf_dir))
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+    # raw order columns must not survive into the fold input
+    assert "o_totalprice" not in plan.split("ObjectHashAggregate")[-1]
+
+
+def test_ivm_touches_only_batch_keys(spark, sf_dir):
+    # the IVM plan must semi-join state down to touched rids before the
+    # merge fold — LeftSemi is the "only changed keys re-enter" evidence
+    plan = _plan(_QUERIES["cdc_ivm_agg_maintenance"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_sweepline_single_shuffle_per_branch(spark, sf_dir):
+    # union of start/end deltas then one window + one agg: the window
+    # partitioning (event_type) must be reused by the final groupBy —
+    # AQE-planned exchange reuse keeps it to union-side exchanges only
+    plan = _plan(_QUERIES["agg_max_concurrency"].fn(spark, sf_dir))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_multi_distinct_single_pass_expand(spark, sf_dir):
+    # three count-distincts + one plain count must plan as Expand +
+    # two-phase aggregate over ONE scan of orders, not one scan per
+    # distinct column
+    plan = _plan(_QUERIES["agg_multi_distinct"].fn(spark, sf_dir))
+    assert "Expand" in plan
+    import re
+
+    # formatted mode prints each node in the tree AND a "(n) Scan parquet"
+    # detail header — count the detail headers
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"expected a single orders scan, saw {n_scans}"
