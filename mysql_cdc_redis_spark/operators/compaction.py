@@ -283,3 +283,58 @@ def scd2_history(
         F.row_number().over(w).alias("version"),
         *[F.col(c) for c in payload_cols if c not in (ts_col,)],
     )
+
+
+def state_diff(
+    old_state: DataFrame,
+    new_state: DataFrame,
+    payload_cols: list[str] | tuple[str, ...],
+    rid_col: str = "rid",
+    action_col: str = "cdc_action",
+) -> DataFrame:
+    """Change-data-feed synthesis: diff two compacted states into the
+    minimal changelog that transforms one into the other — the INVERSE
+    of ``compact`` (the reference can only replay recorded events
+    forward; snapshot-diff recovers a change feed even where the binlog
+    was lost or never captured, e.g. bootstrapping CDC from two
+    warehouse snapshots).
+
+    Live rows (non-tombstones) of each side full-outer-join on rid:
+    present only in new → insert; only in old → delete; both but any
+    payload column differs (null-safe) → update.  One shuffle on rid —
+    at 100 TB both states are already rid-keyed parquet, so with
+    bucketed layouts even that exchange disappears.
+
+    Returns (rid, change_type, before_<c>/after_<c> per payload col).
+    """
+    def live(df: DataFrame, side: str) -> DataFrame:
+        return df.filter(F.col(action_col) != "delete").select(
+            F.col(rid_col).alias("rid"),
+            F.lit(True).alias(f"_{side}"),
+            *[F.col(c).alias(f"{side}_{c}") for c in payload_cols],
+        )
+
+    o, n = live(old_state, "before"), live(new_state, "after")
+    j = o.join(n, "rid", "full_outer")
+    differs = reduce(
+        or_,
+        [
+            ~F.col(f"before_{c}").eqNullSafe(F.col(f"after_{c}"))
+            for c in payload_cols
+        ],
+    )
+    change = (
+        F.when(F.col("_before").isNull(), "insert")
+        .when(F.col("_after").isNull(), "delete")
+        .otherwise("update")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where((F.col("change_type") != "update") | differs)
+        .select(
+            "rid",
+            "change_type",
+            *[f"before_{c}" for c in payload_cols],
+            *[f"after_{c}" for c in payload_cols],
+        )
+    )

@@ -928,3 +928,146 @@ def cdc_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cdc_ts") <= F.lit(_TT_CUTOFF).cast("date")
     )
     return compact(ch, ORDERS_PK, ORDERS_PAYLOAD)
+
+
+def _live_state_sql(src_filter: str) -> str:
+    """CTE body: live compacted orders state (rid, status, price) from
+    the shared changelog under an extra WHERE clause."""
+    return f"""
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_orderstatus, seq) AS o_orderstatus,
+           arg_max(o_totalprice, seq) AS o_totalprice
+    FROM ch WHERE o_orderkey IS NOT NULL AND {src_filter}
+    GROUP BY 1
+  ) WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')"""
+
+
+@register(
+    "cdc_state_diff_feed",
+    doc="Change-data-feed synthesis by snapshot diff — the INVERSE of "
+    "compaction: the live state as of the cutoff vs. the final live "
+    "state, full-outer-joined on rid into the minimal insert/update/"
+    "delete feed that transforms one into the other (bootstrapping CDC "
+    "where no binlog exists; the reference has no such recovery path — "
+    "loadcsv replay, loadcsv.py:6-8, needs recorded events).  "
+    "Null-safe payload comparison; one rid shuffle.",
+    tags=("cdc", "diff", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+old_state AS ({{old_body}}),
+new_state AS ({{new_body}})
+SELECT coalesce(o.rid, n.rid) AS rid,
+       CASE WHEN o.rid IS NULL THEN 'insert'
+            WHEN n.rid IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.o_orderstatus AS before_o_orderstatus,
+       o.o_totalprice  AS before_o_totalprice,
+       n.o_orderstatus AS after_o_orderstatus,
+       n.o_totalprice  AS after_o_totalprice
+FROM old_state o FULL OUTER JOIN new_state n ON o.rid = n.rid
+WHERE o.rid IS NULL OR n.rid IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+ORDER BY rid
+""".format(
+        old_body=_live_state_sql(f"cdc_ts <= DATE '{_TT_CUTOFF}'"),
+        new_body=_live_state_sql("TRUE"),
+    ),
+)
+def cdc_state_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import state_diff
+
+    ch = orders_changelog(spark, sf_dir)
+    old = compact(
+        ch.filter(F.col("cdc_ts") <= F.lit(_TT_CUTOFF).cast("date")),
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+    )
+    new = compact(ch, ORDERS_PK, ORDERS_PAYLOAD)
+    return state_diff(old, new, ("o_orderstatus", "o_totalprice")).orderBy("rid")
+
+
+@register(
+    "cdc_quality_constraint_checks",
+    doc="Declarative data-quality gate (the warehouse-side form of "
+    "loadcsv.py's pk validation): five constraint checks over orders — "
+    "pk uniqueness, NOT NULL, accepted values, date range (all four "
+    "fused into ONE scan/aggregate) plus referential integrity into "
+    "customer (left-anti count) — emitted as one (check, n_violations) "
+    "report.  Constraints that pass report 0 rather than vanishing, so "
+    "the report schema is stable for alerting.  The accepted-values "
+    "and date-range sets are deliberately tight so real rows violate "
+    "them: the checks are shown counting, not vacuously green.",
+    tags=("cdc", "quality", "tooling", "ext"),
+    oracle="""
+SELECT 'accepted_status' AS check_name,
+       CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O')) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'custkey_not_null',
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'date_in_range',
+       CAST(count(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+                                OR o_orderdate > DATE '1998-08-02') AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'fk_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'pk_unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+ORDER BY check_name
+""",
+)
+def cdc_quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    scan_checks = orders.agg(
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "O")).cast("long")
+        ).alias("accepted_status"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("custkey_not_null"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1992-01-01"))
+                | (F.col("o_orderdate") > F.lit("1998-08-02"))
+            ).cast("long")
+        ).alias("date_in_range"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_unique"),
+    )
+    fused = scan_checks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("check_name"),
+                        F.col(c).alias("n_violations"),
+                    )
+                    for c in (
+                        "accepted_status",
+                        "custkey_not_null",
+                        "date_in_range",
+                        "pk_unique",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    fk = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("fk_customer").alias("check_name"), "n_violations")
+    )
+    return fused.unionByName(fk).orderBy("check_name")

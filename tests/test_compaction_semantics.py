@@ -206,3 +206,42 @@ def test_merge_into_sql_merge_semantics(spark):
         (5, "E"),
     }
     assert out.columns == ["id", "v"]
+
+
+def test_state_diff_feed_roundtrip(spark):
+    """state_diff(old, new) applied to old via merge_state reproduces
+    new's live rows — the diff really is the minimal transforming
+    changelog (inverse-of-compaction property)."""
+    from mysql_cdc_redis_spark.operators.compaction import merge_state, state_diff
+
+    events = [
+        (1, 1, "insert", "a"),
+        (2, 2, "insert", "b"),
+        (3, 3, "insert", "c"),
+        (4, 4, "update", "d"),
+        # --- cutoff: state0 = keys {1,2,3,4} ---
+        (5, 1, "delete", "e"),   # key 1 vanishes
+        (6, 2, "update", "f"),   # key 2 changes payload
+        (7, 5, "insert", "g"),   # key 5 appears
+    ]
+    old = compact(_changelog(spark, [e for e in events if e[0] <= 4]), PK, PAYLOAD)
+    new = compact(_changelog(spark, events), PK, PAYLOAD)
+
+    feed = state_diff(old, new, PAYLOAD)
+    rows = {r["rid"]: r["change_type"] for r in feed.collect()}
+    assert rows == {"1": "delete", "2": "update", "5": "insert"}
+
+    # feed -> changelog -> merge over old == new (live rows)
+    feed_ch = feed.select(
+        F.lit(100).cast("long").alias("seq"),
+        F.lit("t").alias("tbl"),
+        F.col("change_type").alias("cdc_action"),
+        F.col("rid").cast("int").alias("id"),
+        F.coalesce("after_v", "before_v").alias("v"),
+    )
+    merged = merge_state(old, feed_ch, PK, PAYLOAD)
+    live = lambda df: {
+        r["rid"]: r["v"]
+        for r in df.filter(F.col("cdc_action") != "delete").collect()
+    }
+    assert live(merged) == live(new)
