@@ -954,6 +954,7 @@ def _live_state_sql(src_filter: str) -> str:
     "loadcsv replay, loadcsv.py:6-8, needs recorded events).  "
     "Null-safe payload comparison; one rid shuffle.",
     tags=("cdc", "diff", "ext"),
+    bench=True,
     oracle=f"""
 WITH ch AS ({ORDERS_CHANGELOG_SQL}),
 old_state AS ({{old_body}}),

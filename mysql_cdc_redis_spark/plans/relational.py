@@ -4266,3 +4266,91 @@ def layout_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "window_linear_interpolate",
+    doc="Linear interpolation of missing series values (time-series "
+    "repair, the two-sided upgrade of LOCF): per customer, orders are "
+    "a position-indexed series whose value is deterministically "
+    "NULLed (key%3=1 simulates sensor dropout); each gap fills as "
+    "prev + (next-prev)*(i-pi)/(ni-pi) from the nearest non-null "
+    "neighbours via IGNORE NULLS window lookups — two windows over "
+    "ONE hash partitioning on the series key, no self-joins.  Edge "
+    "gaps (no neighbour on one side) stay NULL — fabricating data "
+    "past the boundary is a correctness bug, not a feature.",
+    tags=("window", "timeseries", "interpolate", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS i,
+         CASE WHEN o_orderkey % 3 = 1 THEN NULL
+              ELSE round(o_totalprice, 2) END AS v
+  FROM orders WHERE o_orderkey IS NOT NULL
+),
+nb AS (
+  SELECT o_custkey, o_orderkey, i, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY i
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY i
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni
+  FROM s
+)
+SELECT o_custkey, o_orderkey,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * (i - pi) / (ni - pi)
+             END, 4) AS v_filled,
+       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+FROM nb ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull()
+    )
+    wp = Window.partitionBy("o_custkey").orderBy("i")
+    before = wp.rowsBetween(Window.unboundedPreceding, -1)
+    after = wp.rowsBetween(1, Window.unboundedFollowing)
+    s = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+        .alias("i"),
+        F.when(F.col("o_orderkey") % 3 == 1, None)
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("v"),
+    )
+    vi = F.when(F.col("v").isNotNull(), F.col("i"))
+    nb = s.select(
+        "*",
+        F.last("v", ignorenulls=True).over(before).alias("pv"),
+        F.last(vi, ignorenulls=True).over(before).alias("pi"),
+        F.first("v", ignorenulls=True).over(after).alias("nv"),
+        F.first(vi, ignorenulls=True).over(after).alias("ni"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (F.col("i") - F.col("pi")) / (
+        F.col("ni") - F.col("pi")
+    )
+    return nb.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+            ),
+            4,
+        ).alias("v_filled"),
+        (
+            F.col("v").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()
+        ).alias("interpolated"),
+    ).orderBy("o_custkey", "o_orderkey")

@@ -446,3 +446,47 @@ def tooling_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_rows",
         F.round(F.col("n_rows") / F.avg("n_rows").over(w), 4).alias("ratio_to_mean"),
     ).orderBy("bucket")
+
+
+@register(
+    "source_parquet_codec_matrix",
+    doc="Compression-codec matrix: the same orders projection written "
+    "parquet-zstd / snappy / gzip / lz4 and read back, each arm "
+    "aggregated to an identical content digest — codec choice must "
+    "never change bytes-on-read (it changes bytes-on-disk and "
+    "scan CPU: zstd ~2x smaller than snappy, snappy/lz4 fastest "
+    "to decode; at 100 TB the scan is IO-bound so zstd usually "
+    "wins end-to-end).  Oracle: one aggregate of the source "
+    "cross-joined with the codec labels.",
+    tags=("source", "parquet", "codec", "ext"),
+    oracle="""
+SELECT codec, n_orders, key_sum, price_sum
+FROM (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) c(codec)
+CROSS JOIN (
+  SELECT count(*) AS n_orders,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         round(sum(o_totalprice), 2) AS price_sum
+  FROM orders WHERE o_orderkey IS NOT NULL
+)
+ORDER BY codec
+""",
+)
+def source_parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull()
+    ).select("o_orderkey", "o_totalprice")
+    out = None
+    for codec in ("gzip", "lz4", "snappy", "zstd"):
+        path = _fmt_tmp(f"orders_{codec}")
+        orders.write.mode("overwrite").option("compression", codec).parquet(path)
+        arm = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            )
+            .select(F.lit(codec).alias("codec"), "*")
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("codec")
