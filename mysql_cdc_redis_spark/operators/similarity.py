@@ -395,3 +395,87 @@ def kmeans_lloyd_step(
         .agg(F.min_by(F.struct("cluster", "dist_r"), F.struct("dist_r", "cluster")).alias("m"))
         .select(id_col, F.col("m.cluster").alias("cluster"), F.col("m.dist_r").alias("dist_r"))
     )
+
+
+def pq_quantize(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: each vector splits into ``m`` subvectors,
+    each subvector is assigned its nearest codebook centroid, and the
+    vector compresses to ``m`` small codes — 64 float32 (256 B) become
+    4 nibbles at k=16.  PQ is how billion-scale ANN fits in RAM
+    (IVF-PQ); this operator is the encode pass.
+
+    Codebook here = the subvectors of the ``k`` lowest-id vectors — a
+    deterministic stand-in for the k-means-trained codebook (training
+    is a tiny driver-side loop in practice; the distributed encode is
+    the 100 TB-shaped part).  The codebook is k·dim floats → broadcast;
+    the encode is one map-side cross join + per-(vector, subspace)
+    argmin, no shuffle of the embedding table until the final code
+    assembly groupBy.
+
+    All arithmetic in DOUBLE with a left-fold sum, so the oracle's
+    list_reduce reproduces bit-identical distances.  Ties break on
+    centroid id (row_number over (dist, cid)) — argmin must be total.
+
+    Returns (id_col, c0..c{m-1}, recon_err).
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(emb.select(vec_col).first()[0])
+    s = dim // m
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    cent_rows = (
+        emb.select(F.col(id_col).alias("_id"), dvec.alias("v"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    cent = [
+        (cid, mm, [float(x) for x in r["v"][mm * s : (mm + 1) * s]])
+        for cid, r in enumerate(cent_rows)
+        for mm in range(m)
+    ]
+    cent_df = emb.sparkSession.createDataFrame(
+        cent, f"cid int, m int, cv array<double>"
+    )
+
+    sub = emb.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mm).alias("m"),
+                        F.slice(dvec, mm * s + 1, s).alias("sv"),
+                    )
+                    for mm in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.m", "e.sv")
+
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = sub.join(F.broadcast(cent_df), "m").select(
+        id_col, "m", "cid", dist.alias("dist")
+    )
+    w = Window.partitionBy(id_col, "m").orderBy("dist", "cid")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    code_cols = [
+        F.max(F.when(F.col("m") == mm, F.col("cid"))).cast("long").alias(f"c{mm}")
+        for mm in range(m)
+    ]
+    return (
+        best.groupBy(id_col)
+        .agg(*code_cols, F.round(F.sum("dist"), 6).alias("recon_err"))
+        .orderBy(id_col)
+    )

@@ -2143,3 +2143,61 @@ ORDER BY a, b
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.containment_pairs(docs, n=3, threshold=0.5).orderBy("a", "b")
+
+
+@register(
+    "sim_pq_quantize",
+    doc="Product-quantization encode (the missing quarter of the ANN "
+    "family next to brute-force / LSH / IVF): 64-d float vectors "
+    "compress to 4 codebook codes (one per 16-d subspace) + a "
+    "reconstruction error — the memory layout that lets billion-"
+    "vector ANN indexes live in RAM (IVF-PQ).  Deterministic seed "
+    "codebook (subvectors of the 16 lowest-id vectors); encode is a "
+    "broadcast cross join + per-subspace argmin with total "
+    "tie-break, double math with left-fold sums so the oracle is "
+    "bit-identical.",
+    tags=("similarity", "pq", "ext"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM e ORDER BY vec_id LIMIT 16
+),
+ms AS (SELECT unnest(range(0, 4)) AS m),
+sub AS (
+  SELECT vec_id, m, list_transform(range(1, 17), j -> v[m*16 + j]) AS sv
+  FROM e, ms
+),
+csub AS (
+  SELECT cid, m, list_transform(range(1, 17), j -> v[m*16 + j]) AS cv
+  FROM cent, ms
+),
+d AS (
+  SELECT vec_id, s.m, cid,
+         list_reduce(list_transform(range(1, 17),
+                                    j -> (sv[j] - cv[j]) * (sv[j] - cv[j])),
+                     (x, y) -> x + y) AS dist
+  FROM sub s JOIN csub c ON s.m = c.m
+),
+best AS (
+  SELECT vec_id, m, cid, dist,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+  FROM d
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS c0,
+       CAST(max(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS c1,
+       CAST(max(CASE WHEN m = 2 THEN cid END) AS BIGINT) AS c2,
+       CAST(max(CASE WHEN m = 3 THEN cid END) AS BIGINT) AS c3,
+       round(sum(dist), 6) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_quantize
+
+    return pq_quantize(load_table(spark, sf_dir, "embeddings"), m=4, k=16)

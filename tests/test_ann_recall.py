@@ -26,3 +26,25 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     ivf_recall = len(brute & ivf) / len(brute)
     assert lsh_recall >= 0.6, f"multi-table LSH recall degraded: {lsh_recall}"
     assert ivf_recall >= 0.25, f"IVF recall degraded: {ivf_recall}"
+
+
+def test_pq_seed_vectors_self_encode(spark, sf_dir):
+    # the codebook is built from the 16 lowest-id vectors' subvectors —
+    # those vectors must therefore encode to their own centroid id in
+    # EVERY subspace with exactly zero reconstruction error (argmin
+    # correctness), and code values must stay within [0, k)
+    from mysql_cdc_redis_spark.operators.similarity import pq_quantize
+    from mysql_cdc_redis_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_ids = [
+        r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(16).collect()
+    ]
+    codes = pq_quantize(emb, m=4, k=16).collect()
+    by_id = {r["vec_id"]: r for r in codes}
+    for cid, vid in enumerate(seed_ids):
+        r = by_id[vid]
+        assert (r["c0"], r["c1"], r["c2"], r["c3"]) == (cid,) * 4, (vid, dict(r.asDict()))
+        assert r["recon_err"] == 0.0
+    for r in codes:
+        assert all(0 <= r[f"c{m}"] < 16 for m in range(4))
