@@ -479,3 +479,87 @@ def pq_quantize(
         .agg(*code_cols, F.round(F.sum("dist"), 6).alias("recon_err"))
         .orderBy(id_col)
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_id: int | None = None,
+    n_results: int = 10,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) — the search half of PQ:
+    the query stays a full-precision vector, every corpus vector is
+    represented ONLY by its m codes, and distance(query, doc) ≈
+    Σ_m lut[m][code_m] where lut is the m×k table of exact
+    query-subvector ↔ centroid distances.
+
+    At scale the lut (m·k doubles) broadcasts and the scan reads just
+    the code columns (m bytes/vector instead of 4·dim) — that I/O
+    ratio is why IVF-PQ serves billion-vector indexes from RAM.  Here
+    codes come from pq_quantize inline; in production they are a
+    precomputed column.
+
+    query_id=None picks the highest-id vector.  Returns the top
+    ``n_results`` by (adc_dist, id) — total order, ties broken on id.
+    """
+    from pyspark.sql.window import Window
+
+    if query_id is None:
+        query_id = emb.agg(F.max(id_col)).first()[0]
+    dim = len(emb.select(vec_col).first()[0])
+    s = dim // m
+    qvec = [
+        float(x)
+        for x in emb.where(F.col(id_col) == query_id).select(vec_col).first()[0]
+    ]
+
+    codes = pq_quantize(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
+
+    # lut rows: (m, cid, d) — exact distance from the query subvector to
+    # each centroid subvector, same seed codebook as pq_quantize
+    cent_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    lut = []
+    for cid, r in enumerate(cent_rows):
+        cv = [float(x) for x in r["v"]]
+        for mm in range(m):
+            d = 0.0
+            for j in range(s):
+                t = qvec[mm * s + j] - cv[mm * s + j]
+                d += t * t
+            lut.append((mm, cid, d))
+    lut_df = emb.sparkSession.createDataFrame(lut, "m int, cid int, d double")
+
+    long_codes = codes.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mm).alias("m"), F.col(f"c{mm}").cast("int").alias("cid")
+                    )
+                    for mm in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.m", "e.cid")
+    scored = (
+        long_codes.join(F.broadcast(lut_df), ["m", "cid"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps, k rows to the driver — never a global sort/window); ranks
+    # are assigned afterwards on the k-row result
+    topk = scored.orderBy("adc_dist", id_col).limit(n_results)
+    w = Window.orderBy("adc_dist", id_col)
+    return topk.select(
+        id_col, "adc_dist", F.row_number().over(w).cast("long").alias("rnk")
+    ).orderBy("rnk")

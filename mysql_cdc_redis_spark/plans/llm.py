@@ -2201,3 +2201,72 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_quantize
 
     return pq_quantize(load_table(spark, sf_dir, "embeddings"), m=4, k=16)
+
+
+@register(
+    "sim_pq_adc_topk",
+    doc="PQ asymmetric-distance search (ADC): the query keeps full "
+    "precision, corpus vectors are ONLY their 4 codes, and distance "
+    "≈ Σ lut[m][code] from a broadcast m×k lookup table — the scan "
+    "reads 4 small codes per vector instead of 64 floats (the I/O "
+    "collapse that serves billion-vector ANN from RAM).  Query = "
+    "highest-id vector; top-10 by (dist, id), plan is "
+    "TakeOrderedAndProject, never a global sort.  Oracle rebuilds "
+    "codes + lut with identical fold order — distances match to the "
+    "last bit before the defensive round.",
+    tags=("similarity", "pq", "ext"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM e ORDER BY vec_id LIMIT 16
+),
+ms AS (SELECT unnest(range(0, 4)) AS m),
+sub AS (
+  SELECT vec_id, m, list_transform(range(1, 17), j -> v[m*16 + j]) AS sv
+  FROM e, ms
+),
+csub AS (
+  SELECT cid, m, list_transform(range(1, 17), j -> v[m*16 + j]) AS cv
+  FROM cent, ms
+),
+d AS (
+  SELECT vec_id, s.m, cid,
+         list_reduce(list_transform(range(1, 17),
+                                    j -> (sv[j] - cv[j]) * (sv[j] - cv[j])),
+                     (x, y) -> x + y) AS dist
+  FROM sub s JOIN csub c ON s.m = c.m
+),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+q AS (SELECT max(vec_id) AS qid FROM e),
+lut AS (
+  SELECT cs.m, cs.cid,
+         list_reduce(list_transform(range(1, 17),
+                                    j -> (qs.sv[j] - cs.cv[j]) * (qs.sv[j] - cs.cv[j])),
+                     (x, y) -> x + y) AS d
+  FROM csub cs
+  JOIN (SELECT m, sv FROM sub, q WHERE vec_id = qid) qs ON qs.m = cs.m
+),
+scored AS (
+  SELECT c.vec_id, round(sum(l.d), 6) AS adc_dist
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_dist,
+       CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS rnk
+FROM scored ORDER BY adc_dist, vec_id LIMIT 10
+""",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), n_results=10)

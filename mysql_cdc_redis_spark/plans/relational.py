@@ -4354,3 +4354,84 @@ def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()
         ).alias("interpolated"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_rolling_median",
+    doc="Rolling exact median (7-row trailing, per priority, key-pinned "
+    "order): Spark has no windowed percentile, so the scalable "
+    "spelling is array_sort(collect_list() OVER frame) + middle "
+    "element(s) — per-row state is O(frame), constant here, which is "
+    "the condition under which the collect_list spelling is "
+    "legitimate (like the running-distinct entry; an unbounded frame "
+    "would not be).  Inputs rounded to cents first so both engines "
+    "interpolate between identical values; even frames average the "
+    "two middles exactly as DuckDB's median does.",
+    tags=("window", "percentile", "ext"),
+    oracle="""
+SELECT o_orderkey,
+       round(median(round(o_totalprice, 2)) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_orderkey
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+FROM orders WHERE o_orderkey IS NOT NULL ORDER BY o_orderkey
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull()
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    vals = F.array_sort(F.collect_list(F.round("o_totalprice", 2)).over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return orders.select(
+        "o_orderkey", F.round((lo + hi) / 2, 4).alias("med7")
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "explode_outer_empty_preserving",
+    doc="Null-preserving generation (explode_outer): documents tokenize "
+    "to word arrays and unnest — but rows whose array is EMPTY must "
+    "survive as a single null-token row (an inner explode silently "
+    "drops them; at corpus scale 'rows vanished because a generator "
+    "had nothing to emit' is a classic silent-loss bug).  Every "
+    "doc_id≡3 (mod 7) row gets a deterministically-empty array since "
+    "the fixtures have no empty texts; the oracle spells the same "
+    "semantics with a CASE-to-[NULL] unnest.",
+    tags=("generator", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(trim(text), ' ')[1:8] END AS toks
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id, tok, CAST(len(toks) AS INT) AS n_toks
+FROM (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+  FROM d
+)
+ORDER BY doc_id, tok
+""",
+)
+def explode_outer_empty_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    toks = F.when(
+        F.col("doc_id") % 7 == 3, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split(F.trim("text"), " "), 1, 8))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode_outer("toks").alias("tok"),
+            F.size("toks").alias("n_toks"),
+        )
+        .orderBy("doc_id", "tok")
+    )
