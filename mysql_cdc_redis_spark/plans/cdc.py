@@ -1072,3 +1072,68 @@ def cdc_quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.lit("fk_customer").alias("check_name"), "n_violations")
     )
     return fused.unionByName(fk).orderBy("check_name")
+
+
+@register(
+    "cdc_bitemporal_asof",
+    doc="Bitemporal as-of query — BOTH time axes at once: transaction "
+    "time (which events the warehouse had applied: seq ≤ S, a 60% "
+    "prefix) and valid time (which version covered date V).  SCD2 "
+    "intervals over the transaction prefix, then one interval "
+    "predicate picks each key's version valid at V — 'what did the "
+    "warehouse believe, as of transaction S, about the row's state "
+    "on date V'.  The fixture changelog stamps every version of a "
+    "key with one date, so versions stagger +30 days per version "
+    "step to make the valid axis observable (the stagger is part of "
+    "the query spec on both sides).  Same single (tbl, rid) shuffle "
+    "as compaction; the prefix predicate pushes to the scan.",
+    tags=("cdc", "scd2", "bitemporal", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+cut AS (SELECT CAST(floor(max(seq) * 0.6) AS BIGINT) AS s FROM ch),
+hist AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS rid, cdc_action,
+         cdc_ts + (row_number() OVER w - 1) * INTERVAL 30 DAY AS valid_from,
+         lead(cdc_ts) OVER w + row_number() OVER w * INTERVAL 30 DAY AS valid_to,
+         o_orderstatus, o_totalprice,
+         CAST(row_number() OVER w AS INT) AS version
+  FROM ch, cut
+  WHERE o_orderkey IS NOT NULL AND seq <= s
+  WINDOW w AS (PARTITION BY tbl, CAST(o_orderkey AS VARCHAR) ORDER BY seq)
+)
+SELECT rid, version, cdc_action, o_orderstatus, o_totalprice,
+       CAST(valid_from AS DATE) AS valid_from,
+       CAST(valid_to AS DATE) AS valid_to
+FROM hist
+WHERE valid_from <= DATE '1995-03-15'
+  AND (valid_to IS NULL OR valid_to > DATE '1995-03-15')
+ORDER BY rid
+""",
+)
+def cdc_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.compaction import scd2_history
+
+    ch = orders_changelog(spark, sf_dir)
+    max_seq = ch.agg(F.max("seq")).first()[0]
+    cut = math.floor(max_seq * 0.6)
+    hist = scd2_history(
+        ch.filter(F.col("seq") <= cut), ORDERS_PK, ("o_orderstatus", "o_totalprice")
+    )
+    vf = F.date_add(F.col("valid_from").cast("date"), (F.col("version") - 1) * 30)
+    vt = F.date_add(F.col("valid_to").cast("date"), F.col("version") * 30)
+    v = F.lit("1995-03-15").cast("date")
+    return (
+        hist.select(
+            "rid",
+            "version",
+            "cdc_action",
+            "o_orderstatus",
+            "o_totalprice",
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+        )
+        .where((F.col("valid_from") <= v) & (F.col("valid_to").isNull() | (F.col("valid_to") > v)))
+        .orderBy("rid")
+    )

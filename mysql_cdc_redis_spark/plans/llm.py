@@ -2270,3 +2270,80 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_adc_topk
 
     return pq_adc_topk(load_table(spark, sf_dir, "embeddings"), n_results=10)
+
+
+@register(
+    "text_url_canonicalize",
+    doc="URL canonicalization for web-corpus dedup: scheme/host "
+    "lowercased, default port and trailing slash stripped, fragment "
+    "dropped, and query parameters SORTED — so http://Ex.com:80/a?b=2&a=1#f "
+    "and http://ex.com/a?a=1&b=2 collapse to one key (raw-string exact "
+    "dedup misses every such pair).  URLs are synthesized "
+    "deterministically from order rows with all four defects; pure "
+    "string/array built-ins (split → array_sort → rejoin), no UDF.",
+    tags=("text", "url", "dedup", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT o_orderkey,
+         'HTTP://Shop' || CAST(o_custkey % 50 AS VARCHAR)
+           || '.Example.com:80/cat/' || o_orderstatus
+           || '/?z=' || CAST(o_orderkey % 7 AS VARCHAR)
+           || '&a=' || CAST(o_custkey % 3 AS VARCHAR)
+           || '/#frag' AS url
+  FROM orders WHERE o_orderkey IS NOT NULL
+),
+parts AS (
+  SELECT o_orderkey,
+         lower(string_split(string_split(url, '://')[2], ':80/')[1]) AS host,
+         rtrim(string_split(string_split(string_split(url, ':80/')[2], '?')[1],
+                            '#')[1], '/') AS path,
+         rtrim(string_split(string_split(url, '?')[2], '#')[1], '/') AS query
+  FROM u
+)
+SELECT o_orderkey,
+       'http://' || host || '/' || path || '?' ||
+       array_to_string(list_sort(string_split(query, '&')), '&') AS canonical_url
+FROM parts ORDER BY o_orderkey
+""",
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey").isNotNull())
+    url = F.concat(
+        F.lit("HTTP://Shop"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".Example.com:80/cat/"),
+        F.col("o_orderstatus"),
+        F.lit("/?z="),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("&a="),
+        (F.col("o_custkey") % 3).cast("string"),
+        F.lit("/#frag"),
+    )
+    u = orders.select("o_orderkey", url.alias("url"))
+    host = F.lower(
+        F.element_at(F.split(F.element_at(F.split(F.col("url"), "://"), 2), ":80/"), 1)
+    )
+    strip_slash = lambda c: F.regexp_replace(c, "/+$", "")  # noqa: E731
+    path = strip_slash(
+        F.element_at(
+            F.split(
+                F.element_at(F.split(F.element_at(F.split(F.col("url"), ":80/"), 2), r"\?"), 1),
+                "#",
+            ),
+            1,
+        )
+    )
+    query = strip_slash(
+        F.element_at(F.split(F.element_at(F.split(F.col("url"), r"\?"), 2), "#"), 1)
+    )
+    return u.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("http://"),
+            host,
+            F.lit("/"),
+            path,
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split(query, "&")), "&"),
+        ).alias("canonical_url"),
+    ).orderBy("o_orderkey")
