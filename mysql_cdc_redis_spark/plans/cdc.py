@@ -1137,3 +1137,58 @@ def cdc_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("valid_from") <= v) & (F.col("valid_to").isNull() | (F.col("valid_to") > v)))
         .orderBy("rid")
     )
+
+
+@register(
+    "cdc_state_ttl_retention",
+    doc="Retention / TTL sweep over the compacted state (GDPR-style "
+    "age-out; the reference can only destructive-clear the whole "
+    "cache, rcache.py's flushdb analog — per-row TTL needs the "
+    "timestamped state this engine keeps): rows whose last activity "
+    "predates the cutoff are swept, the rest survive; one pass "
+    "emits the per-status survivor/sweep accounting an ops dashboard "
+    "wants (counts + swept value).",
+    tags=("cdc", "retention", "ttl", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+state AS (
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_orderstatus, seq) AS o_orderstatus,
+           arg_max(o_totalprice, seq) AS o_totalprice,
+           arg_max(cdc_ts, seq) AS last_ts
+    FROM ch WHERE o_orderkey IS NOT NULL
+    GROUP BY 1
+  ) WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')
+)
+SELECT o_orderstatus,
+       CAST(count(*) FILTER (WHERE last_ts >= DATE '1995-01-01') AS BIGINT)
+         AS n_retained,
+       CAST(count(*) FILTER (WHERE last_ts < DATE '1995-01-01') AS BIGINT)
+         AS n_swept,
+       round(sum(o_totalprice) FILTER (WHERE last_ts < DATE '1995-01-01'), 2)
+         AS swept_value
+FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def cdc_state_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    # cdc_ts rides the payload through the same fold: last activity =
+    # last event's timestamp, no second aggregation over the changelog
+    state = compact(
+        ch, ORDERS_PK, ("o_orderstatus", "o_totalprice", "cdc_ts")
+    ).filter(F.col("cdc_action") != "delete").withColumnRenamed("cdc_ts", "last_ts")
+    cutoff = F.lit("1995-01-01").cast("date")
+    stale = F.col("last_ts") < cutoff
+    return (
+        state.groupBy("o_orderstatus")
+        .agg(
+            F.sum((~stale).cast("long")).alias("n_retained"),
+            F.sum(stale.cast("long")).alias("n_swept"),
+            F.round(F.sum(F.when(stale, F.col("o_totalprice"))), 2).alias(
+                "swept_value"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

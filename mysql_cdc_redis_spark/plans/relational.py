@@ -4435,3 +4435,123 @@ def explode_outer_empty_preserving(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id", "tok")
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    doc="Robust statistics: 10%-trimmed mean of order value per status — "
+    "exact P10/P90 cutoffs (percentile_cont over cent-rounded values, "
+    "identical interpolation both engines) computed in a 3-row "
+    "aggregate, broadcast back, then one filtered re-aggregation.  "
+    "Two passes by necessity (the cutoffs are data-dependent), but "
+    "pass two is the same scan shape as pass one — never a sort.",
+    tags=("agg", "robust", "ext"),
+    oracle="""
+WITH cuts AS (
+  SELECT o_orderstatus,
+         quantile_cont(round(o_totalprice, 2), 0.1) AS p10,
+         quantile_cont(round(o_totalprice, 2), 0.9) AS p90
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       count(*) AS n_kept,
+       round(avg(round(o_totalprice, 2)), 4) AS trimmed_mean
+FROM orders o JOIN cuts c ON o.o_orderstatus = c.o_orderstatus
+WHERE round(o_totalprice, 2) >= p10 AND round(o_totalprice, 2) <= p90
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+""",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.round("o_totalprice", 2)
+    cuts = orders.groupBy("o_orderstatus").agg(
+        F.percentile(v, F.lit(0.1)).alias("p10"),
+        F.percentile(v, F.lit(0.9)).alias("p90"),
+    )
+    return (
+        orders.join(F.broadcast(cuts), "o_orderstatus")
+        .where((v >= F.col("p10")) & (v <= F.col("p90")))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg(v), 4).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_log_histogram",
+    doc="Log-scale histogram (decade bins via floor(log10)) of order "
+    "values — the profiling shape for power-law-ish columns where "
+    "linear bins put everything in one bucket.  Integer bin keys, "
+    "single aggregate; the bin edges are value-independent so the "
+    "histogram is mergeable across partitions and days.",
+    tags=("agg", "histogram", "ext"),
+    oracle="""
+SELECT CAST(floor(log10(o_totalprice)) AS BIGINT) AS decade,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders WHERE o_totalprice > 0
+GROUP BY decade ORDER BY decade
+""",
+)
+def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    return (
+        orders.groupBy(
+            F.floor(F.log10("o_totalprice")).cast("long").alias("decade")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decade")
+    )
+
+
+@register(
+    "events_markov_transitions",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() pairs each event with its successor (ordered by "
+    "ts with event_id as the unique tiebreak — an ambiguous order "
+    "would make the matrix nondeterministic), then one groupBy counts "
+    "transitions and a window normalizes rows to probabilities.  The "
+    "sequence shuffle is by user; the matrix is |event-types|² rows "
+    "regardless of SF.",
+    tags=("window", "sequence", "markov", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src, dst, n,
+       round(n / (sum(n) OVER (PARTITION BY src)), 6) AS p
+FROM t ORDER BY src, dst
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ws = Window.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(ws), 6).alias("p"),
+    ).orderBy("src", "dst")
