@@ -15,6 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.compaction import ACTION_FOLD_SENTINEL
 from ..sources import load_table
 from ..sources.changelog import (
     LINEITEM_CHANGELOG_SQL,
@@ -29,7 +30,7 @@ from ..sources.changelog import (
 from ..streaming import run_compaction_stream
 from ..streaming.changelog_files import stage_changelog_files
 from .catalog import register
-from .cdc import _oracle_compact_sql
+from .cdc import _FOLD_LAMBDA, _oracle_compact_sql
 
 
 def _tmp(name: str) -> str:
@@ -715,3 +716,67 @@ def stream_global_counts_complete(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(table).orderBy("event_type")
+
+
+@register(
+    "stream_retraction_agg",
+    doc="Retraction stream (the Flink changelog-of-the-aggregate, and "
+    "the streaming twin of cdc_ivm_agg_maintenance): the stateful "
+    "compactor emits -1×previous-live-payload / +1×new-live-payload "
+    "delta rows per key per micro-batch; the per-status aggregate is "
+    "then just SUM(sign·value) over the accumulated deltas — "
+    "telescoping makes it exactly the aggregate of the final live "
+    "state under ANY micro-batch slicing, with no reprocessing of "
+    "unchanged keys.  DECIMAL money math ⇒ retract/add cancellation "
+    "is exact, so the stream result hash-matches the batch oracle.",
+    tags=("cdc", "streaming", "ivm", "retraction", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+state AS (
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_orderstatus, seq) AS o_orderstatus,
+           arg_max(o_totalprice, seq) AS o_totalprice
+    FROM ch WHERE o_orderkey IS NOT NULL
+    GROUP BY 1
+  ) WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_live,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def stream_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.compact_stream import run_retraction_stream
+
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("retract_src")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    deltas = run_retraction_stream(
+        spark,
+        source_dir,
+        ch.schema,
+        ORDERS_PK,
+        ("o_orderstatus", "o_totalprice"),
+        checkpoint_dir=_tmp("retract_ckpt"),
+        deltas_dir=_tmp("retract_deltas"),
+        max_files_per_trigger=1,
+    )
+    return (
+        deltas.groupBy("o_orderstatus")
+        .agg(
+            F.sum("sign").alias("n_live"),
+            F.sum(
+                F.col("sign") * F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias("total_price"),
+        )
+        .filter(F.col("n_live") > 0)
+        .select(
+            "o_orderstatus",
+            "n_live",
+            F.col("total_price").cast("decimal(18,2)").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

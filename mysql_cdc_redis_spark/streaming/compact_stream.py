@@ -202,3 +202,114 @@ def run_compaction_stream(
     q.awaitTermination()
     payload_schema = StructType([source_schema[c] for c in payload_cols])
     return finalize_stream_output(spark.read.parquet(emissions_dir), payload_schema)
+
+
+# ---------------------------------------------------------------------------
+# Retraction stream: the Flink-style changelog-of-the-aggregate
+# ---------------------------------------------------------------------------
+
+_RETRACT_SCHEMA = StructType(
+    [
+        StructField("tbl", StringType()),
+        StructField("rid", StringType()),
+        StructField("sign", LongType()),
+        StructField("payload_json", StringType()),
+    ]
+)
+
+
+def _retract_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per key and micro-batch, emit the delta rows that keep ANY
+    downstream additive aggregate current: -1 × the key's previous live
+    payload (retraction), +1 × its new live payload.  Tombstones and
+    annihilations emit only the retraction.  Telescoping makes the sum
+    of deltas order-insensitive and exactly equal to the aggregate of
+    the final live state — micro-batch slicing cannot change it."""
+    tbl, rid = key
+    if state.exists:
+        fold_state, last_seq, payload_json = state.get
+    else:
+        fold_state, last_seq, payload_json = ACTION_FOLD_SENTINEL, -1, None
+    was_live = state.exists and fold_state != "delete"
+    old_payload = payload_json
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        for action in pdf["cdc_action"]:
+            fold_state = _fold(fold_state, action)
+        tail = pdf.iloc[-1]
+        if int(tail["seq"]) > last_seq:
+            last_seq = int(tail["seq"])
+            payload_json = tail["payload_json"]
+
+    if fold_state == ACTION_FOLD_SENTINEL:
+        state.remove()
+    else:
+        state.update((fold_state, last_seq, payload_json))
+
+    now_live = fold_state not in (ACTION_FOLD_SENTINEL, "delete")
+    rows = []
+    if was_live:
+        rows.append({"tbl": tbl, "rid": rid, "sign": -1, "payload_json": old_payload})
+    if now_live:
+        rows.append({"tbl": tbl, "rid": rid, "sign": 1, "payload_json": payload_json})
+    yield pd.DataFrame(rows, columns=["tbl", "rid", "sign", "payload_json"])
+
+
+def run_retraction_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    deltas_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run the changelog through the retraction compactor and return the
+    accumulated delta rows (sign, typed payload).  Any additive
+    aggregate over ``sign * f(payload)`` equals the same aggregate over
+    the final live state — incremental view maintenance as a stream."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    keyed = (
+        stream.withColumn("rid", rid_expr(pk_cols))
+        .filter(F.col("rid").isNotNull())
+        .withColumn(
+            "payload_json", F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+        )
+        .select("tbl", "rid", "seq", "cdc_action", "payload_json")
+    )
+    deltas = keyed.groupBy("tbl", "rid").applyInPandasWithState(
+        _retract_group,
+        outputStructType=_RETRACT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(deltas_dir)
+
+    q = (
+        deltas.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    payload_schema = StructType([source_schema[c] for c in payload_cols])
+    out = spark.read.parquet(deltas_dir)
+    return out.select(
+        "tbl",
+        "rid",
+        "sign",
+        F.from_json("payload_json", payload_schema).alias("p"),
+    ).select("tbl", "rid", "sign", "p.*")

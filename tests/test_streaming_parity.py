@@ -172,3 +172,56 @@ def test_tws_processor_fold_logic():
     assert not proc._state.exists()  # epoch reset
     r3 = feed([(4, "insert", "d")])  # fresh epoch
     assert (r3["cdc_action"], r3["payload_json"]) == ("insert", "d")
+
+
+def test_retraction_stream_slicing_invariant(spark, sf_dir):
+    """The summed retraction deltas must equal the batch aggregate of the
+    live compacted state under ANY micro-batch slicing — 1 chunk
+    (single batch) and 4 chunks (per-key state spanning batches) give
+    identical results."""
+    from mysql_cdc_redis_spark.streaming.compact_stream import run_retraction_stream
+
+    ch = orders_changelog(spark, sf_dir)
+    payload = ("o_orderstatus", "o_totalprice")
+
+    def agg_of(deltas):
+        rows = (
+            deltas.groupBy("o_orderstatus")
+            .agg(
+                F.sum("sign").alias("n"),
+                F.sum(
+                    F.col("sign") * F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("v"),
+            )
+            .filter(F.col("n") > 0)
+            .collect()
+        )
+        return {r["o_orderstatus"]: (r["n"], str(r["v"])) for r in rows}
+
+    results = []
+    for chunks in (1, 4):
+        src = _tmp(f"retract_par_src_{chunks}")
+        stage_changelog_files(ch, src, n_chunks=chunks)
+        deltas = run_retraction_stream(
+            spark, src, ch.schema, ORDERS_PK, payload,
+            checkpoint_dir=_tmp(f"retract_par_ckpt_{chunks}"),
+            deltas_dir=_tmp(f"retract_par_out_{chunks}"),
+            max_files_per_trigger=1,
+        )
+        results.append(agg_of(deltas))
+
+    live = compact(ch, ORDERS_PK, ORDERS_PAYLOAD).filter(
+        F.col("cdc_action") != "delete"
+    )
+    batch = {
+        r["o_orderstatus"]: (r["n"], str(r["v"]))
+        for r in live.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v"),
+        )
+        .collect()
+    }
+    assert results[0] == results[1] == batch
