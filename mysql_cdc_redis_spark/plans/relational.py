@@ -4555,3 +4555,58 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(ws), 6).alias("p"),
     ).orderBy("src", "dst")
+
+
+@register(
+    "agg_variance_merge",
+    doc="Mergeable second moments (Chan's parallel algorithm — the "
+    "algebra under EVERY distributed variance): per status the fact "
+    "rows split into two deterministic halves (key parity), each half "
+    "reduces to (n, mean, M2), and the halves merge in a final "
+    "projection via mean_ab = mean_a + δ·n_b/n and M2_ab = M2_a + "
+    "M2_b + δ²·n_a·n_b/n.  The oracle computes stddev directly over "
+    "the unsplit rows — merged == direct is exactly the property that "
+    "lets partial aggregates combine across partitions/days without "
+    "revisiting rows.",
+    tags=("agg", "mergeable", "ext"),
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       round(avg(o_totalprice), 4) AS mean_price,
+       round(stddev_samp(o_totalprice), 4) AS sd_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    halves = (
+        orders.groupBy("o_orderstatus", (F.col("o_orderkey") % 2).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            (F.var_samp("o_totalprice") * (F.count(F.lit(1)) - 1)).alias("m2"),
+        )
+    )
+    # a group entirely inside one half must still merge: the absent
+    # half's (n, mean, M2) identity element is (0, 0.0, 0.0)
+    side = lambda h, c: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("h") == h, F.col(c))), F.lit(0.0)
+    )
+    merged = halves.groupBy("o_orderstatus").agg(
+        side(0, "n").cast("long").alias("na"),
+        side(0, "m").alias("ma"),
+        side(0, "m2").alias("m2a"),
+        side(1, "n").cast("long").alias("nb"),
+        side(1, "m").alias("mb"),
+        side(1, "m2").alias("m2b"),
+    )
+    n = F.col("na") + F.col("nb")
+    delta = F.col("mb") - F.col("ma")
+    mean = F.col("ma") + delta * F.col("nb") / n
+    m2 = F.col("m2a") + F.col("m2b") + delta * delta * F.col("na") * F.col("nb") / n
+    return merged.select(
+        "o_orderstatus",
+        n.alias("n"),
+        F.round(mean, 4).alias("mean_price"),
+        F.round(F.sqrt(m2 / (n - 1)), 4).alias("sd_price"),
+    ).orderBy("o_orderstatus")
