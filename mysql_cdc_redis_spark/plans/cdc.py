@@ -1192,3 +1192,57 @@ def cdc_state_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "cdc_changelog_order_audit",
+    doc="Changelog-health audit: per table, are sequence numbers "
+    "consistent with event time?  Counts seq-adjacent pairs (lag over "
+    "one seq-ordered window per table) whose cdc_ts regresses — the "
+    "out-of-order-delivery metric that decides whether downstream "
+    "can trust seq as the fold order (the reference just assumes "
+    "binlog order, cdc.py:134; a distributed collector must measure "
+    "it) — plus min/max seq and the duplicate-seq count, the other "
+    "two invariants replay depends on.",
+    tags=("cdc", "audit", "quality", "ext"),
+    oracle=f"""
+WITH och AS ({ORDERS_CHANGELOG_SQL}), lch AS ({LINEITEM_CHANGELOG_SQL}),
+ch AS (
+  SELECT tbl, seq, cdc_ts FROM och
+  UNION ALL
+  SELECT tbl, seq, cdc_ts FROM lch
+),
+lagged AS (
+  SELECT tbl, seq, cdc_ts,
+         lag(cdc_ts) OVER (PARTITION BY tbl ORDER BY seq) AS prev_ts
+  FROM ch
+)
+SELECT tbl,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(seq) AS BIGINT) AS min_seq,
+       CAST(max(seq) AS BIGINT) AS max_seq,
+       CAST(count(*) - count(DISTINCT seq) AS BIGINT) AS n_dup_seq,
+       CAST(count(*) FILTER (WHERE prev_ts > cdc_ts) AS BIGINT) AS n_ts_regressions
+FROM lagged GROUP BY tbl ORDER BY tbl
+""",
+)
+def cdc_changelog_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["tbl", "seq", "cdc_ts"]
+    ch = orders_changelog(spark, sf_dir).select(cols).unionByName(
+        lineitem_changelog(spark, sf_dir).select(cols)
+    )
+    w = Window.partitionBy("tbl").orderBy("seq")
+    lagged = ch.withColumn("prev_ts", F.lag("cdc_ts").over(w))
+    return (
+        lagged.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+            (F.count(F.lit(1)) - F.countDistinct("seq")).alias("n_dup_seq"),
+            F.sum((F.col("prev_ts") > F.col("cdc_ts")).cast("long")).alias(
+                "n_ts_regressions"
+            ),
+        )
+        .orderBy("tbl")
+    )

@@ -4610,3 +4610,53 @@ def agg_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 4).alias("mean_price"),
         F.round(F.sqrt(m2 / (n - 1)), 4).alias("sd_price"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "window_gaps_islands",
+    doc="Gaps-and-islands: maximal runs of consecutive order-month "
+    "activity per customer (the canonical 'streak' shape — retention "
+    "streaks, sensor uptime, coverage spans).  The island key is the "
+    "classic month_index − dense_rank() difference — constant within "
+    "a run of consecutive distinct months, strictly different across "
+    "gaps — then one aggregate per island; two windows share the one "
+    "per-customer partitioning.",
+    tags=("window", "islands", "ext"),
+    oracle="""
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS mi
+  FROM orders
+),
+keyed AS (
+  SELECT o_custkey, mi,
+         mi - dense_rank() OVER (PARTITION BY o_custkey ORDER BY mi) AS island
+  FROM months
+)
+SELECT o_custkey,
+       CAST(min(mi) AS BIGINT) AS streak_start_mi,
+       CAST(count(*) AS BIGINT) AS streak_months
+FROM keyed
+GROUP BY o_custkey, island
+HAVING count(*) >= 3
+ORDER BY o_custkey, streak_start_mi
+""",
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    keyed = months.withColumn("island", F.col("mi") - F.dense_rank().over(w))
+    return (
+        keyed.groupBy("o_custkey", "island")
+        .agg(
+            F.min("mi").cast("long").alias("streak_start_mi"),
+            F.count(F.lit(1)).alias("streak_months"),
+        )
+        .where(F.col("streak_months") >= 3)
+        .select("o_custkey", "streak_start_mi", "streak_months")
+        .orderBy("o_custkey", "streak_start_mi")
+    )

@@ -490,3 +490,75 @@ def source_parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionByName(arm)
     return out.orderBy("codec")
+
+
+@register(
+    "tooling_manifest_reconcile",
+    doc="Manifest reconciliation — the bookkeeping the reference's "
+    "upload loop does by hand (dump2csv.py's uploaded/loaded lists, "
+    "dump2csv.py:163-277): two file manifests (source vs destination, "
+    "synthesized deterministically from orders chunks — destination "
+    "missing every 7th file and corrupting every 11th file's size) "
+    "full-outer-join on the file key into one sync report: "
+    "missing_at_dst / orphan_at_dst / size_mismatch / ok, with "
+    "counts and bytes per class.  One shuffle on the manifest key; "
+    "manifests are O(files), never O(rows).",
+    tags=("tooling", "manifest", "sink", "ext"),
+    oracle="""
+WITH src AS (
+  SELECT 'chunk-' || CAST(o_orderkey // 100 AS VARCHAR) || '.csv' AS file,
+         CAST(sum(o_orderkey % 1000) AS BIGINT) AS bytes
+  FROM orders WHERE o_orderkey IS NOT NULL
+  GROUP BY 1
+),
+dst AS (
+  SELECT file, CASE WHEN CAST(replace(replace(file, 'chunk-', ''), '.csv', '') AS BIGINT) % 11 = 0
+                    THEN bytes + 1 ELSE bytes END AS bytes
+  FROM src
+  WHERE CAST(replace(replace(file, 'chunk-', ''), '.csv', '') AS BIGINT) % 7 <> 0
+)
+SELECT CASE WHEN d.file IS NULL THEN 'missing_at_dst'
+            WHEN s.file IS NULL THEN 'orphan_at_dst'
+            WHEN s.bytes <> d.bytes THEN 'size_mismatch'
+            ELSE 'ok' END AS status,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(coalesce(s.bytes, d.bytes)) AS BIGINT) AS total_bytes
+FROM src s FULL OUTER JOIN dst d ON s.file = d.file
+GROUP BY status ORDER BY status
+""",
+)
+def tooling_manifest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey").isNotNull())
+    src = orders.groupBy(
+        F.concat(
+            F.lit("chunk-"),
+            F.floor(F.col("o_orderkey") / 100).cast("long").cast("string"),
+            F.lit(".csv"),
+        ).alias("file")
+    ).agg(F.sum(F.col("o_orderkey") % 1000).alias("bytes"))
+    chunk_no = F.regexp_extract("file", r"chunk-(\d+)\.csv", 1).cast("long")
+    dst = src.where(chunk_no % 7 != 0).select(
+        "file",
+        F.when(chunk_no % 11 == 0, F.col("bytes") + 1).otherwise(F.col("bytes")).alias(
+            "bytes"
+        ),
+    )
+    j = src.select(F.col("file").alias("s_file"), F.col("bytes").alias("s_bytes")).join(
+        dst.select(F.col("file").alias("d_file"), F.col("bytes").alias("d_bytes")),
+        F.col("s_file") == F.col("d_file"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("d_file").isNull(), "missing_at_dst")
+        .when(F.col("s_file").isNull(), "orphan_at_dst")
+        .when(F.col("s_bytes") != F.col("d_bytes"), "size_mismatch")
+        .otherwise("ok")
+    )
+    return (
+        j.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.coalesce("s_bytes", "d_bytes")).alias("total_bytes"),
+        )
+        .orderBy("status")
+    )
