@@ -4660,3 +4660,88 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "streak_start_mi", "streak_months")
         .orderBy("o_custkey", "streak_start_mi")
     )
+
+
+@register(
+    "graph_degree_distribution",
+    doc="Degree distribution of the supplier co-occurrence graph (same "
+    "edge derivation as triangle counting): per-vertex degree from the "
+    "symmetrized edge list, then the degree histogram — the shape "
+    "diagnostic that decides whether a graph algorithm needs hub "
+    "mitigation (power-law tail ⇒ salt/cap hubs before wedge joins).  "
+    "Output is O(distinct degrees), constant-ish at any SF.",
+    tags=("graph", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT s1.l_suppkey AS a, s2.l_suppkey AS b
+  FROM lineitem s1 JOIN lineitem s2
+    ON s1.l_orderkey = s2.l_orderkey AND s1.l_suppkey < s2.l_suppkey
+),
+sym AS (
+  SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+),
+deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY degree ORDER BY degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("a"))
+    s2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("b"))
+    edges = s1.join(s2, "ok").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    sym = edges.select(F.col("a").alias("v")).unionByName(
+        edges.select(F.col("b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("degree")
+    )
+
+
+@register(
+    "events_inter_arrival_stats",
+    doc="Inter-arrival time statistics per event type (the traffic-"
+    "model/back-pressure-sizing numbers): lag() over (type; ts, "
+    "event_id — unique tiebreak, or the gaps are nondeterministic) "
+    "yields per-event gaps; one aggregate emits count, mean, exact "
+    "median and p95 per type.  Second-boundary gap arithmetic matches "
+    "the engines' shared floor semantics.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('second', lag(ts) OVER w, ts) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       round(avg(gap_s), 4) AS mean_gap_s,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.95)), 4).alias("p95_gap_s"),
+        )
+        .orderBy("event_type")
+    )
