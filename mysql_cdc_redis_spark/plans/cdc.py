@@ -1246,3 +1246,71 @@ def cdc_changelog_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+@register(
+    "cdc_temporal_scd2_enrich",
+    doc="Temporal dimension enrichment: fact rows (lineitem, at their "
+    "ship date) join the SCD2 orders history picking THE version "
+    "whose [valid_from, valid_to) interval covers the fact date — the "
+    "point-in-time-correct join every slowly-changing warehouse "
+    "needs (joining latest-state instead silently rewrites history).  "
+    "Equi key (order key) carries the join; the interval check is a "
+    "residual filter, so the plan stays a plain hash join — no range "
+    "cross product.  Version validity uses the same +30-days-per-"
+    "version stagger as the bitemporal entry; facts matching no "
+    "version (annihilated keys, pre-history dates) drop, and the "
+    "aggregate accounts matches per (version, status).",
+    tags=("cdc", "scd2", "join", "temporal", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+hist AS (
+  SELECT o_orderkey AS hk, o_orderstatus,
+         cdc_ts + (row_number() OVER w - 1) * INTERVAL 30 DAY AS valid_from,
+         lead(cdc_ts) OVER w + row_number() OVER w * INTERVAL 30 DAY AS valid_to,
+         CAST(row_number() OVER w AS INT) AS version
+  FROM ch WHERE o_orderkey IS NOT NULL
+  WINDOW w AS (PARTITION BY tbl, o_orderkey ORDER BY seq)
+)
+SELECT version, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN hist
+  ON l_orderkey = hk
+ AND CAST(l_shipdate AS TIMESTAMP) >= valid_from
+ AND (valid_to IS NULL OR CAST(l_shipdate AS TIMESTAMP) < valid_to)
+GROUP BY version, o_orderstatus
+ORDER BY version, o_orderstatus
+""",
+)
+def cdc_temporal_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import scd2_history
+
+    ch = orders_changelog(spark, sf_dir)
+    hist = scd2_history(ch, ORDERS_PK, ("o_orderstatus",))
+    vf = F.date_add(F.col("valid_from").cast("date"), (F.col("version") - 1) * 30)
+    vt = F.date_add(F.col("valid_to").cast("date"), F.col("version") * 30)
+    dim = hist.select(
+        F.col("rid").cast("long").alias("hk"),
+        "o_orderstatus",
+        "version",
+        vf.alias("vf"),
+        vt.alias("vt"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.col("l_shipdate").cast("date").alias("d")
+    )
+    return (
+        li.join(
+            dim,
+            (F.col("l_orderkey") == F.col("hk"))
+            & (F.col("d") >= F.col("vf"))
+            & (F.col("vt").isNull() | (F.col("d") < F.col("vt"))),
+        )
+        .groupBy("version", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("version", "o_orderstatus")
+    )

@@ -2347,3 +2347,57 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.split(query, "&")), "&"),
         ).alias("canonical_url"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "sim_centroid_similarity_matrix",
+    doc="Label-centroid cosine-similarity matrix (the confusion map for "
+    "an embedding space: which classes are entangled): per-label "
+    "element-wise centroids (one posexplode aggregate, rounded to a "
+    "pinned grid so both engines feed identical centroid values into "
+    "the cosine), then the K×K upper-triangle cosine via a tiny "
+    "self-join — |labels|² rows regardless of corpus size, so the "
+    "matrix is a broadcast-sized artifact at any SF.",
+    tags=("similarity", "embedding", "ext"),
+    oracle="""
+WITH cent AS (
+  SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.v * b.v) AS dot,
+         sqrt(sum(a.v * a.v)) AS na,
+         sqrt(sum(b.v * b.v)) AS nb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, round(dot / (na * nb), 6) AS cos_sim
+FROM pairs ORDER BY label_a, label_b
+""",
+)
+def sim_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("p", "x"))
+        .groupBy("label", (F.col("p") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("v").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), "pos", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.sqrt(F.sum(F.col("va") * F.col("va"))).alias("na"),
+            F.sqrt(F.sum(F.col("vb") * F.col("vb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
+    ).orderBy("label_a", "label_b")

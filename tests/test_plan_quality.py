@@ -573,3 +573,11 @@ def test_multi_distinct_single_pass_expand(spark, sf_dir):
     # detail header — count the detail headers
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, f"expected a single orders scan, saw {n_scans}"
+
+
+def test_temporal_scd2_enrich_is_equi_hash_join(spark, sf_dir):
+    # the interval predicate must ride as a residual on the l_orderkey
+    # equi join — a nested-loop range join here would be quadratic
+    plan = _plan(_QUERIES["cdc_temporal_scd2_enrich"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan, "temporal join degenerated to a nested loop"
+    assert "Join" in plan
