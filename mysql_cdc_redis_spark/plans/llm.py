@@ -2401,3 +2401,72 @@ def sim_centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         "label_b",
         F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_sim"),
     ).orderBy("label_a", "label_b")
+
+
+@register(
+    "corpus_vocab_growth",
+    doc="Vocabulary growth curve (Heaps' law diagnostic — is the corpus "
+    "still yielding new types?): docs order into 10 id-deciles; each "
+    "distinct token reduces to its FIRST-seen decile (one aggregate), "
+    "so cumulative vocabulary at decile d is just a running sum over "
+    "10 rows — never a re-scan per checkpoint (the naive cumulative-"
+    "distinct is O(checkpoints × corpus); first-seen-bucket is one "
+    "pass + a 10-row window).  Emits cumulative tokens and types per "
+    "decile.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile,
+         string_split_regex(lower(text), '[^a-z]+') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT decile, unnest(toks) AS term FROM docs
+),
+clean AS (SELECT decile, term FROM tok WHERE term <> ''),
+per_decile AS (
+  SELECT decile, count(*) AS n_tokens FROM clean GROUP BY decile
+),
+first_seen AS (
+  SELECT term, min(decile) AS d0 FROM clean GROUP BY term
+),
+new_types AS (
+  SELECT d0 AS decile, count(*) AS n_new FROM first_seen GROUP BY d0
+)
+SELECT p.decile,
+       CAST(sum(p.n_tokens) OVER (ORDER BY p.decile) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.decile) AS BIGINT) AS cum_types
+FROM per_decile p LEFT JOIN new_types n ON n.decile = p.decile
+ORDER BY p.decile
+""",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    decile = F.ntile(10).over(Window.orderBy("doc_id"))
+    tok = (
+        docs.select(decile.alias("decile"), F.col("text"))
+        .select(
+            "decile",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    per_decile = tok.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tokens"))
+    new_types = (
+        tok.groupBy("term")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.join(new_types, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_tokens").over(wd).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wd).alias("cum_types"),
+        )
+        .orderBy("decile")
+    )

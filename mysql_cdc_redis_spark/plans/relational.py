@@ -4745,3 +4745,62 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scalar_delta_encode_roundtrip",
+    doc="Delta encoding ∘ decoding as window algebra (the columnar-"
+    "storage primitive, done relationally): per priority, the sorted "
+    "key column encodes to first-value + gaps (lag diff) and decodes "
+    "back via running sum; the aggregate proves decode(encode(x)) "
+    "== x exactly (key checksum + count + max gap as the compression "
+    "figure of merit).  Both windows share one partitioning.",
+    tags=("scalar", "window", "encoding", "ext"),
+    oracle="""
+WITH enc AS (
+  SELECT o_orderpriority, o_orderkey,
+         coalesce(o_orderkey - lag(o_orderkey) OVER w, o_orderkey) AS delta
+  FROM orders WHERE o_orderkey IS NOT NULL
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+),
+dec AS (
+  SELECT o_orderpriority, o_orderkey,
+         sum(delta) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS rebuilt
+  FROM enc
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN rebuilt = o_orderkey THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(rebuilt) AS BIGINT) AS rebuilt_sum
+FROM dec GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def scalar_delta_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey").isNotNull())
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    enc = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.coalesce(
+            F.col("o_orderkey") - F.lag("o_orderkey").over(w), F.col("o_orderkey")
+        ).alias("delta"),
+    )
+    dec = enc.withColumn(
+        "rebuilt", F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        dec.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("rebuilt") == F.col("o_orderkey"), 1).otherwise(0)
+            ).alias("n_exact"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("rebuilt").alias("rebuilt_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
