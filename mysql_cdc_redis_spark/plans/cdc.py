@@ -862,7 +862,10 @@ def cdc_ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = orders_changelog(spark, sf_dir)
     cut = ch.selectExpr("percentile_approx(seq, 0.6, 10000) AS m").collect()[0]["m"]
-    state0 = compact(ch.filter(F.col("seq") <= cut), ORDERS_PK, ORDERS_PAYLOAD)
+    # three branches read state0 (base agg, touched semi-join, merge) —
+    # persist the ≤1-row-per-key state instead of recompacting per branch
+    # (in production this is the already-materialized state parquet)
+    state0 = compact(ch.filter(F.col("seq") <= cut), ORDERS_PK, ORDERS_PAYLOAD).persist()
     batch = ch.filter(F.col("seq") > cut)
 
     price = F.col("o_totalprice").cast("decimal(18,2)")
