@@ -780,3 +780,57 @@ def stream_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "stream_scd2_history",
+    doc="Streaming SCD2: the version history built INCREMENTALLY by the "
+    "stateful operator — each event emits its new open version and the "
+    "correction that closes the previous one; finalize keeps the "
+    "closed emission per (key, version), so any micro-batch slicing "
+    "converges to the batch history.  Must hash-match the batch SCD2 "
+    "oracle — the cross-paradigm check for history building, like the "
+    "compaction twins for latest-state.",
+    tags=("cdc", "streaming", "scd2", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT tbl, CAST(o_orderkey AS VARCHAR) AS rid, cdc_action,
+       cdc_ts AS valid_from,
+       lead(cdc_ts) OVER w AS valid_to,
+       (lead(seq) OVER w IS NULL) AS is_current,
+       CAST(row_number() OVER w AS INT) AS version,
+       o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM ch
+WHERE o_orderkey IS NOT NULL
+WINDOW w AS (PARTITION BY tbl, CAST(o_orderkey AS VARCHAR) ORDER BY seq)
+ORDER BY rid, version
+""",
+)
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.compact_stream import run_scd2_stream
+
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("scd2stream_src")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    hist = run_scd2_stream(
+        spark,
+        source_dir,
+        ch.schema,
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+        checkpoint_dir=_tmp("scd2stream_ckpt"),
+        emissions_dir=_tmp("scd2stream_emit"),
+        max_files_per_trigger=1,
+    )
+    return hist.select(
+        "tbl",
+        "rid",
+        "cdc_action",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        "is_current",
+        "version",
+        # cdc_ts rides the payload through the fold but is not a history
+        # column (it IS valid_from) — same exclusion as batch scd2_history
+        *[c for c in ORDERS_PAYLOAD if c != "cdc_ts"],
+    ).orderBy("rid", "version")

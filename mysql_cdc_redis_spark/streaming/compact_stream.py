@@ -313,3 +313,169 @@ def run_retraction_stream(
         "sign",
         F.from_json("payload_json", payload_schema).alias("p"),
     ).select("tbl", "rid", "sign", "p.*")
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: version history built incrementally
+# ---------------------------------------------------------------------------
+
+_SCD2_OUT_SCHEMA = StructType(
+    [
+        StructField("tbl", StringType()),
+        StructField("rid", StringType()),
+        StructField("version", LongType()),
+        StructField("cdc_action", StringType()),
+        StructField("valid_from", StringType()),
+        StructField("valid_to", StringType()),
+        StructField("payload_json", StringType()),
+    ]
+)
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("version", LongType()),
+        StructField("last_seq", LongType()),
+        StructField("valid_from", StringType()),
+        StructField("cdc_action", StringType()),
+        StructField("payload_json", StringType()),
+    ]
+)
+
+
+def _scd2_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Incremental SCD2: every event opens a new version row and closes
+    the previous one (its valid_to = the new event's ts).  Emissions per
+    event: the closed previous version (full correction row) + the new
+    open version (valid_to NULL).  Finalize keeps, per (key, version),
+    the emission with a closed valid_to if one exists — so any
+    micro-batch slicing converges to the batch SCD2 history."""
+    tbl, rid = key
+    if state.exists:
+        version, last_seq, valid_from, action, payload = state.get
+    else:
+        version, last_seq, valid_from, action, payload = 0, -1, None, None, None
+
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        for r in pdf.itertuples():
+            if int(r.seq) <= last_seq:
+                continue  # replayed duplicate
+            if version > 0:
+                rows.append(
+                    {
+                        "tbl": tbl,
+                        "rid": rid,
+                        "version": version,
+                        "cdc_action": action,
+                        "valid_from": valid_from,
+                        "valid_to": r.cdc_ts,
+                        "payload_json": payload,
+                    }
+                )
+            version += 1
+            last_seq = int(r.seq)
+            valid_from, action, payload = r.cdc_ts, r.cdc_action, r.payload_json
+            rows.append(
+                {
+                    "tbl": tbl,
+                    "rid": rid,
+                    "version": version,
+                    "cdc_action": action,
+                    "valid_from": valid_from,
+                    "valid_to": None,
+                    "payload_json": payload,
+                }
+            )
+    state.update((version, last_seq, valid_from, action, payload))
+    yield pd.DataFrame(rows, columns=[f.name for f in _SCD2_OUT_SCHEMA.fields])
+
+
+def run_scd2_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    emissions_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run the changelog through the incremental SCD2 builder and return
+    the finalized version history (typed payload columns restored)."""
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    keyed = (
+        stream.withColumn("rid", rid_expr(pk_cols))
+        .filter(F.col("rid").isNotNull())
+        .withColumn(
+            "payload_json", F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+        )
+        .select(
+            "tbl",
+            "rid",
+            "seq",
+            "cdc_action",
+            F.col("cdc_ts").cast("string").alias("cdc_ts"),
+            "payload_json",
+        )
+    )
+    emissions = keyed.groupBy("tbl", "rid").applyInPandasWithState(
+        _scd2_group,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions_dir)
+
+    q = (
+        emissions.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    payload_schema = StructType([source_schema[c] for c in payload_cols])
+    out = spark.read.parquet(emissions_dir)
+    # per (key, version): a closed emission (valid_to set) supersedes the
+    # open one from an earlier micro-batch
+    final = (
+        out.groupBy("tbl", "rid", "version")
+        .agg(
+            F.max("valid_to").alias("valid_to"),
+            F.first("cdc_action").alias("cdc_action"),
+            F.first("valid_from").alias("valid_from"),
+            F.first("payload_json").alias("payload_json"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_max = F.max("version").over(Window.partitionBy("tbl", "rid"))
+    return (
+        final.withColumn("is_current", F.col("version") == w_max)
+        .select(
+            "tbl",
+            "rid",
+            "cdc_action",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            F.col("version").cast("int").alias("version"),
+            F.from_json("payload_json", payload_schema).alias("p"),
+        )
+        .select(
+            "tbl", "rid", "cdc_action", "valid_from", "valid_to", "is_current",
+            "version", "p.*",
+        )
+    )
