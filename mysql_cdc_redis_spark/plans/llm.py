@@ -2470,3 +2470,61 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    doc="Incremental novelty score: per document (in doc_id ingestion "
+    "order), the fraction of its distinct 3-gram shingles never seen "
+    "in ANY earlier document — the 'is this new content or re-tread' "
+    "signal an incremental corpus build uses for admission.  Same "
+    "first-seen reduction as the vocabulary curve: each shingle "
+    "reduces to its min doc_id (one aggregate over the shared "
+    "shingle-hash relation), a shingle is novel exactly in that doc — "
+    "never a per-doc rescan of history.  Emitted per source bucket: "
+    "mean novelty + fully-novel doc count.",
+    tags=("text", "dedup", "corpus", "ext"),
+    oracle=f"""
+WITH {_DOCS_SHINGLES},
+first_seen AS (
+  SELECT h, min(doc_id) AS d0 FROM shh GROUP BY h
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_sh,
+         count(*) FILTER (WHERE f.d0 = s.doc_id) AS n_novel
+  FROM shh s JOIN first_seen f ON f.h = s.h
+  GROUP BY s.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_novel / n_sh), 6) AS mean_novelty,
+       CAST(count(*) FILTER (WHERE n_novel = n_sh) AS BIGINT) AS n_fully_novel
+FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source ORDER BY d.source
+""",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_hashes(docs, n=3).persist()
+    first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("d0"))
+    per_doc = (
+        sh.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("d0") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_novel") / F.col("n_sh")), 6).alias("mean_novelty"),
+            F.sum((F.col("n_novel") == F.col("n_sh")).cast("long")).alias(
+                "n_fully_novel"
+            ),
+        )
+        .orderBy("source")
+    )
