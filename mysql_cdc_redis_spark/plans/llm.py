@@ -2528,3 +2528,69 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_boilerplate_detection",
+    doc="Boilerplate detection — the curation stage BEFORE near-dup "
+    "scoring (headers/footers/navigation repeat across a site's pages "
+    "and poison shingle similarity): 8-token segments (same chunking "
+    "as segment dedup) get a per-source document frequency; a segment "
+    "appearing in > 25% of its source's documents is boilerplate.  "
+    "Output per source: distinct segments, boilerplate segments, and "
+    "the corpus-wide fraction of segment OCCURRENCES that are "
+    "boilerplate (what stripping would delete).  Shuffles 16-byte "
+    "hashes keyed (source, h); DF thresholds broadcast per source.",
+    tags=("text", "corpus", "boilerplate", "ext"),
+    oracle="""
+WITH toks AS (
+  SELECT d.doc_id, d.source, string_split(d.text, ' ') AS t
+  FROM documents d
+),
+sized AS (SELECT doc_id, source, t, len(t) AS n FROM toks),
+segs AS (
+  SELECT doc_id, source,
+         md5(array_to_string(t[s + 1 : s + 8], ' ')) AS h
+  FROM sized, LATERAL unnest(range(0, n, 8)) u(s)
+),
+src_docs AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY source),
+df AS (
+  SELECT source, h, count(DISTINCT doc_id) AS seg_df, count(*) AS n_occ
+  FROM segs GROUP BY source, h
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_distinct_segments,
+       CAST(count(*) FILTER (WHERE seg_df > 0.25 * s.n_docs) AS BIGINT)
+         AS n_boilerplate_segments,
+       round(sum(CASE WHEN seg_df > 0.25 * s.n_docs THEN n_occ ELSE 0 END)
+             / sum(n_occ), 6) AS occurrence_fraction
+FROM df d JOIN src_docs s ON d.source = s.source
+GROUP BY d.source ORDER BY d.source
+""",
+)
+def text_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus as cp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    segs = cp.chunk_tokens(docs.select("doc_id", "text"), chunk_size=8, stride=8).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    src_docs = segs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df = segs.groupBy("source", "chunk_hash").agg(
+        F.countDistinct("doc_id").alias("seg_df"), F.count(F.lit(1)).alias("n_occ")
+    )
+    bp = F.col("seg_df") > 0.25 * F.col("n_docs")
+    return (
+        df.join(F.broadcast(src_docs), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_segments"),
+            F.sum(bp.cast("long")).alias("n_boilerplate_segments"),
+            F.round(
+                F.sum(F.when(bp, F.col("n_occ")).otherwise(0)) / F.sum("n_occ"), 6
+            ).alias("occurrence_fraction"),
+        )
+        .orderBy("source")
+    )

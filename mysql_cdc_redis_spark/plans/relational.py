@@ -4804,3 +4804,40 @@ def scalar_delta_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    doc="Traffic seasonality profile: the (day-of-week × hour) activity "
+    "matrix with each cell's share of total — the load-shaping input "
+    "for trigger sizing and autoscaling.  One aggregate; the share "
+    "divides by a window total over the 168-row result, not a second "
+    "scan.  Engine-portable dow (1=Sunday via dayofweek/ISODOW "
+    "mapping pinned on both sides).",
+    tags=("agg", "timeseries", "ext"),
+    oracle="""
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT iso_dow, hr, n_events,
+       round(n_events / sum(n_events) OVER (), 6) AS share
+FROM cells ORDER BY iso_dow, hr
+""",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; ISO dow: 1=Monday..7=Sunday
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    cells = events.groupBy(
+        iso_dow.alias("iso_dow"), F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy()
+    return cells.select(
+        "iso_dow",
+        "hr",
+        "n_events",
+        F.round(F.col("n_events") / F.sum("n_events").over(w), 6).alias("share"),
+    ).orderBy("iso_dow", "hr")
