@@ -4841,3 +4841,48 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("n_events") / F.sum("n_events").over(w), 6).alias("share"),
     ).orderBy("iso_dow", "hr")
+
+
+@register(
+    "window_ohlc_resample",
+    doc="Time-series resampling to OHLC bars (the downsampling shape for "
+    "any metered value): per event type and 6-hour bucket — open = "
+    "value at the earliest (ts, event_id), close = at the latest, "
+    "high/low = extremes, plus volume.  min_by/max_by over the "
+    "composite time key give deterministic open/close under same-"
+    "timestamp ties; one aggregate, no window, no self-join (the "
+    "naive 'join back to first/last row' doubles the scan).",
+    tags=("agg", "timeseries", "ohlc", "ext"),
+    oracle="""
+SELECT event_type,
+       CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS bar_start,
+       round(arg_min(value, lpad(CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS VARCHAR), 12, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(arg_max(value, lpad(CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS VARCHAR), 12, '0')
+                            || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS close,
+       CAST(count(*) AS BIGINT) AS volume
+FROM events
+GROUP BY event_type, bar_start
+ORDER BY event_type, bar_start
+""",
+)
+def window_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bar = F.window("ts", "6 hours")["start"].alias("bar_start")
+    tkey = F.concat(
+        F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.groupBy("event_type", bar)
+        .agg(
+            F.round(F.min_by("value", tkey), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", tkey), 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
