@@ -2594,3 +2594,68 @@ def text_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_readability_proxy",
+    doc="Readability scoring (Flesch-style proxy): sentences from "
+    "[.!?]+ splits, words from whitespace, syllables approximated by "
+    "vowel-group runs ([aeiouy]+) — all three counts from two "
+    "regexp passes per document, no UDF; the score is the standard "
+    "206.835 − 1.015·(words/sentence) − 84.6·(syllables/word) "
+    "formula on those proxies, bucketed per source.  Another "
+    "map-side quality gate: embarrassingly parallel at any SF.",
+    tags=("text", "quality", "ext"),
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> trim(s) <> '')), 1) AS n_sent,
+         greatest(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  w -> w <> '')), 1) AS n_words,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syll
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_words / n_sent), 4) AS mean_words_per_sentence,
+       round(avg(n_syll / n_words), 4) AS mean_syllables_per_word,
+       round(avg(206.835 - 1.015 * (n_words / n_sent)
+                 - 84.6 * (n_syll / n_words)), 4) AS mean_flesch
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = lambda c: F.size(  # noqa: E731
+        F.filter(c, lambda s: F.trim(s) != "")
+    )
+    n_sent = F.greatest(nonempty(F.split("text", r"[.!?]+")), F.lit(1))
+    n_words = F.greatest(
+        F.size(F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda w: w != "")),
+        F.lit(1),
+    )
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    per_doc = docs.select(
+        "source",
+        n_sent.alias("n_sent"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+    )
+    wps = F.col("n_words") / F.col("n_sent")
+    spw = F.col("n_syll") / F.col("n_words")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(wps), 4).alias("mean_words_per_sentence"),
+            F.round(F.avg(spw), 4).alias("mean_syllables_per_word"),
+            F.round(F.avg(206.835 - 1.015 * wps - 84.6 * spw), 4).alias(
+                "mean_flesch"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -4886,3 +4886,60 @@ def window_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_start")
     )
+
+
+@register(
+    "agg_pareto_concentration",
+    doc="Pareto / 80-20 concentration: the smallest customer cohort "
+    "covering 80% of revenue.  Facts pre-aggregate to one row per "
+    "customer FIRST; the running-share window then orders that "
+    "(small) relation by (revenue DESC, custkey) — the unique "
+    "tiebreak makes the cutoff row deterministic even under equal "
+    "revenues.  Output: cohort size, its customer-share, and the "
+    "covered revenue share.",
+    tags=("agg", "window", "pareto", "ext"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev,
+         sum(rev) OVER () AS total_rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n_cust
+  FROM per_cust
+)
+SELECT min(rn) AS n_top_customers,
+       round(min(rn) / CAST(max(n_cust) AS DOUBLE), 6) AS customer_share,
+       round(min(cum_rev / total_rev), 6) AS revenue_share_at_cutoff
+FROM ranked WHERE cum_rev / total_rev >= 0.8
+""",
+)
+def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w_ord = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        F.sum("rev").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+        F.sum("rev").over(w_all).alias("total_rev"),
+        F.row_number().over(w_ord).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    hit = ranked.where(F.col("cum_rev") / F.col("total_rev") >= 0.8)
+    return hit.agg(
+        F.min("rn").alias("n_top_customers"),
+        F.round(F.min("rn") / F.max("n_cust").cast("double"), 6).alias(
+            "customer_share"
+        ),
+        F.round(F.min(F.col("cum_rev") / F.col("total_rev")), 6).alias(
+            "revenue_share_at_cutoff"
+        ),
+    )
