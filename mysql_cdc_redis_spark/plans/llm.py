@@ -2659,3 +2659,105 @@ def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sim_knn_label_eval",
+    doc="k-NN classification evaluation on the engine (the embedding-"
+    "quality metric a curation pipeline tracks): every 10th vector is "
+    "a held-out query; its label is predicted by majority vote over "
+    "the 5 nearest training vectors by cosine (double math, order-"
+    "stable fold), with ties broken by (count DESC, label) and "
+    "neighbor rank by (distance, id).  Per-label accuracy comes out "
+    "as one (label, n_eval, n_correct) report.  The quadratic "
+    "query×train join is the brute-force baseline shape — at scale "
+    "the candidate set comes from the IVF/LSH/PQ entries instead; "
+    "the eval harness is identical.",
+    tags=("similarity", "knn", "eval", "ext"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+t AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+scored AS (
+  SELECT q.vec_id AS qid, q.label AS true_label, t.label AS nb_label,
+         t.vec_id AS tid,
+         list_reduce(list_transform(range(1, len(q.v) + 1),
+                                    i -> q.v[i] * t.v[i]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, len(q.v) + 1),
+                                            i -> q.v[i] * q.v[i]), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, len(t.v) + 1),
+                                              i -> t.v[i] * t.v[i]), (x, y) -> x + y)))
+           AS cos_sim
+  FROM q, t
+),
+top5 AS (
+  SELECT qid, true_label, nb_label FROM (
+    SELECT qid, true_label, nb_label,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, tid) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT qid, true_label, nb_label, count(*) AS n
+  FROM top5 GROUP BY qid, true_label, nb_label
+),
+pred AS (
+  SELECT qid, true_label, nb_label AS pred_label FROM (
+    SELECT qid, true_label, nb_label,
+           row_number() OVER (PARTITION BY qid ORDER BY n DESC, nb_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(count(*) FILTER (WHERE pred_label = true_label) AS BIGINT) AS n_correct
+FROM pred GROUP BY true_label ORDER BY label
+""",
+)
+def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", dvec.alias("v"))
+    q = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    t = e.where(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("tid"), F.col("label").alias("nb_label"),
+        F.col("v").alias("tv"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, d: acc + d
+    )
+    scored = q.crossJoin(t).select(
+        "qid",
+        "true_label",
+        "nb_label",
+        "tid",
+        (
+            dot(F.col("qv"), F.col("tv"))
+            / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("tv"), F.col("tv"))))
+        ).alias("cos_sim"),
+    )
+    w_nb = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "tid")
+    top5 = scored.withColumn("rn", F.row_number().over(w_nb)).where(F.col("rn") <= 5)
+    votes = top5.groupBy("qid", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_v = Window.partitionBy("qid").orderBy(F.col("n").desc(), "nb_label")
+    pred = votes.withColumn("rn", F.row_number().over(w_v)).where(F.col("rn") == 1)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col("nb_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .orderBy("label")
+    )
