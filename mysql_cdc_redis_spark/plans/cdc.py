@@ -1317,3 +1317,50 @@ def cdc_temporal_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "o_orderstatus")
     )
+
+
+@register(
+    "cdc_tombstone_gc",
+    doc="Tombstone garbage collection (Kafka's delete.retention.ms for "
+    "the compacted state): tombstones must outlive the longest "
+    "consumer lag — delete markers younger than the horizon are "
+    "RETAINED so lagging readers still see the delete; older ones "
+    "GC.  Live rows are never GC'd (that is TTL's job, a different "
+    "policy).  One pass over the compacted state emits the ops "
+    "accounting: live rows, tombstones kept, tombstones collected.",
+    tags=("cdc", "gc", "tombstone", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+state AS (
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(cdc_ts, seq) AS last_ts
+    FROM ch WHERE o_orderkey IS NOT NULL
+    GROUP BY 1
+  ) WHERE cdc_action <> '{ACTION_FOLD_SENTINEL}'
+)
+SELECT CAST(count(*) FILTER (WHERE cdc_action <> 'delete') AS BIGINT) AS n_live,
+       CAST(count(*) FILTER (WHERE cdc_action = 'delete'
+                               AND last_ts >= DATE '1995-01-01') AS BIGINT)
+         AS n_tombstones_kept,
+       CAST(count(*) FILTER (WHERE cdc_action = 'delete'
+                               AND last_ts < DATE '1995-01-01') AS BIGINT)
+         AS n_tombstones_gc
+FROM state
+""",
+)
+def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    state = compact(ch, ORDERS_PK, ("cdc_ts",)).withColumnRenamed("cdc_ts", "last_ts")
+    horizon = F.lit("1995-01-01").cast("date")
+    is_tomb = F.col("cdc_action") == "delete"
+    return state.agg(
+        F.sum((~is_tomb).cast("long")).alias("n_live"),
+        F.sum((is_tomb & (F.col("last_ts") >= horizon)).cast("long")).alias(
+            "n_tombstones_kept"
+        ),
+        F.sum((is_tomb & (F.col("last_ts") < horizon)).cast("long")).alias(
+            "n_tombstones_gc"
+        ),
+    )

@@ -4943,3 +4943,49 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share_at_cutoff"
         ),
     )
+
+
+@register(
+    "join_events_customer_segments",
+    doc="Cross-domain enrichment: the event stream LEFT-joined to the "
+    "customer dimension (user_id = c_custkey; fixture users are a "
+    "customer subset) and profiled per market segment — events, "
+    "distinct active users, per-user intensity, value.  Unmatched "
+    "traffic would surface as a '(no-customer-record)' segment via "
+    "the coalesce (absent when every user matches, so the report "
+    "never fabricates empty classes).  Dim broadcasts; one stream-"
+    "side shuffle.",
+    tags=("join", "events", "ext"),
+    oracle="""
+SELECT coalesce(c_mktsegment, '(no-customer-record)') AS segment,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_active_users,
+       round(count(*) / CAST(count(DISTINCT user_id) AS DOUBLE), 4)
+         AS events_per_user,
+       round(sum(value), 2) AS total_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY segment ORDER BY segment
+""",
+)
+def join_events_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            events["user_id"] == customer["c_custkey"],
+            "left",
+        )
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("(no-customer-record)")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.round(
+                F.count(F.lit(1)) / F.countDistinct("user_id").cast("double"), 4
+            ).alias("events_per_user"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
