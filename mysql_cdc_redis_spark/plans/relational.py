@@ -4989,3 +4989,55 @@ def join_events_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "agg_recency_decay_score",
+    doc="Recency-weighted activity score per user (the feature-store "
+    "staple): each event contributes value · 0.5^(weeks_old), with "
+    "age bucketed to integer weeks against the corpus max timestamp "
+    "— pow(0.5, k) on integer k is an exact power of two in IEEE "
+    "double, so both engines weight identically and the score is "
+    "reproducible (a fractional-exponent decay would differ in the "
+    "last ulp across libm implementations).  The anchor max(ts) "
+    "broadcasts as a one-row scalar; one aggregate per user.",
+    tags=("agg", "timeseries", "feature", "ext"),
+    oracle="""
+WITH anchor AS (SELECT max(ts) AS mx FROM events),
+aged AS (
+  SELECT user_id, value,
+         CAST(date_diff('second', ts, mx) // 604800 AS BIGINT) AS weeks_old
+  FROM events, anchor
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(weeks_old) AS BIGINT) AS oldest_weeks,
+       round(sum(value * pow(0.5, weeks_old)), 6) AS decay_score
+FROM aged GROUP BY user_id ORDER BY user_id
+""",
+)
+def agg_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("mx"))
+    aged = events.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "value",
+        F.floor(
+            (F.unix_timestamp("mx") - F.unix_timestamp("ts")) / 604800
+        ).alias("weeks_old"),
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("weeks_old").alias("oldest_weeks"),
+            # round(6), not 4: value·2^-k has ≤6 decimal digits, so a
+            # 4-digit round hits EXACT half-way cases where DuckDB
+            # (half-even) and Spark (half-up) disagree; at 6 digits no
+            # half-way value exists
+            F.round(F.sum(F.col("value") * F.pow(0.5, F.col("weeks_old"))), 6).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy("user_id")
+    )
