@@ -5041,3 +5041,95 @@ def agg_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "scalar_bitmask_flags",
+    doc="Flag packing (the warehouse idiom for N booleans in one "
+    "integer column): three order predicates pack into a 3-bit mask "
+    "(urgent<<2 | open<<1 | high_value), the mask groups the census, "
+    "and bit-ops unpack it back — proving pack∘unpack identity on "
+    "both engines' bit algebra.  At scale the packed column is 1 "
+    "byte vs 3 nullable booleans and filters via a single masked "
+    "comparison.",
+    tags=("scalar", "bitops", "ext"),
+    oracle="""
+WITH flagged AS (
+  SELECT (CASE WHEN o_orderpriority = '1-URGENT' THEN 4 ELSE 0 END
+        | CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 0 END
+        | CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS mask
+  FROM orders
+)
+SELECT mask,
+       (mask & 4) >> 2 AS is_urgent,
+       (mask & 2) >> 1 AS is_open,
+       mask & 1 AS is_high_value,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM flagged GROUP BY mask ORDER BY mask
+""",
+)
+def scalar_bitmask_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mask = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 4).otherwise(0).bitwiseOR(
+            F.when(F.col("o_orderstatus") == "O", 2).otherwise(0)
+        ).bitwiseOR(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0))
+    )
+    return (
+        orders.select(mask.alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "mask",
+            F.shiftright(F.col("mask").bitwiseAND(4), 2).alias("is_urgent"),
+            F.shiftright(F.col("mask").bitwiseAND(2), 1).alias("is_open"),
+            F.col("mask").bitwiseAND(1).alias("is_high_value"),
+            "n_orders",
+        )
+        .orderBy("mask")
+    )
+
+
+@register(
+    "agg_median_absolute_deviation",
+    doc="Median absolute deviation per status (the robust dispersion "
+    "partner of the trimmed mean — outlier-immune where stddev is "
+    "not): exact per-group median (cent-rounded inputs), broadcast "
+    "back, then the median of |x − median| in a second aggregate — "
+    "two passes by necessity (MAD is a nested order statistic), both "
+    "the same scan shape.  The MAD·1.4826 ≈ σ consistency factor is "
+    "emitted alongside for comparison with stddev.",
+    tags=("agg", "robust", "ext"),
+    oracle="""
+WITH med AS (
+  SELECT o_orderstatus, quantile_cont(round(o_totalprice, 2), 0.5) AS m
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       round(max(m), 4) AS median_price,
+       round(quantile_cont(abs(round(o_totalprice, 2) - m), 0.5), 4) AS mad,
+       round(quantile_cont(abs(round(o_totalprice, 2) - m), 0.5) * 1.4826, 4)
+         AS mad_sigma,
+       round(stddev_samp(o_totalprice), 4) AS stddev
+FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+""",
+)
+def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.round("o_totalprice", 2)
+    med = orders.groupBy("o_orderstatus").agg(
+        F.percentile(v, F.lit(0.5)).alias("m")
+    )
+    dev = F.abs(v - F.col("m"))
+    return (
+        orders.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.max("m"), 4).alias("median_price"),
+            F.round(F.percentile(dev, F.lit(0.5)), 4).alias("mad"),
+            F.round(F.percentile(dev, F.lit(0.5)) * 1.4826, 4).alias("mad_sigma"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev"),
+        )
+        .orderBy("o_orderstatus")
+    )
