@@ -5133,3 +5133,180 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "events_cooccurrence_pmi",
+    doc="Pointwise mutual information between event-type pairs (basket-"
+    "style association mining): per user the distinct type set, "
+    "self-joined (a<b) for co-occurrence counts, then PMI = "
+    "ln(n·c_ab / (c_a·c_b)) against the per-type user counts — "
+    "positive PMI = types travel together.  The pair space is "
+    "|types|² regardless of SF; the only big shuffle is the distinct "
+    "(user, type) reduction.",
+    tags=("agg", "association", "ext"),
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+singles AS (SELECT event_type, count(*) AS c FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(c_ab AS BIGINT) AS n_cousers,
+       round(ln(CAST(c_ab AS DOUBLE) * n_users / (sa.c * sb.c)), 6) AS pmi
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN n
+ORDER BY type_a, type_b
+""",
+)
+def events_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n_users = ut.select(F.countDistinct("user_id").alias("n_users"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").alias("n_cousers"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double") * F.col("n_users")
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "agg_benford_first_digit",
+    doc="Benford first-digit census of order values (the forensic "
+    "profiling shape for money columns): leading digit extracted by "
+    "pure integer/log math — floor(x / 10^floor(log10 x)) — compared "
+    "against the expected log10(1 + 1/d) Benford share.  Synthetic "
+    "TPC-H prices are NOT Benford-distributed; the deviation columns "
+    "make that visible, which is exactly the point of the census.",
+    tags=("agg", "profiling", "ext"),
+    oracle="""
+SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice)))) AS BIGINT)
+         AS first_digit,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(count(*) / CAST((SELECT count(*) FROM orders WHERE o_totalprice > 0)
+                             AS DOUBLE), 6) AS observed_share,
+       round(log10(1 + 1.0 / first_digit), 6) AS benford_share
+FROM orders WHERE o_totalprice > 0
+GROUP BY first_digit ORDER BY first_digit
+""",
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(10, F.floor(F.log10("o_totalprice")))
+    )
+    total = orders.select(F.count(F.lit(1)).alias("t"))
+    return (
+        orders.groupBy(digit.alias("first_digit"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("t").cast("double"), 6).alias(
+                "observed_share"
+            ),
+            F.round(F.log10(1 + 1.0 / F.col("first_digit")), 6).alias(
+                "benford_share"
+            ),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@register(
+    "join_order_total_consistency",
+    doc="Cross-table consistency report (the reconciliation between a "
+    "header total and its detail lines — an invariant a CDC replay "
+    "must not break): per order, o_totalprice vs the lineitem "
+    "sum(extendedprice·(1−discount)·(1+tax)); orders bucket into "
+    "consistent (within 1%), drifted, and childless, with the mean "
+    "relative gap per status.  Whether the synthetic fixtures honor "
+    "the invariant is exactly what the report shows — the operator "
+    "is the check, not the assumption.",
+    tags=("join", "quality", "ext"),
+    oracle="""
+WITH detail AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS computed
+  FROM lineitem GROUP BY l_orderkey
+),
+cmp AS (
+  SELECT o_orderstatus,
+         CASE WHEN computed IS NULL THEN 'childless'
+              WHEN abs(computed - o_totalprice) / o_totalprice <= 0.01
+                THEN 'consistent'
+              ELSE 'drifted' END AS bucket,
+         CASE WHEN computed IS NOT NULL
+              THEN abs(computed - o_totalprice) / o_totalprice END AS rel_gap
+  FROM orders LEFT JOIN detail ON o_orderkey = l_orderkey
+)
+SELECT o_orderstatus, bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(rel_gap), 6) AS mean_rel_gap
+FROM cmp GROUP BY o_orderstatus, bucket
+ORDER BY o_orderstatus, bucket
+""",
+)
+def join_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    detail = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("computed")
+    )
+    j = orders.join(detail, "o_orderkey", "left")
+    rel_gap = F.abs(F.col("computed") - F.col("o_totalprice")) / F.col("o_totalprice")
+    bucket = (
+        F.when(F.col("computed").isNull(), "childless")
+        .when(rel_gap <= 0.01, "consistent")
+        .otherwise("drifted")
+    )
+    return (
+        j.select(
+            "o_orderstatus",
+            bucket.alias("bucket"),
+            F.when(F.col("computed").isNotNull(), rel_gap).alias("rel_gap"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("rel_gap"), 6).alias("mean_rel_gap"),
+        )
+        .orderBy("o_orderstatus", "bucket")
+    )
