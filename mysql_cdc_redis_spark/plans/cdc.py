@@ -1364,3 +1364,52 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tombstones_gc"
         ),
     )
+
+
+@register(
+    "cdc_seq_gap_census",
+    doc="Sequence-gap census (lost-event detection: a binlog collector "
+    "that skips positions loses data silently — the gap census is "
+    "the monitor): per table, adjacent-seq deltas via one lag "
+    "window; emits gap count, total missing positions, and the "
+    "largest gap.  The synthetic changelog allots 4 positions per "
+    "key and uses a subset, so the census reports real, "
+    "deterministic gaps — the monitor is shown measuring, not "
+    "vacuously zero.",
+    tags=("cdc", "audit", "gaps", "ext"),
+    oracle=f"""
+WITH och AS ({ORDERS_CHANGELOG_SQL}), lch AS ({LINEITEM_CHANGELOG_SQL}),
+ch AS (
+  SELECT tbl, seq FROM och UNION ALL SELECT tbl, seq FROM lch
+),
+lagged AS (
+  SELECT tbl, seq - lag(seq) OVER (PARTITION BY tbl ORDER BY seq) AS delta
+  FROM ch
+)
+SELECT tbl,
+       CAST(count(*) FILTER (WHERE delta > 1) AS BIGINT) AS n_gaps,
+       CAST(coalesce(sum(delta - 1) FILTER (WHERE delta > 1), 0) AS BIGINT)
+         AS n_missing_positions,
+       CAST(max(delta) - 1 AS BIGINT) AS largest_gap
+FROM lagged GROUP BY tbl ORDER BY tbl
+""",
+)
+def cdc_seq_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["tbl", "seq"]
+    ch = orders_changelog(spark, sf_dir).select(cols).unionByName(
+        lineitem_changelog(spark, sf_dir).select(cols)
+    )
+    w = Window.partitionBy("tbl").orderBy("seq")
+    lagged = ch.select("tbl", (F.col("seq") - F.lag("seq").over(w)).alias("delta"))
+    gap = F.col("delta") > 1
+    return (
+        lagged.groupBy("tbl")
+        .agg(
+            F.sum(gap.cast("long")).alias("n_gaps"),
+            F.coalesce(
+                F.sum(F.when(gap, F.col("delta") - 1)), F.lit(0)
+            ).alias("n_missing_positions"),
+            (F.max("delta") - 1).alias("largest_gap"),
+        )
+        .orderBy("tbl")
+    )

@@ -5310,3 +5310,105 @@ def join_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "bucket")
     )
+
+
+@register(
+    "agg_churn_transitions",
+    doc="Month-over-month customer state transitions (the growth-"
+    "accounting matrix): per (customer, month) activity reduces the "
+    "fact table once; lag over each customer's month series then "
+    "classifies every active month as new (no prior month) / "
+    "retained (consecutive) / resurrected (gap), and the month-level "
+    "rollup emits the transition counts a growth dashboard plots.  "
+    "Churn is the complement (prior month active, this one not) — "
+    "computed from the same lag without a calendar cross join.",
+    tags=("agg", "retention", "ext"),
+    oracle="""
+WITH cm AS (
+  SELECT DISTINCT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS mi
+  FROM orders
+),
+lagged AS (
+  SELECT o_custkey, mi,
+         lag(mi) OVER (PARTITION BY o_custkey ORDER BY mi) AS prev_mi
+  FROM cm
+)
+SELECT mi,
+       CAST(count(*) FILTER (WHERE prev_mi IS NULL) AS BIGINT) AS n_new,
+       CAST(count(*) FILTER (WHERE prev_mi = mi - 1) AS BIGINT) AS n_retained,
+       CAST(count(*) FILTER (WHERE prev_mi IS NOT NULL AND prev_mi < mi - 1)
+            AS BIGINT) AS n_resurrected
+FROM lagged GROUP BY mi ORDER BY mi
+""",
+)
+def agg_churn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cm = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mi")
+    lagged = cm.withColumn("prev_mi", F.lag("mi").over(w))
+    return (
+        lagged.groupBy("mi")
+        .agg(
+            F.sum(F.col("prev_mi").isNull().cast("long")).alias("n_new"),
+            # when prev_mi is NULL the equality is NULL, and sum() over
+            # all-NULL yields NULL, not 0 — route through when/otherwise
+            F.sum(
+                F.when(F.col("prev_mi") == F.col("mi") - 1, 1).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                (F.col("prev_mi").isNotNull() & (F.col("prev_mi") < F.col("mi") - 1))
+                .cast("long")
+            ).alias("n_resurrected"),
+        )
+        .orderBy("mi")
+    )
+
+
+@register(
+    "events_burst_detection",
+    doc="Burst detection: minute-bucket counts per event type, flagged "
+    "where the bucket exceeds mean + 3σ of that type's bucket "
+    "distribution — the rate-anomaly complement of the value-anomaly "
+    "z-score entry.  Two tiny aggregates (buckets, then per-type "
+    "moments broadcast back); the fact table is scanned once.",
+    tags=("agg", "anomaly", "timeseries", "ext"),
+    oracle="""
+WITH buckets AS (
+  SELECT event_type, time_bucket(INTERVAL '1 minute', ts) AS minute,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+  FROM buckets GROUP BY event_type
+)
+SELECT b.event_type, CAST(b.minute AS TIMESTAMP) AS minute,
+       CAST(n AS BIGINT) AS n_events,
+       round((n - mu) / sigma, 4) AS burst_z
+FROM buckets b JOIN stats s ON b.event_type = s.event_type
+WHERE n > mu + 3 * sigma
+ORDER BY event_type, minute
+""",
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    buckets = events.groupBy(
+        "event_type", F.window("ts", "1 minute")["start"].alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = buckets.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    return (
+        buckets.join(F.broadcast(stats), "event_type")
+        .where(F.col("n") > F.col("mu") + 3 * F.col("sigma"))
+        .select(
+            "event_type",
+            "minute",
+            F.col("n").alias("n_events"),
+            F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("burst_z"),
+        )
+        .orderBy("event_type", "minute")
+    )
