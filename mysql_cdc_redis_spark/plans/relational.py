@@ -5412,3 +5412,105 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "minute")
     )
+
+
+@register(
+    "window_peak_drawdown",
+    doc="Running-peak drawdown (the financial risk shape applied to a "
+    "revenue series): per nation's monthly revenue, the running max "
+    "and the percentage below it — aggregate to the month grain "
+    "first, window second (same agg-then-window discipline as the "
+    "EWMA/MoM entries; the fact table never enters a window).  Money "
+    "in cents for the comparison; the drawdown ratio rounds last.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH monthly AS (
+  SELECT n_name, year(o_orderdate)*100 + month(o_orderdate) AS mkey,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  GROUP BY n_name, mkey
+)
+SELECT n_name, mkey, rev,
+       round(max(rev) OVER w, 2) AS peak,
+       round((max(rev) OVER w - rev) / max(rev) OVER w, 6) AS drawdown
+FROM monthly
+WINDOW w AS (PARTITION BY n_name ORDER BY mkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY n_name, mkey
+""",
+)
+def window_peak_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mkey"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("mkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("rev").over(w)
+    return monthly.select(
+        "n_name",
+        "mkey",
+        "rev",
+        F.round(peak, 2).alias("peak"),
+        F.round((peak - F.col("rev")) / peak, 6).alias("drawdown"),
+    ).orderBy("n_name", "mkey")
+
+
+@register(
+    "scalar_surrogate_key_mint",
+    doc="Deterministic surrogate-key minting (the idempotent-id "
+    "requirement of any replayable pipeline: the same natural key "
+    "must mint the same surrogate on every run, every engine): a "
+    "UUID-shaped id assembled from the md5 of the qualified natural "
+    "key — pure string algebra, no uuid() randomness (which would "
+    "break replay idempotence and the oracle alike).  The distinct "
+    "count proves injectivity over the fixture keyspace.",
+    tags=("scalar", "keys", "ext"),
+    oracle="""
+WITH minted AS (
+  SELECT o_orderkey,
+         md5('tpch.orders#' || CAST(o_orderkey AS VARCHAR)) AS h
+  FROM orders WHERE o_orderkey IS NOT NULL
+),
+formed AS (
+  SELECT o_orderkey,
+         substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+           || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS sk
+  FROM minted
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT sk) AS BIGINT) AS n_distinct_sk,
+       min(sk) AS min_sk, max(sk) AS max_sk
+FROM formed
+""",
+)
+def scalar_surrogate_key_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey").isNotNull())
+    h = F.md5(F.concat(F.lit("tpch.orders#"), F.col("o_orderkey").cast("string")))
+    sk = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return orders.select(sk.alias("sk")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sk").alias("n_distinct_sk"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+    )
