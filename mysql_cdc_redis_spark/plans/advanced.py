@@ -1,0 +1,402 @@
+"""Advanced analytics breadth (SURVEY.md §2 EXT rows A6/W5/J5 extended).
+
+The reference pipeline exposes no analytics surface beyond counts
+(rcache.py:26-33), so everything here is EXT: distribution shape
+statistics, mergeable frequency sketches, inventory classification,
+path mining and join prefilters a warehouse user would expect from the
+engine that replaced it.
+
+Scale stance (100 TB): every plan below is a single shuffle on the
+natural grouping key (or none at all), sketches/classification tables
+stay tiny and broadcast-able, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# A6 ext: distribution shape — skewness / excess kurtosis per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_skewness_kurtosis",
+    doc="Population skewness + excess kurtosis of l_quantity per return "
+    "flag via Spark's moment aggregates (one partial+final hash agg, no "
+    "second pass); oracle recomputes the same population moments from raw "
+    "power sums.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*)            AS n,
+         sum(l_quantity)     AS s1,
+         sum(l_quantity ^ 2) AS s2,
+         sum(l_quantity ^ 3) AS s3,
+         sum(l_quantity ^ 4) AS s4
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) ^ 2 AS m2,
+         s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) ^ 3 AS m3,
+         s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) ^ 2 * s2 / n
+               - 3 * (s1 / n) ^ 4 AS m4
+  FROM s
+)
+SELECT l_returnflag, n AS n_rows,
+       round(m3 / m2 ^ 1.5, 6)    AS skew_qty,
+       round(m4 / m2 ^ 2 - 3, 6)  AS kurt_qty
+FROM m ORDER BY l_returnflag
+""",
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: count-min sketch — mergeable frequency estimation with probes
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_bucket_sql(key: str, i: str) -> str:
+    return f"(({key}) * (2 * ({i}) + 1) * 2654435761 + ({i}) * 97) % {_CMS_W}"
+
+
+@register(
+    "agg_countmin_sketch",
+    doc="Count-min sketch (d=4, w=64) over orders.o_custkey: the sketch is "
+    "a 256-cell table built by ONE map-side-combinable aggregation (events "
+    "x d rows), so at 100 TB it merges associatively across partitions; "
+    "probe keys get min-over-rows estimates, always >= the exact count "
+    "(CMS one-sided error guarantee).",
+    tags=("agg", "sketch", "ext"),
+    oracle=f"""
+WITH hashes AS (SELECT unnest(range(4)) AS i),
+sketch AS (
+  SELECT i, {_cms_bucket_sql("o_custkey", "i")} AS bucket, count(*) AS cnt
+  FROM orders CROSS JOIN hashes GROUP BY 1, 2
+),
+probes AS (
+  SELECT o_custkey AS probe_key, count(*) AS exact_cnt
+  FROM orders WHERE o_custkey % 500 = 0 GROUP BY 1
+)
+SELECT p.probe_key, min(s.cnt) AS est_cnt, any_value(p.exact_cnt) AS exact_cnt
+FROM probes p
+CROSS JOIN hashes h
+JOIN sketch s ON s.i = h.i AND s.bucket = {_cms_bucket_sql("p.probe_key", "h.i")}
+GROUP BY p.probe_key
+ORDER BY p.probe_key
+""",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hashes = F.array([F.lit(i) for i in range(_CMS_D)])
+    expanded = orders.select("o_custkey", F.explode(hashes).alias("i"))
+    bucket = F.expr(_cms_bucket_sql("o_custkey", "i"))
+    sketch = (
+        expanded.groupBy("i", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        orders.filter(F.col("o_custkey") % 500 == 0)
+        .groupBy(F.col("o_custkey").alias("probe_key"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    probe_cells = probes.select(
+        "probe_key", "exact_cnt", F.explode(hashes).alias("i")
+    ).withColumn("bucket", F.expr(_cms_bucket_sql("probe_key", "i")))
+    return (
+        probe_cells.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("probe_key")
+        .agg(F.min("cnt").alias("est_cnt"), F.any_value("exact_cnt").alias("exact_cnt"))
+        .orderBy("probe_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: ABC inventory classification (cumulative-share cut)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_abc_classification",
+    doc="ABC analysis: parts ranked by revenue, cumulative share cut at "
+    "80%/95% into A/B/C classes; the per-part aggregate shuffles once on "
+    "l_partkey, the classification window runs over the already-reduced "
+    "per-part table (|parts| << |lineitem|).",
+    tags=("agg", "window", "ext"),
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM rev
+)
+SELECT CASE WHEN cum_rev / total_rev <= 0.8 THEN 'A'
+            WHEN cum_rev / total_rev <= 0.95 THEN 'B'
+            ELSE 'C' END          AS abc_class,
+       count(*)                   AS n_parts,
+       round(sum(revenue), 2)     AS class_revenue
+FROM ranked GROUP BY 1 ORDER BY 1
+""",
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return (
+        ranked.select(
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+            "revenue",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Shannon entropy of a categorical distribution per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_priority_entropy",
+    doc="Shannon entropy (nats) of the order-priority mix per nation: two "
+    "stacked hash aggregates, both on keys that shrink the data before the "
+    "window-free entropy fold; nation dim joined broadcast.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH pc AS (
+  SELECT c_nationkey, o_orderpriority, count(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT c_nationkey, cnt,
+         cnt / (sum(cnt) OVER (PARTITION BY c_nationkey)) AS p
+  FROM pc
+)
+SELECT n_name,
+       sum(cnt)                  AS n_orders,
+       count(*)                  AS n_priorities,
+       round(-sum(p * ln(p)), 6) AS entropy_nats
+FROM shares JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def agg_priority_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pc = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    p = F.col("cnt") / F.sum("cnt").over(w)
+    ent = pc.withColumn("term", -p * F.log(p))
+    return (
+        ent.join(F.broadcast(nation), ent.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("cnt").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_priorities"),
+            F.round(F.sum("term"), 6).alias("entropy_nats"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5/W6 ext: event path mining — top event-type prefixes per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_top_paths",
+    doc="Per-user first-3 event-type path (deterministic ts,event_id "
+    "order), then global top-20 paths: the per-user window shuffles once "
+    "on user_id and emits one short string per user before the tiny "
+    "path-count aggregate (TakeOrderedAndProject, no global sort).",
+    tags=("window", "events", "ext"),
+    oracle="""
+WITH numbered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM numbered WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path LIMIT 20
+""",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = numbered.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: same-month year-over-year growth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_yoy_same_month",
+    doc="Year-over-year monthly revenue: lag() partitioned by calendar "
+    "month ordered by year compares each month to the SAME month one year "
+    "earlier — the window runs over the tiny (year x month) aggregate, "
+    "never the fact table.",
+    tags=("window", "ext"),
+    oracle="""
+WITH monthly AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+         sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mth, round(revenue, 2) AS revenue,
+       round(revenue / lag(revenue) OVER (PARTITION BY mth ORDER BY yr), 6)
+         AS yoy_ratio
+FROM monthly ORDER BY yr, mth
+""",
+)
+def window_yoy_same_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mth")
+    ).agg(F.sum("o_totalprice").alias("rev_raw"))
+    w = Window.partitionBy("mth").orderBy("yr")
+    return monthly.select(
+        "yr",
+        "mth",
+        F.round("rev_raw", 2).alias("revenue"),
+        F.round(F.col("rev_raw") / F.lag("rev_raw").over(w), 6).alias("yoy_ratio"),
+    ).orderBy("yr", "mth")
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: bloom-filter join prefilter (shuffle-reduction pattern)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return f"(({key}) * {2 * i + 1} * 1099511628211 + {i * 1013}) % 1024"
+
+
+@register(
+    "join_bloom_prefilter",
+    doc="Bloom-filter prejoin: hash the small side (suppliers of one "
+    "nation) into a 1024-bit membership set, prefilter the fact table by "
+    "2-hash membership BEFORE the exact join — at 100 TB this is the "
+    "pattern that turns a full lineitem shuffle into a broadcast bitmask "
+    "scan; reports candidate vs exact vs false-positive counts.",
+    tags=("join", "bloom", "ext"),
+    oracle=f"""
+WITH small AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7),
+bits AS (
+  SELECT DISTINCT {_bloom_pos_sql("s_suppkey", 0)} AS pos FROM small
+  UNION SELECT DISTINCT {_bloom_pos_sql("s_suppkey", 1)} FROM small
+),
+candidates AS (
+  SELECT l.l_suppkey FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.pos = {_bloom_pos_sql("l.l_suppkey", 0)})
+    AND EXISTS (SELECT 1 FROM bits b WHERE b.pos = {_bloom_pos_sql("l.l_suppkey", 1)})
+),
+exact AS (
+  SELECT c.l_suppkey FROM candidates c
+  WHERE EXISTS (SELECT 1 FROM small s WHERE s.s_suppkey = c.l_suppkey)
+)
+SELECT (SELECT count(*) FROM candidates) AS candidate_rows,
+       (SELECT count(*) FROM exact)      AS exact_rows,
+       (SELECT count(*) FROM candidates) - (SELECT count(*) FROM exact)
+         AS false_positive_rows
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    small = supplier.filter(F.col("s_nationkey") == 7).select("s_suppkey")
+    bits = (
+        small.select(F.expr(_bloom_pos_sql("s_suppkey", 0)).alias("pos"))
+        .union(small.select(F.expr(_bloom_pos_sql("s_suppkey", 1)).alias("pos")))
+        .distinct()
+    )
+    cand = (
+        li.select("l_suppkey")
+        .join(
+            F.broadcast(bits.withColumnRenamed("pos", "pos0")),
+            F.expr(_bloom_pos_sql("l_suppkey", 0)) == F.col("pos0"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(bits.withColumnRenamed("pos", "pos1")),
+            F.expr(_bloom_pos_sql("l_suppkey", 1)) == F.col("pos1"),
+            "left_semi",
+        )
+    )
+    exact = cand.join(F.broadcast(small), cand.l_suppkey == small.s_suppkey, "left_semi")
+    counts = cand.agg(F.count(F.lit(1)).alias("candidate_rows")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("exact_rows"))
+    )
+    return counts.select(
+        "candidate_rows",
+        "exact_rows",
+        (F.col("candidate_rows") - F.col("exact_rows")).alias("false_positive_rows"),
+    )

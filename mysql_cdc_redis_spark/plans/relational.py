@@ -5390,7 +5390,7 @@ SELECT b.event_type, CAST(b.minute AS TIMESTAMP) AS minute,
        round((n - mu) / sigma, 4) AS burst_z
 FROM buckets b JOIN stats s ON b.event_type = s.event_type
 WHERE n > mu + 3 * sigma
-ORDER BY event_type, minute
+ORDER BY b.event_type, minute
 """,
 )
 def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
