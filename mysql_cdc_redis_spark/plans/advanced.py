@@ -400,3 +400,376 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_rows",
         (F.col("candidate_rows") - F.col("exact_rows")).alias("false_positive_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Theil inequality index (one-pass decomposable entropy measure)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_theil_index",
+    doc="Theil-T inequality of customer spend: T = (1/(n*mu)) * sum(x ln x) "
+    "- ln(mu) — a single map-side-combinable aggregate over per-customer "
+    "totals (unlike Gini, Theil needs no global sort and decomposes "
+    "across partitions, the right inequality measure at 100 TB).",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * ln(x)) AS sxlnx FROM spend
+)
+SELECT n AS n_customers,
+       round(sxlnx / (n * (sx / n)) - ln(sx / n), 6) AS theil_t
+FROM s
+""",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    s = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlnx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sxlnx") / (F.col("n") * mu) - F.log(mu), 6).alias("theil_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Herfindahl-Hirschman market concentration per region
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hhi_concentration",
+    doc="HHI market concentration: squared nation revenue shares within "
+    "each region, summed to the 0-10000 scale; the share window runs over "
+    "the 25-row nation aggregate, dims broadcast.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH nat_rev AS (
+  SELECT r_name, n_name, sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT r_name, rev / sum(rev) OVER (PARTITION BY r_name) AS share
+  FROM nat_rev
+)
+SELECT r_name, count(*) AS n_nations,
+       round(10000 * sum(share * share), 4) AS hhi
+FROM shares GROUP BY r_name ORDER BY r_name
+""",
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat_rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    share = F.col("rev") / F.sum("rev").over(Window.partitionBy("r_name"))
+    return (
+        nat_rev.select("r_name", share.alias("share"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.round(10000 * F.sum(F.col("share") * F.col("share")), 4).alias("hhi"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/J7 ext: multi-fact drill-across (conformed-dimension galaxy schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_drill_across_facts",
+    doc="Drill-across two fact tables (orders revenue, events activity) "
+    "through the conformed customer->nation dimension: each fact "
+    "aggregates to the nation grain INDEPENDENTLY (no fact-to-fact join, "
+    "which would be a many-to-many explosion at 100 TB), then the two "
+    "tiny rollups full-outer-join on the dimension key.",
+    tags=("join", "setop", "ext"),
+    oracle="""
+WITH rev AS (
+  SELECT c_nationkey AS nk, round(sum(o_totalprice), 2) AS revenue,
+         count(*) AS n_orders
+  FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1
+), act AS (
+  SELECT c_nationkey AS nk, count(*) AS n_events,
+         round(sum(value), 2) AS event_value
+  FROM events JOIN customer ON c_custkey = user_id GROUP BY 1
+)
+SELECT n_name,
+       coalesce(revenue, 0)     AS revenue,
+       coalesce(n_orders, 0)    AS n_orders,
+       coalesce(n_events, 0)    AS n_events,
+       coalesce(event_value, 0) AS event_value
+FROM nation
+LEFT JOIN rev ON rev.nk = n_nationkey
+LEFT JOIN act ON act.nk = n_nationkey
+ORDER BY n_name
+""",
+)
+def join_drill_across_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    act = (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("event_value"),
+        )
+    )
+    return (
+        nation.join(F.broadcast(rev), nation.n_nationkey == rev.nk, "left")
+        .join(F.broadcast(act), nation.n_nationkey == act.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: Zipf rank-frequency law fit over the document corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_zipf_slope",
+    doc="Zipf's-law fit: token frequencies ranked, log-log slope via the "
+    "closed-form regr_slope aggregate over the top-1000 tokens — "
+    "tokenize+count shuffles once on the token, the regression runs on "
+    "1000 rows.  Near -1 slope = natural-language-like corpus (a cheap "
+    "corpus-health metric for training-data pipelines).",
+    tags=("text", "stats", "ext"),
+    oracle="""
+WITH tokens AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS freq FROM tokens WHERE tok <> '' GROUP BY tok
+), ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM counts
+)
+SELECT count(*) AS n_tokens,
+       round(regr_slope(ln(freq), ln(rank)), 4)     AS zipf_slope,
+       round(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept
+FROM ranked WHERE rank <= 1000
+""",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = counts.select(
+        "freq",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "tok")).alias("rank"),
+    ).filter(F.col("rank") <= 1000)
+    lf, lr = F.log("freq"), F.log("rank")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: RFM customer segmentation (quintile scoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rfm_segments",
+    doc="RFM segmentation: per-customer recency/frequency/monetary rolled "
+    "up once from orders, three ntile(5) windows over the per-customer "
+    "table (deterministic custkey tie-break), segment counts out — at "
+    "scale the windows run over |customers|, never |orders|.",
+    tags=("agg", "window", "ext"),
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), TIMESTAMP '1998-08-02') AS recency_days,
+         count(*) AS frequency,
+         sum(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency   DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary    DESC, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("1998-08-02").cast("timestamp")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: decile lift table (model-evaluation shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_decile_lift",
+    doc="Decile lift: customers ranked by account balance into deciles, "
+    "per-decile order rate vs the global rate — the canonical "
+    "model-evaluation lift table, computed with one customer-grain "
+    "window and a broadcast global-rate scalar.",
+    tags=("agg", "window", "ext"),
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile,
+         coalesce(n_orders, 0) AS n_orders
+  FROM customer LEFT JOIN oc ON o_custkey = c_custkey
+), g AS (SELECT sum(n_orders)::DOUBLE / count(*) AS global_rate FROM ranked)
+SELECT decile, count(*) AS n_customers,
+       sum(n_orders) AS n_orders,
+       round(sum(n_orders)::DOUBLE / count(*) / any_value(global_rate), 6) AS lift
+FROM ranked CROSS JOIN g
+GROUP BY decile ORDER BY decile
+""",
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    ranked = (
+        customer.join(oc, customer.c_custkey == oc.o_custkey, "left")
+        .select(
+            F.ntile(10)
+            .over(Window.orderBy(F.desc("c_acctbal"), "c_custkey"))
+            .alias("decile"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+    g = ranked.agg(
+        (F.sum("n_orders").cast("double") / F.count(F.lit(1))).alias("global_rate")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(g))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.round(
+                F.sum("n_orders").cast("double")
+                / F.count(F.lit(1))
+                / F.any_value("global_rate"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm/sim ext: int8 scalar quantization of embeddings (storage-size path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_embedding_int8_quantize",
+    doc="Scalar int8 quantization of the embedding column: per-vector "
+    "max-abs scale, round-to-int8, reconstruction MSE — pure array "
+    "higher-order functions (transform/aggregate), zero shuffles until "
+    "the final scalar rollup.  The 4x storage cut is what makes a 100 TB "
+    "embedding corpus fit hot storage; MSE quantifies the cost.",
+    tags=("mm", "sim", "ext"),
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale,
+         embedding
+  FROM embeddings
+), err AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN 0.0 ELSE
+           list_avg(list_transform(embedding,
+             x -> pow(x::DOUBLE - round(x::DOUBLE / scale) * scale, 2)))
+         END AS mse
+  FROM q
+)
+SELECT count(*) AS n_vectors,
+       round(avg(scale), 7) AS avg_scale,
+       round(avg(mse), 9)   AS avg_mse,
+       round(max(mse), 9)   AS max_mse
+FROM err
+""",
+)
+def mm_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))) / 127
+    ).alias("scale")
+    q = emb.select("vec_id", scale, "embedding")
+    per_dim_err = F.transform(
+        "embedding",
+        lambda x: F.pow(xd(x) - F.round(xd(x) / F.col("scale")) * F.col("scale"), 2),
+    )
+    mse = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.aggregate(per_dim_err, F.lit(0.0), lambda acc, v: acc + v)
+        / F.size("embedding")
+    )
+    err = q.select("vec_id", "scale", mse.alias("mse"))
+    return err.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("scale"), 7).alias("avg_scale"),
+        F.round(F.avg("mse"), 9).alias("avg_mse"),
+        F.round(F.max("mse"), 9).alias("max_mse"),
+    )
