@@ -773,3 +773,259 @@ def mm_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mse"), 9).alias("avg_mse"),
         F.round(F.max("mse"), 9).alias("max_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text/feat ext: hashing-trick feature buckets — collision census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hashing_trick_collisions",
+    doc="Feature-hashing collision census: vocabulary tokens hashed into "
+    "512 buckets with an engine-portable polynomial hash (fold over code "
+    "points), reporting bucket utilization and collision rate — the "
+    "dimensionality/quality trade a hashing-trick featurizer must know "
+    "before fixing its width at corpus scale.",
+    tags=("text", "feat", "ext"),
+    oracle="""
+WITH tokens AS (
+  SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT tok,
+         list_aggregate(
+           list_transform(
+             list_filter(string_split(tok, ''), c -> c <> ''),
+             c -> ord(c)),
+           'sum') % 512 +
+         length(tok) * 31 % 512 AS bucket_raw
+  FROM tokens WHERE tok <> ''
+), b AS (SELECT tok, bucket_raw % 512 AS bucket FROM hashed)
+SELECT count(*)                           AS n_tokens,
+       count(DISTINCT bucket)             AS n_buckets_used,
+       round(1.0 - count(DISTINCT bucket)::DOUBLE / count(*), 6) AS collision_rate,
+       max(cnt)                           AS max_bucket_load
+FROM b, (SELECT max(c) AS cnt FROM (SELECT count(*) AS c FROM b GROUP BY bucket))
+""",
+)
+def text_hashing_trick_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    chars = F.filter(F.split("tok", ""), lambda c: c != "")
+    code_sum = F.aggregate(
+        chars, F.lit(0).cast("bigint"), lambda acc, c: acc + F.ascii(c)
+    )
+    bucket = (code_sum % 512 + F.length("tok") * 31 % 512) % 512
+    b = tokens.select("tok", bucket.alias("bucket"))
+    loads = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    stats = b.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("bucket").alias("n_buckets_used"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(loads.agg(F.max("c").alias("max_bucket_load"))))
+        .select(
+            "n_tokens",
+            "n_buckets_used",
+            F.round(
+                1.0 - F.col("n_buckets_used").cast("double") / F.col("n_tokens"), 6
+            ).alias("collision_rate"),
+            "max_bucket_load",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# feat ext: leave-one-out target encoding (no-leakage categorical feature)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feat_target_encoding_loo",
+    doc="Leave-one-out target encoding of nation against account balance: "
+    "each row's encoding is (group_sum - own)/(group_n - 1), computed with "
+    "one partition window — the leakage-free categorical encoder; output "
+    "validates per-nation distribution of the encoded feature.",
+    tags=("feat", "window", "ext"),
+    oracle="""
+WITH enc AS (
+  SELECT c_nationkey,
+         CASE WHEN count(*) OVER (PARTITION BY c_nationkey) > 1 THEN
+           (sum(c_acctbal) OVER (PARTITION BY c_nationkey) - c_acctbal)
+           / (count(*) OVER (PARTITION BY c_nationkey) - 1)
+         END AS loo
+  FROM customer
+)
+SELECT n_name, count(*) AS n_rows,
+       round(avg(loo), 6)         AS avg_loo,
+       round(stddev_samp(loo), 6) AS sd_loo
+FROM enc JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def feat_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey")
+    n_grp = F.count(F.lit(1)).over(w)
+    loo = F.when(
+        n_grp > 1, (F.sum("c_acctbal").over(w) - F.col("c_acctbal")) / (n_grp - 1)
+    )
+    enc = customer.select("c_nationkey", loo.alias("loo"))
+    return (
+        enc.join(F.broadcast(nation), enc.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("loo"), 6).alias("avg_loo"),
+            F.round(F.stddev_samp("loo"), 6).alias("sd_loo"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: autocorrelation function of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_autocorrelation",
+    doc="ACF at lags 1-7 of daily order revenue: the series aggregates to "
+    "day grain first (tiny), then a lag-grid self-join + corr() per lag — "
+    "seasonality diagnosis without ever windowing the fact table.",
+    tags=("window", "timeseries", "stats", "ext"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+), lags AS (SELECT unnest(range(1, 8)) AS lag_k)
+SELECT lag_k, count(*) AS n_pairs,
+       round(corr(d1.rev, d2.rev), 6) AS acf
+FROM lags
+JOIN daily d1 ON true
+JOIN daily d2 ON d2.day = d1.day - lag_k::INTEGER
+GROUP BY lag_k ORDER BY lag_k
+""",
+)
+def window_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    d1 = daily.alias("d1").crossJoin(F.broadcast(lags))
+    d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    pairs = d1.join(d2, F.date_sub(F.col("d1.day"), F.col("lag_k")) == F.col("day2"))
+    return (
+        pairs.groupBy("lag_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("rev", "rev2"), 6).alias("acf"),
+        )
+        .orderBy("lag_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: CUSUM changepoint statistic over the daily order-count series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_cusum_changepoint",
+    doc="CUSUM changepoint scan: running sum of deviations from the global "
+    "daily-count mean; the day with max |CUSUM| is the most likely level "
+    "shift.  Mean via one scalar aggregate broadcast back, running sum "
+    "over the day-grain series; deterministic earliest-day tie-break.",
+    tags=("window", "timeseries", "anomaly", "ext"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders GROUP BY 1
+), m AS (SELECT avg(n) AS mu FROM daily),
+c AS (
+  SELECT day,
+         sum(n - mu) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cusum
+  FROM daily CROSS JOIN m
+)
+SELECT (SELECT count(*) FROM daily)        AS n_days,
+       day                                  AS changepoint_day,
+       round(abs(cusum), 4)                 AS max_abs_cusum
+FROM c ORDER BY abs(cusum) DESC, day LIMIT 1
+""",
+)
+def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = daily.agg(F.avg("n").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "day", F.sum(F.col("n") - F.col("mu")).over(w).alias("cusum")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    top = (
+        c.orderBy(F.abs("cusum").desc(), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs("cusum"), 4).alias("max_abs_cusum"),
+        )
+    )
+    return n_days.crossJoin(top).select("n_days", "changepoint_day", "max_abs_cusum")
+
+
+# ---------------------------------------------------------------------------
+# events ext: dwell time per event-type transition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_dwell",
+    doc="Dwell-time per event-type transition: lag() within each user's "
+    "timeline yields (prev_type -> type, seconds-between); per-pair count "
+    "and mean dwell quantify where users stall — one user_id shuffle, "
+    "then a tiny pair aggregate.",
+    tags=("events", "window", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts)         OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions,
+       round(avg(date_diff('second', prev_ts, ts)), 3) AS avg_dwell_sec,
+       max(date_diff('second', prev_ts, ts))           AS max_dwell_sec
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+""",
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_type").isNotNull())
+    dwell = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    return (
+        seq.select("prev_type", F.col("event_type").alias("next_type"), dwell.alias("dwell"))
+        .groupBy("prev_type", "next_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(F.avg("dwell"), 3).alias("avg_dwell_sec"),
+            F.max("dwell").alias("max_dwell_sec"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
