@@ -1029,3 +1029,326 @@ def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: multivariate OLS via sufficient statistics (normal equations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_ols_normal_equations",
+    doc="Two-feature OLS (extendedprice ~ quantity + discount) solved in "
+    "closed form from ONE pass of sufficient statistics (covariances), "
+    "2x2 Cramer inversion in the final projection — the pattern that "
+    "trains linear models at 100 TB without gradient iterations: every "
+    "statistic is a map-side-combinable aggregate.",
+    tags=("agg", "stats", "ml", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT count(*) AS n,
+         avg(l_quantity) AS x1b, avg(l_discount) AS x2b, avg(l_extendedprice) AS yb,
+         covar_pop(l_quantity, l_quantity)      AS s11,
+         covar_pop(l_discount, l_discount)      AS s22,
+         covar_pop(l_quantity, l_discount)      AS s12,
+         covar_pop(l_quantity, l_extendedprice) AS s1y,
+         covar_pop(l_discount, l_extendedprice) AS s2y,
+         var_pop(l_extendedprice)               AS syy
+  FROM lineitem
+), b AS (
+  SELECT n, x1b, x2b, yb, s1y, s2y, syy,
+         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+         (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+  FROM s
+)
+SELECT n AS n_rows,
+       round(yb - b1 * x1b - b2 * x2b, 4) AS b0,
+       round(b1, 4) AS b1,
+       round(b2, 4) AS b2,
+       round((b1 * s1y + b2 * s2y) / syy, 6) AS r2
+FROM b
+""",
+)
+def agg_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_quantity").alias("x1b"),
+        F.avg("l_discount").alias("x2b"),
+        F.avg("l_extendedprice").alias("yb"),
+        F.covar_pop("l_quantity", "l_quantity").alias("s11"),
+        F.covar_pop("l_discount", "l_discount").alias("s22"),
+        F.covar_pop("l_quantity", "l_discount").alias("s12"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("s1y"),
+        F.covar_pop("l_discount", "l_extendedprice").alias("s2y"),
+        F.var_pop("l_extendedprice").alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.round(F.col("yb") - b1 * F.col("x1b") - b2 * F.col("x2b"), 4).alias("b0"),
+        F.round(b1, 4).alias("b1"),
+        F.round(b2, 4).alias("b2"),
+        F.round((b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy"), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/W5 ext: Kaplan-Meier survival curve over customer lifetimes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_kaplan_meier",
+    doc="Kaplan-Meier survival estimator over customer active-lifetime "
+    "(first->last order, churned if silent 90 days before the fixture "
+    "anchor): risk sets via a descending cumulative window, the product "
+    "estimator as exp(sum(ln ..)) with an explicit zero-factor flag "
+    "(Spark ln(0) is NULL, not -inf) — all on the tiny duration-grain "
+    "table after one customer-grain aggregate.",
+    tags=("agg", "window", "stats", "ext"),
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+         CASE WHEN max(o_orderdate) < TIMESTAMP '1998-08-02' - INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS churned
+  FROM orders GROUP BY o_custkey
+), grp AS (
+  SELECT dur, count(*) AS n_at_dur, sum(churned) AS d_events
+  FROM cust GROUP BY dur
+), risk AS (
+  SELECT dur, d_events,
+         sum(n_at_dur) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS n_risk
+  FROM grp
+), fac AS (
+  SELECT dur, d_events, n_risk,
+         1.0 - d_events::DOUBLE / n_risk AS factor
+  FROM risk
+), surv AS (
+  SELECT dur, d_events, n_risk,
+         max(CASE WHEN factor = 0 THEN 1 ELSE 0 END)
+           OVER w AS hit_zero,
+         sum(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+           OVER w AS lnsum
+  FROM fac
+  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT dur AS duration_days, n_risk, d_events,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS survival
+FROM surv WHERE d_events > 0 ORDER BY dur
+""",
+)
+def agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("1998-08-02").cast("timestamp")
+    cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        F.when(F.max("o_orderdate") < F.date_sub(anchor, 90), 1).otherwise(0).alias("churned"),
+    )
+    grp = cust.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at_dur"), F.sum("churned").alias("d_events")
+    )
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grp.select(
+        "dur", "d_events", F.sum("n_at_dur").over(w_desc).alias("n_risk")
+    )
+    factor = 1.0 - F.col("d_events").cast("double") / F.col("n_risk")
+    fac = risk.withColumn("factor", factor)
+    w_asc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    surv = fac.select(
+        "dur",
+        "d_events",
+        "n_risk",
+        F.max(F.when(F.col("factor") == 0, 1).otherwise(0)).over(w_asc).alias("hit_zero"),
+        F.sum(F.when(F.col("factor") > 0, F.log("factor")).otherwise(0.0))
+        .over(w_asc)
+        .alias("lnsum"),
+    )
+    return (
+        surv.filter(F.col("d_events") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            "d_events",
+            F.when(F.col("hit_zero") == 1, 0.0)
+            .otherwise(F.round(F.exp("lnsum"), 6))
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: two-proportion z-test (A/B testing shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_two_proportion_ztest",
+    doc="Two-proportion z-test: urgent-order rate of BUILDING vs MACHINERY "
+    "customers — pooled-variance z statistic from two conditional "
+    "aggregates in one fact-table pass; the inference arithmetic runs on "
+    "a single row.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT
+    sum(CASE WHEN c_mktsegment = 'BUILDING'  THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN c_mktsegment = 'BUILDING'  AND o_orderpriority = '1-URGENT'
+             THEN 1 ELSE 0 END) AS x1,
+    sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS n2,
+    sum(CASE WHEN c_mktsegment = 'MACHINERY' AND o_orderpriority = '1-URGENT'
+             THEN 1 ELSE 0 END) AS x2
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+), z AS (
+  SELECT n1, x1, n2, x2,
+         x1::DOUBLE / n1 AS p1, x2::DOUBLE / n2 AS p2,
+         (x1 + x2)::DOUBLE / (n1 + n2) AS pp
+  FROM s
+)
+SELECT n1, n2, round(p1, 6) AS p1, round(p2, 6) AS p2,
+       round((p1 - p2) / sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2)), 4) AS z_stat,
+       abs((p1 - p2) / sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))) > 1.96
+         AS significant_95
+FROM z
+""",
+)
+def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    s = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(seg.isin("BUILDING", "MACHINERY"))
+        .agg(
+            F.sum(F.when(seg == "BUILDING", 1).otherwise(0)).alias("n1"),
+            F.sum(F.when((seg == "BUILDING") & urgent, 1).otherwise(0)).alias("x1"),
+            F.sum(F.when(seg == "MACHINERY", 1).otherwise(0)).alias("n2"),
+            F.sum(F.when((seg == "MACHINERY") & urgent, 1).otherwise(0)).alias("x2"),
+        )
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    return s.select(
+        "n1",
+        "n2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup ext: sorted-neighborhood blocking (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    doc="Sorted-neighborhood dedup blocking: one global sort on the "
+    "resolution key, then each record pairs only with its next 2 "
+    "neighbors via lead() — O(n*w) candidate pairs instead of O(n^2); "
+    "edit-distance census over the candidates.  At 100 TB the sort is a "
+    "range-partitioned total order, still shuffle-linear.",
+    tags=("dedup", "window", "ext"),
+    oracle="""
+WITH ordered AS (
+  SELECT c_name,
+         lead(c_name, 1) OVER (ORDER BY c_name, c_custkey) AS nb1,
+         lead(c_name, 2) OVER (ORDER BY c_name, c_custkey) AS nb2
+  FROM customer
+), pairs AS (
+  SELECT c_name AS a, nb1 AS b FROM ordered WHERE nb1 IS NOT NULL
+  UNION ALL
+  SELECT c_name AS a, nb2 AS b FROM ordered WHERE nb2 IS NOT NULL
+)
+SELECT levenshtein(a, b) AS edit_distance,
+       count(*) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+""",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_name", "c_custkey")
+    ordered = customer.select(
+        "c_name",
+        F.lead("c_name", 1).over(w).alias("nb1"),
+        F.lead("c_name", 2).over(w).alias("nb2"),
+    )
+    pairs = ordered.filter(F.col("nb1").isNotNull()).select(
+        F.col("c_name").alias("a"), F.col("nb1").alias("b")
+    ).unionAll(
+        ordered.filter(F.col("nb2").isNotNull()).select(
+            F.col("c_name").alias("a"), F.col("nb2").alias("b")
+        )
+    )
+    return (
+        pairs.select(F.levenshtein("a", "b").alias("edit_distance"))
+        .groupBy("edit_distance")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("edit_distance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Bollinger-band breach census over daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_bollinger_breach",
+    doc="Bollinger bands on daily revenue: 7-day trailing mean +/- 2 "
+    "sample-stddev, monthly census of band breaches — trailing windows "
+    "over the day-grain series only; warm-up rows (stddev undefined) "
+    "count as non-breaches on both engines.",
+    tags=("window", "timeseries", "anomaly", "ext"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+), bands AS (
+  SELECT day, rev,
+         avg(rev)         OVER w AS mid,
+         stddev_samp(rev) OVER w AS sd
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT year(day) * 100 + month(day) AS yyyymm,
+       count(*) AS n_days,
+       sum(CASE WHEN sd IS NOT NULL AND abs(rev - mid) > 2 * sd
+                THEN 1 ELSE 0 END) AS n_breaches
+FROM bands GROUP BY 1 ORDER BY 1
+""",
+)
+def window_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    bands = daily.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w).alias("mid"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+    )
+    breach = F.when(
+        F.col("sd").isNotNull() & (F.abs(F.col("rev") - F.col("mid")) > 2 * F.col("sd")),
+        1,
+    ).otherwise(0)
+    return (
+        bands.groupBy((F.year("day") * 100 + F.month("day")).alias("yyyymm"))
+        .agg(F.count(F.lit(1)).alias("n_days"), F.sum(breach).alias("n_breaches"))
+        .orderBy("yyyymm")
+    )
