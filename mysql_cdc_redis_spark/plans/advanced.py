@@ -1352,3 +1352,290 @@ def window_bollinger_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_days"), F.sum(breach).alias("n_breaches"))
         .orderBy("yyyymm")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm ext: chunked blob reassembly (multimodal payload plumbing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_blob_chunk_reassembly",
+    doc="Chunked-payload reassembly: each document is split into 64-char "
+    "chunks (the storage shape of large binary payloads), then rebuilt by "
+    "ordered concat within one doc_id-keyed aggregate; md5 equality "
+    "against the original proves byte-exact round-trip.  One shuffle on "
+    "doc_id; chunk order is explicit (never relies on arrival order).",
+    tags=("mm", "source", "ext"),
+    oracle="""
+WITH chunks AS (
+  SELECT doc_id, i AS chunk_idx, substr(text, (i * 64 + 1)::INT, 64) AS chunk
+  FROM documents, unnest(range((length(text) + 63) // 64)) AS t(i)
+), rebuilt AS (
+  SELECT doc_id, string_agg(chunk, '' ORDER BY chunk_idx) AS text2,
+         count(*) AS n_chunks
+  FROM chunks GROUP BY doc_id
+)
+SELECT count(*) AS n_docs,
+       sum(n_chunks) AS n_chunks,
+       sum(CASE WHEN md5(text2) = md5(text) THEN 1 ELSE 0 END) AS n_roundtrip_ok
+FROM rebuilt JOIN documents USING (doc_id)
+""",
+)
+def mm_blob_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / 64).cast("bigint")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_idx"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.substring(F.col("text"), (F.col("chunk_idx") * 64 + 1).cast("int"), 64).alias(
+            "chunk"
+        ),
+    )
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text2"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    joined = rebuilt.join(docs.select("doc_id", "text"), "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum(
+            F.when(F.md5(F.col("text2")) == F.md5(F.col("text")), 1).otherwise(0)
+        ).alias("n_roundtrip_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: weighted median (cumulative-weight crossing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    doc="Quantity-weighted median of extended price per return flag: "
+    "cumulative-weight window over the value-sorted group, first value "
+    "crossing half the total weight wins — ties in the value collapse to "
+    "the same answer regardless of intra-tie order, so the result is "
+    "deterministic without a unique sort key.",
+    tags=("agg", "window", "stats", "ext"),
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_wt,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_wt
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(v), 2)            AS weighted_median,
+       round(any_value(tot_wt), 2) AS total_weight
+FROM w WHERE cum_wt >= tot_wt / 2
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(w_cum).alias("cum_wt"),
+        F.sum("l_quantity").over(w_all).alias("tot_wt"),
+    )
+    return (
+        cum.filter(F.col("cum_wt") >= F.col("tot_wt") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("v"), 2).alias("weighted_median"),
+            F.round(F.any_value("tot_wt"), 2).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: chi-square test of independence (contingency table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_chi_square_independence",
+    doc="Chi-square independence of market segment vs order priority: "
+    "observed cell counts in one agg, marginals via two windows over the "
+    "tiny contingency table, (O-E)^2/E summed with degrees of freedom — "
+    "categorical-dependence screening that never rescans the fact join.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH obs AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*) AS o
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+), marg AS (
+  SELECT seg, pri, o,
+         sum(o) OVER (PARTITION BY seg) AS row_tot,
+         sum(o) OVER (PARTITION BY pri) AS col_tot,
+         sum(o) OVER ()                 AS n
+  FROM obs
+)
+SELECT any_value(n)                                   AS n_obs,
+       count(DISTINCT seg)                            AS n_segments,
+       count(DISTINCT pri)                            AS n_priorities,
+       (count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS dof,
+       round(sum(pow(o - row_tot * col_tot / n, 2)
+                 / (row_tot * col_tot / n)), 4)       AS chi2
+FROM marg
+""",
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    obs = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    marg = obs.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return marg.agg(
+        F.any_value("n").alias("n_obs"),
+        F.countDistinct("seg").alias("n_segments"),
+        F.countDistinct("pri").alias("n_priorities"),
+        ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)).alias("dof"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: geometric + harmonic means per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_geo_harmonic_means",
+    doc="Geometric (exp of mean log) and harmonic (n over sum of "
+    "reciprocals) means of retail price per brand — both decompose into "
+    "plain sums, so they stay one map-side-combinable aggregate.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+SELECT p_brand, count(*) AS n_parts,
+       round(exp(avg(ln(p_retailprice))), 4)    AS geo_mean_price,
+       round(count(*) / sum(1.0 / p_retailprice), 4) AS harmonic_mean_price,
+       round(avg(p_retailprice), 4)             AS arith_mean_price
+FROM part GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.exp(F.avg(F.log("p_retailprice"))), 4).alias("geo_mean_price"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(1.0 / F.col("p_retailprice")), 4
+            ).alias("harmonic_mean_price"),
+            F.round(F.avg("p_retailprice"), 4).alias("arith_mean_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/W5 ext: Wald-Wolfowitz runs test on the daily revenue direction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_runs_test",
+    doc="Runs test for randomness of daily revenue direction: sign of the "
+    "day-over-day diff via lag(), runs counted where the sign flips, "
+    "closed-form z against the expected run count — the whole test runs "
+    "on the day-grain series (zero-diff days excluded on both engines).",
+    tags=("agg", "window", "stats", "ext"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+), diffs AS (
+  SELECT day, sign(rev - lag(rev) OVER (ORDER BY day)) AS s
+  FROM daily
+), runs AS (
+  SELECT s, CASE WHEN s <> lag(s) OVER (ORDER BY day) OR
+                      lag(s) OVER (ORDER BY day) IS NULL
+            THEN 1 ELSE 0 END AS new_run
+  FROM diffs WHERE s IS NOT NULL AND s <> 0
+), agg AS (
+  SELECT sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)::DOUBLE AS np,
+         sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::DOUBLE AS nm,
+         sum(new_run) AS r
+  FROM runs
+)
+SELECT np::BIGINT AS n_up, nm::BIGINT AS n_down, r AS n_runs,
+       round(1 + 2 * np * nm / (np + nm), 4) AS expected_runs,
+       round((r - (1 + 2 * np * nm / (np + nm)))
+             / sqrt(2 * np * nm * (2 * np * nm - np - nm)
+                    / (pow(np + nm, 2) * (np + nm - 1))), 4) AS z_stat
+FROM agg
+""",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    diffs = daily.select(
+        "day", F.signum(F.col("rev") - F.lag("rev").over(w)).alias("s")
+    ).filter(F.col("s").isNotNull() & (F.col("s") != 0))
+    runs = diffs.select(
+        "s",
+        F.when(
+            (F.col("s") != F.lag("s").over(w)) | F.lag("s").over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("double").alias("np"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).cast("double").alias("nm"),
+        F.sum("new_run").alias("r"),
+    )
+    np_, nm_, r_ = F.col("np"), F.col("nm"), F.col("r")
+    exp_runs = 1 + 2 * np_ * nm_ / (np_ + nm_)
+    var = (
+        2 * np_ * nm_ * (2 * np_ * nm_ - np_ - nm_)
+        / (F.pow(np_ + nm_, 2) * (np_ + nm_ - 1))
+    )
+    return agg.select(
+        np_.cast("bigint").alias("n_up"),
+        nm_.cast("bigint").alias("n_down"),
+        r_.alias("n_runs"),
+        F.round(exp_runs, 4).alias("expected_runs"),
+        F.round((r_ - exp_runs) / F.sqrt(var), 4).alias("z_stat"),
+    )
