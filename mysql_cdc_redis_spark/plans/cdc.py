@@ -1413,3 +1413,183 @@ def cdc_seq_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# P5 ext: replication-lag distribution (monitoring profile of cdc.py:101-103)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_latency_histogram",
+    doc="Replication-lag profile: the reference only warn-flags events "
+    "older than binlog_max_latency (cdc.py:101-103, cdc_config.py:48); "
+    "this generalizes the predicate into a 30-day-bucket lateness "
+    "histogram plus p50/p95 discrete percentiles against a pinned 'now' "
+    "(max cdc_ts in the stream) — the ops dashboard the reference's "
+    "syslog warnings approximate.  One pass + one tiny bucket aggregate.",
+    tags=("cdc", "agg", "ref"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+anchor AS (SELECT max(cdc_ts) AS now_ts FROM ch),
+lat AS (
+  SELECT date_diff('day', cdc_ts, now_ts) AS days_behind
+  FROM ch CROSS JOIN anchor
+)
+SELECT days_behind // 30 AS bucket_30d,
+       count(*) AS n_events,
+       any_value((SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY days_behind) FROM lat))
+         AS p50_days,
+       any_value((SELECT percentile_disc(0.95) WITHIN GROUP (ORDER BY days_behind) FROM lat))
+         AS p95_days
+FROM lat GROUP BY 1 ORDER BY 1
+""",
+)
+def cdc_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    anchor = ch.agg(F.max("cdc_ts").alias("now_ts"))
+    lat = ch.crossJoin(F.broadcast(anchor)).select(
+        F.datediff("now_ts", "cdc_ts").alias("days_behind")
+    )
+    pct = lat.agg(
+        F.percentile_approx("days_behind", 0.5, 2147483647).alias("p50_days"),
+        F.percentile_approx("days_behind", 0.95, 2147483647).alias("p95_days"),
+    )
+    return (
+        lat.groupBy((F.col("days_behind") / 30).cast("bigint").alias("bucket_30d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(pct))
+        .select("bucket_30d", "n_events", "p50_days", "p95_days")
+        .orderBy("bucket_30d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 ext: hot-key census (state-store skew diagnosis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_hot_keys",
+    doc="Hot-key census over the changelog: events per rid, global top-10 "
+    "with deterministic (count desc, rid) tie-break — the skew diagnostic "
+    "that decides when the keyed state store (rcache.py:224-259 analog) "
+    "needs salting; TakeOrderedAndProject keeps it one shuffle + top-k.",
+    tags=("cdc", "agg", "topk", "ref"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT CAST(o_orderkey AS VARCHAR) AS rid, count(*) AS n_events
+FROM ch WHERE o_orderkey IS NOT NULL
+GROUP BY 1
+ORDER BY n_events DESC, rid LIMIT 10
+""",
+)
+def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    return (
+        ch.filter(F.col("o_orderkey").isNotNull())
+        .groupBy(F.col("o_orderkey").cast("string").alias("rid"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "rid")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2 ext: per-column update churn (which columns actually change)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_update_column_churn",
+    doc="Column-churn census: for each consecutive event pair per key "
+    "(lag over seq within rid), count which payload columns changed — "
+    "the reference merges rows wholesale (rcache.py:222, last values "
+    "win), so it never knows that e.g. only o_totalprice mutates; this "
+    "is the per-column delta profile a column-level merge would need.  "
+    "One key-partitioned window, null-safe comparisons, unpivoted census.",
+    tags=("cdc", "window", "ref"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+pairs AS (
+  SELECT o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         lag(o_custkey)      OVER w AS p_custkey,
+         lag(o_orderstatus)  OVER w AS p_orderstatus,
+         lag(o_totalprice)   OVER w AS p_totalprice,
+         lag(o_orderdate)    OVER w AS p_orderdate,
+         lag(o_orderpriority) OVER w AS p_orderpriority,
+         lag(seq)            OVER w AS p_seq
+  FROM ch WHERE o_orderkey IS NOT NULL
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY seq)
+), sums AS (
+  SELECT
+    count(*) AS n_pairs,
+    sum(CASE WHEN o_custkey      IS DISTINCT FROM p_custkey      THEN 1 ELSE 0 END) AS c1,
+    sum(CASE WHEN o_orderstatus  IS DISTINCT FROM p_orderstatus  THEN 1 ELSE 0 END) AS c2,
+    sum(CASE WHEN o_totalprice   IS DISTINCT FROM p_totalprice   THEN 1 ELSE 0 END) AS c3,
+    sum(CASE WHEN o_orderdate    IS DISTINCT FROM p_orderdate    THEN 1 ELSE 0 END) AS c4,
+    sum(CASE WHEN o_orderpriority IS DISTINCT FROM p_orderpriority THEN 1 ELSE 0 END) AS c5
+  FROM pairs WHERE p_seq IS NOT NULL
+)
+SELECT col AS column_name, n_changes, any_value(n_pairs) AS n_pairs FROM (
+  SELECT 'o_custkey' AS col, c1 AS n_changes, n_pairs FROM sums
+  UNION ALL SELECT 'o_orderstatus', c2, n_pairs FROM sums
+  UNION ALL SELECT 'o_totalprice', c3, n_pairs FROM sums
+  UNION ALL SELECT 'o_orderdate', c4, n_pairs FROM sums
+  UNION ALL SELECT 'o_orderpriority', c5, n_pairs FROM sums
+) GROUP BY col, n_changes ORDER BY col
+""",
+)
+def cdc_update_column_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    w = Window.partitionBy("o_orderkey").orderBy("seq")
+    pairs = ch.filter(F.col("o_orderkey").isNotNull()).select(
+        "seq",
+        *cols,
+        F.lag("seq").over(w).alias("p_seq"),
+        *[F.lag(c).over(w).alias(f"p_{c}") for c in cols],
+    ).filter(F.col("p_seq").isNotNull())
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[
+            F.sum(
+                F.when(~F.col(c).eqNullSafe(F.col(f"p_{c}")), 1).otherwise(0)
+            ).alias(f"chg_{c}")
+            for c in cols
+        ],
+    )
+    stack_expr = "stack({}, {}) as (column_name, n_changes)".format(
+        len(cols), ", ".join(f"'{c}', chg_{c}" for c in cols)
+    )
+    return sums.select(F.expr(stack_expr), "n_pairs").orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# K5 ext: offset frontier per virtual binlog file (resume-point bookkeeping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_offset_frontier",
+    doc="Resume-offset frontier: the reference persists (log_file, "
+    "log_pos) after each event (cdc.py:106-107, cdc.py:134); modeling "
+    "log rotation as seq div 1000, this computes per-file max offset + "
+    "event count — exactly the checkpoint bookkeeping Structured "
+    "Streaming's checkpointLocation replaces (SURVEY.md §2.8 K5/T1).",
+    tags=("cdc", "agg", "ref"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT seq // 1000 AS log_file_id,
+       max(seq)    AS frontier_pos,
+       count(*)    AS n_events
+FROM ch GROUP BY 1 ORDER BY 1
+""",
+)
+def cdc_offset_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    return (
+        ch.groupBy((F.col("seq") / 1000).cast("bigint").alias("log_file_id"))
+        .agg(F.max("seq").alias("frontier_pos"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("log_file_id")
+    )
