@@ -1639,3 +1639,117 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_runs, 4).alias("expected_runs"),
         F.round((r_ - exp_runs) / F.sqrt(var), 4).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: cohort LTV curve (cumulative revenue per customer by cohort age)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_cohort_ltv_curve",
+    doc="Cohort LTV curve: customers grouped by first-order month, "
+    "revenue accumulated over cohort age in months — first a customer-"
+    "grain min() to find cohorts, then a (cohort, age) aggregate, then "
+    "the cumulative window over that tiny matrix; the fact table is "
+    "touched twice, the window never.",
+    tags=("window", "cohort", "ext"),
+    oracle="""
+WITH cohort AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS c0
+  FROM orders GROUP BY o_custkey
+), facts AS (
+  SELECT c0, (year(o_orderdate) * 12 + month(o_orderdate)) - c0 AS age_months,
+         o_totalprice
+  FROM orders JOIN cohort ON cohort.o_custkey = orders.o_custkey
+), sizes AS (
+  SELECT c0, count(DISTINCT orders.o_custkey) AS n_customers
+  FROM orders JOIN cohort ON cohort.o_custkey = orders.o_custkey GROUP BY c0
+), grid AS (
+  SELECT c0, age_months,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM facts GROUP BY 1, 2
+)
+SELECT (c0 - 1) // 12 * 100 + ((c0 - 1) % 12 + 1) AS cohort_yyyymm,
+       age_months,
+       any_value(n_customers) AS n_customers,
+       ((2 * sum(rev_cents) OVER (PARTITION BY c0 ORDER BY age_months
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + any_value(n_customers)) // (2 * any_value(n_customers))) / 100.0
+         AS cum_ltv_per_customer
+FROM grid JOIN sizes USING (c0)
+GROUP BY c0, age_months, rev_cents
+ORDER BY cohort_yyyymm, age_months
+""",
+)
+def window_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mkey = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cohort = orders.groupBy("o_custkey").agg(F.min(mkey).alias("c0"))
+    joined = orders.join(cohort, "o_custkey")
+    facts = joined.select("c0", (mkey - F.col("c0")).alias("age_months"), "o_totalprice")
+    sizes = joined.groupBy("c0").agg(F.countDistinct("o_custkey").alias("n_customers"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    grid = facts.groupBy("c0", "age_months").agg(F.sum(cents).alias("rev_cents"))
+    w = (
+        Window.partitionBy("c0")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cohort_yyyymm = (
+        (F.col("c0") - 1) / 12
+    ).cast("bigint") * 100 + ((F.col("c0") - 1) % 12 + 1)
+    cum = grid.join(F.broadcast(sizes), "c0").withColumn(
+        "cum_cents", F.sum("rev_cents").over(w)
+    )
+    # half-up division in exact integer space: (2a + n) div (2n), then /100
+    ltv = F.expr("(2 * cum_cents + n_customers) div (2 * n_customers)") / 100.0
+    return cum.select(
+        cohort_yyyymm.alias("cohort_yyyymm"),
+        "age_months",
+        "n_customers",
+        ltv.alias("cum_ltv_per_customer"),
+    ).orderBy("cohort_yyyymm", "age_months")
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: right-outer join (null-preserving dimension side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_right_outer_never_sold",
+    doc="Right-outer lineitem->part keeps never-sold parts as null fact "
+    "rows; per-brand census of sold vs never-sold — the anti-join "
+    "complement expressed as one outer join + conditional counts (at "
+    "scale Catalyst turns the small preserved side into the build side).",
+    tags=("join", "ext"),
+    oracle="""
+SELECT p_brand,
+       count(DISTINCT p_partkey) AS n_parts,
+       count(DISTINCT CASE WHEN l_orderkey IS NOT NULL THEN p_partkey END)
+         AS n_sold_parts,
+       count(DISTINCT CASE WHEN l_orderkey IS NULL THEN p_partkey END)
+         AS n_never_sold
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def join_right_outer_never_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey, "right")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.countDistinct(
+                F.when(F.col("l_orderkey").isNotNull(), F.col("p_partkey"))
+            ).alias("n_sold_parts"),
+            F.countDistinct(
+                F.when(F.col("l_orderkey").isNull(), F.col("p_partkey"))
+            ).alias("n_never_sold"),
+        )
+        .orderBy("p_brand")
+    )

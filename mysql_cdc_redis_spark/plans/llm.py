@@ -2761,3 +2761,109 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# text ext: language-ID evaluation — confusion matrix vs labeled lang
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_confusion",
+    doc="Language-ID evaluation: the stopword-density heuristic "
+    "(operators/textstats.py::lang_id) scored against the fixture's "
+    "labeled lang column as a confusion matrix plus overall accuracy — "
+    "the eval loop a corpus pipeline runs before trusting a classifier "
+    "at scale.  One pass, one tiny matrix aggregate.",
+    tags=("text", "eval", "ext"),
+    oracle=f"""
+WITH d AS (SELECT lang, {_NORM} AS norm FROM documents),
+t AS (SELECT lang, string_split(norm, ' ') AS toks FROM d),
+m AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                   / len(toks) >= 0.05
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM t
+), cells AS (
+  SELECT lang AS lang_true, lang_pred, count(*) AS n_docs FROM m GROUP BY 1, 2
+)
+SELECT lang_true, lang_pred, n_docs,
+       round(sum(CASE WHEN (lang_true = 'en') = (lang_pred = 'en')
+                      THEN n_docs ELSE 0 END) OVER ()
+             / sum(n_docs) OVER (), 6) AS overall_accuracy
+FROM cells ORDER BY lang_true, lang_pred
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("lang").alias("lang_true"), ts.lang_id(F.col("text")).alias("lang_pred")
+    )
+    cells = m.groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    correct = F.when(
+        (F.col("lang_true") == "en") == (F.col("lang_pred") == "en"), F.col("n_docs")
+    ).otherwise(0)
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(F.sum(correct).over(w) / F.sum("n_docs").over(w), 6).alias(
+            "overall_accuracy"
+        ),
+    ).orderBy("lang_true", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: adaptive percentile length filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_percentile_length_filter",
+    doc="Adaptive length gate: keep documents inside the [p5, p95] "
+    "n_chars band (exact discrete percentiles, not fixed thresholds like "
+    "the Gopher gates) and report per-source survival — the percentiles "
+    "come from one scalar aggregate broadcast back over the corpus, so "
+    "the filter is two passes total regardless of corpus size.",
+    tags=("corpus", "text", "ext"),
+    oracle="""
+WITH p AS (
+  SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS p5,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN n_chars BETWEEN p5 AND p95 THEN 1 ELSE 0 END) AS n_kept,
+       round(avg(CASE WHEN n_chars BETWEEN p5 AND p95 THEN n_chars END), 4)
+         AS avg_kept_chars,
+       any_value(p5) AS p5_chars, any_value(p95) AS p95_chars
+FROM documents CROSS JOIN p
+GROUP BY source ORDER BY source
+""",
+)
+def corpus_percentile_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.agg(
+        F.percentile_approx("n_chars", 0.05, 2147483647).alias("p5"),
+        F.percentile_approx("n_chars", 0.95, 2147483647).alias("p95"),
+    )
+    in_band = F.col("n_chars").between(F.col("p5"), F.col("p95"))
+    return (
+        docs.crossJoin(F.broadcast(p))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(in_band, 1).otherwise(0)).alias("n_kept"),
+            F.round(F.avg(F.when(in_band, F.col("n_chars"))), 4).alias(
+                "avg_kept_chars"
+            ),
+            F.any_value("p5").alias("p5_chars"),
+            F.any_value("p95").alias("p95_chars"),
+        )
+        .orderBy("source")
+    )
