@@ -1753,3 +1753,198 @@ def join_right_outer_never_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: multi-horizon velocity features (fraud/feature-store shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_velocity_multi_horizon",
+    doc="Multi-horizon velocity features: per event, the user's trailing "
+    "1-hour and 24-hour event counts via two rangeBetween windows over "
+    "the SAME user_id partitioning (one shuffle feeds both frames), "
+    "rolled up per event type — the feature-store pattern for rate "
+    "features at scale.",
+    tags=("window", "events", "feat", "ext"),
+    oracle="""
+WITH v AS (
+  SELECT event_type,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS v1h,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                        RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS v24h
+  FROM events
+)
+SELECT event_type,
+       count(*)            AS n_events,
+       round(avg(v1h), 6)  AS avg_velocity_1h,
+       max(v1h)            AS max_velocity_1h,
+       round(avg(v24h), 6) AS avg_velocity_24h,
+       max(v24h)           AS max_velocity_24h
+FROM v GROUP BY event_type ORDER BY event_type
+""",
+)
+def window_velocity_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy(F.col("ts").cast("long"))
+    w1h = base.rangeBetween(-3600, 0)
+    w24h = base.rangeBetween(-86400, 0)
+    v = ev.select(
+        "event_type",
+        F.count(F.lit(1)).over(w1h).alias("v1h"),
+        F.count(F.lit(1)).over(w24h).alias("v24h"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("v1h"), 6).alias("avg_velocity_1h"),
+            F.max("v1h").alias("max_velocity_1h"),
+            F.round(F.avg("v24h"), 6).alias("avg_velocity_24h"),
+            F.max("v24h").alias("max_velocity_24h"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Mann-Whitney U (rank-based two-sample test with midranks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mann_whitney_u",
+    doc="Mann-Whitney U on account balances of two market segments: "
+    "midranks for ties via rank() + (tie_count-1)/2 windows over the "
+    "combined sample, U statistic and its normal-approximation z — the "
+    "nonparametric complement to the z/chi2/runs tests; the ranking "
+    "window runs over the filtered two-segment subset only.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT c_mktsegment AS seg, c_acctbal AS x FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+), r AS (
+  SELECT seg, x,
+         rank() OVER (ORDER BY x) AS rk,
+         count(*) OVER (PARTITION BY x) AS nt
+  FROM s
+), mid AS (
+  SELECT seg, rk + (nt - 1) / 2.0 AS midrank FROM r
+), agg AS (
+  SELECT
+    sum(CASE WHEN seg = 'AUTOMOBILE' THEN midrank END) AS r1,
+    sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)::DOUBLE AS n1,
+    sum(CASE WHEN seg = 'HOUSEHOLD'  THEN 1 ELSE 0 END)::DOUBLE AS n2
+  FROM mid
+)
+SELECT n1::BIGINT AS n_auto, n2::BIGINT AS n_house,
+       round(r1 - n1 * (n1 + 1) / 2, 2) AS u_stat,
+       round((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+             / sqrt(n1 * n2 * (n1 + n2 + 1) / 12), 4) AS z_stat
+FROM agg
+""",
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    s = customer.filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("x"))
+    r = s.select(
+        "seg",
+        F.rank().over(Window.orderBy("x")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("x")).alias("nt"),
+    )
+    mid = r.select("seg", (F.col("rk") + (F.col("nt") - 1) / 2.0).alias("midrank"))
+    agg = mid.agg(
+        F.sum(F.when(F.col("seg") == "AUTOMOBILE", F.col("midrank"))).alias("r1"),
+        F.sum(F.when(F.col("seg") == "AUTOMOBILE", 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("seg") == "HOUSEHOLD", 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    z = (u - F.col("n1") * F.col("n2") / 2) / F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_auto"),
+        F.col("n2").cast("bigint").alias("n_house"),
+        F.round(u, 2).alias("u_stat"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: largest-remainder budget allocation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_budget_largest_remainder",
+    doc="Token-budget allocation: a 1M-token budget split across sources "
+    "proportionally to their token mass using the largest-remainder "
+    "method — floor quotas first, the leftover units go to the biggest "
+    "fractional remainders (deterministic source-name tie-break), so the "
+    "allocations sum EXACTLY to the budget.  Pure integer arithmetic on "
+    "the per-source rollup.",
+    tags=("corpus", "agg", "ext"),
+    oracle="""
+WITH src AS (
+  SELECT source, sum(n_chars) AS mass FROM documents GROUP BY source
+), tot AS (SELECT sum(mass) AS total FROM src),
+quota AS (
+  SELECT source, mass,
+         (mass * 1000000) // total      AS floor_alloc,
+         (mass * 1000000) % total       AS remainder
+  FROM src CROSS JOIN tot
+), leftover AS (
+  SELECT 1000000 - sum(floor_alloc) AS n_extra FROM quota
+), ranked AS (
+  SELECT source, mass, floor_alloc,
+         row_number() OVER (ORDER BY remainder DESC, source) AS rr
+  FROM quota
+)
+SELECT source, mass,
+       floor_alloc + CASE WHEN rr <= any_value(n_extra) THEN 1 ELSE 0 END
+         AS alloc_tokens
+FROM ranked CROSS JOIN leftover
+GROUP BY source, mass, floor_alloc, rr
+ORDER BY source
+""",
+)
+def corpus_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.sum("n_chars").alias("mass"))
+    tot = src.agg(F.sum("mass").alias("total"))
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "mass",
+        F.expr("(mass * 1000000) div total").alias("floor_alloc"),
+        F.expr("(mass * 1000000) % total").alias("remainder"),
+    )
+    leftover = quota.agg((F.lit(1000000) - F.sum("floor_alloc")).alias("n_extra"))
+    ranked = quota.select(
+        "source",
+        "mass",
+        "floor_alloc",
+        F.row_number()
+        .over(Window.orderBy(F.desc("remainder"), "source"))
+        .alias("rr"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "mass",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rr") <= F.col("n_extra"), 1).otherwise(0)
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
