@@ -581,3 +581,44 @@ def test_temporal_scd2_enrich_is_equi_hash_join(spark, sf_dir):
     plan = _plan(_QUERIES["cdc_temporal_scd2_enrich"].fn(spark, sf_dir))
     assert "NestedLoop" not in plan, "temporal join degenerated to a nested loop"
     assert "Join" in plan
+
+
+def test_bloom_prefilter_avoids_fact_shuffle(spark, sf_dir):
+    plan = _plan(_QUERIES["join_bloom_prefilter"].fn(spark, sf_dir))
+    # both membership semi-joins and the exact semi-join must broadcast the
+    # tiny side — lineitem must never be exchanged for a join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_velocity_frames_share_one_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(_QUERIES["window_velocity_multi_horizon"].fn(spark, sf_dir))
+    # the 1h and 24h range frames must evaluate inside ONE Window operator
+    # over one user_id exchange (plus the per-type agg + output sort)
+    n_windows = len(re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 1, f"both frames must share one Window, saw {n_windows}"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, f"expected <=3 exchanges, saw {n_exchanges}:\n{plan}"
+
+
+def test_countmin_probe_join_broadcasts_sketch(spark, sf_dir):
+    plan = _plan(_QUERIES["agg_countmin_sketch"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "256-cell sketch must broadcast to probes"
+
+
+def test_abc_classification_aggregates_before_window(spark, sf_dir):
+    plan = _plan(_QUERIES["agg_abc_classification"].fn(spark, sf_dir))
+    # the cumulative window must consume the per-part HashAggregate output,
+    # not raw lineitem: Window appears above an aggregate in the tree
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    agg_below = any("HashAggregate" in l for l in lines[win:])
+    assert agg_below, "window must run over the per-part aggregate"
+
+
+def test_drill_across_broadcasts_fact_rollups(spark, sf_dir):
+    plan = _plan(_QUERIES["join_drill_across_facts"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "nation-grain rollups must broadcast"
