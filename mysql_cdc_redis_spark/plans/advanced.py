@@ -1948,3 +1948,166 @@ def corpus_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Spearman rank correlation (midranks, per group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_spearman_rank_corr",
+    doc="Spearman rho between quantity and extended price per return "
+    "flag: midranks (rank + (ties-1)/2) for both variables via windows "
+    "partitioned on the group key — the rank windows never go global — "
+    "then plain Pearson corr over the ranks.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0
+           AS rq,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0
+           AS rp
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       round(corr(rq, rp), 6) AS spearman_rho
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rq = F.rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "l_quantity")) - 1
+    ) / 2.0
+    rp = F.rank().over(
+        Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ) + (
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag", "l_extendedprice"))
+        - 1
+    ) / 2.0
+    r = li.select("l_returnflag", rq.alias("rq"), rp.alias("rp"))
+    return (
+        r.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.corr("rq", "rp"), 6).alias("spearman_rho"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: null-key skew split (outer join scale pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_null_skew_split",
+    doc="Null-skew split: when a join key is heavily NULL, all NULL rows "
+    "hash to one reducer as dead weight — the Spark plan routes NULL-key "
+    "rows AROUND the join (they can never match) and unions them back, "
+    "joining only the non-null partition.  Semantics equal a plain left "
+    "join (the oracle), but the shuffle excludes every NULL row.",
+    tags=("join", "skew", "ext"),
+    oracle="""
+WITH o AS (
+  SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS k,
+         o_totalprice
+  FROM orders
+)
+SELECT CASE WHEN k IS NULL THEN 'null_key'
+            WHEN c_custkey IS NOT NULL THEN 'matched'
+            ELSE 'unmatched' END AS join_class,
+       count(*) AS n_rows,
+       round(sum(o_totalprice), 2) AS price_sum
+FROM o LEFT JOIN customer ON k = c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        F.when(F.col("o_custkey") % 50 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    nulls = o.filter(F.col("k").isNull()).select(
+        "k", "o_totalprice", F.lit(None).cast("long").alias("c_custkey")
+    )
+    nonnull = o.filter(F.col("k").isNotNull()).join(
+        customer.select("c_custkey"), F.col("k") == F.col("c_custkey"), "left"
+    )
+    unioned = nonnull.select("k", "o_totalprice", "c_custkey").unionByName(nulls)
+    cls = (
+        F.when(F.col("k").isNull(), "null_key")
+        .when(F.col("c_custkey").isNotNull(), "matched")
+        .otherwise("unmatched")
+    )
+    return (
+        unioned.groupBy(cls.alias("join_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        .orderBy("join_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: time-weighted average (TWAP) per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_time_weighted_avg",
+    doc="Time-weighted average of event value per user: each reading is "
+    "weighted by the seconds it was 'current' (lead(ts) - ts); the last "
+    "reading per user has no duration and drops out on both engines — "
+    "the TWAP shape for irregular telemetry, one user_id shuffle.",
+    tags=("window", "events", "timeseries", "ext"),
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value,
+         date_diff('second', ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS dur
+  FROM events
+), twap AS (
+  SELECT user_id,
+         sum(value * dur) / sum(dur) AS twap_value,
+         count(*) AS n_segments
+  FROM seg WHERE dur IS NOT NULL AND dur > 0
+  GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       round(avg(twap_value), 4) AS avg_twap,
+       round(min(twap_value), 4) AS min_twap,
+       round(max(twap_value), 4) AS max_twap,
+       sum(n_segments) AS n_segments
+FROM twap
+""",
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+    seg = ev.select("user_id", "value", dur.alias("dur")).filter(
+        F.col("dur").isNotNull() & (F.col("dur") > 0)
+    )
+    twap = seg.groupBy("user_id").agg(
+        (F.sum(F.col("value") * F.col("dur")) / F.sum("dur")).alias("twap_value"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return twap.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("twap_value"), 4).alias("avg_twap"),
+        F.round(F.min("twap_value"), 4).alias("min_twap"),
+        F.round(F.max("twap_value"), 4).alias("max_twap"),
+        F.sum("n_segments").alias("n_segments"),
+    )
