@@ -2111,3 +2111,77 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("twap_value"), 4).alias("max_twap"),
         F.sum("n_segments").alias("n_segments"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: longest strictly-monotone run (islands over direction changes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_longest_monotone_run",
+    doc="Longest strictly-increasing and strictly-decreasing runs of the "
+    "daily revenue series: direction via lag, island ids as running sums "
+    "of direction changes, then two tiny nested aggregates — the "
+    "monotone-run variant of gaps-and-islands, entirely on the day grain.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+), dirs AS (
+  SELECT day, CASE WHEN rev > lag(rev) OVER (ORDER BY day) THEN 1
+                   WHEN rev < lag(rev) OVER (ORDER BY day) THEN -1 END AS dir
+  FROM daily
+), flags AS (
+  SELECT day, dir,
+         CASE WHEN dir IS DISTINCT FROM lag(dir) OVER (ORDER BY day)
+              THEN 1 ELSE 0 END AS chg
+  FROM (SELECT * FROM dirs WHERE dir IS NOT NULL)
+), isl AS (
+  SELECT day, dir,
+         sum(chg) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS island
+  FROM flags
+), runs AS (
+  SELECT dir, island, count(*) AS run_len FROM isl GROUP BY dir, island
+)
+SELECT CASE WHEN dir = 1 THEN 'increasing' ELSE 'decreasing' END AS direction,
+       max(run_len) AS longest_run_days,
+       count(*)     AS n_runs
+FROM runs GROUP BY dir ORDER BY direction
+""",
+)
+def window_longest_monotone_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("rev").over(w)
+    dirs = daily.select(
+        "day",
+        F.when(F.col("rev") > prev, 1).when(F.col("rev") < prev, -1).alias("dir"),
+    ).filter(F.col("dir").isNotNull())
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = dirs.select(
+        "dir",
+        F.sum(
+            F.when(~F.col("dir").eqNullSafe(F.lag("dir").over(w)), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("island"),
+    )
+    runs = isl.groupBy("dir", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        runs.groupBy(
+            F.when(F.col("dir") == 1, "increasing")
+            .otherwise("decreasing")
+            .alias("direction")
+        )
+        .agg(
+            F.max("run_len").alias("longest_run_days"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+        .orderBy("direction")
+    )

@@ -2867,3 +2867,58 @@ def corpus_percentile_length_filter(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup ext: survivorship rule over exact-duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survivorship_canonical",
+    doc="Survivorship: exact-duplicate clusters (normalized-text md5) "
+    "each elect ONE canonical document — longest text wins, lowest "
+    "doc_id breaks ties — via a single arg-max aggregate per cluster "
+    "(no window, no sort of the corpus); per-source census of "
+    "survivors vs dropped rows.",
+    tags=("dedup", "corpus", "ext"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, n_chars, md5({_NORM}) AS content_key
+  FROM documents
+), winners AS (
+  SELECT content_key,
+         arg_min(doc_id, (1000000 - n_chars) * 10000000000 + doc_id)
+           AS canonical_id
+  FROM h GROUP BY content_key
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS n_survivors,
+       sum(CASE WHEN doc_id = canonical_id THEN 0 ELSE 1 END) AS n_dropped
+FROM h JOIN winners USING (content_key)
+GROUP BY source ORDER BY source
+""",
+)
+def dedup_survivorship_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    h = docs.select("doc_id", "source", "n_chars", F.md5(norm).alias("content_key"))
+    rank_key = (1000000 - F.col("n_chars")) * 10000000000 + F.col("doc_id")
+    winners = h.groupBy("content_key").agg(
+        F.min_by("doc_id", rank_key).alias("canonical_id")
+    )
+    return (
+        h.join(winners, "content_key")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("canonical_id"), 1).otherwise(0)
+            ).alias("n_survivors"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("canonical_id"), 0).otherwise(1)
+            ).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

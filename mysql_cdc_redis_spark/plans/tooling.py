@@ -562,3 +562,90 @@ def tooling_manifest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# tooling ext: full referential-integrity orphan census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tooling_fk_orphan_census",
+    doc="Referential-integrity census over every FK edge of the star "
+    "schema in one result: per edge, child rows whose key has no parent "
+    "(anti-join semantics spelled as conditional counts over left joins "
+    "of pre-aggregated key sets — each side reduces to DISTINCT keys "
+    "before joining, so at 100 TB the joins touch |keys|, not |rows|).",
+    tags=("tooling", "quality", "join", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT 'orders->customer' AS edge,
+         (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+          WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k))
+           AS n_orphan_keys,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS n_child_keys
+  UNION ALL
+  SELECT 'lineitem->orders',
+         (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+          WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.k)),
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem->part',
+         (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) c
+          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.k)),
+         (SELECT count(DISTINCT l_partkey) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         (SELECT count(*) FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem) c
+          WHERE NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.k)),
+         (SELECT count(DISTINCT l_suppkey) FROM lineitem)
+  UNION ALL
+  SELECT 'customer->nation',
+         (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+          WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.k)),
+         (SELECT count(DISTINCT c_nationkey) FROM customer)
+  UNION ALL
+  SELECT 'supplier->nation',
+         (SELECT count(*) FROM (SELECT DISTINCT s_nationkey AS k FROM supplier) c
+          WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.k)),
+         (SELECT count(DISTINCT s_nationkey) FROM supplier)
+  UNION ALL
+  SELECT 'nation->region',
+         (SELECT count(*) FROM (SELECT DISTINCT n_regionkey AS k FROM nation) c
+          WHERE NOT EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = c.k)),
+         (SELECT count(DISTINCT n_regionkey) FROM nation)
+)
+SELECT edge, n_orphan_keys, n_child_keys FROM edges ORDER BY edge
+""",
+)
+def tooling_fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table as lt
+
+    def edge(name, child, ckey, parent, pkey):
+        ck = child.select(F.col(ckey).alias("k")).distinct()
+        pk = parent.select(F.col(pkey).alias("pk")).distinct()
+        orphans = ck.join(pk, ck.k == pk.pk, "left_anti")
+        return (
+            orphans.agg(F.count(F.lit(1)).alias("n_orphan_keys"))
+            .crossJoin(ck.agg(F.count(F.lit(1)).alias("n_child_keys")))
+            .select(F.lit(name).alias("edge"), "n_orphan_keys", "n_child_keys")
+        )
+
+    orders = lt(spark, sf_dir, "orders")
+    lineitem = lt(spark, sf_dir, "lineitem")
+    customer = lt(spark, sf_dir, "customer")
+    part = lt(spark, sf_dir, "part")
+    supplier = lt(spark, sf_dir, "supplier")
+    nation = lt(spark, sf_dir, "nation")
+    region = lt(spark, sf_dir, "region")
+    out = edge("orders->customer", orders, "o_custkey", customer, "c_custkey")
+    for args in (
+        ("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem->part", lineitem, "l_partkey", part, "p_partkey"),
+        ("lineitem->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+        ("customer->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        ("supplier->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+        ("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+    ):
+        out = out.unionByName(edge(*args))
+    return out.orderBy("edge")
