@@ -2185,3 +2185,106 @@ def window_longest_monotone_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("direction")
     )
+
+
+# ---------------------------------------------------------------------------
+# events ext: last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_last_touch",
+    doc="Last-touch attribution: each purchase event credits the user's "
+    "most recent preceding non-purchase event type, carried by an "
+    "IGNORE NULLS last_value over a 1-preceding frame — purchases with "
+    "no prior touch fall to 'direct'.  One user_id window shuffle, then "
+    "a tiny credit census.",
+    tags=("events", "window", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'direct') AS attributed_to,
+       count(*) AS n_purchases
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    seq = ev.select("event_type", touch.alias("touch"))
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("attributed_to"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("attributed_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: rolling cross-metric correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rolling_correlation",
+    doc="30-day rolling correlation between daily order count and daily "
+    "mean price: corr() as a windowed aggregate over a rows frame on the "
+    "day-grain series, summarized per year — regime-shift detection "
+    "between two metrics without ever joining the fact table to itself.",
+    tags=("window", "timeseries", "stats", "ext"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         count(*) AS n_orders,
+         avg(o_totalprice) AS avg_price
+  FROM orders GROUP BY 1
+), rc AS (
+  SELECT day,
+         corr(n_orders, avg_price)
+           OVER (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+           AS roll_corr
+  FROM daily
+)
+SELECT year(day) AS yr,
+       count(*) AS n_days,
+       round(avg(roll_corr), 6) AS avg_roll_corr,
+       round(min(roll_corr), 6) AS min_roll_corr,
+       round(max(roll_corr), 6) AS max_roll_corr
+FROM rc WHERE roll_corr IS NOT NULL
+GROUP BY yr ORDER BY yr
+""",
+)
+def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.avg("o_totalprice").alias("avg_price")
+    )
+    w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    rc = daily.select(
+        "day", F.corr("n_orders", "avg_price").over(w).alias("roll_corr")
+    ).filter(F.col("roll_corr").isNotNull())
+    return (
+        rc.groupBy(F.year("day").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("roll_corr"), 6).alias("avg_roll_corr"),
+            F.round(F.min("roll_corr"), 6).alias("min_roll_corr"),
+            F.round(F.max("roll_corr"), 6).alias("max_roll_corr"),
+        )
+        .orderBy("yr")
+    )

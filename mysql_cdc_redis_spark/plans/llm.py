@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
@@ -2921,4 +2922,116 @@ def dedup_survivorship_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dropped"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim ext: Matryoshka truncation quality (top-k overlap full vs prefix dims)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_matryoshka_truncation",
+    doc="Matryoshka-representation check: top-10 cosine neighbor overlap "
+    "between full 64-dim embeddings and their first-16-dim prefixes, "
+    "averaged over a probe query set — the measurement that licenses "
+    "serving truncated vectors (4x cheaper ANN) at corpus scale.  Both "
+    "cosines come out of ONE broadcast cross join; scores round to 6 dp "
+    "before ranking so ranks are engine-portable.",
+    tags=("similarity", "ext"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv, embedding[1:16] AS qt
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id AS n_id, embedding AS nv, embedding[1:16] AS nt FROM embeddings),
+scored AS (
+  SELECT q_id, n_id,
+         {_COS_EXPR.format(a='qv', b='nv')} AS cos_full,
+         {_COS_EXPR.format(a='qt', b='nt')} AS cos_trunc
+  FROM q, c WHERE n_id <> q_id
+),
+rf AS (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, n_id) AS r
+  FROM scored
+),
+rt AS (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_trunc DESC, n_id) AS r
+  FROM scored
+),
+ov AS (
+  SELECT rf.q_id, count(*) AS n_overlap
+  FROM rf JOIN rt ON rf.q_id = rt.q_id AND rf.n_id = rt.n_id
+  WHERE rf.r <= 10 AND rt.r <= 10
+  GROUP BY rf.q_id
+),
+allq AS (SELECT q_id FROM q)
+SELECT count(*) AS n_queries,
+       round(avg(coalesce(n_overlap, 0)) / 10.0, 4) AS avg_overlap_at_10,
+       min(coalesce(n_overlap, 0)) AS min_overlap,
+       max(coalesce(n_overlap, 0)) AS max_overlap
+FROM allq LEFT JOIN ov USING (q_id)
+""",
+)
+def sim_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.slice("embedding", 1, 16).alias("qt"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("nv"),
+        F.slice("embedding", 1, 16).alias("nt"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * norm(F.col("nv"))), 6).alias("cos_full"),
+            F.round(dot(F.col("qt"), F.col("nt")) / (norm(F.col("qt")) * norm(F.col("nt"))), 6).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), "n_id")
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos_trunc"), "n_id")
+    rf = scored.select("q_id", "n_id", F.row_number().over(wf).alias("r")).filter(
+        F.col("r") <= 10
+    )
+    rt = scored.select("q_id", "n_id", F.row_number().over(wt).alias("r")).filter(
+        F.col("r") <= 10
+    )
+    ov = rf.join(rt, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    allq = q.select("q_id")
+    return allq.join(ov, "q_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(F.coalesce("n_overlap", F.lit(0))) / 10.0, 4).alias(
+            "avg_overlap_at_10"
+        ),
+        F.min(F.coalesce("n_overlap", F.lit(0))).alias("min_overlap"),
+        F.max(F.coalesce("n_overlap", F.lit(0))).alias("max_overlap"),
     )
