@@ -2288,3 +2288,108 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# feat ext: continuous time-decayed user value profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_decay_weighted_profile",
+    doc="Continuous-decay user profile: each user's events weighted "
+    "exp((ts - last_ts)/tau) relative to their OWN last event (tau = 1 "
+    "day) — no order recursion, so unlike a classic EWMA it is one "
+    "grouped aggregate after a per-user max; global distribution stats "
+    "out.",
+    tags=("feat", "events", "ext"),
+    oracle="""
+WITH lastts AS (
+  SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+), wts AS (
+  SELECT e.user_id,
+         sum(value * exp(date_diff('second', e.ts, last_ts) / -86400.0))
+           / sum(exp(date_diff('second', e.ts, last_ts) / -86400.0))
+           AS decayed_value,
+         count(*) AS n_events
+  FROM events e JOIN lastts USING (user_id)
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_users,
+       round(avg(decayed_value), 6) AS avg_decayed,
+       round(min(decayed_value), 6) AS min_decayed,
+       round(max(decayed_value), 6) AS max_decayed
+FROM wts
+""",
+)
+def window_decay_weighted_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lastts = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    j = ev.join(lastts, "user_id")
+    wgt = F.exp(
+        (F.col("ts").cast("long") - F.col("last_ts").cast("long")) / 86400.0
+    )
+    wts = j.groupBy("user_id").agg(
+        (F.sum(F.col("value") * wgt) / F.sum(wgt)).alias("decayed_value")
+    )
+    return wts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("decayed_value"), 6).alias("avg_decayed"),
+        F.round(F.min("decayed_value"), 6).alias("min_decayed"),
+        F.round(F.max("decayed_value"), 6).alias("max_decayed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# feat ext: cyclical calendar encoding (sin/cos features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_cyclical_calendar_features",
+    doc="Cyclical calendar encoding: day-of-week and day-of-year mapped "
+    "onto the unit circle (sin/cos pairs) so models see Sunday adjacent "
+    "to Monday — verified via per-quarter means of the encoded features; "
+    "pure narrow projection + one tiny aggregate.",
+    tags=("feat", "scalar", "ext"),
+    oracle="""
+WITH enc AS (
+  SELECT quarter(o_orderdate) AS qtr,
+         sin(2 * pi() * (dayofweek(o_orderdate)) / 7.0)   AS dow_sin,
+         cos(2 * pi() * (dayofweek(o_orderdate)) / 7.0)   AS dow_cos,
+         sin(2 * pi() * (dayofyear(o_orderdate)) / 366.0) AS doy_sin,
+         cos(2 * pi() * (dayofyear(o_orderdate)) / 366.0) AS doy_cos
+  FROM orders
+)
+SELECT qtr, count(*) AS n_orders,
+       round(avg(dow_sin), 6) AS avg_dow_sin,
+       round(avg(dow_cos), 6) AS avg_dow_cos,
+       round(avg(doy_sin), 6) AS avg_doy_sin,
+       round(avg(doy_cos), 6) AS avg_doy_cos
+FROM enc GROUP BY qtr ORDER BY qtr
+""",
+)
+def scalar_cyclical_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    two_pi = 2 * 3.141592653589793
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek: 1..7 (Sun=1)
+    dow = F.dayofweek("o_orderdate") - 1
+    doy = F.dayofyear("o_orderdate")
+    enc = orders.select(
+        F.quarter("o_orderdate").alias("qtr"),
+        F.sin(two_pi * dow / 7.0).alias("dow_sin"),
+        F.cos(two_pi * dow / 7.0).alias("dow_cos"),
+        F.sin(two_pi * doy / 366.0).alias("doy_sin"),
+        F.cos(two_pi * doy / 366.0).alias("doy_cos"),
+    )
+    return (
+        enc.groupBy("qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("dow_sin"), 6).alias("avg_dow_sin"),
+            F.round(F.avg("dow_cos"), 6).alias("avg_dow_cos"),
+            F.round(F.avg("doy_sin"), 6).alias("avg_doy_sin"),
+            F.round(F.avg("doy_cos"), 6).alias("avg_doy_cos"),
+        )
+        .orderBy("qtr")
+    )

@@ -3035,3 +3035,75 @@ def sim_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.coalesce("n_overlap", F.lit(0))).alias("min_overlap"),
         F.max(F.coalesce("n_overlap", F.lit(0))).alias("max_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: span-corruption (T5 denoising) masking accountant
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_span_corruption",
+    doc="Span-corruption accounting (T5-style denoising): deterministic "
+    "3-token mask spans start at every token position p with "
+    "(p + doc_id) % 7 == 0 (spans never overlap since 7 > 3, end spans "
+    "clip), giving ~43% of a 15%-per-position budget; per-source rollup "
+    "of corruption rate and span counts.  Closed-form over token counts "
+    "— no token array ever materializes, so the plan is one narrow pass.",
+    tags=("corpus", "text", "ext"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split({_NORM}, ' ')) AS n_tok
+  FROM documents
+), spans AS (
+  SELECT doc_id, source, n_tok,
+         len(list_filter(range(n_tok), p -> (p + doc_id) % 7 = 0)) AS n_spans,
+         list_sum(list_transform(
+           list_filter(range(n_tok), p -> (p + doc_id) % 7 = 0),
+           p -> least(3, n_tok - p))) AS n_masked
+  FROM d
+)
+SELECT source,
+       count(*)     AS n_docs,
+       sum(n_tok)   AS n_tokens,
+       sum(n_spans) AS n_spans,
+       sum(coalesce(n_masked, 0)) AS n_masked_tokens,
+       round(sum(coalesce(n_masked, 0))::DOUBLE / sum(n_tok), 6)
+         AS corruption_rate
+FROM spans GROUP BY source ORDER BY source
+""",
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    d = docs.select("doc_id", "source", F.size(F.split(norm, " ")).alias("n_tok"))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("n_tok") - 1),
+        lambda p: (p + F.col("doc_id")) % 7 == 0,
+    )
+    spans = d.select(
+        "source",
+        "n_tok",
+        F.size(starts).alias("n_spans"),
+        F.aggregate(
+            F.transform(starts, lambda p: F.least(F.lit(3), F.col("n_tok") - p)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).alias("n_masked"),
+    )
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum(F.coalesce("n_masked", F.lit(0))).alias("n_masked_tokens"),
+            F.round(
+                F.sum(F.coalesce("n_masked", F.lit(0))).cast("double")
+                / F.sum("n_tok"),
+                6,
+            ).alias("corruption_rate"),
+        )
+        .orderBy("source")
+    )
