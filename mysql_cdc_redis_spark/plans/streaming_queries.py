@@ -834,3 +834,155 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         # column (it IS valid_from) — same exclusion as batch scd2_history
         *[c for c in ORDERS_PAYLOAD if c != "cdc_ts"],
     ).orderBy("rid", "version")
+
+
+# ---------------------------------------------------------------------------
+# T6/W6 streaming: windowed top-k (streaming pre-agg + batch serving rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_topk_event_types_hourly",
+    doc="Streaming pre-aggregation + batch serving rank: tumbling 1-hour "
+    "event-time counts accumulate in update mode over the file stream; "
+    "the top-3 types per hour rank runs as a batch query over the "
+    "finalized emissions — the lambda-free two-tier shape (streaming "
+    "keeps state small, ranking never enters the state store).",
+    tags=("streaming", "window", "topk", "ext"),
+    oracle="""
+WITH counts AS (
+  SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n_events DESC, event_type) AS INT) AS rnk
+  FROM counts
+)
+SELECT window_start, rnk, event_type, n_events
+FROM ranked WHERE rnk <= 3 ORDER BY window_start, rnk
+""",
+)
+def stream_topk_event_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("topk_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    emissions_dir = _tmp("topk_emit")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            emissions_dir
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", _tmp("topk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(emissions_dir)
+    final = (
+        emitted.groupBy("w", "event_type")
+        .agg(F.max_by("n_events", "batch_id").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    w_rank = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        final.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "rnk", "event_type", "n_events")
+        .orderBy("window_start", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7/K1/K4 streaming: foreachBatch multi-sink fan-out with reconciliation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_foreachbatch_fanout",
+    doc="Multi-sink fan-out (the Spark spelling of the reference's "
+    "dump->upload->bq queue pipeline, dump2csv.py:45-46/280-305): ONE "
+    "foreachBatch writes each micro-batch to BOTH a parquet state sink "
+    "and a header'd CSV dump sink; the result reconciles per-table row "
+    "counts across the two sinks against the source — equal counts "
+    "prove exactly-once fan-out under availableNow restart semantics.",
+    tags=("streaming", "sink", "ref:T7", "ref:K1", "ref:K4"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT tbl,
+       count(*) AS n_source_rows,
+       count(*) AS parquet_rows,
+       count(*) AS csv_rows
+FROM ch GROUP BY tbl ORDER BY tbl
+""",
+)
+def stream_foreachbatch_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("fanout_src")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    pq_dir = _tmp("fanout_pq")
+    csv_dir = _tmp("fanout_csv")
+
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _fanout(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(pq_dir)
+            batch_df.withColumn("cdc_ts", F.col("cdc_ts").cast("string")).withColumn(
+                "o_orderdate", F.col("o_orderdate").cast("string")
+            ).write.mode("append").option("header", True).csv(csv_dir)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_fanout)
+        .option("checkpointLocation", _tmp("fanout_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    pq_counts = (
+        spark.read.parquet(pq_dir)
+        .groupBy("tbl")
+        .agg(F.count(F.lit(1)).alias("parquet_rows"))
+    )
+    csv_counts = (
+        spark.read.option("header", True)
+        .csv(csv_dir)
+        .groupBy("tbl")
+        .agg(F.count(F.lit(1)).alias("csv_rows"))
+    )
+    src_counts = ch.groupBy("tbl").agg(F.count(F.lit(1)).alias("n_source_rows"))
+    return (
+        src_counts.join(pq_counts, "tbl")
+        .join(csv_counts, "tbl")
+        .select("tbl", "n_source_rows", "parquet_rows", "csv_rows")
+        .orderBy("tbl")
+    )
