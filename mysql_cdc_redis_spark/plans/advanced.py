@@ -2393,3 +2393,186 @@ def scalar_cyclical_calendar_features(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("qtr")
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: many-to-many bridge with weighted allocation (Kimball pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_bridge_weighted_allocation",
+    doc="Weighted bridge allocation: order-level revenue spread across "
+    "the order's line items proportionally to extended price, rolled up "
+    "to the supplier's nation — allocations are rounded to fixed 1e-4 "
+    "units BEFORE summing so the conservation property (and the hash) "
+    "is exact integer arithmetic; the per-order weight window runs on "
+    "the l_orderkey shuffle the rollup needs anyway.",
+    tags=("join", "window", "ext"),
+    oracle="""
+WITH w AS (
+  SELECT l_orderkey, l_suppkey, l_extendedprice,
+         sum(l_extendedprice) OVER (PARTITION BY l_orderkey) AS order_tot
+  FROM lineitem
+), alloc AS (
+  SELECT l_suppkey,
+         CAST(round(o_totalprice * (l_extendedprice / order_tot) * 10000)
+              AS BIGINT) AS units
+  FROM w JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT n_name,
+       count(*) AS n_allocations,
+       round(sum(units) / 10000.0, 2) AS allocated_revenue
+FROM alloc
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def join_bridge_weighted_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    w = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_extendedprice",
+        F.sum("l_extendedprice").over(Window.partitionBy("l_orderkey")).alias("order_tot"),
+    )
+    alloc = w.join(orders, w.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.round(
+            F.col("o_totalprice") * (F.col("l_extendedprice") / F.col("order_tot")) * 10000
+        )
+        .cast("bigint")
+        .alias("units"),
+    )
+    return (
+        alloc.join(F.broadcast(supplier), alloc.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_allocations"),
+            F.round(F.sum("units") / 10000.0, 2).alias("allocated_revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: strictly-consecutive motif detection (view→click→purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_consecutive_motif",
+    doc="Consecutive-motif mining: occurrences of the exact "
+    "view->click->purchase sequence in ADJACENT positions of each "
+    "user's timeline (double lead() on one user window) — the strict "
+    "complement of the any-distance funnel entry; census of users and "
+    "motif multiplicity.",
+    tags=("events", "window", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+                  THEN 1 ELSE 0 END) AS n_motifs
+  FROM seq GROUP BY user_id
+)
+SELECT count(*)                                        AS n_users,
+       sum(CASE WHEN n_motifs > 0 THEN 1 ELSE 0 END)   AS n_users_with_motif,
+       sum(n_motifs)                                    AS total_motifs,
+       max(n_motifs)                                    AS max_motifs_per_user
+FROM per_user
+""",
+)
+def events_consecutive_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    hit = (
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_motifs")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n_motifs") > 0, 1).otherwise(0)).alias(
+            "n_users_with_motif"
+        ),
+        F.sum("n_motifs").alias("total_motifs"),
+        F.max("n_motifs").alias("max_motifs_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar ext: Luhn checksum validation (digit-fold HOFs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_luhn_checksum",
+    doc="Luhn mod-10 validation over synthetic 16-digit account numbers "
+    "derived from order keys: right-to-left alternate-digit doubling via "
+    "array higher-order functions (no UDF) — the data-quality primitive "
+    "for card/IMEI-shaped columns; census of valid vs invalid.",
+    tags=("scalar", "quality", "ext"),
+    oracle="""
+WITH nums AS (
+  SELECT lpad(CAST(o_orderkey * 37 % 10000000000000000 AS VARCHAR), 16, '0')
+           AS acct
+  FROM orders
+), digits AS (
+  SELECT acct,
+         list_sum(list_transform(range(16), i ->
+           CASE WHEN i % 2 = 1
+                THEN CASE WHEN CAST(acct[16 - i] AS INT) * 2 > 9
+                          THEN CAST(acct[16 - i] AS INT) * 2 - 9
+                          ELSE CAST(acct[16 - i] AS INT) * 2 END
+                ELSE CAST(acct[16 - i] AS INT) END)) AS luhn_sum
+  FROM nums
+)
+SELECT count(*) AS n_numbers,
+       sum(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END) AS n_valid,
+       round(avg(CASE WHEN luhn_sum % 10 = 0 THEN 1.0 ELSE 0.0 END), 6)
+         AS valid_rate
+FROM digits
+""",
+)
+def scalar_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    acct = F.lpad(
+        (F.col("o_orderkey") * 37 % F.lit(10000000000000000)).cast("string"), 16, "0"
+    )
+    nums = orders.select(acct.alias("acct"))
+    digit = lambda i: F.substring(F.col("acct"), 16 - i, 1).cast("int")  # noqa: E731
+
+    def term(i):
+        d = digit(i)
+        doubled = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        return F.when(F.lit(i % 2 == 1), doubled).otherwise(d)
+
+    luhn_sum = term(0)
+    for i in range(1, 16):
+        luhn_sum = luhn_sum + term(i)
+    digits = nums.select(luhn_sum.alias("luhn_sum"))
+    valid = F.col("luhn_sum") % 10 == 0
+    return digits.agg(
+        F.count(F.lit(1)).alias("n_numbers"),
+        F.sum(F.when(valid, 1).otherwise(0)).alias("n_valid"),
+        F.round(F.avg(F.when(valid, 1.0).otherwise(0.0)), 6).alias("valid_rate"),
+    )
