@@ -2576,3 +2576,189 @@ def scalar_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(valid, 1).otherwise(0)).alias("n_valid"),
         F.round(F.avg(F.when(valid, 1.0).otherwise(0.0)), 6).alias("valid_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: skyline (Pareto frontier) via strictly-cheaper RANGE frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_skyline_pareto_frontier",
+    doc="Skyline operator: parts not dominated by any cheaper-AND-bigger "
+    "part, computed with ONE RANGE window over integer price cents "
+    "(frame 'strictly cheaper' = unbounded..1 preceding) keeping the "
+    "running max size — O(n log n) instead of the naive O(n^2) "
+    "dominance self-join; per-brand frontier census.",
+    tags=("window", "skyline", "ext"),
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+), sk AS (
+  SELECT p_partkey, p_brand, p_size,
+         max(p_size) OVER (ORDER BY cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_cheaper_size
+  FROM p
+)
+SELECT p_brand,
+       count(*) AS n_parts,
+       sum(CASE WHEN best_cheaper_size IS NULL OR best_cheaper_size <= p_size
+                THEN 1 ELSE 0 END) AS n_frontier
+FROM sk GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def window_skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    sk = p.select(
+        "p_brand", "p_size", F.max("p_size").over(w).alias("best_cheaper_size")
+    )
+    on_frontier = F.col("best_cheaper_size").isNull() | (
+        F.col("best_cheaper_size") <= F.col("p_size")
+    )
+    return (
+        sk.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.when(on_frontier, 1).otherwise(0)).alias("n_frontier"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup ext: phonetic blocking key (soundex-class consonant map, portable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_phonetic_blocking",
+    doc="Phonetic blocking for entity resolution: a soundex-class key "
+    "(first letter + consonant-class digits, vowels dropped) over the "
+    "first word of part names, built ONLY from translate/regexp (no "
+    "backreferences, so it runs identically on Java regex and RE2); "
+    "block-size histogram shows the candidate-pair reduction.",
+    tags=("dedup", "text", "ext"),
+    oracle="""
+WITH w1 AS (
+  SELECT lower(string_split(p_name, ' ')[1]) AS w FROM part
+), keys AS (
+  SELECT w,
+         substr(w, 1, 1) ||
+         substr(regexp_replace(
+           translate(substr(w, 2), 'bfpvcgjkqsxzdtlmnraeiouyhw',
+                                   '11112222222233455600000000'),
+           '0', '', 'g'), 1, 3) AS pkey
+  FROM w1 WHERE w <> ''
+), blocks AS (
+  SELECT pkey, count(*) AS block_size, count(DISTINCT w) AS n_distinct_words
+  FROM keys GROUP BY pkey
+)
+SELECT count(*)                 AS n_blocks,
+       sum(block_size)          AS n_rows,
+       sum(n_distinct_words)    AS n_distinct_words,
+       max(block_size)          AS max_block,
+       sum(block_size * (block_size - 1) / 2) AS n_candidate_pairs
+FROM blocks
+""",
+)
+def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = F.lower(F.split("p_name", " ")[0])
+    w1 = part.select(w.alias("w")).filter(F.col("w") != "")
+    pkey = F.concat(
+        F.substring("w", 1, 1),
+        F.substring(
+            F.regexp_replace(
+                F.translate(
+                    F.expr("substring(w, 2)"),
+                    "bfpvcgjkqsxzdtlmnraeiouyhw",
+                    "11112222222233455600000000",
+                ),
+                "0",
+                "",
+            ),
+            1,
+            3,
+        ),
+    )
+    keys = w1.select("w", pkey.alias("pkey"))
+    blocks = keys.groupBy("pkey").agg(
+        F.count(F.lit(1)).alias("block_size"),
+        F.countDistinct("w").alias("n_distinct_words"),
+    )
+    return blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("block_size").alias("n_rows"),
+        F.sum("n_distinct_words").alias("n_distinct_words"),
+        F.max("block_size").alias("max_block"),
+        F.sum(F.col("block_size") * (F.col("block_size") - 1) / 2).alias(
+            "n_candidate_pairs"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: brand basket co-occurrence (market-basket at order grain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_brand_basket_pairs",
+    doc="Market-basket co-occurrence: orders containing both brands of a "
+    "pair, for the top-5 brands by order reach — the (order, brand) "
+    "distinct projection collapses the fact table FIRST, so the "
+    "pair self-join runs on |orders x 5| rows, not line items; "
+    "deterministic brand<brand pair ordering.",
+    tags=("join", "basket", "ext"),
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), reach AS (
+  SELECT p_brand, count(*) AS n_orders FROM ob GROUP BY p_brand
+  ORDER BY n_orders DESC, p_brand LIMIT 5
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_both
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  WHERE a.p_brand IN (SELECT p_brand FROM reach)
+    AND b.p_brand IN (SELECT p_brand FROM reach)
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_both FROM pairs ORDER BY brand_a, brand_b
+""",
+)
+def join_brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    reach = (
+        ob.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "p_brand")
+        .limit(5)
+        .select("p_brand")
+    )
+    obf = ob.join(F.broadcast(reach), "p_brand")
+    a = obf.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = obf.select(F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b"))
+    pairs = a.join(
+        b, (a.l_orderkey == b.ok2) & (F.col("brand_a") < F.col("brand_b"))
+    )
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .orderBy("brand_a", "brand_b")
+    )
