@@ -2762,3 +2762,178 @@ def join_brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_both"))
         .orderBy("brand_a", "brand_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar ext: haversine great-circle distance (portable trig)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_haversine_distance",
+    doc="Haversine great-circle distances between nations on a "
+    "deterministic synthetic grid (lat = key*7-80, lon = key*13-170): "
+    "the full trig pipeline (radians/sin/cos/asin/sqrt) in JVM "
+    "expressions over the 300-pair self-join, rolled up per region "
+    "pair — geo-distance breadth without geo fixtures.",
+    tags=("scalar", "geo", "ext"),
+    oracle="""
+WITH geo AS (
+  SELECT n_nationkey, n_regionkey,
+         radians(n_nationkey * 7 - 80.0)   AS lat,
+         radians(n_nationkey * 13 - 170.0) AS lon
+  FROM nation
+), pairs AS (
+  SELECT a.n_regionkey AS region_a, b.n_regionkey AS region_b,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin((b.lat - a.lat) / 2), 2) +
+           cos(a.lat) * cos(b.lat) * pow(sin((b.lon - a.lon) / 2), 2)
+         )) AS dist_km
+  FROM geo a JOIN geo b ON a.n_nationkey < b.n_nationkey
+)
+SELECT least(region_a, region_b)    AS region_lo,
+       greatest(region_a, region_b) AS region_hi,
+       count(*)                     AS n_pairs,
+       round(avg(dist_km), 3)       AS avg_dist_km,
+       round(max(dist_km), 3)       AS max_dist_km
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def scalar_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    geo = nation.select(
+        "n_nationkey",
+        "n_regionkey",
+        F.radians(F.col("n_nationkey") * 7 - 80.0).alias("lat"),
+        F.radians(F.col("n_nationkey") * 13 - 170.0).alias("lon"),
+    )
+    a = geo.select(
+        F.col("n_nationkey").alias("ka"),
+        F.col("n_regionkey").alias("region_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+    )
+    b = geo.select(
+        F.col("n_nationkey").alias("kb"),
+        F.col("n_regionkey").alias("region_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    hav = (
+        F.pow(F.sin((F.col("lat_b") - F.col("lat_a")) / 2), 2)
+        + F.cos("lat_a") * F.cos("lat_b")
+        * F.pow(F.sin((F.col("lon_b") - F.col("lon_a")) / 2), 2)
+    )
+    pairs = a.join(b, F.col("ka") < F.col("kb")).select(
+        "region_a",
+        "region_b",
+        (2 * 6371.0 * F.asin(F.sqrt(hav))).alias("dist_km"),
+    )
+    return (
+        pairs.groupBy(
+            F.least("region_a", "region_b").alias("region_lo"),
+            F.greatest("region_a", "region_b").alias("region_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("dist_km"), 3).alias("avg_dist_km"),
+            F.round(F.max("dist_km"), 3).alias("max_dist_km"),
+        )
+        .orderBy("region_lo", "region_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: importance-sampling weights + effective sample size
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_importance_weights_ess",
+    doc="Importance-resampling diagnostics: per-document weights "
+    "proportional to a temperature-sharpened length score (T=2), with "
+    "the effective sample size ESS = (sum w)^2 / sum w^2 per source — "
+    "the check that a data-mixing temperature isn't collapsing the "
+    "corpus onto a few documents.  Plain sums, fully partial-aggregable.",
+    tags=("corpus", "stats", "ext"),
+    oracle="""
+WITH w AS (
+  SELECT source,
+         pow(n_chars / 1000.0, 2) AS wt
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(sum(wt), 6) AS total_weight,
+       round(pow(sum(wt), 2) / sum(wt * wt), 4) AS ess,
+       round(pow(sum(wt), 2) / sum(wt * wt) / count(*), 6) AS ess_fraction
+FROM w GROUP BY source ORDER BY source
+""",
+)
+def corpus_importance_weights_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.pow(F.col("n_chars") / 1000.0, 2)
+    w = docs.select("source", wt.alias("wt"))
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("wt"), 6).alias("total_weight"),
+            F.round(F.pow(F.sum("wt"), 2) / F.sum(F.col("wt") * F.col("wt")), 4).alias(
+                "ess"
+            ),
+            F.round(
+                F.pow(F.sum("wt"), 2)
+                / F.sum(F.col("wt") * F.col("wt"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ess_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: winsorized mean (clamp at exact p5/p95, not drop)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_winsorized_mean",
+    doc="Winsorized mean of account balances per market segment: values "
+    "CLAMPED to the segment's exact [p5, p95] (the robust-mean variant "
+    "that keeps n constant, unlike the trimmed mean which drops rows); "
+    "percentile cutoffs from one grouped aggregate broadcast back.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH cuts AS (
+  SELECT c_mktsegment,
+         percentile_disc(0.05) WITHIN GROUP (ORDER BY c_acctbal) AS p5,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY c_acctbal) AS p95
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_rows,
+       round(avg(least(greatest(c_acctbal, p5), p95)), 4) AS winsorized_mean,
+       round(avg(c_acctbal), 4) AS raw_mean
+FROM customer c JOIN cuts USING (c_mktsegment)
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    cuts = customer.groupBy("c_mktsegment").agg(
+        F.percentile_approx("c_acctbal", 0.05, 2147483647).alias("p5"),
+        F.percentile_approx("c_acctbal", 0.95, 2147483647).alias("p95"),
+    )
+    j = customer.join(F.broadcast(cuts), "c_mktsegment")
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("p5")), F.col("p95"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+            F.round(F.avg("c_acctbal"), 4).alias("raw_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
