@@ -2937,3 +2937,161 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Gini coefficient per group via window-rank closed form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini_window_by_nation",
+    doc="Per-nation Gini of customer spend via the rank closed form "
+    "G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over spend sorted within each "
+    "nation — the pure window-algebra spelling of the statistic the "
+    "grouped-agg UDAF entry (udaf_gini_acctbal) computes in Pandas, "
+    "here partitioned per group so no window ever goes global.",
+    tags=("agg", "window", "stats", "ext"),
+    oracle="""
+WITH spend AS (
+  SELECT c_nationkey, o_custkey, sum(o_totalprice) AS x
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_nationkey, o_custkey
+), ranked AS (
+  SELECT c_nationkey, x,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY x, o_custkey) AS i
+  FROM spend
+)
+SELECT n_name,
+       count(*) AS n_customers,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def agg_gini_window_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("x", "o_custkey")
+    ranked = spend.select("c_nationkey", "x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return (
+        ranked.join(F.broadcast(nation), ranked.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            n.alias("n_customers"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+                - (n + 1.0) / n,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: fulfillment lead-time percentiles per priority
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_leadtime_percentiles",
+    doc="Fulfillment lead time (ship date - order date, days) per order "
+    "priority: exact discrete p50/p90/p99 plus mean — the SLA profile, "
+    "one fact join and one grouped order-statistic aggregate.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH lt AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS days
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(avg(days), 4) AS avg_days,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY days) AS p50_days,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY days) AS p90_days,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY days) AS p99_days
+FROM lt GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def agg_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", F.datediff("l_shipdate", "o_orderdate").alias("days")
+    )
+    return (
+        lt.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("days"), 4).alias("avg_days"),
+            F.percentile_approx("days", 0.5, 2147483647).alias("p50_days"),
+            F.percentile_approx("days", 0.9, 2147483647).alias("p90_days"),
+            F.percentile_approx("days", 0.99, 2147483647).alias("p99_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: DAU/MAU stickiness (growth-metric rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_dau_mau_stickiness",
+    doc="DAU/MAU stickiness per calendar month of the event stream: "
+    "distinct daily actives averaged over the month divided by the "
+    "month's distinct actives — two distinct-count aggregates at "
+    "different grains, joined on the month key; the classic engagement "
+    "ratio without any fact self-join.",
+    tags=("agg", "events", "ext"),
+    oracle="""
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+), mau AS (
+  SELECT year(ts) * 100 + month(ts) AS yyyymm, count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+), davg AS (
+  SELECT year(day) * 100 + month(day) AS yyyymm,
+         avg(dau) AS avg_dau, count(*) AS n_days
+  FROM dau GROUP BY 1
+)
+SELECT yyyymm, n_days, round(avg_dau, 4) AS avg_dau, mau,
+       round(avg_dau / mau, 6) AS stickiness
+FROM davg JOIN mau USING (yyyymm)
+ORDER BY yyyymm
+""",
+)
+def agg_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = ev.groupBy((F.year("ts") * 100 + F.month("ts")).alias("yyyymm")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    davg = dau.groupBy((F.year("day") * 100 + F.month("day")).alias("yyyymm")).agg(
+        F.avg("dau").alias("avg_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        davg.join(mau, "yyyymm")
+        .select(
+            "yyyymm",
+            "n_days",
+            F.round("avg_dau", 4).alias("avg_dau"),
+            "mau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("yyyymm")
+    )
