@@ -3095,3 +3095,166 @@ def agg_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yyyymm")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar ext: IPv4 int <-> dotted-quad roundtrip + subnet census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_ipv4_roundtrip",
+    doc="IPv4 plumbing: synthetic 32-bit addresses from user ids, "
+    "rendered to dotted-quad with pure integer math, re-parsed back "
+    "(split + shift-sum) and verified equal, then a /16 subnet census — "
+    "the network-telemetry column toolkit without any UDF.",
+    tags=("scalar", "ext"),
+    oracle="""
+WITH ip AS (
+  SELECT (user_id * 2654435761) % 4294967296 AS addr FROM events
+), quad AS (
+  SELECT addr,
+         (addr // 16777216) % 256 AS o1, (addr // 65536) % 256 AS o2,
+         (addr // 256) % 256 AS o3, addr % 256 AS o4
+  FROM ip
+), txt AS (
+  SELECT addr, o1 || '.' || o2 || '.' || o3 || '.' || o4 AS dotted,
+         o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS reparsed,
+         o1 * 256 + o2 AS subnet16
+  FROM quad
+)
+SELECT count(*) AS n_addrs,
+       sum(CASE WHEN reparsed = addr THEN 1 ELSE 0 END) AS n_roundtrip_ok,
+       count(DISTINCT subnet16) AS n_subnets_16,
+       min(dotted) AS min_dotted
+FROM txt
+""",
+)
+def scalar_ipv4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ip = ev.select(((F.col("user_id") * 2654435761) % 4294967296).alias("addr"))
+    o1 = F.expr("(addr div 16777216) % 256")
+    o2 = F.expr("(addr div 65536) % 256")
+    o3 = F.expr("(addr div 256) % 256")
+    o4 = F.col("addr") % 256
+    quad = ip.select("addr", o1.alias("o1"), o2.alias("o2"), o3.alias("o3"), o4.alias("o4"))
+    txt = quad.select(
+        "addr",
+        F.concat_ws(".", "o1", "o2", "o3", "o4").alias("dotted"),
+        (
+            F.col("o1") * 16777216 + F.col("o2") * 65536 + F.col("o3") * 256 + F.col("o4")
+        ).alias("reparsed"),
+        (F.col("o1") * 256 + F.col("o2")).alias("subnet16"),
+    )
+    return txt.agg(
+        F.count(F.lit(1)).alias("n_addrs"),
+        F.sum(F.when(F.col("reparsed") == F.col("addr"), 1).otherwise(0)).alias(
+            "n_roundtrip_ok"
+        ),
+        F.countDistinct("subnet16").alias("n_subnets_16"),
+        F.min("dotted").alias("min_dotted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: tokenizer fertility (BPE-ish tokens per whitespace word)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenizer_fertility",
+    doc="Tokenizer fertility: BPE-ish regex token count over whitespace "
+    "word count per document, profiled per language — the compression "
+    "diagnostic that predicts a tokenizer's cost multiplier on a corpus; "
+    "two regexp counts in one narrow pass.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_bpe)   AS n_bpe_tokens,
+       sum(n_words) AS n_words,
+       round(sum(n_bpe)::DOUBLE / sum(n_words), 6) AS fertility
+FROM t GROUP BY lang ORDER BY lang
+""",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    t = docs.select("lang", n_bpe.alias("n_bpe"), n_words.alias("n_words"))
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.sum("n_words").alias("n_words"),
+            F.round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: KL divergence between two segments' priority distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_kl_divergence_segments",
+    doc="KL divergence D(P||Q) between the order-priority distributions "
+    "of BUILDING (P) and MACHINERY (Q) customers, with add-one "
+    "smoothing so zero cells stay finite — distribution-drift "
+    "measurement from two conditional aggregates in one fact pass.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN c_mktsegment = 'BUILDING'  THEN 1 ELSE 0 END) + 1 AS np,
+         sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) + 1 AS nq
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY o_orderpriority
+), tot AS (
+  SELECT sum(np) AS tp, sum(nq) AS tq FROM cells
+)
+SELECT any_value(tp - 5) AS n_building_orders,
+       any_value(tq - 5) AS n_machinery_orders,
+       count(*) AS n_categories,
+       round(sum((np::DOUBLE / tp) * ln((np::DOUBLE / tp) / (nq::DOUBLE / tq))), 8)
+         AS kl_p_q
+FROM cells CROSS JOIN tot
+""",
+)
+def agg_kl_divergence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    cells = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(seg.isin("BUILDING", "MACHINERY"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(F.when(seg == "BUILDING", 1).otherwise(0)) + 1).alias("np"),
+            (F.sum(F.when(seg == "MACHINERY", 1).otherwise(0)) + 1).alias("nq"),
+        )
+    )
+    tot = cells.agg(F.sum("np").alias("tp"), F.sum("nq").alias("tq"))
+    p = F.col("np").cast("double") / F.col("tp")
+    q = F.col("nq").cast("double") / F.col("tq")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.any_value(F.col("tp") - 5).alias("n_building_orders"),
+            F.any_value(F.col("tq") - 5).alias("n_machinery_orders"),
+            F.count(F.lit(1)).alias("n_categories"),
+            F.round(F.sum(p * F.log(p / q)), 8).alias("kl_p_q"),
+        )
+    )
