@@ -55,7 +55,16 @@ def register(
 def _load_all_modules() -> None:
     # Import side-effect registers every query; keep imports lazy so a
     # syntax error in one module doesn't hide the rest during development.
-    from . import advanced, cdc, llm, relational, streaming_queries, tooling, tpch  # noqa: F401
+    from . import (  # noqa: F401
+        advanced,
+        cdc,
+        llm,
+        relational,
+        sciops,
+        streaming_queries,
+        tooling,
+        tpch,
+    )
 
 
 def all_queries() -> dict[str, Query]:

@@ -1,0 +1,392 @@
+"""Scientific / experimentation analytics (SURVEY.md §2 EXT rows A6/W5).
+
+The reference exposes only counts (rcache.py:26-33); these are EXT
+operators a warehouse replacing it would serve to experimentation and
+risk teams: multiple-testing control (Benjamini-Hochberg), heavy-tail
+estimation (Hill), variance reduction (CUPED), and two classic
+signal-decomposition windows (RSI, trend/seasonal/residual).
+
+Scale stance (100 TB): every query aggregates down to a tiny keyed
+relation (25 nations, 5 priorities, <100 months) BEFORE any window or
+cross join, so the expensive part is one partial+final hash aggregate
+over the fact table; windows then run on driver-trivial cardinalities
+but still distributed (no collect). Top-k windows rewrite to
+WindowGroupLimit (partial per-group limit before the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# A6 ext: Benjamini-Hochberg FDR over per-nation mean tests
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.10
+
+
+@register(
+    "agg_benjamini_hochberg",
+    doc="Per-nation z-test of mean c_acctbal against the global mean with "
+    "Benjamini-Hochberg FDR control at alpha=0.10: one hash aggregate to "
+    "25 nation cells, a broadcast of the single-row global stats, then the "
+    "step-up rule as a rank window + running max. Normal CDF uses the "
+    "logistic approximation Phi(x)~=1/(1+exp(-1.702x)) identically on both "
+    "engines so p-values are bit-comparable.",
+    tags=("agg", "stats", "ext"),
+    oracle=f"""
+WITH per AS (
+  SELECT c_nationkey, count(*) AS n_rows,
+         avg(c_acctbal) AS mu, var_pop(c_acctbal) AS v
+  FROM customer GROUP BY c_nationkey
+), gstats AS (
+  SELECT avg(c_acctbal) AS mu0 FROM customer
+), z AS (
+  SELECT c_nationkey, n_rows,
+         (mu - mu0) / sqrt(v / n_rows) AS zval,
+         round(2.0 / (1.0 + exp(1.702 * abs((mu - mu0) / sqrt(v / n_rows)))), 9) AS pval
+  FROM per CROSS JOIN gstats
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY pval, c_nationkey) AS p_rank,
+         count(*) OVER () AS m
+  FROM z
+), cut AS (
+  SELECT *, max(CASE WHEN pval <= p_rank * {_BH_ALPHA} / m THEN p_rank ELSE 0 END)
+              OVER () AS k_max
+  FROM ranked
+)
+SELECT c_nationkey, n_rows, round(zval, 6) AS zval, pval, p_rank,
+       p_rank <= k_max AS discovery
+FROM cut ORDER BY p_rank
+""",
+)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    per = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("c_acctbal").alias("mu"),
+        F.var_pop("c_acctbal").alias("v"),
+    )
+    glob = cust.agg(F.avg("c_acctbal").alias("mu0"))
+    zval = (F.col("mu") - F.col("mu0")) / F.sqrt(F.col("v") / F.col("n_rows"))
+    z = per.crossJoin(F.broadcast(glob)).select(
+        "c_nationkey",
+        "n_rows",
+        zval.alias("zraw"),
+        F.round(2.0 / (1.0 + F.exp(1.702 * F.abs(zval))), 9).alias("pval"),
+    )
+    w_all = Window.partitionBy()
+    ranked = z.withColumn(
+        "p_rank", F.row_number().over(Window.orderBy("pval", "c_nationkey"))
+    ).withColumn("m", F.count(F.lit(1)).over(w_all))
+    crit = F.col("p_rank") * F.lit(_BH_ALPHA) / F.col("m")
+    cut = ranked.withColumn(
+        "k_max",
+        F.max(F.when(F.col("pval") <= crit, F.col("p_rank")).otherwise(0)).over(w_all),
+    )
+    return cut.select(
+        "c_nationkey",
+        "n_rows",
+        F.round("zraw", 6).alias("zval"),
+        "pval",
+        "p_rank",
+        (F.col("p_rank") <= F.col("k_max")).alias("discovery"),
+    ).orderBy("p_rank")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Hill tail-index estimator over top-k order values
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+@register(
+    "agg_hill_tail_index",
+    doc="Hill estimator of the Pareto tail index of o_totalprice per order "
+    "priority: top-(k+1) per group via a rank window Spark rewrites into "
+    "WindowGroupLimit (partial top-k before the exchange — the fact table "
+    "is never globally sorted), then one aggregate computes "
+    "mean(ln x_i) - ln x_(k+1) and alpha = 1/hill.",
+    tags=("agg", "stats", "ext"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+), top AS (
+  SELECT * FROM ranked WHERE rn <= {_HILL_K + 1}
+), hill AS (
+  SELECT o_orderpriority,
+         avg(CASE WHEN rn <= {_HILL_K} THEN ln(o_totalprice) END)
+           - ln(max(CASE WHEN rn = {_HILL_K + 1} THEN o_totalprice END)) AS h
+  FROM top GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, round(h, 6) AS hill_estimate,
+       round(1.0 / h, 6) AS tail_alpha
+FROM hill ORDER BY o_orderpriority
+""",
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    top = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HILL_K + 1)
+    )
+    hill = top.groupBy("o_orderpriority").agg(
+        (
+            F.avg(F.when(F.col("rn") <= _HILL_K, F.log("o_totalprice")))
+            - F.log(F.max(F.when(F.col("rn") == _HILL_K + 1, F.col("o_totalprice"))))
+        ).alias("h")
+    )
+    return hill.select(
+        "o_orderpriority",
+        F.round("h", 6).alias("hill_estimate"),
+        F.round(1.0 / F.col("h"), 6).alias("tail_alpha"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cuped_adjustment",
+    doc="CUPED (controlled-experiment using pre-experiment data): customer "
+    "1997 revenue adjusted by the 1996 pre-period covariate, "
+    "theta = cov(post,pre)/var(pre) from one pass of product-moment "
+    "aggregates; reports per-segment raw vs adjusted means and the global "
+    "variance-reduction ratio. One shuffle to per-customer totals, one "
+    "re-aggregation; the theta row broadcasts.",
+    tags=("agg", "stats", "experiment", "ext"),
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, any_value(c.c_mktsegment) AS seg,
+         coalesce(sum(CASE WHEN year(o.o_orderdate) = 1996
+                           THEN o.o_totalprice END), 0) AS pre,
+         coalesce(sum(CASE WHEN year(o.o_orderdate) = 1997
+                           THEN o.o_totalprice END), 0) AS post
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE year(o.o_orderdate) IN (1996, 1997)
+  GROUP BY c.c_custkey
+), theta AS (
+  SELECT covar_pop(post, pre) / var_pop(pre) AS th, avg(pre) AS pre_mean,
+         var_pop(post) AS post_var
+  FROM per_cust
+), adj AS (
+  SELECT seg, post, post - th * (pre - pre_mean) AS post_adj, th, post_var
+  FROM per_cust CROSS JOIN theta
+)
+SELECT seg, count(*) AS n_customers,
+       round(avg(post), 4) AS raw_mean,
+       round(avg(post_adj), 4) AS cuped_mean,
+       round(any_value(th), 6) AS theta,
+       round(var_pop(post_adj) / any_value(post_var), 6) AS seg_var_vs_global
+FROM adj GROUP BY seg ORDER BY seg
+""",
+)
+def agg_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    per_cust = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .filter(yr.isin(1996, 1997))
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_mktsegment").alias("seg"),
+            F.coalesce(
+                F.sum(F.when(yr == 1996, F.col("o_totalprice"))), F.lit(0.0)
+            ).alias("pre"),
+            F.coalesce(
+                F.sum(F.when(yr == 1997, F.col("o_totalprice"))), F.lit(0.0)
+            ).alias("post"),
+        )
+    )
+    theta = per_cust.agg(
+        (F.covar_pop("post", "pre") / F.var_pop("pre")).alias("th"),
+        F.avg("pre").alias("pre_mean"),
+        F.var_pop("post").alias("post_var"),
+    )
+    adj = per_cust.crossJoin(F.broadcast(theta)).withColumn(
+        "post_adj", F.col("post") - F.col("th") * (F.col("pre") - F.col("pre_mean"))
+    )
+    return (
+        adj.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("post"), 4).alias("raw_mean"),
+            F.round(F.avg("post_adj"), 4).alias("cuped_mean"),
+            F.round(F.any_value("th"), 6).alias("theta"),
+            F.round(F.var_pop("post_adj") / F.any_value("post_var"), 6).alias(
+                "seg_var_vs_global"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: RSI oscillator over the monthly revenue series
+# ---------------------------------------------------------------------------
+
+_RSI_N = 6
+
+
+@register(
+    "window_rsi_indicator",
+    doc="Relative Strength Index (simple-average form, 6-period) over the "
+    "monthly revenue series: monthly sums are rounded on both engines "
+    "before differencing so the window arithmetic is bit-identical; gains "
+    "and losses average over a trailing ROWS frame; only complete windows "
+    "are emitted. The fact-table scan is one hash aggregate; the window "
+    "runs on 80 rows.",
+    tags=("window", "timeseries", "ext"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT mon, rev, rev - lag(rev) OVER (ORDER BY mon) AS delta,
+         row_number() OVER (ORDER BY mon) AS rn
+  FROM monthly
+), gl AS (
+  SELECT mon, rn,
+         avg(greatest(delta, 0)) OVER (ORDER BY mon
+             ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW) AS avg_gain,
+         avg(greatest(-delta, 0)) OVER (ORDER BY mon
+             ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW) AS avg_loss
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT cast(mon AS DATE) AS mon,
+       round(CASE WHEN avg_loss = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 6) AS rsi
+FROM gl WHERE rn > {_RSI_N}
+ORDER BY mon
+""",
+)
+def window_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("mon")
+    d = monthly.select(
+        "mon",
+        (F.col("rev") - F.lag("rev").over(w)).alias("delta"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("delta").isNotNull())
+    frame = Window.orderBy("mon").rowsBetween(-(_RSI_N - 1), 0)
+    gl = d.select(
+        "mon",
+        "rn",
+        F.avg(F.greatest(F.col("delta"), F.lit(0.0))).over(frame).alias("avg_gain"),
+        F.avg(F.greatest(-F.col("delta"), F.lit(0.0))).over(frame).alias("avg_loss"),
+    )
+    rsi = F.when(F.col("avg_loss") == 0, F.lit(100.0)).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss"))
+    )
+    return (
+        gl.filter(F.col("rn") > _RSI_N)
+        .select(F.col("mon").cast("date").alias("mon"), F.round(rsi, 6).alias("rsi"))
+        .orderBy("mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: classical trend / seasonal / residual decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_seasonal_decompose",
+    doc="Classical additive decomposition of monthly revenue: trend = "
+    "trailing 12-month average (complete windows only), seasonal = "
+    "month-of-year mean of the detrended series, residual flagged at "
+    "|r| > 2*stddev. Fact scan aggregates to 80 months; the seasonal "
+    "profile (12 rows) re-joins by month number — broadcast-sized at any "
+    "data scale.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT mon, rev,
+         avg(rev) OVER (ORDER BY mon ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+           AS trend,
+         row_number() OVER (ORDER BY mon) AS rn
+  FROM monthly
+), dt AS (
+  SELECT mon, rev, trend, rev - trend AS detr, month(mon) AS moy
+  FROM t WHERE rn >= 12
+), season AS (
+  SELECT moy, avg(detr) AS seasonal FROM dt GROUP BY moy
+), r AS (
+  SELECT d.mon, d.rev, d.trend, s.seasonal, d.detr - s.seasonal AS resid
+  FROM dt d JOIN season s ON s.moy = d.moy
+), sd AS (
+  SELECT stddev_pop(resid) AS sigma FROM r
+)
+SELECT cast(mon AS DATE) AS mon, rev,
+       round(trend, 4) AS trend, round(seasonal, 4) AS seasonal,
+       round(resid, 4) AS resid,
+       abs(resid) > 2 * sigma AS is_anomaly
+FROM r CROSS JOIN sd
+ORDER BY mon
+""",
+)
+def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("mon")
+    t = monthly.select(
+        "mon",
+        "rev",
+        F.avg("rev").over(w.rowsBetween(-11, 0)).alias("trend"),
+        F.row_number().over(w).alias("rn"),
+    )
+    dt = t.filter(F.col("rn") >= 12).select(
+        "mon",
+        "rev",
+        "trend",
+        (F.col("rev") - F.col("trend")).alias("detr"),
+        F.month("mon").alias("moy"),
+    )
+    season = dt.groupBy("moy").agg(F.avg("detr").alias("seasonal"))
+    r = dt.join(F.broadcast(season), "moy").select(
+        "mon",
+        "rev",
+        "trend",
+        "seasonal",
+        (F.col("detr") - F.col("seasonal")).alias("resid"),
+    )
+    sd = r.agg(F.stddev_pop("resid").alias("sigma"))
+    return (
+        r.crossJoin(F.broadcast(sd))
+        .select(
+            F.col("mon").cast("date").alias("mon"),
+            "rev",
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round("resid", 4).alias("resid"),
+            (F.abs(F.col("resid")) > 2 * F.col("sigma")).alias("is_anomaly"),
+        )
+        .orderBy("mon")
+    )
