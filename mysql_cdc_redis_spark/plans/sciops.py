@@ -390,3 +390,224 @@ def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+# ---------------------------------------------------------------------------
+# J5/J6 ext: Adamic-Adar link prediction over the supplier–customer bipartite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_adamic_adar",
+    doc="Adamic-Adar link prediction for supplier pairs via shared "
+    "customers: distinct (supplier, customer) edges from lineitem x orders, "
+    "customer degree from one hash agg, pair scores = sum 1/ln(deg) from a "
+    "self-join blocked on the customer key. Degree-1 customers are pruned "
+    "(they contribute no pairs and 1/ln(1) diverges); at 100 TB the same "
+    "pruning generalizes to a hub cap so the per-key pair fan-out stays "
+    "bounded. Ranking uses the 6-dp rounded score with a key tiebreak so "
+    "both engines cut the same top-20.",
+    tags=("graph", "join", "ext"),
+    oracle="""
+WITH sc AS (
+  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deg AS (
+  SELECT c, count(*) AS d FROM sc GROUP BY c HAVING count(*) >= 2
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, count(*) AS n_common,
+         round(sum(1.0 / ln(deg.d)), 6) AS aa_score
+  FROM sc a JOIN sc b ON a.c = b.c AND a.s < b.s
+  JOIN deg ON deg.c = a.c
+  GROUP BY a.s, b.s
+)
+SELECT s1, s2, n_common, aa_score
+FROM pairs ORDER BY aa_score DESC, s1, s2 LIMIT 20
+""",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sc = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = (
+        sc.groupBy(F.col("c").alias("dc"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    a = sc.alias("a")
+    b = sc.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .join(deg, F.col("a.c") == F.col("dc"))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
+        )
+    )
+    return pairs.orderBy(F.desc("aa_score"), "s1", "s2").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: one k-core peeling iteration on the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_kcore_peel_step",
+    doc="One k-core peeling iteration on the part co-purchase graph "
+    "(parts co-occurring in an order are adjacent): distinct edges from a "
+    "blocked self-join on the order key, degrees from one agg over both "
+    "edge directions, threshold k = ceil(p75 of degree) computed on-engine, "
+    "peel, then recount induced degrees. The full iterative k-core is this "
+    "step in a loop with a shrinking edge set (each step one shuffle).",
+    tags=("graph", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), und AS (
+  SELECT p1 AS node, p2 AS nbr FROM edges
+  UNION ALL SELECT p2, p1 FROM edges
+), deg0 AS (
+  SELECT node, count(*) AS d FROM und GROUP BY node
+), thr AS (
+  SELECT ceil(quantile_cont(d, 0.75)) AS k FROM deg0
+), survivors AS (
+  SELECT node FROM deg0 CROSS JOIN thr WHERE d >= k
+), induced AS (
+  SELECT e.p1, e.p2 FROM edges e
+  JOIN survivors s1 ON s1.node = e.p1
+  JOIN survivors s2 ON s2.node = e.p2
+)
+SELECT (SELECT count(*) FROM deg0)      AS n_nodes0,
+       (SELECT count(*) FROM edges)     AS n_edges0,
+       (SELECT k FROM thr)              AS k_threshold,
+       (SELECT count(*) FROM survivors) AS n_survivors,
+       (SELECT count(*) FROM induced)   AS n_edges_induced,
+       (SELECT round(avg(d), 4) FROM deg0) AS avg_deg0
+""",
+)
+def graph_kcore_peel_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    und = edges.select(F.col("p1").alias("node")).unionAll(
+        edges.select(F.col("p2").alias("node"))
+    )
+    deg0 = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    thr = deg0.agg(F.ceil(F.expr("percentile(d, 0.75)")).alias("k"))
+    survivors = deg0.crossJoin(F.broadcast(thr)).filter(F.col("d") >= F.col("k")).select("node")
+    induced = (
+        edges.join(survivors.withColumnRenamed("node", "p1"), "p1")
+        .join(survivors.withColumnRenamed("node", "p2"), "p2")
+    )
+    stats = deg0.agg(
+        F.count(F.lit(1)).alias("n_nodes0"), F.round(F.avg("d"), 4).alias("avg_deg0")
+    )
+    return (
+        stats.crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges0"))))
+        .crossJoin(F.broadcast(thr.select(F.col("k").alias("k_threshold"))))
+        .crossJoin(F.broadcast(survivors.agg(F.count(F.lit(1)).alias("n_survivors"))))
+        .crossJoin(F.broadcast(induced.agg(F.count(F.lit(1)).alias("n_edges_induced"))))
+        .select(
+            "n_nodes0", "n_edges0", "k_threshold", "n_survivors",
+            "n_edges_induced", "avg_deg0",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: edit-distance profile of part names within a brand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_levenshtein_brand_names",
+    doc="Levenshtein distance between consecutive part names within each "
+    "brand (ordered by part key): JVM-side levenshtein() inside a lag "
+    "window, aggregated to a per-brand edit-distance profile. Stays in "
+    "whole-stage codegen end to end; one shuffle on the brand key.",
+    tags=("scalar", "string", "ext"),
+    oracle="""
+WITH lagged AS (
+  SELECT p_brand,
+         levenshtein(p_name, lag(p_name) OVER
+             (PARTITION BY p_brand ORDER BY p_partkey)) AS dist
+  FROM part
+)
+SELECT p_brand, count(dist) AS n_pairs,
+       round(avg(dist), 4) AS avg_dist,
+       min(dist) AS min_dist, max(dist) AS max_dist
+FROM lagged GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def scalar_levenshtein_brand_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_partkey")
+    lagged = part.select(
+        "p_brand",
+        F.levenshtein(F.col("p_name"), F.lag("p_name").over(w)).alias("dist"),
+    )
+    return (
+        lagged.groupBy("p_brand")
+        .agg(
+            F.count("dist").alias("n_pairs"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: deterministic namespaced UUIDv5-style surrogate ids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_uuid5_mint",
+    doc="Deterministic UUIDv5-style ids minted from md5(namespace:key) with "
+    "the version/variant nibbles pinned (RFC 4122 layout): pure string "
+    "expressions, fully codegen'd, embarrassingly parallel at any scale — "
+    "the row-identity analog of the reference's composite rid "
+    "(rcache.py:186-193) for tables lacking a natural key.",
+    tags=("scalar", "string", "ext"),
+    oracle="""
+WITH h AS (
+  SELECT p_partkey, md5('part:' || cast(p_partkey AS VARCHAR)) AS x
+  FROM part WHERE p_partkey <= 200
+)
+SELECT p_partkey,
+       substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-5' || substr(x, 14, 3)
+         || '-8' || substr(x, 18, 3) || '-' || substr(x, 21, 12) AS uuid5
+FROM h ORDER BY p_partkey
+""",
+)
+def scalar_uuid5_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    x = F.md5(F.concat(F.lit("part:"), F.col("p_partkey").cast("string")))
+    h = part.select("p_partkey", x.alias("x"))
+    uuid5 = F.concat(
+        F.substring("x", 1, 8), F.lit("-"),
+        F.substring("x", 9, 4), F.lit("-5"),
+        F.substring("x", 14, 3), F.lit("-8"),
+        F.substring("x", 18, 3), F.lit("-"),
+        F.substring("x", 21, 12),
+    )
+    return h.select("p_partkey", uuid5.alias("uuid5")).orderBy("p_partkey")
