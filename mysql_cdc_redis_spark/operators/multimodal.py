@@ -262,3 +262,47 @@ def parse_image_header(with_img: DataFrame, id_col: str = "doc_id") -> DataFrame
         F.conv(F.hex(F.expr("substring(img, 9, 4)")), 16, 10).cast("int").alias("height"),
         (F.length("img") - 12).cast("bigint").alias("payload_bytes"),
     )
+
+
+SHOT_CUT_SCHEMA = "doc_id bigint, n_frames int, n_cuts int, mean_luma double"
+
+
+def video_shot_cuts(
+    with_payload: DataFrame,
+    frame_bytes: int = 64,
+    threshold: float = 8.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video-style shot-boundary detection on the opaque blob: the payload
+    is framed into fixed ``frame_bytes`` windows (trailing partial frame
+    dropped), each frame's "luma" = mean byte value, and a cut is declared
+    where consecutive frames differ by more than ``threshold`` — the
+    mapInPandas shape a real scene-cut detector (histogram / SSIM diff)
+    uses, with byte arithmetic kept integer-exact so the DuckDB oracle
+    verifies the Python path bit-for-bit.
+
+    One Arrow crossing; output is 4 scalars/doc.  At 100 TB the frame
+    loop stays vectorized numpy inside the executor; nothing widens."""
+    import numpy as np
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": [], "mean_luma": []}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                w = len(buf) // frame_bytes
+                frames = buf[: w * frame_bytes].astype(np.int64).reshape(w, frame_bytes)
+                sums = frames.sum(axis=1)
+                luma = sums / float(frame_bytes)
+                cuts = int((np.abs(np.diff(luma)) > threshold).sum()) if w > 1 else 0
+                out["doc_id"].append(did)
+                out["n_frames"].append(w)
+                out["n_cuts"].append(cuts)
+                out["mean_luma"].append(
+                    float(sums.sum()) / (w * frame_bytes) if w else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return with_payload.select(id_col, "payload").mapInPandas(
+        _cuts, schema=SHOT_CUT_SCHEMA
+    )

@@ -3107,3 +3107,91 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_lsh_s_curve",
+    doc="Analytic S-curve calibration for the MinHash-LSH dedup family "
+    "(operators/dedup.py: k=16 signatures): candidate probability "
+    "P(s) = 1-(1-s^r)^b on a 2%-step similarity grid for every (bands, "
+    "rows) split of the 16 hashes, plus each config's threshold "
+    "(1/b)^(1/r).  Pure generated relation (sequence -> explode), no "
+    "table scan — the design table an operator would consult before "
+    "picking banding at 100 TB, kept on-engine so tuning is queryable.",
+    tags=("dedup", "lsh", "calibration", "ext"),
+    oracle="""
+WITH grid AS (
+  SELECT i FROM range(1, 50) t(i)
+), cfg AS (
+  SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) c(bands, rws)
+)
+SELECT bands, rws, round(CAST(i AS DOUBLE) * 0.02, 2) AS s,
+       round(1.0 - pow(1.0 - pow(i * 0.02, rws), bands), 9) AS p_candidate,
+       round(pow(1.0 / bands, 1.0 / rws), 6) AS threshold
+FROM grid CROSS JOIN cfg
+ORDER BY bands, rws, s
+""",
+)
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(1, 50).select(F.col("id").alias("i"))
+    cfg = spark.createDataFrame([(2, 8), (4, 4), (8, 2), (16, 1)], "bands int, rws int")
+    s = F.round(F.col("i") * 0.02, 2)
+    return (
+        grid.crossJoin(F.broadcast(cfg))
+        .select(
+            "bands",
+            "rws",
+            s.alias("s"),
+            F.round(
+                1.0 - F.pow(1.0 - F.pow(F.col("i") * 0.02, F.col("rws")), F.col("bands")),
+                9,
+            ).alias("p_candidate"),
+            F.round(F.pow(1.0 / F.col("bands"), 1.0 / F.col("rws")), 6).alias(
+                "threshold"
+            ),
+        )
+        .orderBy("bands", "rws", "s")
+    )
+
+
+@register(
+    "mm_video_shot_boundaries",
+    doc="Video-style shot-boundary detection over opaque binary payloads "
+    "(operators/multimodal.py::video_shot_cuts): 64-byte frames, per-frame "
+    "mean-byte luma, a cut where consecutive lumas differ by > 8 — one "
+    "Arrow-batched mapInPandas crossing with vectorized numpy inside.  The "
+    "ASCII fixtures make bytes == chars, so the DuckDB oracle recomputes "
+    "frame lumas with list_transform over codepoints and verifies the "
+    "Python path exactly.",
+    tags=("multimodal", "pandas-udf", "ext"),
+    oracle="""
+WITH framed AS (
+  SELECT doc_id, length(text) // 64 AS n_frames, fi.i AS fi,
+         list_aggregate(
+           list_transform(range(0, 64),
+                          j -> ascii(substr(text, fi.i * 64 + j + 1, 1))),
+           'sum') / 64.0 AS luma
+  FROM documents, range(0, 4096) fi(i)
+  WHERE fi.i < length(text) // 64
+), lagged AS (
+  SELECT doc_id, n_frames, luma,
+         lag(luma) OVER (PARTITION BY doc_id ORDER BY fi) AS prev_luma
+  FROM framed
+)
+SELECT d.doc_id,
+       CAST(coalesce(any_value(l.n_frames), 0) AS INT) AS n_frames,
+       CAST(coalesce(sum(CASE WHEN abs(l.luma - l.prev_luma) > 8.0
+                              THEN 1 ELSE 0 END), 0) AS INT) AS n_cuts,
+       round(coalesce(avg(l.luma), 0.0), 6) AS mean_luma
+FROM documents d LEFT JOIN lagged l ON l.doc_id = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def mm_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_payload = mm.attach_binary_payload(docs)
+    cuts = mm.video_shot_cuts(with_payload)
+    return cuts.select(
+        "doc_id", "n_frames", "n_cuts", F.round("mean_luma", 6).alias("mean_luma")
+    ).orderBy("doc_id")

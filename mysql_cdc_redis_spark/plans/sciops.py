@@ -611,3 +611,80 @@ def scalar_uuid5_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("x", 21, 12),
     )
     return h.select("p_partkey", uuid5.alias("uuid5")).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# A6/W5 ext: funnel time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_to_convert",
+    doc="Time-to-convert distribution for the view->purchase funnel: per "
+    "user, first view and first subsequent purchase (one hash aggregate "
+    "with conditional mins — no self-join), then exact latency percentiles "
+    "over converters.  Second-granularity arithmetic (unix_timestamp vs "
+    "date_diff) matches the engines' shared floor semantics.",
+    tags=("events", "funnel", "ext"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT user_id,
+         date_diff('second', first_view, first_purchase) / 3600.0 AS lat_h
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+)
+SELECT (SELECT count(*) FROM per_user WHERE first_view IS NOT NULL) AS n_viewers,
+       count(*) AS n_converted,
+       round(count(*) * 1.0 /
+         (SELECT count(*) FROM per_user WHERE first_view IS NOT NULL), 6)
+         AS conversion_rate,
+       round(quantile_cont(lat_h, 0.25), 4) AS p25_h,
+       round(quantile_cont(lat_h, 0.50), 4) AS p50_h,
+       round(quantile_cont(lat_h, 0.90), 4) AS p90_h
+FROM conv
+""",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    viewers = per_user.filter(F.col("first_view").isNotNull())
+    conv = viewers.filter(
+        F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            (F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view"))
+            / 3600.0
+        ).alias("lat_h")
+    )
+    nv = viewers.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return (
+        conv.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("lat_h", F.lit(0.25)), 4).alias("p25_h"),
+            F.round(F.percentile("lat_h", F.lit(0.50)), 4).alias("p50_h"),
+            F.round(F.percentile("lat_h", F.lit(0.90)), 4).alias("p90_h"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_viewers"), 6).alias(
+                "conversion_rate"
+            ),
+            "p25_h",
+            "p50_h",
+            "p90_h",
+        )
+    )
