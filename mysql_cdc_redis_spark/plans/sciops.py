@@ -688,3 +688,314 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_h",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: exact Shapley-value channel attribution (3-player closed form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_shapley_attribution",
+    doc="Exact Shapley-value attribution over the three marketing channels "
+    "(view=1, click=2, signup=4 as a bitmask): per-user touchsets and "
+    "purchase labels from one hash aggregate, the 8-subset characteristic "
+    "function v(S) = purchasers with touchset contained in S / all users via "
+    "a bitmask-containment join (8x8 rows), then the closed-form n=3 "
+    "Shapley weights |S|!(n-|S|-1)!/n!.  Everything after the first "
+    "aggregate is broadcast-sized at any data scale.",
+    tags=("agg", "attribution", "ext"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         + max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+         + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT count(*) AS n_users FROM per_user
+), by_mask AS (
+  SELECT mask, sum(purchased) AS buyers FROM per_user GROUP BY mask
+), subsets AS (
+  SELECT s.i AS s_mask,
+         coalesce(sum(CASE WHEN (b.mask & s.i) = b.mask THEN b.buyers END), 0)
+           * 1.0 / any_value(t.n_users) AS v
+  FROM range(0, 8) s(i)
+  LEFT JOIN by_mask b ON true CROSS JOIN tot t
+  GROUP BY s.i
+), channels AS (
+  SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4)) c(channel, bit)
+), contrib AS (
+  SELECT c.channel,
+         CASE bit_count(CAST(s.s_mask AS BIGINT))
+              WHEN 0 THEN 2.0 / 6 WHEN 1 THEN 1.0 / 6 ELSE 2.0 / 6 END
+           * (su.v - s.v) AS part
+  FROM channels c
+  JOIN subsets s  ON (s.s_mask & c.bit) = 0
+  JOIN subsets su ON su.s_mask = s.s_mask + c.bit
+)
+SELECT channel, round(sum(part), 9) AS shapley
+FROM contrib GROUP BY channel ORDER BY channel
+""",
+)
+def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.max(F.when(et == "view", 1).otherwise(0))
+            + F.max(F.when(et == "click", 2).otherwise(0))
+            + F.max(F.when(et == "signup", 4).otherwise(0))
+        ).alias("mask"),
+        F.max(F.when(et == "purchase", 1).otherwise(0)).alias("purchased"),
+    )
+    tot = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    by_mask = per_user.groupBy("mask").agg(F.sum("purchased").alias("buyers"))
+    subsets = (
+        spark.range(8)
+        .select(F.col("id").cast("int").alias("s_mask"))
+        .join(F.broadcast(by_mask), F.expr("(mask & s_mask) = mask"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("s_mask")
+        .agg(
+            (
+                F.coalesce(F.sum("buyers"), F.lit(0))
+                * 1.0
+                / F.any_value("n_users")
+            ).alias("v")
+        )
+    )
+    channels = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)], "channel string, bit int"
+    )
+    s = subsets.alias("s")
+    su = subsets.select(
+        F.col("s_mask").alias("su_mask"), F.col("v").alias("su_v")
+    ).alias("su")
+    weight = (
+        F.when(F.bit_count(F.col("s.s_mask").cast("bigint")) == 0, 2.0 / 6)
+        .when(F.bit_count(F.col("s.s_mask").cast("bigint")) == 1, 1.0 / 6)
+        .otherwise(2.0 / 6)
+    )
+    contrib = (
+        channels.join(F.broadcast(s), F.expr("(s_mask & bit) = 0"))
+        .join(F.broadcast(su), F.expr("su_mask = s_mask + bit"))
+        .select("channel", (weight * (F.col("su_v") - F.col("s.v"))).alias("part"))
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(F.round(F.sum("part"), 9).alias("shapley"))
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Gumbel extreme-value fit on block maxima (method of moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gumbel_extremes",
+    doc="Extreme-value analysis of order prices: monthly block maxima (one "
+    "hash aggregate), Gumbel location/scale by method of moments "
+    "(beta = sd*sqrt(6)/pi, mu = mean - 0.57721566*beta), and the 12/120-"
+    "block return levels x_T = mu - beta*ln(-ln(1-1/T)).  The maxima "
+    "relation is one row per month — trivially small at any fact-table "
+    "scale, so the fit itself never shuffles more than once.",
+    tags=("agg", "stats", "extremes", "ext"),
+    oracle="""
+WITH maxima AS (
+  SELECT date_trunc('month', o_orderdate) AS mon, max(o_totalprice) AS mx
+  FROM orders GROUP BY 1
+), fit AS (
+  SELECT count(*) AS n_blocks, avg(mx) AS mean_mx,
+         stddev_pop(mx) * sqrt(6) / pi() AS beta
+  FROM maxima
+)
+SELECT n_blocks,
+       round(mean_mx - 0.5772156649015329 * beta, 4) AS gumbel_mu,
+       round(beta, 4) AS gumbel_beta,
+       round(mean_mx - 0.5772156649015329 * beta
+             - beta * ln(-ln(1.0 - 1.0 / 12)), 4) AS return_level_12,
+       round(mean_mx - 0.5772156649015329 * beta
+             - beta * ln(-ln(1.0 - 1.0 / 120)), 4) AS return_level_120
+FROM fit
+""",
+)
+def agg_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxima = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.max("o_totalprice").alias("mx")
+    )
+    fit = maxima.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.avg("mx").alias("mean_mx"),
+        (F.stddev_pop("mx") * math.sqrt(6) / math.pi).alias("beta"),
+    )
+    gamma = 0.5772156649015329
+    mu = F.col("mean_mx") - gamma * F.col("beta")
+    rl = lambda t: mu - F.col("beta") * F.log(-F.log(F.lit(1.0 - 1.0 / t)))  # noqa: E731
+    return fit.select(
+        "n_blocks",
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round("beta", 4).alias("gumbel_beta"),
+        F.round(rl(12), 4).alias("return_level_12"),
+        F.round(rl(120), 4).alias("return_level_120"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Page-Hinkley drift detector over the monthly order-count series
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 0.5
+_PH_LAMBDA = 30.0
+
+
+@register(
+    "window_page_hinkley_drift",
+    doc="Page-Hinkley change detection over monthly order counts (the "
+    "batch spelling of the streaming drift monitor): deviation from the "
+    "expanding running mean, cumulated, minus its running minimum; alarm "
+    "when the gap exceeds lambda.  Integer counts keep the expanding-mean "
+    "arithmetic bit-identical across engines; three stacked windows share "
+    "one global sort of 80 rows.",
+    tags=("window", "timeseries", "drift", "ext"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS x
+  FROM orders GROUP BY 1
+), dev AS (
+  SELECT mon, x,
+         x - avg(x) OVER (ORDER BY mon
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - {_PH_DELTA} AS d
+  FROM monthly
+), cum AS (
+  SELECT mon, x, sum(d) OVER (ORDER BY mon
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+  FROM dev
+), ph AS (
+  SELECT mon, x, mt - min(mt) OVER (ORDER BY mon
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_stat
+  FROM cum
+)
+SELECT cast(mon AS DATE) AS mon, x AS n_orders,
+       round(ph_stat, 6) AS ph_stat, ph_stat > {_PH_LAMBDA} AS drift_alarm
+FROM ph ORDER BY mon
+""",
+)
+def window_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, 0)
+    dev = monthly.select(
+        "mon", "x", (F.col("x") - F.avg("x").over(w) - _PH_DELTA).alias("d")
+    )
+    cum = dev.select("mon", "x", F.sum("d").over(w).alias("mt"))
+    ph = cum.select(
+        "mon", "x", (F.col("mt") - F.min("mt").over(w)).alias("ph_stat")
+    )
+    return ph.select(
+        F.col("mon").cast("date").alias("mon"),
+        F.col("x").alias("n_orders"),
+        F.round("ph_stat", 6).alias("ph_stat"),
+        (F.col("ph_stat") > _PH_LAMBDA).alias("drift_alarm"),
+    ).orderBy("mon")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: mergeable equi-width histogram -> distributed median estimate
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+@register(
+    "agg_histogram_merge_median",
+    doc="Distributed quantile via mergeable partial histograms: each nation "
+    "builds a 20-bin equi-width histogram of customer balances (the "
+    "per-partition partial), bin counts merge associatively into the "
+    "global histogram, and the median is interpolated inside its bin — "
+    "then compared against the exact percentile.  This is the map-side-"
+    "combinable sketch pattern that replaces exact sorts at 100 TB; the "
+    "report quantifies the accuracy trade.",
+    tags=("agg", "sketch", "ext"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer
+), partial AS (
+  SELECT c_nationkey,
+         least(CAST(floor((c_acctbal - lo) / ((hi - lo) / {_HIST_BINS})) AS INT),
+               {_HIST_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM customer CROSS JOIN bounds
+  GROUP BY 1, 2
+), merged AS (
+  SELECT bin, sum(cnt) AS cnt FROM partial GROUP BY bin
+), cdf AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS total
+  FROM merged
+), med_bin AS (
+  SELECT bin, cnt, cum, total FROM cdf
+  WHERE cum >= total / 2.0 ORDER BY bin LIMIT 1
+)
+SELECT (SELECT count(*) FROM partial) AS n_partials,
+       round((SELECT lo FROM bounds)
+             + ((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / {_HIST_BINS}
+               * (bin + (total / 2.0 - (cum - cnt)) / cnt), 4) AS est_median,
+       round((SELECT quantile_cont(c_acctbal, 0.5) FROM customer), 4)
+         AS exact_median
+FROM med_bin
+""",
+)
+def agg_histogram_merge_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    binc = F.least(
+        F.floor((F.col("c_acctbal") - F.col("lo")) / width).cast("int"),
+        F.lit(_HIST_BINS - 1),
+    )
+    partial = (
+        cust.crossJoin(F.broadcast(bounds))
+        .groupBy("c_nationkey", binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = partial.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    wb = Window.orderBy("bin")
+    cdf = merged.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    med_bin = (
+        cdf.filter(F.col("cum") >= F.col("total") / 2.0).orderBy("bin").limit(1)
+    )
+    exact = cust.agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("exact_median")
+    )
+    n_partials = partial.agg(F.count(F.lit(1)).alias("n_partials"))
+    est = (
+        F.col("lo")
+        + (F.col("hi") - F.col("lo"))
+        / _HIST_BINS
+        * (F.col("bin") + (F.col("total") / 2.0 - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+    )
+    return (
+        med_bin.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(n_partials))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_partials",
+            F.round(est, 4).alias("est_median"),
+            "exact_median",
+        )
+    )
