@@ -563,3 +563,103 @@ def pq_adc_topk(
     return topk.select(
         id_col, "adc_dist", F.row_number().over(w).cast("long").alias("rnk")
     ).orderBy("rnk")
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 4,
+    lam: float = 0.7,
+    top_n: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking of the single query's top_n
+    cosine candidates: greedily pick k items maximizing
+    ``lam*relevance - (1-lam)*max_sim_to_already_selected``.
+
+    This is the standard second stage after ANN retrieval — the candidate
+    list is bounded (top_n), so every step below operates on a
+    broadcast-sized relation no matter the corpus scale; the only big
+    operation is the initial relevance scan, which reuses the brute-force/
+    ANN top-k plan.  The greedy loop is unrolled to k-1 fixed DataFrame
+    stages (no driver-side data movement; one job at the end).
+
+    Scores are rounded to 6 dp BEFORE each argmax and ties break on the
+    neighbor id, so the selection is engine-portable (DuckDB oracle
+    replays the same greedy unroll).
+    """
+    from pyspark.sql.window import Window  # local: mirrors module style
+
+    q = queries.select(
+        F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "n_id",
+            "n_vec",
+            "n_norm",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("rel"),
+        )
+    )
+    cand = scored.orderBy(F.desc("rel"), F.asc("n_id")).limit(top_n)
+    a = cand.select("n_id", "n_vec", "n_norm")
+    b = cand.select(
+        F.col("n_id").alias("j"),
+        F.col("n_vec").alias("j_vec"),
+        F.col("n_norm").alias("j_norm"),
+    )
+    pairs = (
+        a.join(b, F.col("n_id") != F.col("j"))
+        .select(
+            F.col("n_id").alias("i"),
+            "j",
+            F.round(
+                _dot(F.col("n_vec"), F.col("j_vec"))
+                / (F.col("n_norm") * F.col("j_norm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    selall = (
+        cand.orderBy(F.desc("rel"), F.asc("n_id"))
+        .limit(1)
+        .select(
+            "n_id",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    slim = cand.select("n_id", "rel")
+    for step in range(2, k + 1):
+        sel_ids = selall.select(F.col("n_id").alias("j"))
+        step_pick = (
+            slim.join(selall.select("n_id"), "n_id", "left_anti")
+            .join(pairs, pairs.i == F.col("n_id"))
+            .join(sel_ids, "j")
+            .groupBy("n_id", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .select(
+                "n_id",
+                "rel",
+                F.round(
+                    lam * F.col("rel") - (1.0 - lam) * F.col("max_sim"), 6
+                ).alias("mmr_score"),
+                F.lit(step).alias("mmr_rank"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("n_id"))
+            .limit(1)
+        )
+        selall = selall.unionByName(step_pick)
+    return selall.select("mmr_rank", "n_id", "rel", "mmr_score")

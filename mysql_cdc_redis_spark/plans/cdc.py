@@ -1593,3 +1593,112 @@ def cdc_offset_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("seq").alias("frontier_pos"), F.count(F.lit(1)).alias("n_events"))
         .orderBy("log_file_id")
     )
+
+
+@register(
+    "cdc_net_action_census",
+    doc="Net-effect census of the compaction algebra (M2, rcache.py:"
+    "196-222): per key, the first arriving action and the folded net "
+    "action (including the '#absent#' annihilation state), rolled up to "
+    "a (first_action, net_action) contingency table with key and event "
+    "counts — the operational view of how the merge table behaves on a "
+    "real stream.  Spark folds JVM-side via F.aggregate; the oracle "
+    "refolds independently with list_reduce.  One shuffle to keys, one "
+    "to the tiny census.",
+    tags=("cdc", "ref:M2", "census"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT first_action, net_action, count(*) AS n_keys,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM (
+  SELECT o_orderkey,
+         arg_min(cdc_action, seq) AS first_action,
+         {_FOLD_LAMBDA} AS net_action,
+         count(*) AS n_events
+  FROM ch WHERE o_orderkey IS NOT NULL
+  GROUP BY o_orderkey
+)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def cdc_net_action_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import _fold_actions
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey").isNotNull())
+    per_key = ch.groupBy("o_orderkey").agg(
+        F.min_by("cdc_action", "seq").alias("first_action"),
+        _fold_actions(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "cdc_action"))),
+                lambda x: x["cdc_action"],
+            )
+        ).alias("net_action"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_key.groupBy("first_action", "net_action")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("first_action", "net_action")
+    )
+
+
+@register(
+    "cdc_out_of_order_census",
+    doc="Out-of-orderness census — the watermark-sizing metric the "
+    "reference only eyeballs via its latency warning (cdc.py:101-103, "
+    "T2): per table, events whose event-time precedes the running "
+    "event-time maximum in arrival (seq) order, with the worst and mean "
+    "lateness.  One window over the per-table arrival order, one tiny "
+    "aggregate; at 100 TB the window partitions by table and never "
+    "globally sorts.",
+    tags=("cdc", "ref:T2", "census"),
+    oracle=f"""
+WITH och AS ({ORDERS_CHANGELOG_SQL}), lch AS ({LINEITEM_CHANGELOG_SQL}),
+ch AS (
+  SELECT seq, tbl, cdc_ts FROM och
+  UNION ALL SELECT seq, tbl, cdc_ts FROM lch
+), runmax AS (
+  SELECT tbl, cdc_ts,
+         max(cdc_ts) OVER (PARTITION BY tbl ORDER BY seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+  FROM ch
+)
+SELECT tbl, count(*) AS n_events,
+       CAST(sum(CASE WHEN cdc_ts < hi THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(sum(CASE WHEN cdc_ts < hi THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS late_frac,
+       CAST(max(CASE WHEN cdc_ts < hi
+                THEN date_diff('second', cdc_ts, hi) END) AS BIGINT)
+         AS max_lateness_s
+FROM runmax GROUP BY tbl ORDER BY tbl
+""",
+)
+def cdc_out_of_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    och = orders_changelog(spark, sf_dir).select("seq", "tbl", "cdc_ts")
+    lch = lineitem_changelog(spark, sf_dir).select("seq", "tbl", "cdc_ts")
+    ch = och.unionByName(lch)
+    w = Window.partitionBy("tbl").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runmax = ch.select("tbl", "cdc_ts", F.max("cdc_ts").over(w).alias("hi"))
+    late = F.col("cdc_ts") < F.col("hi")
+    return (
+        runmax.groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(late.cast("long")).alias("n_late"),
+            F.round(F.sum(late.cast("long")) / F.count(F.lit(1)), 6).alias(
+                "late_frac"
+            ),
+            F.max(
+                F.when(
+                    late,
+                    F.unix_timestamp("hi") - F.unix_timestamp("cdc_ts"),
+                )
+            ).alias("max_lateness_s"),
+        )
+        .orderBy("tbl")
+    )

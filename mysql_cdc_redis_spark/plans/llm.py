@@ -3195,3 +3195,132 @@ def mm_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuts.select(
         "doc_id", "n_frames", "n_cuts", F.round("mean_luma", 6).alias("mean_luma")
     ).orderBy("doc_id")
+
+
+def _mmr_oracle(k: int = 4, lam: float = 0.7, top_n: int = 12) -> str:
+    cos_qc = _COS_EXPR.format(a="qv", b="nv")
+    cos_cc = _COS_EXPR.format(a="a.nv", b="b.nv")
+    parts = [
+        f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c0 AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings WHERE vec_id >= 8),
+scored AS (
+  SELECT n_id, nv, {cos_qc} AS rel FROM c0 CROSS JOIN q
+),
+cand AS (
+  SELECT n_id, nv, rel FROM scored ORDER BY rel DESC, n_id LIMIT {top_n}
+),
+pairs AS (
+  SELECT a.n_id AS i, b.n_id AS j, {cos_cc} AS sim
+  FROM cand a JOIN cand b ON a.n_id <> b.n_id
+),
+selall1 AS (
+  SELECT n_id, rel, rel AS mmr_score, 1 AS mmr_rank
+  FROM cand ORDER BY rel DESC, n_id LIMIT 1
+)"""
+    ]
+    for s in range(2, k + 1):
+        parts.append(
+            f""",
+sel{s} AS (
+  SELECT c.n_id, c.rel,
+         round({lam} * c.rel - {round(1.0 - lam, 10)} * max(p.sim), 6) AS mmr_score,
+         {s} AS mmr_rank
+  FROM cand c
+  JOIN pairs p ON p.i = c.n_id AND p.j IN (SELECT n_id FROM selall{s - 1})
+  WHERE c.n_id NOT IN (SELECT n_id FROM selall{s - 1})
+  GROUP BY c.n_id, c.rel
+  ORDER BY mmr_score DESC, c.n_id LIMIT 1
+),
+selall{s} AS (
+  SELECT * FROM selall{s - 1} UNION ALL SELECT * FROM sel{s}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT mmr_rank, n_id, rel, mmr_score FROM selall{k} ORDER BY mmr_rank
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_mmr_rerank",
+    doc="Maximal Marginal Relevance reranking "
+    "(operators/similarity.py::mmr_rerank): the standard diversity-aware "
+    "second stage after ANN retrieval — top-12 cosine candidates for query "
+    "vector 0, then a greedy unrolled selection of 4 items maximizing "
+    "0.7*relevance - 0.3*max-sim-to-selected.  The candidate list is "
+    "bounded by construction, so every greedy step is broadcast-sized at "
+    "any corpus scale; scores round before each argmax so the DuckDB "
+    "oracle replays the identical greedy path.",
+    tags=("similarity", "rerank", "ext"),
+    oracle=_mmr_oracle(),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return sim.mmr_rerank(queries, corpus, k=4, lam=0.7, top_n=12).orderBy(
+        "mmr_rank"
+    )
+
+
+@register(
+    "text_zipf_topk_coverage",
+    doc="Zipf head coverage of the corpus vocabulary: token frequencies "
+    "(one shuffle), a cumulative-share window over the rank order, and "
+    "the coverage report at head sizes 10/100/1000 — the number every "
+    "tokenizer-budget and stopword-list decision starts from.  Rank ties "
+    "break on the token string so the cut is engine-portable.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tk AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+), ranked AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rnk,
+         sum(cnt) OVER (ORDER BY cnt DESC, tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS total,
+         count(*) OVER () AS n_types
+  FROM freq
+)
+SELECT rnk AS head_size,
+       n_types,
+       round(cum * 1.0 / total, 6) AS coverage
+FROM ranked WHERE rnk IN (10, 100, 1000)
+ORDER BY head_size
+""",
+)
+def text_zipf_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    wa = Window.partitionBy()
+    ranked = freq.select(
+        "tok",
+        "cnt",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(wa).alias("total"),
+        F.count(F.lit(1)).over(wa).alias("n_types"),
+    )
+    return (
+        ranked.filter(F.col("rnk").isin(10, 100, 1000))
+        .select(
+            F.col("rnk").alias("head_size"),
+            "n_types",
+            F.round(F.col("cum") / F.col("total"), 6).alias("coverage"),
+        )
+        .orderBy("head_size")
+    )
