@@ -3324,3 +3324,75 @@ def text_zipf_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("head_size")
     )
+
+
+@register(
+    "sim_silhouette_by_label",
+    doc="Simplified (centroid-based) silhouette score per embedding label: "
+    "centroids from one posexplode aggregate, per-vector distance to every "
+    "centroid from one (vector-dim x label) join-aggregate, a(i) = own-"
+    "centroid distance, b(i) = nearest other centroid, s = (b-a)/max(a,b). "
+    "The centroid relation is (labels x dims) — broadcast-sized at any "
+    "corpus scale, so the whole evaluation is one scan + one small join; "
+    "this is the clustering-quality gate an IVF index build runs after "
+    "training its coarse quantizer.",
+    tags=("similarity", "embedding", "eval", "ext"),
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+), cent AS (
+  SELECT label AS c_label, pos, avg(v) AS c FROM ex GROUP BY label, pos
+), dist AS (
+  SELECT e.vec_id, any_value(e.label) AS label, c.c_label,
+         sqrt(sum((e.v - c.c) * (e.v - c.c))) AS d
+  FROM ex e JOIN cent c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.c_label
+), ab AS (
+  SELECT vec_id, any_value(label) AS label,
+         min(CASE WHEN c_label = label THEN d END) AS a,
+         min(CASE WHEN c_label <> label THEN d END) AS b
+  FROM dist GROUP BY vec_id
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+FROM ab GROUP BY label ORDER BY label
+""",
+)
+def sim_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("p", "v0")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p") + 1).alias("pos"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.avg("v").alias("c")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias(
+                "d"
+            ),
+        )
+    )
+    ab = dist.groupBy("vec_id").agg(
+        F.any_value("label").alias("label"),
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        ab.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(s), 6).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

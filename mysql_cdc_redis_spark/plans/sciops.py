@@ -999,3 +999,227 @@ def agg_histogram_merge_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_median",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: two-sample Kolmogorov-Smirnov test (distribution drift check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_ks_two_sample",
+    doc="Two-sample Kolmogorov-Smirnov distance between BUILDING and "
+    "MACHINERY order-price distributions: per-distinct-value counts (one "
+    "shuffle), cumulative counts over the value order, D = max ECDF gap, "
+    "and the 5%-level large-sample decision.  All ranking arithmetic is "
+    "on integer counts, so the statistic is bit-identical across engines; "
+    "at 100 TB the window runs over distinct prices, not rows.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH labeled AS (
+  SELECT o.o_totalprice AS v,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+), per_v AS (
+  SELECT v, sum(a) AS ca, sum(1 - a) AS cb FROM labeled GROUP BY v
+), tot AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb FROM per_v
+), cdf AS (
+  SELECT sum(ca) OVER (ORDER BY v) * 1.0 / na AS fa,
+         sum(cb) OVER (ORDER BY v) * 1.0 / nb AS fb
+  FROM per_v CROSS JOIN tot
+)
+SELECT any_value(na) AS n_a, any_value(nb) AS n_b,
+       round(max(abs(fa - fb)), 6) AS ks_d,
+       max(abs(fa - fb)) >
+         1.358 * sqrt((any_value(na) + any_value(nb))
+                      * 1.0 / (any_value(na) * any_value(nb))) AS reject_05
+FROM cdf CROSS JOIN tot
+""",
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    labeled = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias("a"),
+        )
+    )
+    per_v = labeled.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum(1 - F.col("a")).alias("cb")
+    )
+    tot = per_v.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cdf = per_v.crossJoin(F.broadcast(tot)).select(
+        (F.sum("ca").over(w) / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("nb")).alias("fb"),
+        "na",
+        "nb",
+    )
+    gap = F.abs(F.col("fa") - F.col("fb"))
+    return cdf.agg(
+        F.any_value("na").alias("n_a"),
+        F.any_value("nb").alias("n_b"),
+        F.round(F.max(gap), 6).alias("ks_d"),
+        (
+            F.max(gap)
+            > 1.358
+            * F.sqrt(
+                (F.any_value("na") + F.any_value("nb"))
+                / (F.any_value("na") * F.any_value("nb")).cast("double")
+            )
+        ).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: delete-one-group jackknife CI for a ratio metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_jackknife_ratio_ci",
+    doc="Delete-one-group jackknife for the corpus discount ratio "
+    "sum(discounted revenue)/sum(gross revenue): per-nation partial sums "
+    "(one shuffle), leave-one-nation-out replicate ratios by subtracting "
+    "partials from broadcast totals, jackknife SE over the replicates and "
+    "a 95% CI.  This is THE scalable CI recipe — replicates come from "
+    "arithmetic on G partial sums, never a second data pass.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH per_g AS (
+  SELECT s.s_nationkey AS g,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS s1,
+         sum(l.l_extendedprice) AS s2
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey
+), tot AS (
+  SELECT sum(s1) AS t1, sum(s2) AS t2, count(*) AS gn FROM per_g
+), repl AS (
+  SELECT g, (t1 - s1) / (t2 - s2) AS r_loo, t1 / t2 AS r_full, gn
+  FROM per_g CROSS JOIN tot
+)
+SELECT any_value(gn) AS n_groups,
+       round(any_value(r_full), 8) AS ratio,
+       round(sqrt((any_value(gn) - 1.0) / any_value(gn)
+             * sum((r_loo - (SELECT avg(r_loo) FROM repl))
+                   * (r_loo - (SELECT avg(r_loo) FROM repl)))), 8) AS jk_se,
+       round(any_value(r_full) - 1.96 * sqrt((any_value(gn) - 1.0) / any_value(gn)
+             * sum((r_loo - (SELECT avg(r_loo) FROM repl))
+                   * (r_loo - (SELECT avg(r_loo) FROM repl)))), 8) AS ci_lo,
+       round(any_value(r_full) + 1.96 * sqrt((any_value(gn) - 1.0) / any_value(gn)
+             * sum((r_loo - (SELECT avg(r_loo) FROM repl))
+                   * (r_loo - (SELECT avg(r_loo) FROM repl)))), 8) AS ci_hi
+FROM repl
+""",
+)
+def agg_jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_g = (
+        li.join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .groupBy(F.col("s_nationkey").alias("g"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("s1"),
+            F.sum("l_extendedprice").alias("s2"),
+        )
+    )
+    tot = per_g.agg(
+        F.sum("s1").alias("t1"), F.sum("s2").alias("t2"), F.count(F.lit(1)).alias("gn")
+    )
+    repl = per_g.crossJoin(F.broadcast(tot)).select(
+        ((F.col("t1") - F.col("s1")) / (F.col("t2") - F.col("s2"))).alias("r_loo"),
+        (F.col("t1") / F.col("t2")).alias("r_full"),
+        "gn",
+    )
+    mean_loo = repl.agg(F.avg("r_loo").alias("m"))
+    dev2 = (F.col("r_loo") - F.col("m")) * (F.col("r_loo") - F.col("m"))
+    se = F.sqrt((F.any_value("gn") - 1.0) / F.any_value("gn") * F.sum(dev2))
+    return (
+        repl.crossJoin(F.broadcast(mean_loo))
+        .agg(
+            F.any_value("gn").alias("n_groups"),
+            F.round(F.any_value("r_full"), 8).alias("ratio"),
+            F.round(se, 8).alias("jk_se"),
+            F.round(F.any_value("r_full") - 1.96 * se, 8).alias("ci_lo"),
+            F.round(F.any_value("r_full") + 1.96 * se, 8).alias("ci_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5/J5 ext: quartile dependence matrix (rank-bucket contingency)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_quartile_dependence",
+    doc="Rank-bucket dependence matrix between customer balance quartiles "
+    "and their orders' price quartiles: two ntile(4) windows (global rank "
+    "buckets with key tiebreaks), an equi-join on the customer key, and "
+    "the 4x4 contingency cells with independence expectations and Pearson "
+    "residuals — the drillable form of a correlation test.  At 100 TB the "
+    "ntile over a global order is the one expensive sort; cells are 16 "
+    "rows.",
+    tags=("join", "window", "stats", "ext"),
+    oracle="""
+WITH cq AS (
+  SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS c_quart
+  FROM customer
+), oq AS (
+  SELECT o_custkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS o_quart
+  FROM orders
+), cells AS (
+  SELECT c_quart, o_quart, count(*) AS n
+  FROM oq JOIN cq ON cq.c_custkey = oq.o_custkey
+  GROUP BY 1, 2
+), margins AS (
+  SELECT c_quart, o_quart, n,
+         sum(n) OVER (PARTITION BY c_quart) AS row_tot,
+         sum(n) OVER (PARTITION BY o_quart) AS col_tot,
+         sum(n) OVER () AS total
+  FROM cells
+)
+SELECT c_quart, o_quart, n,
+       round(row_tot * col_tot * 1.0 / total, 4) AS expected,
+       round((n - row_tot * col_tot * 1.0 / total)
+             / sqrt(row_tot * col_tot * 1.0 / total), 4) AS pearson_resid
+FROM margins ORDER BY c_quart, o_quart
+""",
+)
+def join_quartile_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cq = cust.select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy("c_acctbal", "c_custkey")).alias("c_quart"),
+    )
+    oq = orders.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("o_quart"),
+    )
+    cells = (
+        oq.join(cq, cq.c_custkey == oq.o_custkey)
+        .groupBy("c_quart", "o_quart")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    margins = cells.select(
+        "c_quart",
+        "o_quart",
+        "n",
+        F.sum("n").over(Window.partitionBy("c_quart")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("o_quart")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("total")
+    return margins.select(
+        "c_quart",
+        "o_quart",
+        "n",
+        F.round(expected, 4).alias("expected"),
+        F.round((F.col("n") - expected) / F.sqrt(expected), 4).alias("pearson_resid"),
+    ).orderBy("c_quart", "o_quart")
