@@ -622,3 +622,43 @@ def test_drill_across_broadcasts_fact_rollups(spark, sf_dir):
     plan = _plan(_QUERIES["join_drill_across_facts"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "nation-grain rollups must broadcast"
+
+
+def test_hill_top_k_uses_window_group_limit(spark, sf_dir):
+    # the per-priority top-(k+1) rank filter must rewrite to
+    # WindowGroupLimit (partial limit BEFORE the exchange) so the fact
+    # table is never fully sorted per group at 100 TB
+    plan = _plan(_QUERIES["agg_hill_tail_index"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_adamic_adar_prunes_columns_at_scan(spark, sf_dir):
+    # the bipartite edge build needs 2 cols of lineitem and 2 of orders —
+    # anything more is wasted scan I/O at 100 TB
+    plan = _plan(_QUERIES["graph_adamic_adar"].fn(spark, sf_dir))
+    li_schema = [l for l in plan.splitlines() if "ReadSchema" in l and "l_suppkey" in l]
+    assert li_schema and "l_quantity" not in li_schema[0], li_schema
+    assert "l_extendedprice" not in li_schema[0]
+
+
+def test_cuped_theta_broadcasts(spark, sf_dir):
+    # the single-row theta/pre_mean stats must broadcast back onto the
+    # per-customer relation, never shuffle it
+    plan = _plan(_QUERIES["agg_cuped_adjustment"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_shapley_fact_aggregate_prunes_events_scan(spark, sf_dir):
+    # only user_id + event_type feed the touchset aggregate; props (the
+    # widest column) must not be read
+    plan = _plan(_QUERIES["agg_shapley_attribution"].fn(spark, sf_dir))
+    ev_schema = [l for l in plan.splitlines() if "ReadSchema" in l and "event_type" in l]
+    assert ev_schema and "props" not in ev_schema[0], ev_schema
+
+
+def test_mmr_candidate_stages_broadcast(spark, sf_dir):
+    # every greedy MMR stage operates on the bounded candidate list —
+    # all joins after the relevance scan must be broadcast, not shuffled
+    plan = _plan(_QUERIES["sim_mmr_rerank"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "MMR stage fell back to a shuffle join:\n" + plan
