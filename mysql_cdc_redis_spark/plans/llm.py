@@ -3396,3 +3396,102 @@ def sim_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "text_bigram_lm_xent",
+    doc="Corpus-trained bigram language model with add-0.5 smoothing, "
+    "scoring every document's mean bigram cross-entropy (the perplexity "
+    "gate without any external model): token bigrams explode once, counts "
+    "for n-grams and unigram contexts aggregate in one shuffle each, "
+    "p(w2|w1) = (c12+0.5)/(c1+0.5V), per-doc mean -ln p, macro-averaged "
+    "per source.  At 100 TB the count tables partition by token and the "
+    "score join is a standard shuffled equi-join on (w1,w2); V broadcasts "
+    "as a scalar.",
+    tags=("text", "llm", "ext"),
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), uni AS (
+  SELECT unnest(toks) AS tok FROM tk
+), uc AS (
+  SELECT tok, count(*) AS c1 FROM uni GROUP BY tok
+), vocab AS (
+  SELECT count(*) AS v FROM uc
+), bg AS (
+  SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tk, LATERAL unnest(range(1, len(toks))) t(i)
+  WHERE len(toks) >= 2
+), bc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), scored AS (
+  SELECT b.doc_id, b.source,
+         -ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * v.v)) AS nll
+  FROM bg b
+  JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  JOIN uc ON uc.tok = b.w1
+  CROSS JOIN vocab v
+), per_doc AS (
+  SELECT doc_id, any_value(source) AS source, avg(nll) AS xent
+  FROM scored GROUP BY doc_id
+)
+SELECT source, count(*) AS n_docs, round(avg(xent), 6) AS mean_xent
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def text_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "").alias(
+            "toks"
+        ),
+    )
+    uni = tk.select(F.explode("toks").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uc.agg(F.count(F.lit(1)).alias("v"))
+    bg = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            (-F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))).alias(
+                "nll"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"), F.avg("nll").alias("xent")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("xent"), 6).alias("mean_xent"),
+        )
+        .orderBy("source")
+    )

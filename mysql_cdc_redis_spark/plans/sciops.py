@@ -1223,3 +1223,211 @@ def join_quartile_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 4).alias("expected"),
         F.round((F.col("n") - expected) / F.sqrt(expected), 4).alias("pearson_resid"),
     ).orderBy("c_quart", "o_quart")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: expected calibration error of a derived probability score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_expected_calibration_error",
+    doc="Expected Calibration Error of a logistic balance score predicting "
+    "'customer has an URGENT order': z-scored logistic confidence (global "
+    "moments broadcast), outcome from a semi-join flag, 10 equal-width "
+    "confidence bins with per-bin confidence/accuracy gap and the "
+    "n-weighted ECE contribution — the standard reliability diagram, "
+    "computed in two shuffles (per-customer flag, per-bin cells).",
+    tags=("agg", "mleval", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), moments AS (
+  SELECT avg(c_acctbal) AS mu, stddev_pop(c_acctbal) AS sd,
+         count(*) AS n_total
+  FROM flags
+), scored AS (
+  SELECT y, 1.0 / (1.0 + exp(-(c_acctbal - mu) / sd)) AS conf, n_total
+  FROM flags CROSS JOIN moments
+), binned AS (
+  SELECT least(CAST(floor(conf * 10) AS INT), 9) AS bin, y, conf, n_total
+  FROM scored
+)
+SELECT bin, count(*) AS n,
+       round(avg(conf), 6) AS mean_conf,
+       round(avg(y), 6) AS frac_pos,
+       round(abs(avg(conf) - avg(y)), 6) AS gap,
+       round(count(*) * abs(avg(conf) - avg(y)) / any_value(n_total), 6)
+         AS ece_contrib
+FROM binned GROUP BY bin ORDER BY bin
+""",
+)
+def agg_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    moments = flags.agg(
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_pop("c_acctbal").alias("sd"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    conf = 1.0 / (1.0 + F.exp(-(F.col("c_acctbal") - F.col("mu")) / F.col("sd")))
+    binned = flags.crossJoin(F.broadcast(moments)).select(
+        F.least(F.floor(conf * 10).cast("int"), F.lit(9)).alias("bin"),
+        "y",
+        conf.alias("conf"),
+        "n_total",
+    )
+    gap = F.abs(F.avg("conf") - F.avg("y"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("conf"), 6).alias("mean_conf"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+            F.round(gap, 6).alias("gap"),
+            F.round(F.count(F.lit(1)) * gap / F.any_value("n_total"), 6).alias(
+                "ece_contrib"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: power analysis — minimum detectable effect per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_power_analysis_mde",
+    doc="Experiment-sizing table: per market segment, the minimum "
+    "detectable effect on mean account balance for a two-sample test at "
+    "alpha=0.05 / power=0.80 with a 50/50 split of the segment "
+    "(MDE = (z_a + z_b) * sqrt(2 * var / (n/2))), absolute and as a "
+    "fraction of the mean.  One hash aggregate; pure closed-form "
+    "arithmetic after it.",
+    tags=("agg", "stats", "experiment", "ext"),
+    oracle="""
+SELECT c_mktsegment, count(*) AS n,
+       round(avg(c_acctbal), 4) AS mean_bal,
+       round((1.959964 + 0.841621)
+             * sqrt(2 * var_pop(c_acctbal) / (count(*) / 2.0)), 4) AS mde_abs,
+       round((1.959964 + 0.841621)
+             * sqrt(2 * var_pop(c_acctbal) / (count(*) / 2.0))
+             / avg(c_acctbal), 6) AS mde_rel
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def agg_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    z = 1.959964 + 0.841621
+    mde = z * F.sqrt(2 * F.var_pop("c_acctbal") / (F.count(F.lit(1)) / 2.0))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
+            F.round(mde, 4).alias("mde_abs"),
+            F.round(mde / F.avg("c_acctbal"), 6).alias("mde_rel"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: session bounce-rate profile by entry event
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_bounce_rate",
+    doc="Bounce-rate profile by session entry event: 30-minute-gap "
+    "sessionization (lag flag + running sum, same keying as "
+    "sessionize_events_gap), then per-session entry type / event count / "
+    "duration, rolled up to bounce rate and averages per entry event. "
+    "All three windows and the first aggregate share one partitioning "
+    "by user_id; the final rollup is 5 rows.",
+    tags=("events", "session", "ext"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_no,
+         arg_min(event_type, rn) AS entry_type,
+         count(*) AS n_events,
+         date_diff('second', min(ts), max(ts)) AS duration_s
+  FROM sessions GROUP BY user_id, session_no
+)
+SELECT entry_type, count(*) AS n_sessions,
+       round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6)
+         AS bounce_rate,
+       round(avg(n_events), 4) AS avg_events,
+       round(avg(duration_s), 2) AS avg_duration_s
+FROM per_session GROUP BY entry_type ORDER BY entry_type
+""",
+)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("rn", F.row_number().over(w))
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.min_by("event_type", "rn").alias("entry_type"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(
+                F.avg(F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("bounce_rate"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(F.avg("duration_s"), 2).alias("avg_duration_s"),
+        )
+        .orderBy("entry_type")
+    )
