@@ -5514,3 +5514,42 @@ def scalar_surrogate_key_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").alias("min_sk"),
         F.max("sk").alias("max_sk"),
     )
+
+
+@register(
+    "sql_api_topk_per_group_qualify",
+    doc="Pure-SQL surface for the per-group top-k pattern (W6): CTE + "
+    "window + rank predicate through spark.sql over registered views — "
+    "Catalyst rewrites the rank filter into WindowGroupLimit exactly as "
+    "the DataFrame spelling does, proving the two front ends share one "
+    "physical plan space.",
+    tags=("sql", "window", "ext"),
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY o_orderpriority, rnk
+""",
+)
+def sql_api_topk_per_group_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders
+        )
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk
+        """
+    )

@@ -1431,3 +1431,221 @@ def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: chain-ladder development factors (actuarial loss triangle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_chain_ladder_factors",
+    doc="Chain-ladder age-to-age development factors over the order->ship "
+    "'loss triangle': origin = order year, development lag = ship year - "
+    "order year, cumulative shipped value per (origin, dev) via a range "
+    "window, then f_d = sum C_(o,d+1) / sum C_(o,d) restricted to origins "
+    "that have reached d+1 (the standard volume-weighted estimator).  One "
+    "fact-table aggregate to the tiny triangle; everything after is "
+    "window algebra on dozens of cells.",
+    tags=("agg", "actuarial", "ext"),
+    oracle="""
+WITH cells AS (
+  SELECT year(o.o_orderdate) AS origin,
+         year(l.l_shipdate) - year(o.o_orderdate) AS dev,
+         sum(l.l_extendedprice) AS incr
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE year(l.l_shipdate) >= year(o.o_orderdate)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT origin, dev,
+         sum(incr) OVER (PARTITION BY origin ORDER BY dev) AS c
+  FROM cells
+), paired AS (
+  SELECT a.dev AS from_dev, a.origin, a.c AS c_cur, b.c AS c_next
+  FROM cum a JOIN cum b ON b.origin = a.origin AND b.dev = a.dev + 1
+)
+SELECT from_dev, count(*) AS n_origins,
+       round(sum(c_next) / sum(c_cur), 6) AS dev_factor
+FROM paired GROUP BY from_dev ORDER BY from_dev
+""",
+)
+def agg_chain_ladder_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .filter(F.year("l_shipdate") >= F.year("o_orderdate"))
+        .groupBy(
+            F.year("o_orderdate").alias("origin"),
+            (F.year("l_shipdate") - F.year("o_orderdate")).alias("dev"),
+        )
+        .agg(F.sum("l_extendedprice").alias("incr"))
+    )
+    w = Window.partitionBy("origin").orderBy("dev").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select("origin", "dev", F.sum("incr").over(w).alias("c"))
+    b = cum.select(
+        F.col("origin").alias("b_origin"),
+        F.col("dev").alias("b_dev"),
+        F.col("c").alias("c_next"),
+    )
+    paired = cum.join(
+        b,
+        (F.col("b_origin") == F.col("origin")) & (F.col("b_dev") == F.col("dev") + 1),
+    )
+    return (
+        paired.groupBy(F.col("dev").alias("from_dev"))
+        .agg(
+            F.count(F.lit(1)).alias("n_origins"),
+            F.round(F.sum("c_next") / F.sum("c"), 6).alias("dev_factor"),
+        )
+        .orderBy("from_dev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Markov entropy rate of the per-user event process
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_markov_entropy_rate",
+    doc="Entropy rate of the user-event Markov chain: per-user ordered "
+    "transitions (one lag window), transition counts, per-state "
+    "conditional entropy H(next|state) and its pi-weighted contribution "
+    "to the chain entropy rate — the sequence-compressibility number "
+    "behind session-model sizing.  One shuffle to transitions, one to "
+    "the 5x5 matrix.",
+    tags=("agg", "events", "stats", "ext"),
+    oracle="""
+WITH seqd AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS s, next_type AS t, count(*) AS c
+  FROM seqd WHERE next_type IS NOT NULL GROUP BY 1, 2
+), st AS (
+  SELECT s, sum(c) AS cs FROM trans GROUP BY s
+), tot AS (
+  SELECT sum(cs) AS t_all FROM st
+), hc AS (
+  SELECT tr.s, any_value(st.cs) AS cs,
+         -sum((tr.c * 1.0 / st.cs) * ln(tr.c * 1.0 / st.cs)) AS h_cond
+  FROM trans tr JOIN st ON st.s = tr.s
+  GROUP BY tr.s
+)
+SELECT hc.s AS state, cs AS n_from,
+       round(cs * 1.0 / t_all, 6) AS pi,
+       round(h_cond, 6) AS h_cond,
+       round(cs * 1.0 / t_all * h_cond, 6) AS rate_contrib
+FROM hc CROSS JOIN tot ORDER BY state
+""",
+)
+def agg_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = events.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    trans = seqd.groupBy("s", "t").agg(F.count(F.lit(1)).alias("c"))
+    st = trans.groupBy("s").agg(F.sum("c").alias("cs"))
+    tot = st.agg(F.sum("cs").alias("t_all"))
+    p = F.col("c") / F.col("cs")
+    hc = (
+        trans.join(F.broadcast(st), "s")
+        .groupBy("s")
+        .agg(
+            F.any_value("cs").alias("cs"),
+            (-F.sum(p * F.log(p))).alias("h_cond"),
+        )
+    )
+    return (
+        hc.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("state"),
+            F.col("cs").alias("n_from"),
+            F.round(F.col("cs") / F.col("t_all"), 6).alias("pi"),
+            F.round("h_cond", 6).alias("h_cond"),
+            F.round(F.col("cs") / F.col("t_all") * F.col("h_cond"), 6).alias(
+                "rate_contrib"
+            ),
+        )
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: longest underwater spell (drawdown duration, gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_underwater_duration",
+    doc="Drawdown *duration* analysis of the monthly revenue series: "
+    "months below the running peak form 'underwater' islands (flag diff "
+    "-> island ids via two stacked windows), reported as spell count, "
+    "longest and mean spell, and total underwater months.  The series is "
+    "pre-aggregated to 80 rows before any window, so the global sort is "
+    "trivial at any fact scale.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+), flagged AS (
+  SELECT mon, rev,
+         CASE WHEN rev < max(rev) OVER (ORDER BY mon
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS under
+  FROM monthly
+), islands AS (
+  SELECT mon, under,
+         row_number() OVER (ORDER BY mon)
+           - sum(under) OVER (ORDER BY mon ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+), spells AS (
+  SELECT grp, count(*) AS len
+  FROM islands WHERE under = 1 GROUP BY grp
+)
+SELECT count(*) AS n_spells,
+       max(len) AS longest_spell_months,
+       round(avg(len), 4) AS mean_spell_months,
+       CAST(sum(len) AS BIGINT) AS total_underwater_months
+FROM spells
+""",
+)
+def window_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("mon")
+    peak = F.max("rev").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = monthly.select(
+        "mon",
+        F.when(F.col("rev") < peak, 1).otherwise(0).alias("under"),
+    )
+    islands = flagged.select(
+        "mon",
+        "under",
+        (
+            F.row_number().over(w)
+            - F.sum("under").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("grp"),
+    )
+    spells = (
+        islands.filter(F.col("under") == 1)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return spells.agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.max("len").alias("longest_spell_months"),
+        F.round(F.avg("len"), 4).alias("mean_spell_months"),
+        F.sum("len").alias("total_underwater_months"),
+    )
