@@ -3495,3 +3495,45 @@ def text_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    doc="Exact-duplicate cluster-size histogram: md5 content groups (one "
+    "shuffle on the fingerprint — the same key the exact-dedup pass "
+    "uses), then the size distribution with document shares — the "
+    "before/after accounting every dedup run reports.  The histogram "
+    "relation is as small as the largest cluster size.",
+    tags=("dedup", "census", "ext"),
+    oracle="""
+WITH clusters AS (
+  SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY md5(text)
+), tot AS (
+  SELECT sum(sz) AS n_docs FROM clusters
+)
+SELECT sz AS cluster_size, count(*) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       round(sz * count(*) * 1.0 / any_value(t.n_docs), 6) AS doc_share
+FROM clusters CROSS JOIN tot t
+GROUP BY sz ORDER BY sz
+""",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5(F.encode("text", "utf-8")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    tot = clusters.agg(F.sum("sz").alias("n_docs"))
+    return (
+        clusters.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+            F.round(
+                F.col("cluster_size") * F.count(F.lit(1)) / F.any_value("n_docs"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -5553,3 +5553,63 @@ def sql_api_topk_per_group_qualify(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY o_orderpriority, rnk
         """
     )
+
+
+@register(
+    "join_asof_forward_backfill",
+    doc="Forward AS-OF join (J6, the late-arriving-dimension backfill "
+    "direction): for each event, the customer's FIRST order at or after "
+    "the event time.  Same scalable union + one-window spelling as the "
+    "backward as-of (no range cross-join, one shuffle) but with a "
+    "following-frame first(ignorenulls); the oracle recomputes via a "
+    "range join + min aggregation, so the two formulations check each "
+    "other.",
+    tags=("join", "asof", "ext"),
+    oracle="""
+WITH ded AS (
+  SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+), nxt AS (
+  SELECT e.event_id, e.user_id, min(o.o_orderdate) AS nd
+  FROM events e JOIN ded o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+  GROUP BY e.event_id, e.user_id
+)
+SELECT n.event_id, n.user_id, d.o_orderkey AS next_orderkey
+FROM nxt n JOIN ded d ON d.o_custkey = n.user_id AND d.o_orderdate = n.nd
+ORDER BY n.event_id
+""",
+)
+def join_asof_forward_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ded = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.min("o_orderkey").alias("o_orderkey")
+    )
+    right = ded.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(2).alias("kind"),  # orders sort after events at equal t (>= inclusive)
+        F.col("o_orderkey").alias("orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("orderkey"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        right.unionByName(left)
+        .withColumn("next_orderkey", F.first("orderkey", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .filter(F.col("next_orderkey").isNotNull())
+        .select("event_id", F.col("k").alias("user_id"), "next_orderkey")
+        .orderBy("event_id")
+    )

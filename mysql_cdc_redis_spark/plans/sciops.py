@@ -1649,3 +1649,136 @@ def window_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("len"), 4).alias("mean_spell_months"),
         F.sum("len").alias("total_underwater_months"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: AUC-ROC via the midrank rank-sum identity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_auc_roc_balance",
+    doc="AUC-ROC of account balance as a ranking score for 'customer has "
+    "an URGENT order', via the tie-corrected rank-sum identity "
+    "AUC = (sum of positive midranks - n1(n1+1)/2) / (n1*n0): per-"
+    "distinct-score counts, a cumulative window for midranks, one final "
+    "aggregate.  No pairwise O(n^2) comparison anywhere — the identity "
+    "is what makes AUC computable at 100 TB; arithmetic stays on integer "
+    "counts and halves so both engines agree exactly.",
+    tags=("agg", "mleval", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey, c.c_acctbal AS score,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+), per_v AS (
+  SELECT score, sum(y) AS np, count(*) AS nt FROM flags GROUP BY score
+), ranked AS (
+  SELECT np, nt,
+         coalesce(sum(nt) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (nt + 1) / 2.0 AS midrank
+  FROM per_v
+), tot AS (
+  SELECT sum(np) AS n1, sum(nt) - sum(np) AS n0,
+         sum(np * midrank) AS rank_sum
+  FROM ranked
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       round((rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS auc
+FROM tot
+""",
+)
+def agg_auc_roc_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", F.col("c_acctbal").alias("score"))
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    per_v = flags.groupBy("score").agg(
+        F.sum("y").alias("np"), F.count(F.lit(1)).alias("nt")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "np",
+        "nt",
+        (
+            F.coalesce(F.sum("nt").over(w), F.lit(0))
+            + (F.col("nt") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    tot = ranked.agg(
+        F.sum("np").alias("n1"),
+        (F.sum("nt") - F.sum("np")).alias("n0"),
+        F.sum(F.col("np") * F.col("midrank")).alias("rank_sum"),
+    )
+    return tot.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: process-capability indices (Cp / Cpk) per brand
+# ---------------------------------------------------------------------------
+
+_SPEC_LO, _SPEC_HI = 1.0, 50.0
+
+
+@register(
+    "agg_process_capability",
+    doc="Manufacturing process-capability indices for line quantities "
+    "against spec limits [1, 50] per part brand: Cp = (USL-LSL)/6sigma, "
+    "Cpk = min(USL-mu, mu-LSL)/3sigma, plus the out-of-spec rate.  One "
+    "broadcast join to brands and one hash aggregate — the SPC dashboard "
+    "query at any scale.",
+    tags=("agg", "stats", "ext"),
+    oracle=f"""
+SELECT p.p_brand, count(*) AS n,
+       round(avg(l.l_quantity), 4) AS mean_qty,
+       round(({_SPEC_HI} - {_SPEC_LO}) / (6 * stddev_pop(l.l_quantity)), 6) AS cp,
+       round(least({_SPEC_HI} - avg(l.l_quantity),
+                   avg(l.l_quantity) - {_SPEC_LO})
+             / (3 * stddev_pop(l.l_quantity)), 6) AS cpk,
+       round(avg(CASE WHEN l.l_quantity < {_SPEC_LO} OR l.l_quantity > {_SPEC_HI}
+                      THEN 1.0 ELSE 0.0 END), 6) AS oos_rate
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+""",
+)
+def agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    oos = (F.col("l_quantity") < _SPEC_LO) | (F.col("l_quantity") > _SPEC_HI)
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+            F.round(
+                (_SPEC_HI - _SPEC_LO) / (6 * F.stddev_pop("l_quantity")), 6
+            ).alias("cp"),
+            F.round(
+                F.least(
+                    _SPEC_HI - F.avg("l_quantity"), F.avg("l_quantity") - _SPEC_LO
+                )
+                / (3 * F.stddev_pop("l_quantity")),
+                6,
+            ).alias("cpk"),
+            F.round(F.avg(F.when(oos, 1.0).otherwise(0.0)), 6).alias("oos_rate"),
+        )
+        .orderBy("p_brand")
+    )
