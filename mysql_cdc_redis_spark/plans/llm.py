@@ -3537,3 +3537,92 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "sim_ndcg_label_eval",
+    doc="NDCG@5 of the cosine ranking against binary label relevance "
+    "(neighbor shares the query's label): the top-5 retrieval reuses the "
+    "brute-force/ANN plan shape, DCG discounts by log2(rank+1), and IDCG "
+    "normalizes by the best achievable list given how many relevant "
+    "items the corpus holds (least(5, n_rel) positions via a tiny "
+    "generated sequence join).  The standard offline ranking-quality "
+    "gate for an ANN index, fully on-engine.",
+    tags=("similarity", "eval", "ext"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS n_id, embedding AS nv, label AS n_label
+  FROM embeddings WHERE vec_id >= 8
+), scored AS (
+  SELECT q_id, n_id, q_label, n_label,
+         {{cos}} AS cos
+  FROM q, c
+), ranked AS (
+  SELECT q_id, n_id, q_label, n_label, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT)
+           AS rank
+  FROM scored
+), dcg AS (
+  SELECT q_id,
+         sum(CASE WHEN n_label = q_label
+                  THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg5
+  FROM ranked WHERE rank <= 5 GROUP BY q_id
+), nrel AS (
+  SELECT q.q_id, count(*) AS n_rel
+  FROM q JOIN c ON c.n_label = q.q_label GROUP BY q.q_id
+), idcg AS (
+  SELECT n.q_id, sum(1.0 / log2(t.i + 1)) AS idcg5
+  FROM nrel n JOIN range(1, 6) t(i) ON t.i <= least(5, n.n_rel)
+  GROUP BY n.q_id
+)
+SELECT d.q_id, n.n_rel AS n_rel_corpus,
+       round(d.dcg5, 6) AS dcg5,
+       round(d.dcg5 / i.idcg5, 6) AS ndcg5
+FROM dcg d JOIN nrel n ON n.q_id = d.q_id JOIN idcg i ON i.q_id = d.q_id
+ORDER BY d.q_id
+""".format(cos=_COS_EXPR.format(a="qv", b="nv")),
+)
+def sim_ndcg_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    top = sim.cosine_topk_bruteforce(queries, corpus, k=5)
+    qlab = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    nlab = corpus.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    ranked = top.join(F.broadcast(qlab), "q_id").join(F.broadcast(nlab), "n_id")
+    dcg = ranked.groupBy("q_id").agg(
+        F.sum(
+            F.when(
+                F.col("n_label") == F.col("q_label"),
+                1.0 / F.log2(F.col("rank") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg5")
+    )
+    nrel = (
+        qlab.join(nlab, nlab.n_label == qlab.q_label)
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    seq = spark.range(1, 6).select(F.col("id").alias("i"))
+    idcg = (
+        nrel.crossJoin(F.broadcast(seq))
+        .filter(F.col("i") <= F.least(F.lit(5), F.col("n_rel")))
+        .groupBy("q_id")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1)).alias("idcg5"))
+    )
+    return (
+        dcg.join(nrel, "q_id")
+        .join(idcg, "q_id")
+        .select(
+            "q_id",
+            F.col("n_rel").alias("n_rel_corpus"),
+            F.round("dcg5", 6).alias("dcg5"),
+            F.round(F.col("dcg5") / F.col("idcg5"), 6).alias("ndcg5"),
+        )
+        .orderBy("q_id")
+    )

@@ -1782,3 +1782,175 @@ def agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: strict-order funnel with per-stage 7-day conversion windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_windowed_funnel_7d",
+    doc="Three-stage strict-order funnel with a 7-day conversion deadline "
+    "per stage (view -> click within 7d -> purchase within 7d): the "
+    "correlated 'first X after Y but before Y+7d' chain decorrelates "
+    "into three conditional aggregates re-joined on user_id — one "
+    "logical shuffle of events reused per stage, the deadline just an "
+    "extra predicate on the µs-integer timestamps.  Reports reach and "
+    "stage-to-stage conversion.",
+    tags=("agg", "funnel", "events", "ext"),
+    oracle="""
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN u1 ON u1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > u1.t1
+        AND e.ts <= u1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+), u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN u2 ON u2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        AND e.ts <= u2.t2 + INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM u1) AS n_view,
+       (SELECT count(*) FROM u2) AS n_click_7d,
+       (SELECT count(*) FROM u3) AS n_purchase_7d,
+       round((SELECT count(*) FROM u2) * 1.0
+             / (SELECT count(*) FROM u1), 6) AS view_to_click,
+       round((SELECT count(*) FROM u3) * 1.0
+             / nullif((SELECT count(*) FROM u2), 0), 6) AS click_to_purchase
+""",
+)
+def events_windowed_funnel_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = u1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = u2.agg(F.count(F.lit(1)).alias("n_click_7d"))
+    c3 = u3.agg(F.count(F.lit(1)).alias("n_purchase_7d"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_view",
+            "n_click_7d",
+            "n_purchase_7d",
+            F.round(F.col("n_click_7d") / F.col("n_view"), 6).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_7d")
+                / F.nullif(F.col("n_click_7d").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Mantel-Haenszel pooled odds ratio across strata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mantel_haenszel_or",
+    doc="Mantel-Haenszel pooled odds ratio of 'has an URGENT order' for "
+    "BUILDING vs MACHINERY customers, stratified by nation (the "
+    "confounder-adjusted effect estimate): per-customer outcome flags, "
+    "per-stratum 2x2 cells from one pivot aggregate, "
+    "OR_MH = sum(a*d/n)/sum(b*c/n) plus the crude (unstratified) OR for "
+    "the confounding contrast.  Two shuffles total, strata relation is "
+    "25 rows.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey, any_value(c.c_nationkey) AS stratum,
+         any_value(c.c_mktsegment) AS seg,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c.c_custkey
+), cells AS (
+  SELECT stratum,
+         sum(CASE WHEN seg = 'BUILDING' AND y = 1 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN seg = 'BUILDING' AND y = 0 THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN seg = 'MACHINERY' AND y = 1 THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN seg = 'MACHINERY' AND y = 0 THEN 1 ELSE 0 END) AS d
+  FROM flags GROUP BY stratum
+), mh AS (
+  SELECT count(*) AS n_strata,
+         sum(a * d * 1.0 / (a + b + c + d)) AS num,
+         sum(b * c * 1.0 / (a + b + c + d)) AS den,
+         sum(a) AS ta, sum(b) AS tb, sum(c) AS tc, sum(d) AS td
+  FROM cells WHERE a + b + c + d > 0
+)
+SELECT n_strata,
+       round(num / den, 6) AS or_mh,
+       round(ta * td * 1.0 / (tb * tc), 6) AS or_crude
+FROM mh
+""",
+)
+def agg_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_nationkey").alias("stratum"),
+            F.any_value("c_mktsegment").alias("seg"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    seg, y = F.col("seg"), F.col("y")
+    cells = flags.groupBy("stratum").agg(
+        F.sum(F.when((seg == "BUILDING") & (y == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((seg == "BUILDING") & (y == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((seg == "MACHINERY") & (y == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((seg == "MACHINERY") & (y == 0), 1).otherwise(0)).alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    mh = cells.filter(n > 0).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("a") * F.col("d") / n).alias("num"),
+        F.sum(F.col("b") * F.col("c") / n).alias("den"),
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.sum("c").alias("tc"),
+        F.sum("d").alias("td"),
+    )
+    return mh.select(
+        "n_strata",
+        F.round(F.col("num") / F.col("den"), 6).alias("or_mh"),
+        F.round(
+            F.col("ta") * F.col("td") / (F.col("tb") * F.col("tc")).cast("double"), 6
+        ).alias("or_crude"),
+    )
