@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
         llm,
         relational,
         sciops,
+        stats2,
         streaming_queries,
         tooling,
         tpch,
