@@ -608,3 +608,516 @@ def window_forecast_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
             F.avg(err) / F.avg(F.abs(F.col("y") - F.col("y_prev"))), 6
         ).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Sharpe / Sortino ratios on monthly log-returns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_sharpe_sortino",
+    doc="Risk-adjusted return profile of the monthly revenue series: fold "
+    "the fact table to ~80 cents-rounded month cells, log-returns via "
+    "one lag window on the tiny series, then mean return, volatility "
+    "(stddev_samp), Sharpe, and Sortino (downside deviation from "
+    "negative returns only) in a single final aggregate.",
+    tags=("window", "finance", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT ln(y / lag(y) OVER (ORDER BY mon)) AS ret FROM m
+)
+SELECT count(ret) AS n_returns,
+       round(avg(ret), 6) AS mean_ret,
+       round(stddev_samp(ret), 6) AS vol,
+       round(avg(ret) / stddev_samp(ret), 6) AS sharpe,
+       round(avg(ret) / sqrt(avg(CASE WHEN ret < 0 THEN ret * ret
+                                      ELSE 0 END)), 6) AS sortino
+FROM r
+""",
+)
+def window_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    r = m.select(
+        F.log(F.col("y") / F.lag("y").over(Window.orderBy("mon"))).alias("ret")
+    )
+    down2 = F.avg(
+        F.when(F.col("ret") < 0, F.col("ret") * F.col("ret")).otherwise(F.lit(0.0))
+    )
+    return r.agg(
+        F.count("ret").alias("n_returns"),
+        F.round(F.avg("ret"), 6).alias("mean_ret"),
+        F.round(F.stddev_samp("ret"), 6).alias("vol"),
+        F.round(F.avg("ret") / F.stddev_samp("ret"), 6).alias("sharpe"),
+        F.round(F.avg("ret") / F.sqrt(down2), 6).alias("sortino"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Nelson-Aalen cumulative hazard of order fulfilment time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_nelson_aalen",
+    doc="Nelson-Aalen cumulative-hazard estimator of order fulfilment "
+    "duration (order date → last line shipment), open-status orders "
+    "censored at their observed duration — the counting-process sibling "
+    "of agg_kaplan_meier (which models customer lifetimes).  One join+agg "
+    "to per-order durations, a second aggregate to per-day event/censor "
+    "counts, then the risk set and H(t)=Σ d_i/n_i as running windows "
+    "over the tiny duration axis.  First 15 event times reported.",
+    tags=("agg", "survival", "ext"),
+    oracle="""
+WITH dur AS (
+  SELECT o.o_orderkey,
+         date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS t,
+         max(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS censored
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), cell AS (
+  SELECT t,
+         sum(1 - censored) AS d,
+         sum(censored) AS c
+  FROM dur GROUP BY t
+), risk AS (
+  SELECT t, d,
+         sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS gone,
+         sum(d + c) OVER () AS total
+  FROM cell
+)
+SELECT t, d,
+       total - coalesce(gone, 0) AS n_risk,
+       round(sum(d * 1.0 / (total - coalesce(gone, 0)))
+             OVER (ORDER BY t), 6) AS cum_hazard
+FROM risk WHERE d > 0 ORDER BY t LIMIT 15
+""",
+)
+def agg_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dur = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.datediff(F.max("l_shipdate"), F.first("o_orderdate")).alias("t"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("censored"),
+        )
+    )
+    cell = dur.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    w = Window.orderBy("t")
+    risk = cell.select(
+        "t",
+        "d",
+        F.sum(F.col("d") + F.col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("gone"),
+        F.sum(F.col("d") + F.col("c")).over(Window.partitionBy()).alias("total"),
+    )
+    n_risk = F.col("total") - F.coalesce(F.col("gone"), F.lit(0))
+    return (
+        risk.withColumn("n_risk", n_risk)
+        .withColumn(
+            "cum_hazard", F.round(F.sum(F.col("d") / n_risk).over(w), 6)
+        )
+        .filter(F.col("d") > 0)
+        .select("t", "d", "n_risk", "cum_hazard")
+        .orderBy("t")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Cramér's V (plus bias-corrected) for returnflag × linestatus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cramers_v",
+    doc="Effect-size summary of categorical association: chi-square of "
+    "l_returnflag × l_linestatus folded to a ≤6-cell contingency table in "
+    "one pass (marginals via windows over the cells, as in "
+    "agg_chi_square_independence which covers segment×priority), then "
+    "Cramér's V and the Bergsma bias-corrected V in closed form.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH cells AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), e AS (
+  SELECT n,
+         sum(n) OVER (PARTITION BY rf) * sum(n) OVER (PARTITION BY ls)
+           * 1.0 / sum(n) OVER () AS expected
+  FROM cells
+), s AS (
+  SELECT sum((n - expected) * (n - expected) / expected) AS chi2,
+         sum(n) AS total,
+         (SELECT count(DISTINCT rf) FROM cells) AS r,
+         (SELECT count(DISTINCT ls) FROM cells) AS c
+  FROM e
+)
+SELECT round(chi2, 4) AS chi2,
+       (r - 1) * (c - 1) AS dof,
+       round(sqrt(chi2 / (total * (least(r, c) - 1))), 6) AS cramers_v,
+       round(sqrt(
+         greatest(0, chi2 / total - (r - 1) * (c - 1) * 1.0 / (total - 1))
+         / least(r - pow(r - 1, 2) * 1.0 / (total - 1),
+                 c - pow(c - 1, 2) * 1.0 / (total - 1) ) ), 6)
+         AS cramers_v_corrected
+FROM s
+""",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy())
+    e = cells.select(
+        "n",
+        "rf",
+        "ls",
+        (
+            F.sum("n").over(Window.partitionBy("rf"))
+            * F.sum("n").over(Window.partitionBy("ls"))
+            / tot
+        ).alias("expected"),
+    )
+    s = e.agg(
+        F.sum(
+            (F.col("n") - F.col("expected"))
+            * (F.col("n") - F.col("expected"))
+            / F.col("expected")
+        ).alias("chi2"),
+        F.sum("n").alias("total"),
+        F.countDistinct("rf").alias("r"),
+        F.countDistinct("ls").alias("c"),
+    )
+    chi2, total = F.col("chi2"), F.col("total")
+    r, c = F.col("r"), F.col("c")
+    phi2c = F.greatest(
+        F.lit(0.0), chi2 / total - (r - 1) * (c - 1) / (total - 1)
+    )
+    return s.select(
+        F.round(chi2, 4).alias("chi2"),
+        ((r - 1) * (c - 1)).alias("dof"),
+        F.round(F.sqrt(chi2 / (total * (F.least(r, c) - 1))), 6).alias("cramers_v"),
+        F.round(
+            F.sqrt(
+                phi2c
+                / F.least(
+                    r - F.pow(r - 1, F.lit(2)) / (total - 1),
+                    c - F.pow(c - 1, F.lit(2)) / (total - 1),
+                )
+            ),
+            6,
+        ).alias("cramers_v_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: two-sample Poisson rate test (weekend vs weekday event rates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_poisson_rate_test",
+    doc="Two-sample Poisson rate comparison of the event stream: weekend "
+    "vs weekday daily event rates, exposure = distinct observed days of "
+    "each type, z = (r1-r2)/sqrt(n1/d1² + n2/d2²) — the rate-based "
+    "sibling of agg_two_proportion_ztest.  One conditional aggregate "
+    "pass over events; day-of-week via ISO weekday so both engines "
+    "agree on the weekend definition.",
+    tags=("events", "stats", "ext"),
+    oracle="""
+WITH e AS (
+  SELECT isodow(ts) >= 6 AS is_weekend, date_trunc('day', ts) AS d FROM events
+), s AS (
+  SELECT count(CASE WHEN is_weekend THEN 1 END) AS n1,
+         count(DISTINCT CASE WHEN is_weekend THEN d END) AS d1,
+         count(CASE WHEN NOT is_weekend THEN 1 END) AS n2,
+         count(DISTINCT CASE WHEN NOT is_weekend THEN d END) AS d2
+  FROM e
+)
+SELECT n1, d1, n2, d2,
+       round(n1 * 1.0 / d1, 6) AS weekend_rate,
+       round(n2 * 1.0 / d2, 6) AS weekday_rate,
+       round((n1 * 1.0 / d1 - n2 * 1.0 / d2)
+             / sqrt(n1 * 1.0 / (d1 * d1) + n2 * 1.0 / (d2 * d2)), 4) AS z_stat
+FROM s
+""",
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr("weekday(ts)") >= 5  # Mon=0 … Sun=6
+    day = F.date_trunc("day", "ts")
+    s = ev.select(wk.alias("is_weekend"), day.alias("d")).agg(
+        F.count(F.when(F.col("is_weekend"), 1)).alias("n1"),
+        F.countDistinct(F.when(F.col("is_weekend"), F.col("d"))).alias("d1"),
+        F.count(F.when(~F.col("is_weekend"), 1)).alias("n2"),
+        F.countDistinct(F.when(~F.col("is_weekend"), F.col("d"))).alias("d2"),
+    )
+    n1, d1, n2, d2 = F.col("n1"), F.col("d1"), F.col("n2"), F.col("d2")
+    r1, r2 = n1 / d1, n2 / d2
+    return s.select(
+        "n1",
+        "d1",
+        "n2",
+        "d2",
+        F.round(r1, 6).alias("weekend_rate"),
+        F.round(r2, 6).alias("weekday_rate"),
+        F.round((r1 - r2) / F.sqrt(n1 / (d1 * d1) + n2 / (d2 * d2)), 4).alias(
+            "z_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: entropy-weighted TOPSIS multi-criteria supplier ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_topsis_supplier_rank",
+    doc="Entropy-weighted TOPSIS ranking of suppliers on three criteria "
+    "(revenue supplied ↑, quantity shipped ↑, average discount given ↓): "
+    "the fact table folds to one row per supplier first, then vector "
+    "normalisation, entropy-derived criterion weights, ideal/anti-ideal "
+    "distances and the closeness score all run as window aggregates over "
+    "the supplier relation — multi-criteria decision analysis as a pure "
+    "dataframe plan.  Deterministic top 10 by closeness.",
+    tags=("join", "ranking", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+         sum(l_quantity) AS qty,
+         avg(l_discount) + 1e-6 AS disc
+  FROM lineitem GROUP BY l_suppkey
+), v AS (
+  SELECT l_suppkey,
+         rev / sqrt(sum(rev * rev) OVER ()) AS r1,
+         qty / sqrt(sum(qty * qty) OVER ()) AS r2,
+         disc / sqrt(sum(disc * disc) OVER ()) AS r3,
+         rev / sum(rev) OVER () AS p1,
+         qty / sum(qty) OVER () AS p2,
+         disc / sum(disc) OVER () AS p3,
+         count(*) OVER () AS n
+  FROM s
+), ent AS (
+  SELECT 1 + sum(p1 * ln(p1)) / ln(any_value(n)) AS d1,
+         1 + sum(p2 * ln(p2)) / ln(any_value(n)) AS d2,
+         1 + sum(p3 * ln(p3)) / ln(any_value(n)) AS d3
+  FROM v
+), w AS (
+  SELECT d1 / (d1 + d2 + d3) AS w1, d2 / (d1 + d2 + d3) AS w2,
+         d3 / (d1 + d2 + d3) AS w3
+  FROM ent
+), x AS (
+  SELECT l_suppkey, w1 * r1 AS x1, w2 * r2 AS x2, w3 * r3 AS x3 FROM v, w
+), bounds AS (
+  SELECT max(x1) AS b1, max(x2) AS b2, min(x3) AS b3,
+         min(x1) AS a1, min(x2) AS a2, max(x3) AS a3
+  FROM x
+)
+SELECT l_suppkey,
+       round(sqrt((x1-a1)^2 + (x2-a2)^2 + (x3-a3)^2)
+             / (sqrt((x1-b1)^2 + (x2-b2)^2 + (x3-b3)^2)
+                + sqrt((x1-a1)^2 + (x2-a2)^2 + (x3-a3)^2)), 6) AS closeness
+FROM x, bounds
+ORDER BY closeness DESC, l_suppkey LIMIT 10
+""",
+)
+def join_topsis_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "rev"
+        ),
+        F.sum("l_quantity").alias("qty"),
+        (F.avg("l_discount") + F.lit(1e-6)).alias("disc"),
+    )
+    w_all = Window.partitionBy()
+    v = s.select(
+        "l_suppkey",
+        (F.col("rev") / F.sqrt(F.sum(F.col("rev") * F.col("rev")).over(w_all))).alias(
+            "r1"
+        ),
+        (F.col("qty") / F.sqrt(F.sum(F.col("qty") * F.col("qty")).over(w_all))).alias(
+            "r2"
+        ),
+        (
+            F.col("disc") / F.sqrt(F.sum(F.col("disc") * F.col("disc")).over(w_all))
+        ).alias("r3"),
+        (F.col("rev") / F.sum("rev").over(w_all)).alias("p1"),
+        (F.col("qty") / F.sum("qty").over(w_all)).alias("p2"),
+        (F.col("disc") / F.sum("disc").over(w_all)).alias("p3"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    ent = v.agg(
+        (1 + F.sum(F.col("p1") * F.log("p1")) / F.log(F.any_value("n"))).alias("d1"),
+        (1 + F.sum(F.col("p2") * F.log("p2")) / F.log(F.any_value("n"))).alias("d2"),
+        (1 + F.sum(F.col("p3") * F.log("p3")) / F.log(F.any_value("n"))).alias("d3"),
+    )
+    w = ent.select(
+        (F.col("d1") / (F.col("d1") + F.col("d2") + F.col("d3"))).alias("w1"),
+        (F.col("d2") / (F.col("d1") + F.col("d2") + F.col("d3"))).alias("w2"),
+        (F.col("d3") / (F.col("d1") + F.col("d2") + F.col("d3"))).alias("w3"),
+    )
+    x = v.crossJoin(F.broadcast(w)).select(
+        "l_suppkey",
+        (F.col("w1") * F.col("r1")).alias("x1"),
+        (F.col("w2") * F.col("r2")).alias("x2"),
+        (F.col("w3") * F.col("r3")).alias("x3"),
+    )
+    bounds = x.agg(
+        F.max("x1").alias("b1"),
+        F.max("x2").alias("b2"),
+        F.min("x3").alias("b3"),
+        F.min("x1").alias("a1"),
+        F.min("x2").alias("a2"),
+        F.max("x3").alias("a3"),
+    )
+    xb = x.crossJoin(F.broadcast(bounds))
+    d_best = F.sqrt(
+        F.pow(F.col("x1") - F.col("b1"), F.lit(2))
+        + F.pow(F.col("x2") - F.col("b2"), F.lit(2))
+        + F.pow(F.col("x3") - F.col("b3"), F.lit(2))
+    )
+    d_worst = F.sqrt(
+        F.pow(F.col("x1") - F.col("a1"), F.lit(2))
+        + F.pow(F.col("x2") - F.col("a2"), F.lit(2))
+        + F.pow(F.col("x3") - F.col("a3"), F.lit(2))
+    )
+    return (
+        xb.select(
+            "l_suppkey",
+            F.round(d_worst / (d_best + d_worst), 6).alias("closeness"),
+        )
+        .orderBy(F.desc("closeness"), "l_suppkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Simpson's-paradox reversal detector over stratified odds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_simpson_reversal",
+    doc="Simpson's-paradox screen on the stratified 2×2 design of "
+    "agg_mantel_haenszel_or (BUILDING vs MACHINERY × has-URGENT-order, "
+    "stratified by nation): per-stratum Haldane-corrected log-odds "
+    "signs vs the pooled log-odds sign, reporting how many strata agree "
+    "or disagree with the pooled direction and whether the aggregate "
+    "association reverses the within-stratum majority — the check a "
+    "metrics platform runs before trusting a pooled ratio.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey, any_value(c.c_nationkey) AS stratum,
+         any_value(c.c_mktsegment) AS seg,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c.c_custkey
+), cells AS (
+  SELECT stratum,
+         sum(CASE WHEN seg = 'BUILDING' AND y = 1 THEN 1 ELSE 0 END) + 0.5 AS a,
+         sum(CASE WHEN seg = 'BUILDING' AND y = 0 THEN 1 ELSE 0 END) + 0.5 AS b,
+         sum(CASE WHEN seg = 'MACHINERY' AND y = 1 THEN 1 ELSE 0 END) + 0.5 AS c,
+         sum(CASE WHEN seg = 'MACHINERY' AND y = 0 THEN 1 ELSE 0 END) + 0.5 AS d
+  FROM flags GROUP BY stratum
+), s AS (
+  SELECT count(*) AS n_strata,
+         sum(CASE WHEN ln(a * d / (b * c)) > 0 THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN ln(a * d / (b * c)) < 0 THEN 1 ELSE 0 END) AS n_neg,
+         sum(a) - 0.5 * count(*) AS ta, sum(b) - 0.5 * count(*) AS tb,
+         sum(c) - 0.5 * count(*) AS tc, sum(d) - 0.5 * count(*) AS td
+  FROM cells
+)
+SELECT n_strata, n_pos, n_neg,
+       round(ln((ta + 0.5) * (td + 0.5) / ((tb + 0.5) * (tc + 0.5))), 6)
+         AS pooled_log_or,
+       (CASE WHEN ln((ta + 0.5) * (td + 0.5) / ((tb + 0.5) * (tc + 0.5))) > 0
+             THEN n_neg ELSE n_pos END) > n_strata / 2.0 AS reversal
+FROM s
+""",
+)
+def agg_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_nationkey").alias("stratum"),
+            F.any_value("c_mktsegment").alias("seg"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    seg, y = F.col("seg"), F.col("y")
+    cells = flags.groupBy("stratum").agg(
+        (F.sum(F.when((seg == "BUILDING") & (y == 1), 1).otherwise(0)) + 0.5).alias(
+            "a"
+        ),
+        (F.sum(F.when((seg == "BUILDING") & (y == 0), 1).otherwise(0)) + 0.5).alias(
+            "b"
+        ),
+        (F.sum(F.when((seg == "MACHINERY") & (y == 1), 1).otherwise(0)) + 0.5).alias(
+            "c"
+        ),
+        (F.sum(F.when((seg == "MACHINERY") & (y == 0), 1).otherwise(0)) + 0.5).alias(
+            "d"
+        ),
+    )
+    log_or = F.log(F.col("a") * F.col("d") / (F.col("b") * F.col("c")))
+    s = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.when(log_or > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(log_or < 0, 1).otherwise(0)).alias("n_neg"),
+        (F.sum("a") - 0.5 * F.count(F.lit(1))).alias("ta"),
+        (F.sum("b") - 0.5 * F.count(F.lit(1))).alias("tb"),
+        (F.sum("c") - 0.5 * F.count(F.lit(1))).alias("tc"),
+        (F.sum("d") - 0.5 * F.count(F.lit(1))).alias("td"),
+    )
+    pooled = F.log(
+        (F.col("ta") + 0.5)
+        * (F.col("td") + 0.5)
+        / ((F.col("tb") + 0.5) * (F.col("tc") + 0.5))
+    )
+    return s.select(
+        "n_strata",
+        "n_pos",
+        "n_neg",
+        F.round(pooled, 6).alias("pooled_log_or"),
+        (
+            F.when(pooled > 0, F.col("n_neg")).otherwise(F.col("n_pos"))
+            > F.col("n_strata") / 2.0
+        ).alias("reversal"),
+    )
