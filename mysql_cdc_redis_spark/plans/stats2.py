@@ -1121,3 +1121,376 @@ def agg_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("n_strata") / 2.0
         ).alias("reversal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: McNemar's paired test of two binary customer outcomes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mcnemar_paired",
+    doc="McNemar's test for paired binary outcomes on the same customers — "
+    "has-an-URGENT-order vs has-a-large-order (>250k): both flags fold "
+    "out of ONE left join + per-customer aggregate, the discordant "
+    "cells b/c from one more tiny aggregate, then the plain and "
+    "continuity-corrected chi-square in closed form.  The paired "
+    "complement of agg_two_proportion_ztest (which assumes independent "
+    "samples).",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN o.o_totalprice > 250000 THEN 1 ELSE 0 END) AS b
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), cells AS (
+  SELECT sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+         sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+         sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+         sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+  FROM flags
+)
+SELECT n11, n10, n01, n00,
+       round((n10 - n01) * (n10 - n01) * 1.0 / (n10 + n01), 4) AS chi2,
+       round((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1.0
+             / (n10 + n01), 4) AS chi2_corrected
+FROM cells
+""",
+)
+def agg_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("a"),
+            F.max(F.when(F.col("o_totalprice") > 250000, 1).otherwise(0)).alias("b"),
+        )
+    )
+    a, b = F.col("a"), F.col("b")
+    cells = flags.agg(
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((a == 1) & (b == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((a == 0) & (b == 0), 1).otherwise(0)).alias("n00"),
+    )
+    n10, n01 = F.col("n10"), F.col("n01")
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((n10 - n01) * (n10 - n01) / (n10 + n01), 4).alias("chi2"),
+        F.round(
+            (F.abs(n10 - n01) - 1) * (F.abs(n10 - n01) - 1) / (n10 + n01), 4
+        ).alias("chi2_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# feat ext: weight-of-evidence / information-value encoding of deciles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feat_woe_iv_deciles",
+    doc="Credit-scoring style WOE/IV screen: account-balance deciles "
+    "(deterministic ntile over cent-rounded balance with key tiebreak) "
+    "against the has-URGENT-order outcome; per-decile weight of "
+    "evidence ln(pos_share/neg_share) with 0.5 smoothing and the "
+    "total information value as a window over the 10 decile cells.  "
+    "Companion to feat_target_encoding_loo on the supervised-encoding "
+    "side.",
+    tags=("feat", "stats", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey, any_value(round(c.c_acctbal, 2)) AS bal,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), d AS (
+  SELECT y, ntile(10) OVER (ORDER BY bal, c_custkey) AS decile FROM flags
+), cell AS (
+  SELECT decile,
+         sum(y) + 0.5 AS pos,
+         sum(1 - y) + 0.5 AS neg
+  FROM d GROUP BY decile
+), sh AS (
+  SELECT decile, pos, neg,
+         pos / sum(pos) OVER () AS ps,
+         neg / sum(neg) OVER () AS ns
+  FROM cell
+)
+SELECT decile,
+       CAST(pos - 0.5 AS BIGINT) AS n_pos,
+       CAST(neg - 0.5 AS BIGINT) AS n_neg,
+       round(ln(ps / ns), 6) AS woe,
+       round(sum((ps - ns) * ln(ps / ns)) OVER (), 6) AS iv_total
+FROM sh ORDER BY decile
+""",
+)
+def feat_woe_iv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.round("c_acctbal", 2)).alias("bal"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    d = flags.select(
+        "y", F.ntile(10).over(Window.orderBy("bal", "c_custkey")).alias("decile")
+    )
+    cell = d.groupBy("decile").agg(
+        (F.sum("y") + 0.5).alias("pos"),
+        (F.sum(1 - F.col("y")) + 0.5).alias("neg"),
+    )
+    w_all = Window.partitionBy()
+    sh = cell.select(
+        "decile",
+        "pos",
+        "neg",
+        (F.col("pos") / F.sum("pos").over(w_all)).alias("ps"),
+        (F.col("neg") / F.sum("neg").over(w_all)).alias("ns"),
+    )
+    woe = F.log(F.col("ps") / F.col("ns"))
+    return sh.select(
+        "decile",
+        (F.col("pos") - 0.5).cast("bigint").alias("n_pos"),
+        (F.col("neg") - 0.5).cast("bigint").alias("n_neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round(F.sum((F.col("ps") - F.col("ns")) * woe).over(w_all), 6).alias(
+            "iv_total"
+        ),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_hurst_rescaled_range",
+    doc="Hurst exponent of the monthly order-count series by classical "
+    "rescaled-range analysis: the fact table folds to ~80 integer month "
+    "cells, the series is replicated across block sizes {8,16,32} with "
+    "one explode, R/S per complete block from within-block windows "
+    "(running cumulative deviation from the block mean), then "
+    "H = regr_slope(ln mean R/S, ln size) over the 3 size points.  "
+    "Long-memory diagnostics as a pure window plan.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT y, row_number() OVER (ORDER BY mon) - 1 AS rn FROM m
+), blk AS (
+  SELECT s.s AS size, CAST(floor(rn / s.s) AS INT) AS block, y, rn
+  FROM r CROSS JOIN (VALUES (8), (16), (32)) AS s(s)
+), dev AS (
+  SELECT size, block, y, rn,
+         avg(y) OVER (PARTITION BY size, block) AS mu,
+         count(*) OVER (PARTITION BY size, block) AS n_in_block
+  FROM blk
+), cum AS (
+  SELECT size, block, n_in_block,
+         sum(y - mu) OVER (PARTITION BY size, block ORDER BY rn) AS c,
+         stddev_samp(y) OVER (PARTITION BY size, block) AS s_full
+  FROM dev
+), rs AS (
+  SELECT size,
+         (max(c) - min(c)) / any_value(s_full) AS ratio
+  FROM cum WHERE n_in_block = size
+  GROUP BY size, block
+), pt AS (
+  SELECT size, avg(ratio) AS mean_rs, count(*) AS n_blocks
+  FROM rs GROUP BY size
+)
+SELECT count(*) AS n_sizes,
+       round(regr_slope(ln(mean_rs), ln(size)), 4) AS hurst,
+       round(min(CASE WHEN size = 8 THEN mean_rs END), 4) AS rs8,
+       round(min(CASE WHEN size = 32 THEN mean_rs END), 4) AS rs32
+FROM pt
+""",
+)
+def window_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    r = m.select("y", (F.row_number().over(Window.orderBy("mon")) - 1).alias("rn"))
+    blk = r.select(
+        "y",
+        "rn",
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("size"),
+    ).withColumn("block", F.floor(F.col("rn") / F.col("size")).cast("int"))
+    wb = Window.partitionBy("size", "block")
+    dev = blk.select(
+        "size",
+        "block",
+        "y",
+        "rn",
+        F.avg("y").over(wb).alias("mu"),
+        F.count(F.lit(1)).over(wb).alias("n_in_block"),
+    )
+    cum = dev.select(
+        "size",
+        "block",
+        "n_in_block",
+        F.sum(F.col("y") - F.col("mu")).over(wb.orderBy("rn")).alias("c"),
+        F.stddev_samp("y").over(wb).alias("s_full"),
+    )
+    rs = (
+        cum.filter(F.col("n_in_block") == F.col("size"))
+        .groupBy("size", "block")
+        .agg(((F.max("c") - F.min("c")) / F.any_value("s_full")).alias("ratio"))
+    )
+    pt = rs.groupBy("size").agg(F.avg("ratio").alias("mean_rs"))
+    return pt.agg(
+        F.count(F.lit(1)).alias("n_sizes"),
+        F.round(F.regr_slope(F.log("mean_rs"), F.log("size")), 4).alias("hurst"),
+        F.round(
+            F.min(F.when(F.col("size") == 8, F.col("mean_rs"))), 4
+        ).alias("rs8"),
+        F.round(
+            F.min(F.when(F.col("size") == 32, F.col("mean_rs"))), 4
+        ).alias("rs32"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: cryptographic-hash / base64 scalar surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_hash_encode_surface",
+    doc="Digest & transport-encoding scalar breadth over part names: md5 "
+    "and sha2-256 hex digests, base64 encode ∘ decode roundtrip proof, "
+    "and byte lengths — the content-addressing primitives the corpus "
+    "fingerprinting operators build on (operators/textstats.py uses md5; "
+    "this entry locks the whole family).  Pure projection, tiny "
+    "deterministic slice of 8 parts.",
+    tags=("scalar", "ext"),
+    oracle="""
+SELECT p_partkey,
+       md5(p_name) AS name_md5,
+       sha256(p_name) AS name_sha256,
+       base64(p_name::BLOB) AS name_b64,
+       decode(from_base64(base64(p_name::BLOB))) = p_name AS b64_roundtrip,
+       octet_length(p_name::BLOB) AS name_bytes
+FROM part WHERE p_partkey <= 8 ORDER BY p_partkey
+""",
+)
+def scalar_hash_encode_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    name_bin = F.col("p_name").cast("binary")
+    return (
+        part.filter(F.col("p_partkey") <= 8)
+        .select(
+            "p_partkey",
+            F.md5(name_bin).alias("name_md5"),
+            F.sha2(name_bin, 256).alias("name_sha256"),
+            F.base64(name_bin).alias("name_b64"),
+            (
+                F.unbase64(F.base64(name_bin)).cast("string") == F.col("p_name")
+            ).alias("b64_roundtrip"),
+            F.octet_length(name_bin).alias("name_bytes"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ext: Markov stationary distribution by unrolled power iteration
+# ---------------------------------------------------------------------------
+
+_MARKOV_POWER_STEPS = 6
+
+
+@register(
+    "events_markov_stationary",
+    doc="Stationary distribution of the user event-type Markov chain: "
+    "transition matrix from per-user lag pairs (the same construction "
+    "as events_markov_transitions), then six unrolled power-iteration "
+    "steps pi·P starting from uniform — each step a broadcast join + "
+    "5-row aggregate over the 25-cell matrix, so the iteration cost is "
+    "independent of the fact-table size.  The iterative-algorithm "
+    "pattern (PageRank-style) applied to behavioural flow.",
+    tags=("events", "graph", "ext"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+), pair AS (
+  SELECT event_type AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+), p AS (
+  SELECT src, dst, count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY src) AS pr
+  FROM pair GROUP BY src, dst
+), pi0 AS (
+  SELECT src AS state, 1.0 / (SELECT count(DISTINCT src) FROM p) AS prob
+  FROM (SELECT DISTINCT src FROM p)
+),
+{",".join(
+  f"pi{k + 1} AS (SELECT p.dst AS state, sum(pi{k}.prob * p.pr) AS prob "
+  f"FROM pi{k} JOIN p ON p.src = pi{k}.state GROUP BY p.dst)"
+  for k in range(_MARKOV_POWER_STEPS)
+)}
+SELECT state, round(prob, 6) AS stationary_prob
+FROM pi{_MARKOV_POWER_STEPS} ORDER BY state
+""",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    p = pairs.select(
+        "src",
+        "dst",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("src"))).alias("pr"),
+    )
+    pi = (
+        p.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("state"),
+            (F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy())).alias("prob"),
+        )
+    )
+    pm = F.broadcast(p)
+    for _ in range(_MARKOV_POWER_STEPS):
+        pi = (
+            pi.join(pm, pm.src == pi.state)
+            .groupBy(F.col("dst").alias("state_next"))
+            .agg(F.sum(F.col("prob") * F.col("pr")).alias("prob"))
+            .withColumnRenamed("state_next", "state")
+        )
+    return pi.select("state", F.round("prob", 6).alias("stationary_prob")).orderBy(
+        "state"
+    )
