@@ -1494,3 +1494,342 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select("state", F.round("prob", 6).alias("stationary_prob")).orderBy(
         "state"
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: generalized-Pareto peaks-over-threshold tail fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pot_gpd_fit",
+    doc="Peaks-over-threshold extreme-value fit: exact P95 threshold from "
+    "one aggregate, excesses over it in a second same-shape scan, "
+    "method-of-moments GPD parameters xi/beta in closed form, and the "
+    "extrapolated 99.9% VaR — the tail-risk sibling of "
+    "agg_gumbel_extremes (block maxima).  Two decomposable passes, no "
+    "sort.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT quantile_cont(round(o_totalprice, 2), 0.95) AS thr,
+         count(*) AS n_total
+  FROM orders
+), ex AS (
+  SELECT round(o_totalprice, 2) - thr AS e, thr, n_total
+  FROM orders, u WHERE round(o_totalprice, 2) > thr
+), s AS (
+  SELECT any_value(thr) AS thr, any_value(n_total) AS n_total,
+         count(*) AS n_exceed, avg(e) AS m, var_samp(e) AS v
+  FROM ex
+)
+SELECT n_exceed,
+       round(thr, 2) AS threshold,
+       round(0.5 * (1 - m * m / v), 6) AS xi,
+       round(0.5 * m * (m * m / v + 1), 4) AS beta,
+       round(thr + (0.5 * m * (m * m / v + 1)) / (0.5 * (1 - m * m / v))
+             * (pow(0.001 * n_total * 1.0 / n_exceed,
+                    -(0.5 * (1 - m * m / v))) - 1), 2) AS var_999
+FROM s
+""",
+)
+def agg_pot_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    val = F.round("o_totalprice", 2)
+    u = orders.agg(
+        F.percentile(val, F.lit(0.95)).alias("thr"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    ex = (
+        orders.crossJoin(F.broadcast(u))
+        .filter(val > F.col("thr"))
+        .select((val - F.col("thr")).alias("e"), "thr", "n_total")
+    )
+    s = ex.agg(
+        F.any_value("thr").alias("thr"),
+        F.any_value("n_total").alias("n_total"),
+        F.count(F.lit(1)).alias("n_exceed"),
+        F.avg("e").alias("m"),
+        F.var_samp("e").alias("v"),
+    )
+    m, v = F.col("m"), F.col("v")
+    xi = 0.5 * (1 - m * m / v)
+    beta = 0.5 * m * (m * m / v + 1)
+    return s.select(
+        "n_exceed",
+        F.round(F.col("thr"), 2).alias("threshold"),
+        F.round(xi, 6).alias("xi"),
+        F.round(beta, 4).alias("beta"),
+        F.round(
+            F.col("thr")
+            + beta
+            / xi
+            * (
+                F.pow(
+                    F.lit(0.001) * F.col("n_total") / F.col("n_exceed"),
+                    -xi,
+                )
+                - 1
+            ),
+            2,
+        ).alias("var_999"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Friedman rank test across treatments within blocks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_friedman_test",
+    doc="Friedman's rank test of order priority (5 treatments) on mean "
+    "order value within nation blocks (25 blocks): the fact table folds "
+    "to 125 (nation, priority) cells, within-block ranks come from one "
+    "window (deterministic tiebreak on the priority label — cell means "
+    "at cent precision make real ties vanishingly rare), then "
+    "Q = 12/(nk(k+1))·ΣRj² − 3n(k+1) from the 5 rank sums.  The "
+    "nonparametric complement of agg_anova_f_oneway.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH cell AS (
+  SELECT c.c_nationkey AS blk, o.o_orderpriority AS trt,
+         round(avg(o.o_totalprice), 2) AS val
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), rk AS (
+  SELECT blk, trt,
+         rank() OVER (PARTITION BY blk ORDER BY val, trt) AS r
+  FROM cell
+), rs AS (
+  SELECT trt, sum(r) AS rj FROM rk GROUP BY trt
+), dims AS (
+  SELECT count(DISTINCT blk) AS n, count(DISTINCT trt) AS k FROM cell
+)
+SELECT n, k,
+       round(12.0 / (n * k * (k + 1)) * (SELECT sum(rj * rj) FROM rs)
+             - 3.0 * n * (k + 1), 4) AS q_stat,
+       k - 1 AS dof
+FROM dims
+""",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cell = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("blk"), F.col("o_orderpriority").alias("trt")
+        )
+        .agg(F.round(F.avg("o_totalprice"), 2).alias("val"))
+    )
+    rk = cell.select(
+        "blk",
+        "trt",
+        F.rank().over(Window.partitionBy("blk").orderBy("val", "trt")).alias("r"),
+    )
+    rs = rk.groupBy("trt").agg(F.sum("r").alias("rj"))
+    sum_rj2 = rs.agg(F.sum(F.col("rj") * F.col("rj")).alias("srj2"))
+    dims = cell.agg(
+        F.countDistinct("blk").alias("n"), F.countDistinct("trt").alias("k")
+    )
+    n, k = F.col("n"), F.col("k")
+    return (
+        dims.crossJoin(F.broadcast(sum_rj2))
+        .select(
+            "n",
+            "k",
+            F.round(
+                F.lit(12.0) / (n * k * (k + 1)) * F.col("srj2") - 3.0 * n * (k + 1),
+                4,
+            ).alias("q_stat"),
+            (k - 1).alias("dof"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: DAU/MAU stickiness per month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_mau_stickiness",
+    doc="Product-analytics stickiness: per month, average daily active "
+    "users (distinct user-days over observed days), monthly active "
+    "users, and the DAU/MAU ratio — all from ONE distinct-projection "
+    "aggregate per grain, no per-day loop.  At scale each grain is a "
+    "partial-aggregable count-distinct keyed by calendar bucket.",
+    tags=("events", "product", "ext"),
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT date_trunc('month', ts) AS mon, date_trunc('day', ts) AS d,
+         user_id
+  FROM events
+), daily AS (
+  SELECT mon, count(*) AS user_days, count(DISTINCT d) AS n_days FROM ud
+  GROUP BY mon
+), monthly AS (
+  SELECT mon, count(DISTINCT user_id) AS mau FROM ud GROUP BY mon
+)
+SELECT strftime(d.mon, '%Y-%m') AS mon, d.n_days,
+       round(d.user_days * 1.0 / d.n_days, 4) AS avg_dau, m.mau,
+       round(d.user_days * 1.0 / d.n_days / m.mau, 6) AS stickiness
+FROM daily d JOIN monthly m ON d.mon = m.mon
+ORDER BY mon
+""",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("month", "ts").alias("mon"),
+        F.date_trunc("day", "ts").alias("d"),
+        "user_id",
+    ).distinct()
+    daily = ud.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("user_days"),
+        F.countDistinct("d").alias("n_days"),
+    )
+    monthly = ud.groupBy("mon").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "mon")
+        .select(
+            F.date_format("mon", "yyyy-MM").alias("mon"),
+            "n_days",
+            F.round(F.col("user_days") / F.col("n_days"), 4).alias("avg_dau"),
+            "mau",
+            F.round(
+                F.col("user_days") / F.col("n_days") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ext: global clustering coefficient (transitivity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_transitivity",
+    doc="Global clustering coefficient of the supplier co-occurrence graph "
+    "(same edge set as graph_triangle_count): wedges from the degree "
+    "distribution (Σ d(d-1)/2, one aggregate over the edge list "
+    "symmetrized by a union), triangles from the oriented a<b<c "
+    "three-way self-join, transitivity = 3T / wedges.  The density "
+    "diagnostic that says whether the co-occurrence graph is clustered "
+    "or random.",
+    tags=("graph", "join", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT s1.l_suppkey AS a, s2.l_suppkey AS b
+  FROM lineitem s1 JOIN lineitem s2
+    ON s1.l_orderkey = s2.l_orderkey AND s1.l_suppkey < s2.l_suppkey
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+), wed AS (
+  SELECT sum(d * (d - 1) / 2) AS wedges, count(*) AS n_nodes,
+         round(avg(d), 4) AS avg_degree
+  FROM deg
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, avg_degree,
+       CAST(wedges AS BIGINT) AS wedges, n_triangles,
+       round(3.0 * n_triangles / wedges, 6) AS transitivity
+FROM wed, tri
+""",
+)
+def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("a"))
+    s2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("b"))
+    edges = (
+        s1.join(s2, "ok").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.avg("d"), 4).alias("avg_degree"),
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return wed.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "avg_degree",
+        F.col("wedges").cast("bigint").alias("wedges"),
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("wedges"), 6).alias(
+            "transitivity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: deterministic uniform sampling by hash order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_hash_uniform_sample",
+    doc="Replay-stable uniform sampling without a random source: order "
+    "documents by md5(doc_id) — a uniform permutation that both engines "
+    "compute identically — and keep the lowest 100; the sample mean of "
+    "n_chars lands near the population mean, reported side by side.  "
+    "At scale this is a TakeOrdered over a pure projection (no shuffle "
+    "of the corpus, no rand() nondeterminism, idempotent across "
+    "retries) — the sampling primitive behind corpus_hash_split.",
+    tags=("corpus", "sampling", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT n_chars FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 100
+), pop AS (
+  SELECT count(*) AS n_docs, round(avg(n_chars), 4) AS pop_mean
+  FROM documents
+)
+SELECT (SELECT count(*) FROM s) AS sample_n,
+       (SELECT round(avg(n_chars), 4) FROM s) AS sample_mean,
+       n_docs, pop_mean
+FROM pop
+""",
+)
+def corpus_hash_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+            "doc_id",
+        )
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )
+    samp = s.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        F.round(F.avg("n_chars"), 4).alias("sample_mean"),
+    )
+    pop = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("pop_mean"),
+    )
+    return samp.crossJoin(F.broadcast(pop))

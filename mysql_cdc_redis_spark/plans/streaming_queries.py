@@ -986,3 +986,78 @@ def stream_foreachbatch_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tbl", "n_source_rows", "parquet_rows", "csv_rows")
         .orderBy("tbl")
     )
+
+
+@register(
+    "stream_stream_semi_join",
+    doc="Stream-stream LEFT SEMI join (T6/T7 EXT): views and purchases as "
+    "two independent watermarked streams; a view survives iff the same "
+    "user purchases within the following 30 minutes — existence, not "
+    "pairing, so each view is emitted at most once no matter how many "
+    "qualifying purchases arrive (state stays bounded by the watermark "
+    "horizon per side, keyed by user).  Finalize dedupes on view id "
+    "(append under foreachBatch is at-least-once) and folds to per-user "
+    "converting-view counts; must hash-match the batch EXISTS oracle.",
+    tags=("streaming", "join", "ext"),
+    oracle="""
+SELECT a.user_id, count(*) AS n_converting_views
+FROM events a
+WHERE a.event_type = 'view'
+  AND EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = a.user_id
+      AND b.event_type = 'purchase'
+      AND b.ts > a.ts
+      AND b.ts <= a.ts + INTERVAL 30 MINUTE
+  )
+GROUP BY a.user_id
+ORDER BY a.user_id
+""",
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("sssemi_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    emissions_dir = _tmp("sssemi_emit")
+
+    def _side(etype: str, prefix: str):
+        s = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+            .filter(F.col("event_type") == etype)
+            .withWatermark("ts", "2 hours")
+        )
+        return s.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+        )
+
+    views, buys = _side("view", "v"), _side("purchase", "p")
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emissions_dir)
+
+    q = (
+        joined.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", _tmp("sssemi_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(emissions_dir).dropDuplicates(["v_id"])
+    return (
+        emitted.groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_converting_views"))
+        .orderBy("user_id")
+    )
