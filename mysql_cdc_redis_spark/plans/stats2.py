@@ -1833,3 +1833,361 @@ def corpus_hash_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("pop_mean"),
     )
     return samp.crossJoin(F.broadcast(pop))
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_theil_sen_slope",
+    doc="Theil-Sen robust trend estimate of monthly revenue: the fact "
+    "table folds to ~80 cents-rounded month cells, all O(m²)≈3k pairwise "
+    "slopes come from one self-join on the tiny series, the slope is "
+    "their exact median, and the intercept the median residual at that "
+    "slope (broadcast scalar back over the 80 cells).  Outlier-immune "
+    "alternative to agg_ols_normal_equations on the same series.",
+    tags=("window", "robust", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT row_number() OVER (ORDER BY date_trunc('month', o_orderdate)) AS i,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+), sl AS (
+  SELECT quantile_cont((b.y - a.y) / (b.i - a.i), 0.5) AS slope,
+         count(*) AS n_pairs
+  FROM m a JOIN m b ON a.i < b.i
+), ic AS (
+  SELECT quantile_cont(m.y - sl.slope * m.i, 0.5) AS intercept
+  FROM m, sl
+)
+SELECT (SELECT count(*) FROM m) AS n_months, sl.n_pairs,
+       round(sl.slope, 4) AS ts_slope,
+       round(ic.intercept, 2) AS ts_intercept
+FROM sl, ic
+""",
+)
+def window_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    ).select(F.row_number().over(Window.orderBy("mon")).alias("i"), "y")
+    a, b = m.alias("a"), m.alias("b")
+    sl = (
+        a.join(b, F.col("a.i") < F.col("b.i"))
+        .select(
+            (
+                (F.col("b.y") - F.col("a.y")) / (F.col("b.i") - F.col("a.i"))
+            ).alias("s")
+        )
+        .agg(
+            F.percentile(F.col("s"), F.lit(0.5)).alias("slope"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    ic = (
+        m.crossJoin(F.broadcast(sl))
+        .agg(
+            F.percentile(
+                F.col("y") - F.col("slope") * F.col("i"), F.lit(0.5)
+            ).alias("intercept")
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).alias("n_months"))
+    return (
+        n.crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(ic))
+        .select(
+            "n_months",
+            "n_pairs",
+            F.round(F.col("slope"), 4).alias("ts_slope"),
+            F.round(F.col("intercept"), 2).alias("ts_intercept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Cohen's d / Hedges' g standardized effect sizes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cohens_d_effect",
+    doc="Standardized mean-difference effect sizes for the same contrast "
+    "as agg_welch_ttest (BUILDING vs MACHINERY account balance): pooled "
+    "standard deviation, Cohen's d, and the small-sample-corrected "
+    "Hedges' g — one conditional aggregate pass, closed form after.  "
+    "Significance (the t-test) and magnitude (this) are different "
+    "questions; a scorecard needs both.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT
+    count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n1,
+    avg(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END) AS m1,
+    var_samp(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END) AS v1,
+    count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n2,
+    avg(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END) AS m2,
+    var_samp(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END) AS v2
+  FROM customer
+)
+SELECT n1, n2,
+       round(sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 4)
+         AS s_pooled,
+       round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                              / (n1 + n2 - 2)), 6) AS cohens_d,
+       round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                              / (n1 + n2 - 2))
+             * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+FROM s
+""",
+)
+def agg_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    arm1 = F.when(F.col("c_mktsegment") == "BUILDING", bal)
+    arm2 = F.when(F.col("c_mktsegment") == "MACHINERY", bal)
+    s = cust.agg(
+        F.count(arm1).alias("n1"),
+        F.avg(arm1).alias("m1"),
+        F.var_samp(arm1).alias("v1"),
+        F.count(arm2).alias("n2"),
+        F.avg(arm2).alias("m2"),
+        F.var_samp(arm2).alias("v2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    sp = F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / sp
+    return s.select(
+        "n1",
+        "n2",
+        F.round(sp, 4).alias("s_pooled"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: Dice character-bigram similarity inside brand blocks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_dice_bigram_similarity",
+    doc="Set-based fuzzy matching, the complement of the edit-distance "
+    "profile (scalar_levenshtein_brand_names): distinct character "
+    "bigrams of each part name via one HOF projection (no UDF), pairs "
+    "blocked by brand (bounded fan-out, never a global cross join), "
+    "Dice = 2|A∩B|/(|A|+|B|) from array_intersect.  Deterministic "
+    "top-10 most-similar name pairs.",
+    tags=("text", "similarity", "ext"),
+    oracle="""
+WITH bg AS (
+  SELECT p_partkey, p_brand, p_name,
+         list_distinct(list_transform(range(1, length(p_name)),
+                                      i -> substring(p_name, i, 2))) AS grams
+  FROM part
+), pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         round(2.0 * len(list_intersect(a.grams, b.grams))
+               / (len(a.grams) + len(b.grams)), 6) AS dice
+  FROM bg a JOIN bg b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+)
+SELECT key_a, key_b, dice
+FROM pairs ORDER BY dice DESC, key_a, key_b LIMIT 10
+""",
+)
+def text_dice_bigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bg = part.select(
+        "p_partkey",
+        "p_brand",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(p_name) - 1),"
+            " i -> substring(p_name, i, 2)))"
+        ).alias("grams"),
+    )
+    a, b = bg.alias("a"), bg.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.round(
+            2.0
+            * F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+            / (F.size(F.col("a.grams")) + F.size(F.col("b.grams"))),
+            6,
+        ).alias("dice"),
+    )
+    return pairs.orderBy(F.desc("dice"), "key_a", "key_b").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# events ext: Lincoln-Petersen / Chapman capture-recapture estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_capture_recapture",
+    doc="Capture-recapture population estimation over the event stream: "
+    "distinct users in the first month (capture) and second month "
+    "(recapture), the overlap as one semi-joinable intersection, and "
+    "the bias-corrected Chapman estimator of the true population — "
+    "which the fixture lets us check against the actual distinct-user "
+    "count.  All three sets come from one conditional distinct "
+    "aggregate, no joins.",
+    tags=("events", "stats", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN strftime(ts, '%Y-%m') = '2024-01' THEN 1 ELSE 0 END)
+           AS in1,
+         max(CASE WHEN strftime(ts, '%Y-%m') = '2024-02' THEN 1 ELSE 0 END)
+           AS in2
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT sum(in1) AS n1, sum(in2) AS n2,
+         sum(in1 * in2) AS m, count(*) AS true_total
+  FROM u
+)
+SELECT n1, n2, m, true_total,
+       round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1, 2) AS chapman_estimate
+FROM s
+""",
+)
+def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mon = F.date_format("ts", "yyyy-MM")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(mon == "2024-01", 1).otherwise(0)).alias("in1"),
+        F.max(F.when(mon == "2024-02", 1).otherwise(0)).alias("in2"),
+    )
+    s = u.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("m"),
+        F.count(F.lit(1)).alias("true_total"),
+    )
+    return s.select(
+        "n1",
+        "n2",
+        "m",
+        "true_total",
+        F.round(
+            (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1, 2
+        ).alias("chapman_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: record statistics (record-breaking months vs i.i.d. expectation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_record_statistics",
+    doc="Record statistics of the monthly revenue series: months that "
+    "break the running maximum (strict records via an exclusive "
+    "1-preceding frame), their count, and the i.i.d.-theory expectation "
+    "Σ 1/k (harmonic number over the same rows — under exchangeability "
+    "the k-th month is a record with probability 1/k).  An excess of "
+    "records over H_n is direct evidence of trend; pairs with "
+    "window_peak_drawdown on the risk side.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT mon, y,
+         row_number() OVER (ORDER BY mon) AS k,
+         max(y) OVER (ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM m
+)
+SELECT count(*) AS n_months,
+       sum(CASE WHEN prev_max IS NULL OR y > prev_max THEN 1 ELSE 0 END)
+         AS n_records,
+       round(sum(1.0 / k), 4) AS expected_records,
+       strftime(max(CASE WHEN prev_max IS NULL OR y > prev_max
+                         THEN mon END), '%Y-%m') AS last_record_month
+FROM r
+""",
+)
+def window_record_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    w = Window.orderBy("mon")
+    r = m.select(
+        "mon",
+        "y",
+        F.row_number().over(w).alias("k"),
+        F.max("y").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias(
+            "prev_max"
+        ),
+    )
+    is_rec = F.col("prev_max").isNull() | (F.col("y") > F.col("prev_max"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(F.when(is_rec, 1).otherwise(0)).alias("n_records"),
+        F.round(F.sum(1.0 / F.col("k")), 4).alias("expected_records"),
+        F.date_format(F.max(F.when(is_rec, F.col("mon"))), "yyyy-MM").alias(
+            "last_record_month"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: grouped log-log price elasticity of demand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_price_elasticity",
+    doc="Price elasticity of demand per brand: regr_slope(ln quantity, "
+    "ln unit price) over lineitem ⋈ part — the log-log grouped "
+    "regression whose slope reads directly as %Δqty per %Δprice.  The "
+    "regression aggregate is fully decomposable (sufficient statistics "
+    "merge), so one shuffle by brand at any scale; the part side is "
+    "dictionary-joined on the fact's partkey.",
+    tags=("agg", "regression", "ext"),
+    oracle="""
+SELECT p_brand,
+       count(*) AS n_lines,
+       round(regr_slope(ln(l_quantity),
+                        ln(l_extendedprice / l_quantity)), 6) AS elasticity,
+       round(regr_r2(ln(l_quantity),
+                     ln(l_extendedprice / l_quantity)), 6) AS r2
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ln_q = F.log(F.col("l_quantity"))
+    ln_p = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope(ln_q, ln_p), 6).alias("elasticity"),
+            F.round(F.regr_r2(ln_q, ln_p), 6).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
