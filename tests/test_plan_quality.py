@@ -662,3 +662,62 @@ def test_mmr_candidate_stages_broadcast(spark, sf_dir):
     plan = _plan(_QUERIES["sim_mmr_rerank"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, "MMR stage fell back to a shuffle join:\n" + plan
+
+
+def test_basket_pairs_aggregate_before_pair_join(spark, sf_dir):
+    # the (order, brand) DISTINCT must collapse the fact table BEFORE the
+    # pair self-join; the plan therefore contains an aggregate below the
+    # pair join and never a cartesian product
+    plan = _plan(_QUERIES["basket_brand_pair_lift"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_markov_stationary_iterations_broadcast(spark, sf_dir):
+    # every power-iteration step joins pi (5 rows) with the 25-cell
+    # transition matrix — all six iterations must be broadcast joins, so
+    # the fact table is shuffled only for the initial lag window
+    plan = _plan(_QUERIES["events_markov_stationary"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topsis_folds_fact_before_windows(spark, sf_dir):
+    # the supplier fold must be a hash aggregate over lineitem; the TOPSIS
+    # normalisation windows then run on the tiny supplier relation —
+    # no window may consume the raw fact scan directly
+    plan = _plan(_QUERIES["join_topsis_supplier_rank"].fn(spark, sf_dir))
+    lines = plan.splitlines()
+    first_window = next(i for i, l in enumerate(lines) if "Window" in l)
+    first_agg = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    assert first_agg > first_window, (
+        "tree prints top-down: the aggregate (fold) must sit BELOW the "
+        "windows in the plan tree"
+    )
+
+
+def test_elasticity_regression_single_shuffle_per_brand(spark, sf_dir):
+    import re
+
+    # grouped regr_slope must stay one partial+final aggregate pair over
+    # the join — a second Exchange beyond (join key dist + group-by +
+    # final sort) indicates the sufficient statistics stopped merging
+    plan = _plan(_QUERIES["agg_price_elasticity"].fn(spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, f"too many shuffles for a grouped regression:\n{plan}"
+
+
+def test_dice_pairs_never_cartesian(spark, sf_dir):
+    # brand blocking must reach the join condition: equi join on p_brand,
+    # not a cartesian product filtered after the fact
+    plan = _plan(_QUERIES["text_dice_bigram_similarity"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "p_brand" in plan
+
+
+def test_gpd_threshold_broadcasts_back(spark, sf_dir):
+    # the P95 threshold is a 1-row aggregate that must broadcast into the
+    # excess scan (two same-shape passes), never a shuffle join
+    plan = _plan(_QUERIES["agg_pot_gpd_fit"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
