@@ -1702,3 +1702,80 @@ def cdc_out_of_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# M1/T5 ext: cross-table consistent snapshot cut
+# ---------------------------------------------------------------------------
+
+_CUT_TS = "1995-09-30"
+
+
+@register(
+    "cdc_consistent_cut_snapshot",
+    doc="Transactionally consistent cross-table snapshot: BOTH changelogs "
+    "(orders + lineitem) compacted under the same cdc_ts <= T cut, so "
+    "the two reconstructed states describe one instant — the multi-table "
+    "generalisation of cdc_state_time_travel (the reference replays one "
+    "CSV per table with no cross-table cut, loadcsv.py:6-8).  Each side "
+    "is one pushed-prefix scan + one shuffle; the per-table live-row "
+    "summary (count + payload checksum) unions two 1-row aggregates.",
+    tags=("cdc", "timetravel", "ext"),
+    oracle=f"""
+WITH och AS ({ORDERS_CHANGELOG_SQL}),
+lch AS ({LINEITEM_CHANGELOG_SQL}),
+ostate AS (
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_totalprice, seq) AS val
+    FROM och WHERE o_orderkey IS NOT NULL AND cdc_ts <= DATE '{_CUT_TS}'
+    GROUP BY 1
+  ) WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')
+), lstate AS (
+  SELECT * FROM (
+    SELECT CAST(l_orderkey AS VARCHAR) || '&' || CAST(l_linenumber AS VARCHAR)
+             AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(l_quantity, seq) AS val
+    FROM lch WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+          AND cdc_ts <= DATE '{_CUT_TS}'
+    GROUP BY 1
+  ) WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')
+)
+SELECT 'orders' AS tbl, count(*) AS n_live, round(sum(val), 2) AS val_sum
+FROM ostate
+UNION ALL
+SELECT 'lineitem' AS tbl, count(*) AS n_live, round(sum(val), 2) AS val_sum
+FROM lstate
+ORDER BY tbl
+""",
+)
+def cdc_consistent_cut_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit(_CUT_TS).cast("date")
+
+    def _summary(state: DataFrame, tbl: str, val_col: str) -> DataFrame:
+        return (
+            state.filter(F.col("cdc_action") != "delete")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.round(F.sum(val_col), 2).alias("val_sum"),
+            )
+            .select(F.lit(tbl).alias("tbl"), "n_live", "val_sum")
+        )
+
+    o_state = compact(
+        orders_changelog(spark, sf_dir).filter(F.col("cdc_ts") <= cut),
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+    )
+    l_state = compact(
+        lineitem_changelog(spark, sf_dir).filter(F.col("cdc_ts") <= cut),
+        LINEITEM_PK,
+        LINEITEM_PAYLOAD,
+    )
+    return (
+        _summary(o_state, "orders", "o_totalprice")
+        .unionAll(_summary(l_state, "lineitem", "l_quantity"))
+        .orderBy("tbl")
+    )

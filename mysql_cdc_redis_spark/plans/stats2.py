@@ -2191,3 +2191,221 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# events ext: Poisson overdispersion index of daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_poisson_dispersion",
+    doc="Overdispersion diagnostic of the event stream: daily event "
+    "counts, their variance-to-mean ratio (index of dispersion, =1 "
+    "under Poisson), and the chi-square dispersion statistic "
+    "D·(n−1) — the check that decides whether downstream rate models "
+    "(events_poisson_rate_test) can assume Poisson at all.  Two "
+    "decomposable aggregates (day cells, then moments).",
+    tags=("events", "stats", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1
+)
+SELECT count(*) AS n_days,
+       round(avg(n), 4) AS mean_count,
+       round(var_samp(n), 4) AS var_count,
+       round(var_samp(n) / avg(n), 6) AS dispersion_index,
+       round(var_samp(n) / avg(n) * (count(*) - 1), 2) AS chi2_stat,
+       var_samp(n) / avg(n) > 1.5 AS overdispersed
+FROM d
+""",
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    disp = F.var_samp("n") / F.avg("n")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("n"), 4).alias("mean_count"),
+        F.round(F.var_samp("n"), 4).alias("var_count"),
+        F.round(disp, 6).alias("dispersion_index"),
+        F.round(disp * (F.count(F.lit(1)) - 1), 2).alias("chi2_stat"),
+        (disp > 1.5).alias("overdispersed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: negative-binomial moment fit of per-user activity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_negbinomial_fit",
+    doc="Method-of-moments negative-binomial fit of per-user event "
+    "counts (the canonical overdispersed-activity model): "
+    "r = m²/(v−m), p = m/v from one user-cell aggregate + one moment "
+    "aggregate, with the observed share at the modal low count for "
+    "eyeballing fit.  Degenerates gracefully (r<0) if the data turn "
+    "out under-dispersed.",
+    tags=("events", "stats", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+), s AS (
+  SELECT count(*) AS n_users, avg(n) AS m, var_samp(n) AS v,
+         min(n) AS min_count
+  FROM u
+), lo AS (
+  SELECT count(*) AS n_at_min FROM u, s WHERE u.n = s.min_count
+)
+SELECT n_users, round(m, 4) AS mean_events, round(v, 4) AS var_events,
+       round(m * m / (v - m), 4) AS r_hat,
+       round(m / v, 6) AS p_hat,
+       min_count,
+       round(n_at_min * 1.0 / n_users, 6) AS share_at_min
+FROM s, lo
+""",
+)
+def events_negbinomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    s = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.avg("n").alias("m"),
+        F.var_samp("n").alias("v"),
+        F.min("n").alias("min_count"),
+    )
+    lo = (
+        u.crossJoin(F.broadcast(s.select("min_count")))
+        .filter(F.col("n") == F.col("min_count"))
+        .agg(F.count(F.lit(1)).alias("n_at_min"))
+    )
+    m, v = F.col("m"), F.col("v")
+    return (
+        s.crossJoin(F.broadcast(lo))
+        .select(
+            "n_users",
+            F.round(m, 4).alias("mean_events"),
+            F.round(v, 4).alias("var_events"),
+            F.round(m * m / (v - m), 4).alias("r_hat"),
+            F.round(m / v, 6).alias("p_hat"),
+            "min_count",
+            F.round(F.col("n_at_min") / F.col("n_users"), 6).alias("share_at_min"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval ext: average precision (area under the PR curve, step form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_average_precision",
+    doc="Ranking-quality eval: average precision of account balance as a "
+    "score for the has-URGENT-order label — items ranked by (score "
+    "desc, key) in one window over the per-customer relation, "
+    "precision@k read off the running positive count, AP = mean of "
+    "precision at the positive ranks.  The PR-side complement of the "
+    "ROC AUC entry (agg_auc_roc_midrank); near-prevalence AP says the "
+    "score carries no lift.",
+    tags=("eval", "ranking", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT c.c_custkey, any_value(round(c.c_acctbal, 2)) AS score,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), r AS (
+  SELECT y,
+         row_number() OVER (ORDER BY score DESC, c_custkey) AS k,
+         sum(y) OVER (ORDER BY score DESC, c_custkey) AS tp
+  FROM f
+)
+SELECT sum(y) AS n_pos, count(*) AS n_total,
+       round(sum(y) * 1.0 / count(*), 6) AS prevalence,
+       round(sum(CASE WHEN y = 1 THEN tp * 1.0 / k END) / sum(y), 6)
+         AS average_precision
+FROM r
+""",
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.round("c_acctbal", 2)).alias("score"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), "c_custkey")
+    r = f.select(
+        "y",
+        F.row_number().over(w).alias("k"),
+        F.sum("y").over(w).alias("tp"),
+    )
+    return r.agg(
+        F.sum("y").alias("n_pos"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("prevalence"),
+        F.round(
+            F.sum(F.when(F.col("y") == 1, F.col("tp") / F.col("k"))) / F.sum("y"),
+            6,
+        ).alias("average_precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: CAGR and doubling time between anchor years
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_cagr_doubling",
+    doc="Compound annual growth rate of revenue between the 1995 and 2000 "
+    "anchor years (both fully observed in the fixture), with the implied "
+    "doubling time ln2/ln(1+CAGR) — one conditional aggregate pass, "
+    "closed form after; the long-horizon companion of "
+    "window_mom_growth / window_yoy_same_month.",
+    tags=("window", "finance", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT round(sum(CASE WHEN year(o_orderdate) = 1995
+                        THEN o_totalprice END), 2) AS rev_start,
+         round(sum(CASE WHEN year(o_orderdate) = 2000
+                        THEN o_totalprice END), 2) AS rev_end
+  FROM orders
+)
+SELECT rev_start, rev_end,
+       round(pow(rev_end / rev_start, 1.0 / 5) - 1, 6) AS cagr,
+       round(ln(2) / ln(pow(rev_end / rev_start, 1.0 / 5)), 2)
+         AS doubling_years
+FROM s
+""",
+)
+def window_cagr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    s = orders.agg(
+        F.round(
+            F.sum(F.when(yr == 1995, F.col("o_totalprice"))), 2
+        ).alias("rev_start"),
+        F.round(
+            F.sum(F.when(yr == 2000, F.col("o_totalprice"))), 2
+        ).alias("rev_end"),
+    )
+    growth = F.pow(F.col("rev_end") / F.col("rev_start"), F.lit(1.0 / 5))
+    return s.select(
+        "rev_start",
+        "rev_end",
+        F.round(growth - 1, 6).alias("cagr"),
+        F.round(F.log(F.lit(2.0)) / F.log(growth), 2).alias("doubling_years"),
+    )
