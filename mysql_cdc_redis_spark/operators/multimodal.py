@@ -306,3 +306,44 @@ def video_shot_cuts(
     return with_payload.select(id_col, "payload").mapInPandas(
         _cuts, schema=SHOT_CUT_SCHEMA
     )
+
+
+ZCR_SCHEMA = "doc_id bigint, n_windows int, total_crossings bigint, max_crossings int"
+
+
+def audio_zero_crossing(
+    with_payload: DataFrame,
+    frame_bytes: int = 16,
+    center: int = 80,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zero-crossing-rate framing, the second classical audio feature
+    next to window energy (audio_window_energy): the blob is cut into
+    ``frame_bytes`` windows and each window counts sign changes of the
+    byte stream around ``center`` (80 ≈ the middle of the printable
+    range, so ASCII fixtures actually cross; a real PCM pipeline uses
+    128).  Same one-crossing mapInPandas shape, numpy-vectorized,
+    byte-exact for the DuckDB oracle."""
+    import numpy as np
+
+    def _zcr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_windows": [],
+                "total_crossings": [],
+                "max_crossings": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                w = len(buf) // frame_bytes
+                frames = buf[: w * frame_bytes].reshape(w, frame_bytes)
+                hi = (frames >= center).astype(np.int8)
+                crossings = np.abs(np.diff(hi, axis=1)).sum(axis=1)
+                out["doc_id"].append(did)
+                out["n_windows"].append(w)
+                out["total_crossings"].append(int(crossings.sum()) if w else 0)
+                out["max_crossings"].append(int(crossings.max()) if w else 0)
+            yield pd.DataFrame(out)
+
+    return with_payload.select(id_col, "payload").mapInPandas(_zcr, schema=ZCR_SCHEMA)

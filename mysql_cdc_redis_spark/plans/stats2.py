@@ -2409,3 +2409,329 @@ def window_cagr_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(growth - 1, 6).alias("cagr"),
         F.round(F.log(F.lit(2.0)) / F.log(growth), 2).alias("doubling_years"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal ext: audio zero-crossing rate (second framed-blob feature)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_audio_zero_crossing",
+    doc="Zero-crossing-rate over framed blobs "
+    "(operators/multimodal.py::audio_zero_crossing): 16-byte windows, "
+    "sign changes around byte value 80, numpy-vectorized inside one "
+    "mapInPandas crossing — the same Arrow batch shape as "
+    "mm_audio_window_energy with a different kernel, proving the "
+    "feature-extraction surface is pluggable.  ASCII fixtures let the "
+    "oracle recompute the exact byte math with substr+ascii.",
+    tags=("multimodal", "audio", "pandas-udf", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text, len(text) // 16 AS w FROM documents
+), wins AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(range(2, 17),
+             j -> abs((CASE WHEN ascii(substr(text, i * 16 + j, 1)) >= 80
+                            THEN 1 ELSE 0 END)
+                    - (CASE WHEN ascii(substr(text, i * 16 + j - 1, 1)) >= 80
+                            THEN 1 ELSE 0 END))),
+           'sum') AS c
+  FROM f, LATERAL unnest(range(0, w)) u(i)
+)
+SELECT f.doc_id,
+       CAST(f.w AS INT) AS n_windows,
+       coalesce(sum(wins.c), 0) AS total_crossings,
+       CAST(coalesce(max(wins.c), 0) AS INT) AS max_crossings
+FROM f LEFT JOIN wins ON wins.doc_id = f.doc_id
+GROUP BY f.doc_id, f.w
+ORDER BY f.doc_id
+""",
+)
+def mm_audio_zero_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return mm.audio_zero_crossing(mm.attach_binary_payload(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text ext: out-of-vocabulary rate against the corpus top-1000 vocab
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_oov_rate_profile",
+    doc="Tokenizer-ops OOV audit: the top-1000 token vocabulary (by "
+    "corpus frequency, deterministic tiebreak) built in one explode + "
+    "aggregate, then every document's out-of-vocabulary token share "
+    "via a broadcast semi-join of its tokens against the vocab — "
+    "reported as a per-source OOV profile.  At 100 TB the vocab is a "
+    "broadcast dictionary and the audit stays one fact-side pass.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                            'g'), ' ')) AS t
+  FROM documents
+), vocab AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS n FROM tok GROUP BY t
+    ORDER BY n DESC, t LIMIT 1000
+  )
+), flags AS (
+  SELECT source, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok LEFT JOIN vocab v USING (t)
+)
+SELECT source,
+       count(*) AS n_tokens,
+       sum(oov) AS n_oov,
+       round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
+FROM flags GROUP BY source ORDER BY source
+""",
+)
+def text_oov_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(ts.tokens(F.col("text"))).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(1000)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    flags = tok.join(F.broadcast(vocab), "t", "left").select(
+        "source",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.round(F.sum("oov") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: log-odds-ratio with Dirichlet prior ("fightin' words")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_log_odds_fightin_words",
+    doc="Monroe-style comparative term analysis between two document "
+    "sources: per-token counts in each corpus from one explode + pivot "
+    "aggregate, smoothed log-odds delta = ln((a+α)/(A−a+Tα)) − "
+    "ln((b+α)/(B−b+Tα)) with the corpus-wide Dirichlet prior α=0.5, "
+    "z-scored by the estimated variance 1/(a+α)+1/(b+α).  Top-8 terms "
+    "per direction — the statistically-grounded upgrade of raw TF-IDF "
+    "contrast (text_tfidf_top_terms).",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                            'g'), ' ')) AS t
+  FROM documents WHERE source IN ('web', 'wiki')
+), c AS (
+  SELECT t,
+         sum(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN source = 'wiki' THEN 1 ELSE 0 END) AS b
+  FROM tok GROUP BY t
+), tot AS (
+  SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS n_types FROM c
+), z AS (
+  SELECT t, a, b,
+         (ln((a + 0.5) / (ta - a + 0.5 * n_types))
+          - ln((b + 0.5) / (tb - b + 0.5 * n_types)))
+         / sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)) AS zscore
+  FROM c, tot
+)
+SELECT t, a AS n_web, b AS n_wiki, round(zscore, 4) AS zscore
+FROM (
+  SELECT *, row_number() OVER (ORDER BY zscore DESC, t) AS rtop,
+            row_number() OVER (ORDER BY zscore ASC, t) AS rbot
+  FROM z
+)
+WHERE rtop <= 8 OR rbot <= 8
+ORDER BY zscore DESC, t
+""",
+)
+def text_log_odds_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("web", "wiki")
+    )
+    tok = docs.select("source", F.explode(ts.tokens(F.col("text"))).alias("t"))
+    c = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("source") == "web", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("source") == "wiki", 1).otherwise(0)).alias("b"),
+    )
+    tot = c.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    a, b = F.col("a"), F.col("b")
+    zscore = (
+        F.log((a + 0.5) / (F.col("ta") - a + 0.5 * F.col("n_types")))
+        - F.log((b + 0.5) / (F.col("tb") - b + 0.5 * F.col("n_types")))
+    ) / F.sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5))
+    z = c.crossJoin(F.broadcast(tot)).select(
+        "t", "a", "b", zscore.alias("zscore")
+    )
+    ranked = z.select(
+        "t",
+        "a",
+        "b",
+        "zscore",
+        F.row_number().over(Window.orderBy(F.desc("zscore"), "t")).alias("rtop"),
+        F.row_number().over(Window.orderBy(F.asc("zscore"), "t")).alias("rbot"),
+    )
+    return (
+        ranked.filter((F.col("rtop") <= 8) | (F.col("rbot") <= 8))
+        .select(
+            "t",
+            F.col("a").alias("n_web"),
+            F.col("b").alias("n_wiki"),
+            F.round("zscore", 4).alias("zscore"),
+        )
+        .orderBy(F.desc("zscore"), "t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim ext: signed-random-projection LSH (cosine sketch) calibration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_srp_lsh_hamming",
+    doc="Signed-random-projection LSH over the embedding table — the "
+    "cosine-metric sibling of MinHash (which sketches Jaccard): 16 "
+    "hyperplanes with ±1 weights derived from md5 parity (identical on "
+    "both engines, no RNG), signature = sign bits of the projections, "
+    "all computed in one HOF projection.  Calibration output: bucket "
+    "census plus the correlation between pairwise Hamming distance and "
+    "true cosine distance on a bounded pair sample — the r that says "
+    "the sketch preserves the metric.",
+    tags=("similarity", "lsh", "ext"),
+    oracle="""
+WITH sig AS (
+  SELECT vec_id,
+         list_transform(range(0, 16), b ->
+           CASE WHEN list_sum(list_transform(range(1, 65), d ->
+             (CASE WHEN ascii(substring(md5(b::VARCHAR || ':' || d::VARCHAR),
+                                        1, 1)) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END) * embedding[d])) >= 0
+                THEN 1 ELSE 0 END) AS bits,
+         embedding
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, bits,
+         list_aggregate(list_transform(range(1, 17),
+                                       i -> bits[i] * (1 << (i - 1))),
+                        'sum') AS bucket,
+         embedding
+  FROM sig
+), census AS (
+  SELECT sum(cnt) AS n_vectors,
+         count(*) AS n_buckets,
+         max(cnt) AS max_bucket_size
+  FROM (SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY bucket)
+), pairs AS (
+  SELECT list_sum(list_transform(range(1, 17),
+                  i -> abs(x.bits[i] - y.bits[i]))) AS hamming,
+         1.0 - list_sum(list_transform(range(1, 65),
+                        d -> CAST(x.embedding[d] AS DOUBLE)
+                           * CAST(y.embedding[d] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                     d -> CAST(x.embedding[d] AS DOUBLE)
+                        * CAST(x.embedding[d] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                     d -> CAST(y.embedding[d] AS DOUBLE)
+                        * CAST(y.embedding[d] AS DOUBLE))))) AS cosdist
+  FROM bucketed x JOIN bucketed y
+    ON x.vec_id < y.vec_id AND x.vec_id < 30 AND y.vec_id < 30
+)
+SELECT n_vectors, n_buckets, max_bucket_size,
+       (SELECT round(corr(hamming, cosdist), 3) FROM pairs)
+         AS corr_hamming_cosine
+FROM census
+""",
+)
+def sim_srp_lsh_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits_expr = (
+        "transform(sequence(0, 15), b -> CASE WHEN "
+        "aggregate(sequence(1, 64), cast(0.0 as double), (acc, d) -> acc + "
+        "IF(ascii(substring(md5(concat(cast(b as string), ':', "
+        "cast(d as string))), 1, 1)) % 2 = 0, 1.0D, -1.0D) "
+        "* element_at(embedding, d)) >= 0 THEN 1 ELSE 0 END)"
+    )
+    sig = emb.select("vec_id", "embedding", F.expr(bits_expr).alias("bits"))
+    bucketed = sig.withColumn(
+        "bucket",
+        F.expr(
+            "aggregate(sequence(1, 16), 0L, (acc, i) -> "
+            "acc + element_at(bits, i) * shiftleft(1L, i - 1))"
+        ),
+    )
+    census = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("cnt").alias("max_bucket_size"),
+        )
+    )
+    small = bucketed.filter(F.col("vec_id") < 30).select(
+        "vec_id", "bits", "embedding"
+    )
+    x, y = small.alias("x"), small.alias("y")
+    dot = (
+        "aggregate(zip_with(x_emb, y_emb, (a, b) -> cast(a as double) * "
+        "cast(b as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, a -> cast(a as double) * "
+        "cast(a as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    pairs = (
+        x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.bits").alias("x_bits"),
+            F.col("y.bits").alias("y_bits"),
+            F.col("x.embedding").alias("x_emb"),
+            F.col("y.embedding").alias("y_emb"),
+        )
+        .select(
+            F.expr(
+                "aggregate(zip_with(x_bits, y_bits, (a, b) -> abs(a - b)), 0, "
+                "(acc, v) -> acc + v)"
+            ).alias("hamming"),
+            (
+                1.0
+                - F.expr(dot)
+                / (
+                    F.expr(nrm.format(c="x_emb"))
+                    * F.expr(nrm.format(c="y_emb"))
+                )
+            ).alias("cosdist"),
+        )
+    )
+    r = pairs.agg(F.round(F.corr("hamming", "cosdist"), 3).alias("corr_hamming_cosine"))
+    return census.crossJoin(F.broadcast(r))
