@@ -1779,3 +1779,87 @@ def cdc_consistent_cut_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_summary(l_state, "lineitem", "l_quantity"))
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# A1/M1 ext: compaction write-amplification diagnostic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_compaction_amplification",
+    doc="Cache-sizing diagnostic the reference's cache_max_rows knob "
+    "(cdc_config.py:42) needs but never reports: per table, changelog "
+    "events in vs distinct keys vs live rows out after the fold — "
+    "events-per-key amplification and the tombstone share.  Event "
+    "counts are plain aggregates over each changelog; live counts "
+    "reuse the one-shuffle compaction.  Two 1-row summaries unioned.",
+    tags=("cdc", "diagnostics", "ext"),
+    oracle=f"""
+WITH och AS ({ORDERS_CHANGELOG_SQL}),
+lch AS ({LINEITEM_CHANGELOG_SQL}),
+ostate AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS rid, {_FOLD_LAMBDA} AS cdc_action
+  FROM och WHERE o_orderkey IS NOT NULL GROUP BY 1
+), lstate AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '&' || CAST(l_linenumber AS VARCHAR)
+           AS rid, {_FOLD_LAMBDA} AS cdc_action
+  FROM lch WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+  GROUP BY 1
+)
+SELECT 'orders' AS tbl,
+       (SELECT count(*) FROM och) AS n_events,
+       (SELECT count(*) FROM ostate) AS n_keys,
+       (SELECT count(*) FROM ostate
+        WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete'))
+         AS n_live,
+       round((SELECT count(*) FROM och) * 1.0
+             / (SELECT count(*) FROM ostate), 4) AS events_per_key
+UNION ALL
+SELECT 'lineitem',
+       (SELECT count(*) FROM lch),
+       (SELECT count(*) FROM lstate),
+       (SELECT count(*) FROM lstate
+        WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')),
+       round((SELECT count(*) FROM lch) * 1.0
+             / (SELECT count(*) FROM lstate), 4)
+ORDER BY tbl
+""",
+)
+def cdc_compaction_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _side(ch: DataFrame, pk, payload, tbl: str) -> DataFrame:
+        # compact() drops annihilated keys (insert∘delete folds to the
+        # sentinel and vanishes), so the key census comes straight from
+        # the changelog — one distinct aggregate over the pk tuple
+        state = compact(ch, pk, payload)
+        not_null = ch
+        for c in pk:
+            not_null = not_null.filter(F.col(c).isNotNull())
+        ev = ch.agg(F.count(F.lit(1)).alias("n_events")).crossJoin(
+            F.broadcast(
+                not_null.agg(F.countDistinct(*pk).alias("n_keys"))
+            )
+        )
+        keys = state.agg(
+            F.sum(
+                F.when(F.col("cdc_action") != "delete", 1).otherwise(0)
+            ).alias("n_live"),
+        )
+        return ev.crossJoin(F.broadcast(keys)).select(
+            F.lit(tbl).alias("tbl"),
+            "n_events",
+            "n_keys",
+            "n_live",
+            F.round(F.col("n_events") / F.col("n_keys"), 4).alias("events_per_key"),
+        )
+
+    o = _side(
+        orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD, "orders"
+    )
+    li = _side(
+        lineitem_changelog(spark, sf_dir),
+        LINEITEM_PK,
+        LINEITEM_PAYLOAD,
+        "lineitem",
+    )
+    return o.unionAll(li).orderBy("tbl")

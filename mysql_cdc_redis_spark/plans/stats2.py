@@ -2735,3 +2735,254 @@ def sim_srp_lsh_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = pairs.agg(F.round(F.corr("hamming", "cosdist"), 3).alias("corr_hamming_cosine"))
     return census.crossJoin(F.broadcast(r))
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: revenue waterfall / bridge decomposition between two years
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_waterfall_segment_bridge",
+    doc="Waterfall (bridge) decomposition of the 1995→2000 revenue delta "
+    "by market segment: per-segment revenue in both anchor years from "
+    "ONE conditional aggregate over the fact join, each segment's "
+    "delta, its share of the total move, and the running bridge "
+    "position — the BI shape finance reviews use to explain a "
+    "top-line change.  DECIMAL-cents exact.",
+    tags=("window", "bi", "ext"),
+    oracle="""
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment,
+         round(sum(CASE WHEN year(o.o_orderdate) = 1995
+                        THEN o.o_totalprice ELSE 0 END), 2) AS rev_start,
+         round(sum(CASE WHEN year(o.o_orderdate) = 2000
+                        THEN o.o_totalprice ELSE 0 END), 2) AS rev_end
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT segment, rev_start, rev_end,
+       round(rev_end - rev_start, 2) AS delta,
+       round((rev_end - rev_start)
+             / sum(rev_end - rev_start) OVER (), 6) AS share_of_move,
+       round(sum(rev_end - rev_start)
+             OVER (ORDER BY segment ROWS UNBOUNDED PRECEDING), 2)
+         AS bridge_running
+FROM seg ORDER BY segment
+""",
+)
+def window_waterfall_segment_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    yr = F.year("o_orderdate")
+    seg = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(
+                F.sum(F.when(yr == 1995, F.col("o_totalprice")).otherwise(0.0)), 2
+            ).alias("rev_start"),
+            F.round(
+                F.sum(F.when(yr == 2000, F.col("o_totalprice")).otherwise(0.0)), 2
+            ).alias("rev_end"),
+        )
+    )
+    delta = F.col("rev_end") - F.col("rev_start")
+    w_all = Window.partitionBy()
+    w_run = Window.orderBy("segment").rowsBetween(Window.unboundedPreceding, 0)
+    return seg.select(
+        "segment",
+        "rev_start",
+        "rev_end",
+        F.round(delta, 2).alias("delta"),
+        F.round(delta / F.sum(delta).over(w_all), 6).alias("share_of_move"),
+        F.round(F.sum(delta).over(w_run), 2).alias("bridge_running"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: business-day lag in closed form (no calendar table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_business_days_lag",
+    doc="Average order→ship lag in BUSINESS days per priority, computed "
+    "in closed form — full weeks contribute 5 days, the ragged tail is "
+    "an unrolled 6-term weekday-mod sum — so no calendar dimension "
+    "table and no per-day explode (which would be a 100× row "
+    "amplification at scale).  ISO weekday arithmetic keeps both "
+    "engines bit-identical.",
+    tags=("scalar", "datetime", "ext"),
+    oracle="""
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS n,
+         isodow(o.o_orderdate) - 1 AS a
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+), bd AS (
+  SELECT priority,
+         (n // 7) * 5
+         + (CASE WHEN n % 7 >= 1 AND (a + 1) % 7 < 5 THEN 1 ELSE 0 END)
+         + (CASE WHEN n % 7 >= 2 AND (a + 2) % 7 < 5 THEN 1 ELSE 0 END)
+         + (CASE WHEN n % 7 >= 3 AND (a + 3) % 7 < 5 THEN 1 ELSE 0 END)
+         + (CASE WHEN n % 7 >= 4 AND (a + 4) % 7 < 5 THEN 1 ELSE 0 END)
+         + (CASE WHEN n % 7 >= 5 AND (a + 5) % 7 < 5 THEN 1 ELSE 0 END)
+         + (CASE WHEN n % 7 >= 6 AND (a + 6) % 7 < 5 THEN 1 ELSE 0 END)
+           AS busdays
+  FROM lag
+)
+SELECT priority, count(*) AS n_lines,
+       round(avg(busdays), 4) AS avg_business_days,
+       max(busdays) AS max_business_days
+FROM bd GROUP BY priority ORDER BY priority
+""",
+)
+def scalar_business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(li, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    n = F.datediff("l_shipdate", "o_orderdate")
+    a = F.expr("weekday(o_orderdate)")  # Mon=0 … Sun=6 == isodow-1
+    busdays = (n / 7).cast("bigint") * 5
+    for k in range(1, 7):
+        busdays = busdays + F.when(
+            (n % 7 >= k) & ((a + k) % 7 < 5), 1
+        ).otherwise(0)
+    return (
+        j.select(F.col("o_orderpriority").alias("priority"), busdays.alias("busdays"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("busdays"), 4).alias("avg_business_days"),
+            F.max("busdays").alias("max_business_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: classical ratio-to-moving-average seasonal indices
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_seasonal_ratio_to_ma",
+    doc="Classical multiplicative seasonal indices by ratio-to-moving-"
+    "average: centered 12-month MA over the folded monthly series "
+    "(2×12 convention via two stacked windows), ratios averaged per "
+    "calendar month, normalized so the 12 indices sum to 12 — the "
+    "X-11-style ancestor of window_seasonal_decompose's additive "
+    "model.  Everything after the fact-table fold runs on ≤80 rows.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         month(date_trunc('month', o_orderdate)) AS cal_month,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1, 2
+), ma AS (
+  SELECT mon, cal_month, y,
+         avg(y) OVER (ORDER BY mon ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+           AS ma12a,
+         avg(y) OVER (ORDER BY mon ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+           AS ma12b,
+         row_number() OVER (ORDER BY mon) AS rn,
+         count(*) OVER () AS n
+  FROM m
+), ratio AS (
+  SELECT cal_month, y / ((ma12a + ma12b) / 2) AS r
+  FROM ma WHERE rn > 6 AND rn <= n - 6
+), idx AS (
+  SELECT cal_month, avg(r) AS raw_idx, count(*) AS n_obs FROM ratio GROUP BY 1
+)
+SELECT cal_month, n_obs,
+       round(raw_idx * 12 / sum(raw_idx) OVER (), 6) AS seasonal_index
+FROM idx ORDER BY cal_month
+""",
+)
+def window_seasonal_ratio_to_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mon = F.date_trunc("month", "o_orderdate")
+    m = orders.groupBy(mon.alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    ).withColumn("cal_month", F.month("mon"))
+    w = Window.orderBy("mon")
+    ma = m.select(
+        "cal_month",
+        "y",
+        F.avg("y").over(w.rowsBetween(-6, 5)).alias("ma12a"),
+        F.avg("y").over(w.rowsBetween(-5, 6)).alias("ma12b"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ratio = ma.filter((F.col("rn") > 6) & (F.col("rn") <= F.col("n") - 6)).select(
+        "cal_month",
+        (F.col("y") / ((F.col("ma12a") + F.col("ma12b")) / 2)).alias("r"),
+    )
+    idx = ratio.groupBy("cal_month").agg(
+        F.avg("r").alias("raw_idx"), F.count(F.lit(1)).alias("n_obs")
+    )
+    w_all = Window.partitionBy()
+    return idx.select(
+        "cal_month",
+        "n_obs",
+        F.round(
+            F.col("raw_idx") * 12 / F.sum("raw_idx").over(w_all), 6
+        ).alias("seasonal_index"),
+    ).orderBy("cal_month")
+
+
+# ---------------------------------------------------------------------------
+# text ext: lexical diversity (TTR family) per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lexical_diversity",
+    doc="Lexical-diversity profile per document source: type count, token "
+    "count, type-token ratio, root TTR (Guiraud) and Herdan's C "
+    "(log-log TTR) — the summary statistics whose growth curve "
+    "corpus_vocab_growth traces; one explode + two tiny aggregates.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                            'g'), ' ')) AS t
+  FROM documents
+), s AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT t) AS n_types
+  FROM tok GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       round(n_types * 1.0 / n_tokens, 6) AS ttr,
+       round(n_types / sqrt(n_tokens), 4) AS root_ttr,
+       round(ln(n_types) / ln(n_tokens), 6) AS herdan_c
+FROM s ORDER BY source
+""",
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(ts.tokens(F.col("text"))).alias("t"))
+    s = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_types"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("n_types") / F.sqrt(F.col("n_tokens")), 4).alias("root_ttr"),
+        F.round(F.log("n_types") / F.log("n_tokens"), 6).alias("herdan_c"),
+    ).orderBy("source")
