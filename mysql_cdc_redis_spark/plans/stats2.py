@@ -2986,3 +2986,367 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_types") / F.sqrt(F.col("n_tokens")), 4).alias("root_ttr"),
         F.round(F.log("n_types") / F.log("n_tokens"), 6).alias("herdan_c"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# feat ext: best Gini-impurity split on a numeric feature
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feat_best_split_gini",
+    doc="Decision-tree split finding without a tree library: candidate "
+    "thresholds are the account-balance decile boundaries, per-decile "
+    "(pos,neg) cells fold in one aggregate, and every candidate's "
+    "weighted Gini impurity comes from running sums over the 10 cells — "
+    "evaluating k thresholds costs one fact pass + O(k) window work, "
+    "never k passes.  Returns the best split and its impurity gain.",
+    tags=("feat", "ml", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey, any_value(round(c.c_acctbal, 2)) AS bal,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), d AS (
+  SELECT y, ntile(10) OVER (ORDER BY bal, c_custkey) AS decile,
+         bal
+  FROM flags
+), cell AS (
+  SELECT decile, sum(y) AS pos, sum(1 - y) AS neg, max(bal) AS upper_bal
+  FROM d GROUP BY decile
+), run AS (
+  SELECT decile, upper_bal,
+         sum(pos) OVER (ORDER BY decile) AS lp,
+         sum(neg) OVER (ORDER BY decile) AS ln_,
+         sum(pos) OVER () AS tp, sum(neg) OVER () AS tn
+  FROM cell
+), cand AS (
+  SELECT decile, upper_bal,
+         (lp + ln_) * 1.0 / (tp + tn) AS wl,
+         1 - pow(lp * 1.0 / (lp + ln_), 2) - pow(ln_ * 1.0 / (lp + ln_), 2)
+           AS gini_l,
+         1 - pow((tp - lp) * 1.0 / (tp + tn - lp - ln_), 2)
+           - pow((tn - ln_) * 1.0 / (tp + tn - lp - ln_), 2) AS gini_r,
+         1 - pow(tp * 1.0 / (tp + tn), 2) - pow(tn * 1.0 / (tp + tn), 2)
+           AS gini_root
+  FROM run WHERE decile < 10
+)
+SELECT decile AS split_decile, upper_bal AS split_threshold,
+       round(gini_root, 6) AS gini_root,
+       round(wl * gini_l + (1 - wl) * gini_r, 6) AS gini_split,
+       round(gini_root - (wl * gini_l + (1 - wl) * gini_r), 6) AS gain
+FROM cand
+ORDER BY gini_root - (wl * gini_l + (1 - wl) * gini_r) DESC, decile
+LIMIT 1
+""",
+)
+def feat_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.round("c_acctbal", 2)).alias("bal"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    d = flags.select(
+        "y",
+        "bal",
+        F.ntile(10).over(Window.orderBy("bal", "c_custkey")).alias("decile"),
+    )
+    cell = d.groupBy("decile").agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+        F.max("bal").alias("upper_bal"),
+    )
+    w_run = Window.orderBy("decile")
+    w_all = Window.partitionBy()
+    run = cell.select(
+        "decile",
+        "upper_bal",
+        F.sum("pos").over(w_run).alias("lp"),
+        F.sum("neg").over(w_run).alias("ln_"),
+        F.sum("pos").over(w_all).alias("tp"),
+        F.sum("neg").over(w_all).alias("tn"),
+    )
+    lp, ln_, tp, tn = F.col("lp"), F.col("ln_"), F.col("tp"), F.col("tn")
+    wl = (lp + ln_) / (tp + tn)
+    gini_l = 1 - F.pow(lp / (lp + ln_), F.lit(2)) - F.pow(ln_ / (lp + ln_), F.lit(2))
+    rp, rn = tp - lp, tn - ln_
+    gini_r = 1 - F.pow(rp / (rp + rn), F.lit(2)) - F.pow(rn / (rp + rn), F.lit(2))
+    gini_root = 1 - F.pow(tp / (tp + tn), F.lit(2)) - F.pow(tn / (tp + tn), F.lit(2))
+    gini_split = wl * gini_l + (1 - wl) * gini_r
+    return (
+        run.filter(F.col("decile") < 10)
+        .select(
+            F.col("decile").alias("split_decile"),
+            F.col("upper_bal").alias("split_threshold"),
+            F.round(gini_root, 6).alias("gini_root"),
+            F.round(gini_split, 6).alias("gini_split"),
+            F.round(gini_root - gini_split, 6).alias("gain"),
+        )
+        .orderBy(F.desc("gain"), "split_decile")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: Little's law consistency check (L = λ·W)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_littles_law_check",
+    doc="Queueing sanity check on sessionized traffic: sessions from the "
+    "30-minute-gap rule (the same lag+running-sum construction as "
+    "sessionize_events_gap), then L = total session-seconds over the "
+    "observation span, λ = sessions per second, W = mean session "
+    "duration — Little's law says L = λ·W identically when measured "
+    "over the same window, so the ratio is an invariant ≈1 that "
+    "validates the sessionizer at any scale.  Zero-duration singleton "
+    "sessions drop out of both sides.",
+    tags=("events", "queueing", "ext"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                      event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), sess AS (
+  SELECT user_id, sid,
+         date_diff('second', min(ts), max(ts)) AS dur_s
+  FROM s GROUP BY user_id, sid
+), agg AS (
+  SELECT count(*) AS n_sessions,
+         sum(dur_s) AS total_session_seconds,
+         avg(dur_s) AS w_mean_duration
+  FROM sess WHERE dur_s > 0
+), span AS (
+  SELECT date_diff('second', min(ts), max(ts)) AS span_s FROM events
+)
+SELECT n_sessions,
+       round(total_session_seconds * 1.0 / span_s, 6) AS l_avg_in_system,
+       round(n_sessions * 1.0 / span_s, 8) AS lambda_per_s,
+       round(w_mean_duration, 4) AS w_mean_s,
+       round((total_session_seconds * 1.0 / span_s)
+             / (n_sessions * 1.0 / span_s * w_mean_duration), 6)
+         AS littles_ratio
+FROM agg, span
+""",
+)
+def events_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    s = ev.select("user_id", "ts", new_s.alias("new_s")).select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "dur_s"
+        )
+    )
+    agg = sess.filter(F.col("dur_s") > 0).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_s").alias("total_session_seconds"),
+        F.avg("dur_s").alias("w_mean_duration"),
+    )
+    span = ev.agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "span_s"
+        )
+    )
+    j = agg.crossJoin(F.broadcast(span))
+    l_avg = F.col("total_session_seconds") / F.col("span_s")
+    lam = F.col("n_sessions") / F.col("span_s")
+    return j.select(
+        "n_sessions",
+        F.round(l_avg, 6).alias("l_avg_in_system"),
+        F.round(lam, 8).alias("lambda_per_s"),
+        F.round(F.col("w_mean_duration"), 4).alias("w_mean_s"),
+        F.round(l_avg / (lam * F.col("w_mean_duration")), 6).alias("littles_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: James-Stein shrinkage of per-nation means
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_james_stein_shrinkage",
+    doc="Empirical-Bayes (James-Stein) shrinkage of the 25 per-nation "
+    "mean balances toward the grand mean: group cells in one "
+    "aggregate, the shrink factor 1 − (k−3)·σ̄²/Σ(x̄ᵢ−x̄)² from the "
+    "cells alone (σ̄² = mean within-group variance of the mean), "
+    "shrunk = x̄ + c·(x̄ᵢ − x̄).  The estimator that dominates raw "
+    "group means for k ≥ 4 — what a metrics platform should report "
+    "for many-small-segment breakdowns.  Top-5 biggest moves shown.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, count(*) AS n, avg(c_acctbal) AS m,
+         var_samp(c_acctbal) AS v
+  FROM customer GROUP BY c_nationkey
+), t AS (
+  SELECT count(*) AS k,
+         sum(n * m) / sum(n) AS grand,
+         avg(v / n) AS mean_se2,
+         sum((m - (SELECT sum(n * m) / sum(n) FROM g)) ^ 2) AS ss
+  FROM g
+), c AS (
+  SELECT greatest(0, 1 - (k - 3) * mean_se2 / ss) AS shrink, grand FROM t
+)
+SELECT g.c_nationkey,
+       round(g.m, 4) AS raw_mean,
+       round(c.grand + c.shrink * (g.m - c.grand), 4) AS js_mean,
+       round(abs(g.m - (c.grand + c.shrink * (g.m - c.grand))), 4) AS moved,
+       round(c.shrink, 6) AS shrink_factor
+FROM g, c
+ORDER BY moved DESC, g.c_nationkey LIMIT 5
+""",
+)
+def agg_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("c_acctbal").alias("m"),
+        F.var_samp("c_acctbal").alias("v"),
+    )
+    grand = g.agg(
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand"),
+        F.count(F.lit(1)).alias("k"),
+        F.avg(F.col("v") / F.col("n")).alias("mean_se2"),
+    )
+    ss = (
+        g.crossJoin(F.broadcast(grand.select("grand")))
+        .agg(F.sum(F.pow(F.col("m") - F.col("grand"), F.lit(2))).alias("ss"))
+    )
+    c = grand.crossJoin(F.broadcast(ss)).select(
+        "grand",
+        F.greatest(
+            F.lit(0.0),
+            1 - (F.col("k") - 3) * F.col("mean_se2") / F.col("ss"),
+        ).alias("shrink"),
+    )
+    js = F.col("grand") + F.col("shrink") * (F.col("m") - F.col("grand"))
+    return (
+        g.crossJoin(F.broadcast(c))
+        .select(
+            "c_nationkey",
+            F.round(F.col("m"), 4).alias("raw_mean"),
+            F.round(js, 4).alias("js_mean"),
+            F.round(F.abs(F.col("m") - js), 4).alias("moved"),
+            F.round(F.col("shrink"), 6).alias("shrink_factor"),
+        )
+        .orderBy(F.desc("moved"), "c_nationkey")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: beta-binomial empirical-Bayes shrinkage of return rates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_eb_beta_binomial_returns",
+    doc="Empirical-Bayes shrinkage of per-brand return rates under a "
+    "beta-binomial model: raw rates x/n per brand, a method-of-moments "
+    "Beta(α,β) prior fitted from the rate distribution across brands, "
+    "shrunk rate = (x+α)/(n+α+β) — small brands move toward the prior, "
+    "big brands barely.  The ranking-by-rate fix every marketplace "
+    "leaderboard needs.  Top-5 biggest rank-relevant moves shown.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH b AS (
+  SELECT p_brand,
+         count(*) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand
+), mom AS (
+  SELECT avg(x * 1.0 / n) AS mu, var_samp(x * 1.0 / n) AS s2 FROM b
+), prior AS (
+  SELECT mu * (mu * (1 - mu) / s2 - 1) AS alpha,
+         (1 - mu) * (mu * (1 - mu) / s2 - 1) AS beta
+  FROM mom
+)
+SELECT p_brand, n, x,
+       round(x * 1.0 / n, 6) AS raw_rate,
+       round((x + alpha) / (n + alpha + beta), 6) AS eb_rate,
+       round(alpha, 4) AS prior_alpha,
+       round(beta, 4) AS prior_beta
+FROM b, prior
+ORDER BY abs(x * 1.0 / n - (x + alpha) / (n + alpha + beta)) DESC, p_brand
+LIMIT 5
+""",
+)
+def agg_eb_beta_binomial_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("x"),
+        )
+    )
+    rate = F.col("x") / F.col("n")
+    mom = b.agg(F.avg(rate).alias("mu"), F.var_samp(rate).alias("s2"))
+    nu = F.col("mu") * (1 - F.col("mu")) / F.col("s2") - 1
+    prior = mom.select(
+        (F.col("mu") * nu).alias("alpha"),
+        ((1 - F.col("mu")) * nu).alias("beta"),
+    )
+    eb = (F.col("x") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    return (
+        b.crossJoin(F.broadcast(prior))
+        .select(
+            "p_brand",
+            "n",
+            "x",
+            F.round(rate, 6).alias("raw_rate"),
+            F.round(eb, 6).alias("eb_rate"),
+            F.round(F.col("alpha"), 4).alias("prior_alpha"),
+            F.round(F.col("beta"), 4).alias("prior_beta"),
+            F.abs(rate - eb).alias("_moved"),
+        )
+        .orderBy(F.desc("_moved"), "p_brand")
+        .limit(5)
+        .drop("_moved")
+    )
