@@ -1863,3 +1863,81 @@ def cdc_compaction_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem",
     )
     return o.unionAll(li).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# M2 ext: partial row-image updates (per-column last-non-null coalesce)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_partial_image_coalesce",
+    doc="Partial-update CDC semantics: update events carry only the "
+    "changed columns (the others NULL, as MySQL minimal row images / "
+    "JSON merge-patch feeds do), so the fold must coalesce PER COLUMN — "
+    "last non-null value wins independently for each field, while the "
+    "action algebra still folds over the full event sequence.  One "
+    "max_by(col, seq-if-non-null) per payload column inside the same "
+    "single-shuffle aggregate; the reference's whole-row HMSET "
+    "(rcache.py:247-254) cannot express this.  Partial images are "
+    "synthesized from the changelog by seq parity.",
+    tags=("cdc", "ref:M2", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+partial AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS rid, seq, cdc_action,
+         CASE WHEN cdc_action = 'update' AND seq % 2 = 1 THEN NULL
+              ELSE o_orderstatus END AS st,
+         CASE WHEN cdc_action = 'update' AND seq % 2 = 0 THEN NULL
+              ELSE o_totalprice END AS tp
+  FROM ch WHERE o_orderkey IS NOT NULL
+), fold AS (
+  SELECT rid,
+         {_FOLD_LAMBDA} AS cdc_action,
+         arg_max(st, CASE WHEN st IS NOT NULL THEN seq END) AS o_orderstatus,
+         arg_max(tp, CASE WHEN tp IS NOT NULL THEN seq END) AS o_totalprice
+  FROM partial GROUP BY rid
+)
+SELECT rid, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM fold
+WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')
+ORDER BY rid
+""",
+)
+def cdc_partial_image_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import _fold_actions
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey").isNotNull())
+    upd = F.col("cdc_action") == "update"
+    partial = ch.select(
+        F.col("o_orderkey").cast("string").alias("rid"),
+        "seq",
+        "cdc_action",
+        F.when(upd & (F.col("seq") % 2 == 1), F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("st"),
+        F.when(upd & (F.col("seq") % 2 == 0), F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ).alias("tp"),
+    )
+    folded = partial.groupBy("rid").agg(
+        _fold_actions(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "cdc_action"))),
+                lambda s: s.cdc_action,
+            )
+        ).alias("cdc_action"),
+        F.max_by(
+            "st", F.when(F.col("st").isNotNull(), F.col("seq"))
+        ).alias("o_orderstatus"),
+        F.max_by(
+            "tp", F.when(F.col("tp").isNotNull(), F.col("seq"))
+        ).alias("o_totalprice"),
+    )
+    return (
+        folded.filter(
+            ~F.col("cdc_action").isin(ACTION_FOLD_SENTINEL, "delete")
+        )
+        .select("rid", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("rid")
+    )

@@ -3350,3 +3350,229 @@ def agg_eb_beta_binomial_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .drop("_moved")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: split-conformal prediction interval + holdout coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_conformal_interval_coverage",
+    doc="Split-conformal prediction intervals for order value by "
+    "priority: the 1996 calibration year yields per-group median "
+    "predictions and the 90th percentile of absolute residuals (the "
+    "conformal quantile), then 1997 holdout coverage — the share "
+    "inside prediction ± q — is measured in the same pass shape.  "
+    "Distribution-free ML uncertainty as two decomposable aggregates "
+    "+ one broadcast join.",
+    tags=("agg", "ml", "ext"),
+    oracle="""
+WITH c96 AS (
+  SELECT o_orderpriority AS pri, round(o_totalprice, 2) AS val
+  FROM orders WHERE year(o_orderdate) = 1996
+), cal AS (
+  -- rank-based (type-1) median: the value at position ceil(0.5 n) — an
+  -- actual data point, so both engines agree exactly (interpolated
+  -- quantile_cont can differ in the last ulp across engines)
+  SELECT pri, val AS pred FROM (
+    SELECT pri, val,
+           row_number() OVER (PARTITION BY pri ORDER BY val) AS rn,
+           count(*) OVER (PARTITION BY pri) AS cnt
+    FROM c96
+  ) WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+), qhat AS (
+  SELECT pri, resid AS q FROM (
+    SELECT o.pri, abs(o.val - c.pred) AS resid,
+           row_number() OVER (PARTITION BY o.pri
+                              ORDER BY abs(o.val - c.pred)) AS rn,
+           count(*) OVER (PARTITION BY o.pri) AS cnt
+    FROM c96 o JOIN cal c ON c.pri = o.pri
+  ) WHERE rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+)
+SELECT o.o_orderpriority AS pri,
+       count(*) AS n_holdout,
+       any_value(c.pred) AS prediction,
+       any_value(q.q) AS conformal_q,
+       round(avg(CASE WHEN abs(round(o.o_totalprice, 2) - c.pred) <= q.q
+                      THEN 1.0 ELSE 0.0 END), 6) AS coverage_1997
+FROM orders o
+JOIN cal c ON c.pri = o.o_orderpriority
+JOIN qhat q ON q.pri = o.o_orderpriority
+WHERE year(o.o_orderdate) = 1997
+GROUP BY 1 ORDER BY 1
+""",
+)
+def agg_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    val = F.round("o_totalprice", 2)
+    yr = F.year("o_orderdate")
+    c96 = orders.filter(yr == 1996).select(
+        F.col("o_orderpriority").alias("pri"), val.alias("val")
+    )
+
+    def _rank_quantile(df: DataFrame, col: str, p: float, out: str) -> DataFrame:
+        w = Window.partitionBy("pri").orderBy(col)
+        wc = Window.partitionBy("pri")
+        return (
+            df.select(
+                "pri",
+                F.col(col),
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(wc).alias("cnt"),
+            )
+            .filter(F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")).cast("bigint"))
+            .select("pri", F.col(col).alias(out))
+        )
+
+    cal = _rank_quantile(c96, "val", 0.5, "pred")
+    resid = c96.join(F.broadcast(cal), "pri").select(
+        "pri", F.abs(F.col("val") - F.col("pred")).alias("resid")
+    )
+    qhat = _rank_quantile(resid, "resid", 0.9, "q")
+    hold = orders.filter(yr == 1997)
+    return (
+        hold.join(F.broadcast(cal), cal.pri == hold.o_orderpriority)
+        .join(F.broadcast(qhat), "pri")
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout"),
+            F.any_value("pred").alias("prediction"),
+            F.any_value("q").alias("conformal_q"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.abs(val - F.col("pred")) <= F.col("q"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage_1997"),
+        )
+        .orderBy("pri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: sample-ratio-mismatch (SRM) gate on a hash split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_srm_check",
+    doc="Sample-ratio-mismatch gate for a deterministic 50/50 experiment "
+    "split: users assigned by md5 parity of their id (the same "
+    "replay-stable trick as corpus_hash_split), observed arm counts vs "
+    "the designed ratio via the one-df chi-square — the first sanity "
+    "check any experimentation platform runs before reading a metric.  "
+    "One distinct-aggregate pass.",
+    tags=("agg", "experiment", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         ascii(substring(md5(user_id::VARCHAR), 1, 1)) % 2 AS arm
+  FROM events
+), s AS (
+  SELECT count(*) AS n,
+         sum(arm) AS n_treat,
+         count(*) - sum(arm) AS n_control
+  FROM u
+)
+SELECT n, n_treat, n_control,
+       round(n_treat * 1.0 / n, 6) AS treat_share,
+       round(pow(n_treat - n * 0.5, 2) / (n * 0.5)
+             + pow(n_control - n * 0.5, 2) / (n * 0.5), 4) AS chi2_1df,
+       (pow(n_treat - n * 0.5, 2) / (n * 0.5)
+        + pow(n_control - n * 0.5, 2) / (n * 0.5)) > 3.841 AS srm_flag
+FROM s
+""",
+)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.ascii(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1))
+        % 2
+    )
+    u = ev.select("user_id").distinct().select(arm.alias("arm"))
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("arm").alias("n_treat"),
+        (F.count(F.lit(1)) - F.sum("arm")).alias("n_control"),
+    )
+    n, nt, nc = F.col("n"), F.col("n_treat"), F.col("n_control")
+    chi2 = F.pow(nt - n * 0.5, F.lit(2)) / (n * 0.5) + F.pow(
+        nc - n * 0.5, F.lit(2)
+    ) / (n * 0.5)
+    return s.select(
+        "n",
+        "n_treat",
+        "n_control",
+        F.round(nt / n, 6).alias("treat_share"),
+        F.round(chi2, 4).alias("chi2_1df"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: Fano factor across window scales (burstiness scaling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_fano_factor_scaling",
+    doc="Burstiness scaling of the event stream: the Fano factor "
+    "(var/mean of per-window counts) measured at 1h / 6h / 24h window "
+    "sizes in one pass — the bucket key is just three floor-divisions "
+    "of the epoch, so the three grains explode from each event row "
+    "map-side and aggregate together.  Flat ≈1 across scales means "
+    "Poisson; growth with window size means long-range clustering "
+    "(events_poisson_dispersion is the single-scale special case).",
+    tags=("events", "timeseries", "ext"),
+    oracle="""
+WITH anchor AS (SELECT min(ts) AS t0 FROM events),
+g AS (
+  -- windows anchored at min(ts): pure timestamp differences, so the
+  -- bucketing is identical regardless of either engine's epoch/timezone
+  -- conventions
+  SELECT s.scale_s,
+         date_diff('second', anchor.t0, ts) // s.scale_s AS w,
+         count(*) AS n
+  FROM events, anchor
+  CROSS JOIN (VALUES (3600), (21600), (86400)) AS s(scale_s)
+  GROUP BY 1, 2
+)
+SELECT scale_s,
+       count(*) AS n_windows,
+       round(avg(n), 4) AS mean_count,
+       round(var_samp(n), 4) AS var_count,
+       round(var_samp(n) / avg(n), 6) AS fano_factor
+FROM g GROUP BY scale_s ORDER BY scale_s
+""",
+)
+def events_fano_factor_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.min("ts").alias("t0"))
+    g = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select(
+            (F.unix_timestamp("ts") - F.unix_timestamp("t0")).alias("ep"),
+            F.explode(
+                F.array(F.lit(3600), F.lit(21600), F.lit(86400))
+            ).alias("scale_s"),
+        )
+        .groupBy(
+            "scale_s", F.floor(F.col("ep") / F.col("scale_s")).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        g.groupBy("scale_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.round(F.avg("n"), 4).alias("mean_count"),
+            F.round(F.var_samp("n"), 4).alias("var_count"),
+            F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano_factor"),
+        )
+        .orderBy("scale_s")
+    )
