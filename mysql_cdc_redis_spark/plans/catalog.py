@@ -59,6 +59,7 @@ def _load_all_modules() -> None:
         advanced,
         cdc,
         llm,
+        mlops,
         relational,
         sciops,
         stats2,
