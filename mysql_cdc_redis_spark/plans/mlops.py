@@ -440,3 +440,302 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "len_p75",
         )
     )
+
+
+_MARGIN_SAMPLE_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang, {_NORM} AS norm FROM documents),
+t AS (SELECT doc_id, lang, string_split(norm, ' ') AS toks FROM d),
+m AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+           * 1.0 / len(toks) AS ratio
+  FROM t
+)
+SELECT doc_id, lang,
+       round(ratio, 6) AS stopword_ratio,
+       round(abs(ratio - 0.05), 6) AS margin
+FROM m ORDER BY abs(ratio - 0.05), doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# eval: decision-threshold sweep with F1 (the operating-point picker)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlops_threshold_sweep_f1",
+    doc="Operating-point selection: sweep the account-balance decile "
+    "boundaries as decision thresholds for the has-URGENT-order label "
+    "and score precision / recall / F1 at every candidate — per-decile "
+    "(pos,neg) cells fold in one fact pass, the sweep itself is suffix "
+    "sums over 10 cells (predict-positive = everything above the "
+    "cut), and the argmax is flagged in-plan.  The evaluation-side "
+    "complement of feat_best_split_gini.",
+    tags=("mlops", "eval", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey, any_value(round(c.c_acctbal, 2)) AS bal,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), d AS (
+  SELECT y, ntile(10) OVER (ORDER BY bal, c_custkey) AS decile FROM flags
+), cell AS (
+  SELECT decile, sum(y) AS pos, sum(1 - y) AS neg FROM d GROUP BY decile
+), sweep AS (
+  SELECT decile AS cut_decile,
+         sum(pos) OVER (ORDER BY decile DESC) - pos AS _tp_above_excl,
+         sum(pos) OVER () - sum(pos) OVER (ORDER BY decile) AS tp,
+         sum(neg) OVER () - sum(neg) OVER (ORDER BY decile) AS fp,
+         sum(pos) OVER () AS tpos
+  FROM cell
+), m AS (
+  SELECT cut_decile, tp, fp,
+         tp * 1.0 / nullif(tp + fp, 0) AS prec,
+         tp * 1.0 / tpos AS rec
+  FROM sweep WHERE cut_decile < 10
+)
+SELECT cut_decile, tp, fp,
+       round(prec, 6) AS precision_,
+       round(rec, 6) AS recall_,
+       round(2 * prec * rec / nullif(prec + rec, 0), 6) AS f1,
+       2 * prec * rec / nullif(prec + rec, 0)
+         = max(2 * prec * rec / nullif(prec + rec, 0)) OVER () AS is_best
+FROM m ORDER BY cut_decile
+""",
+)
+def mlops_threshold_sweep_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.round("c_acctbal", 2)).alias("bal"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    d = flags.select(
+        "y", F.ntile(10).over(Window.orderBy("bal", "c_custkey")).alias("decile")
+    )
+    cell = d.groupBy("decile").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile")
+    sweep = cell.select(
+        F.col("decile").alias("cut_decile"),
+        (F.sum("pos").over(w_all) - F.sum("pos").over(w_cum)).alias("tp"),
+        (F.sum("neg").over(w_all) - F.sum("neg").over(w_cum)).alias("fp"),
+        F.sum("pos").over(w_all).alias("tpos"),
+    ).filter(F.col("cut_decile") < 10)
+    prec = F.col("tp") / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0))
+    rec = F.col("tp") / F.col("tpos")
+    f1 = 2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))
+    m = sweep.select(
+        "cut_decile",
+        "tp",
+        "fp",
+        F.round(prec, 6).alias("precision_"),
+        F.round(rec, 6).alias("recall_"),
+        F.round(f1, 6).alias("f1"),
+        f1.alias("_f1_raw"),
+    )
+    return (
+        m.withColumn(
+            "is_best", F.col("_f1_raw") == F.max("_f1_raw").over(w_all)
+        )
+        .drop("_f1_raw")
+        .orderBy("cut_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# release: train/test contamination audit of the hash split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_split_leakage_audit",
+    doc="Split-contamination audit: the deterministic hash split "
+    "(operators/corpus.py::hash_split, seed split-v1, 80/10/10) "
+    "crossed with exact-duplicate fingerprints — a fingerprint whose "
+    "copies land in more than one split leaks training text into "
+    "eval.  One pass to (fingerprint × split) cells, then a tiny "
+    "aggregate counts leaky fingerprints and the train↔test pairs "
+    "specifically.  The audit corpus_hash_split itself cannot see "
+    "(it is per-row; leakage is a cross-row property of duplicates).",
+    tags=("mlops", "corpus", "dedup", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN (('0x' || substr(md5('split-v1#' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN (('0x' || substr(md5('split-v1#' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), cell AS (
+  SELECT fp,
+         count(DISTINCT split) AS n_splits,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+  FROM s GROUP BY fp
+)
+SELECT count(*) AS n_fingerprints,
+       sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS n_leaky,
+       sum(in_train * in_test) AS n_train_test_leaks,
+       round(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS leak_rate
+FROM cell
+""",
+)
+def corpus_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+    from ..operators.corpus import hash_split
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"))
+    s = docs.select(ts.fingerprint(F.col("text")).alias("fp"), "split")
+    cell = s.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+    )
+    leaky = F.when(F.col("n_splits") > 1, 1).otherwise(0)
+    return cell.agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(leaky).alias("n_leaky"),
+        F.sum(F.col("in_train") * F.col("in_test")).alias("n_train_test_leaks"),
+        F.round(F.sum(leaky) / F.count(F.lit(1)), 6).alias("leak_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval: pinball (quantile) loss of the conformal-style predictions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlops_pinball_loss_eval",
+    doc="Quantile-forecast evaluation with pinball loss: rank-based P50 "
+    "and P90 order-value predictions per priority fitted on 1996 "
+    "(the same type-1 quantiles as agg_conformal_interval_coverage), "
+    "scored on the 1997 holdout with "
+    "L_q = mean(max(q·(y−ŷ), (q−1)·(y−ŷ))) — the proper scoring rule "
+    "for quantile predictions.  Two calibration passes + one holdout "
+    "pass, all decomposable.",
+    tags=("mlops", "eval", "ext"),
+    oracle="""
+WITH c96 AS (
+  SELECT o_orderpriority AS pri, round(o_totalprice, 2) AS val
+  FROM orders WHERE year(o_orderdate) = 1996
+), r AS (
+  SELECT pri, val,
+         row_number() OVER (PARTITION BY pri ORDER BY val) AS rn,
+         count(*) OVER (PARTITION BY pri) AS cnt
+  FROM c96
+), pred AS (
+  SELECT pri,
+         max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                  THEN val END) AS p50,
+         max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+                  THEN val END) AS p90
+  FROM r GROUP BY pri
+)
+SELECT o.o_orderpriority AS pri,
+       count(*) AS n_holdout,
+       any_value(p.p50) AS pred_p50,
+       any_value(p.p90) AS pred_p90,
+       round(avg(greatest(0.5 * (round(o.o_totalprice, 2) - p.p50),
+                          -0.5 * (round(o.o_totalprice, 2) - p.p50))), 4)
+         AS pinball_50,
+       round(avg(greatest(0.9 * (round(o.o_totalprice, 2) - p.p90),
+                          -0.1 * (round(o.o_totalprice, 2) - p.p90))), 4)
+         AS pinball_90
+FROM orders o JOIN pred p ON p.pri = o.o_orderpriority
+WHERE year(o.o_orderdate) = 1997
+GROUP BY 1 ORDER BY 1
+""",
+)
+def mlops_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    val = F.round("o_totalprice", 2)
+    yr = F.year("o_orderdate")
+    c96 = orders.filter(yr == 1996).select(
+        F.col("o_orderpriority").alias("pri"), val.alias("val")
+    )
+    w = Window.partitionBy("pri").orderBy("val")
+    wc = Window.partitionBy("pri")
+    r = c96.select(
+        "pri",
+        "val",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    at = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")).cast("bigint"),
+            F.col("val"),
+        )
+    )
+    pred = r.groupBy("pri").agg(at(0.5).alias("p50"), at(0.9).alias("p90"))
+    hold = orders.filter(yr == 1997)
+    e50 = val - F.col("p50")
+    e90 = val - F.col("p90")
+    return (
+        hold.join(F.broadcast(pred), pred.pri == hold.o_orderpriority)
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_holdout"),
+            F.any_value("p50").alias("pred_p50"),
+            F.any_value("p90").alias("pred_p90"),
+            F.round(F.avg(F.greatest(0.5 * e50, -0.5 * e50)), 4).alias(
+                "pinball_50"
+            ),
+            F.round(F.avg(F.greatest(0.9 * e90, -0.1 * e90)), 4).alias(
+                "pinball_90"
+            ),
+        )
+        .orderBy("pri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# labeling: margin-based uncertainty sampling for the lang-ID gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlops_margin_uncertainty_sample",
+    doc="Active-learning batch selection: the ten documents whose "
+    "stopword-density sits closest to the lang-ID decision threshold "
+    "(0.05) — exactly the rows where the champion heuristic is least "
+    "certain and a human label buys the most information.  One "
+    "projection + TakeOrdered; margin ties broken by doc_id so the "
+    "labeling batch is replay-stable.",
+    tags=("mlops", "labeling", "ext"),
+    oracle=_MARGIN_SAMPLE_ORACLE,
+)
+def mlops_margin_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = ts.stopword_ratio(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.round(ratio, 6).alias("stopword_ratio"),
+            F.round(F.abs(ratio - 0.05), 6).alias("margin"),
+        )
+        .orderBy("margin", "doc_id")
+        .limit(10)
+    )
