@@ -3576,3 +3576,184 @@ def events_fano_factor_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scale_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# W6 ext: trailing-7-day EXACT distinct users via mergeable daily bitmaps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_sliding_distinct_bitmap",
+    doc="Trailing-7-day exact distinct users per day WITHOUT rescanning "
+    "raw events per window: one pass folds events into per-(day, "
+    "bucket) 4 KB bitmaps (bitmap_construct_agg, the same encoding as "
+    "agg_bitmap_distinct_users), then each day ORs the trailing seven "
+    "days' bitmaps (a bounded self-join on the tiny day×bucket "
+    "relation) and sums bitmap_count.  At 100 TB the raw ids are "
+    "touched once; every window after that merges kilobytes — the "
+    "pattern a daily-active-users dashboard needs.  Exact, fully "
+    "oracle-checked against a windowed count(DISTINCT).",
+    tags=("window", "bitmap", "distinct", "ext"),
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT e.user_id) AS users_7d
+FROM days
+JOIN events e
+  ON date_trunc('day', e.ts) <= days.d
+ AND date_trunc('day', e.ts) > days.d - INTERVAL 7 DAY
+GROUP BY days.d
+ORDER BY day
+""",
+)
+def window_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    buckets = ev.groupBy(
+        day.alias("d"), F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    days = buckets.select("d").distinct().withColumnRenamed("d", "win_d")
+    merged = (
+        days.join(
+            buckets,
+            (F.col("d") <= F.col("win_d"))
+            & (F.col("d") > F.date_sub(F.col("win_d"), 7)),
+        )
+        .groupBy("win_d", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm7"))
+    )
+    return (
+        merged.groupBy("win_d")
+        .agg(F.sum(F.bitmap_count("bm7")).alias("users_7d"))
+        .select(
+            F.date_format("win_d", "yyyy-MM-dd").alias("day"), "users_7d"
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: spectral period scan (DFT power at candidate periods)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_spectral_period_scan",
+    doc="Periodicity detection without an FFT library: daily event "
+    "counts (mean-centered), then the discrete-Fourier power "
+    "|Σ y·e^{-2πit/p}|² at every candidate period p ∈ 2..14 days — "
+    "cos/sin sums are plain decomposable aggregates, the candidate "
+    "grid explodes map-side from each day row, and the argmax period "
+    "falls out of a 13-row sort.  Finds the weekly cycle that "
+    "events_hourly_seasonality assumes.",
+    tags=("events", "timeseries", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY date_trunc('day', ts)) - 1 AS t,
+         count(*) AS y
+  FROM events GROUP BY date_trunc('day', ts)
+), c AS (
+  SELECT t, y - avg(y) OVER () AS yc FROM d
+), grid AS (
+  SELECT p.p,
+         sum(yc * cos(2 * pi() * t / p.p)) AS re,
+         sum(yc * sin(2 * pi() * t / p.p)) AS im
+  FROM c CROSS JOIN (SELECT unnest(range(2, 15)) AS p) p
+  GROUP BY p.p
+)
+SELECT CAST(p AS INT) AS period_days,
+       round(re * re + im * im, 2) AS power,
+       CAST(p AS INT) = (SELECT CAST(p AS INT) FROM grid
+                         ORDER BY re * re + im * im DESC, p LIMIT 1)
+         AS is_peak
+FROM grid ORDER BY period_days
+""",
+)
+def events_spectral_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    ).select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
+    )
+    c = d.select(
+        "t", (F.col("y") - F.avg("y").over(Window.partitionBy())).alias("yc")
+    )
+    ang = 2 * F.lit(3.141592653589793) * F.col("t") / F.col("p")
+    grid = (
+        c.select(
+            "t",
+            "yc",
+            F.explode(F.sequence(F.lit(2), F.lit(14))).alias("p"),
+        )
+        .groupBy("p")
+        .agg(
+            F.sum(F.col("yc") * F.cos(ang)).alias("re"),
+            F.sum(F.col("yc") * F.sin(ang)).alias("im"),
+        )
+    )
+    power = F.col("re") * F.col("re") + F.col("im") * F.col("im")
+    w_all = Window.partitionBy()
+    ranked = grid.select(
+        F.col("p").cast("int").alias("period_days"),
+        F.round(power, 2).alias("power"),
+        power.alias("_pw"),
+    ).withColumn(
+        "is_peak",
+        F.struct(F.col("_pw"), -F.col("period_days"))
+        == F.max(F.struct(F.col("_pw"), -F.col("period_days"))).over(w_all),
+    )
+    return ranked.drop("_pw").orderBy("period_days")
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: URL-slug normalization (the web-corpus key cleaner)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_slugify",
+    doc="Deterministic slug normalization of part names — lowercase, "
+    "whitespace/punctuation runs collapsed to single dashes, edges "
+    "trimmed — the canonical-key cleaner used before joining scraped "
+    "names across sources (text_url_canonicalize's path twin).  Pure "
+    "regexp projection; distinct-slug census shows the key-space "
+    "compression.",
+    tags=("scalar", "text", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT p_partkey,
+         trim(regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '-',
+                                            'g'), '^-+|-+$', '', 'g')) AS slug
+  FROM part
+)
+SELECT (SELECT count(*) FROM s) AS n_names,
+       (SELECT count(DISTINCT slug) FROM s) AS n_slugs,
+       (SELECT slug FROM s ORDER BY p_partkey LIMIT 1) AS sample_slug
+""",
+)
+def text_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    slug = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("p_name")), "[^a-z0-9]+", "-"),
+            "^-+|-+$",
+            "",
+        )
+    )
+    s = part.select("p_partkey", slug.alias("slug"))
+    census = s.agg(
+        F.count(F.lit(1)).alias("n_names"),
+        F.countDistinct("slug").alias("n_slugs"),
+    )
+    first = (
+        s.orderBy("p_partkey")
+        .limit(1)
+        .select(F.col("slug").alias("sample_slug"))
+    )
+    return census.crossJoin(F.broadcast(first))
