@@ -3615,13 +3615,21 @@ def window_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFram
     buckets = ev.groupBy(
         day.alias("d"), F.bitmap_bucket_number("user_id").alias("bucket")
     ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
-    days = buckets.select("d").distinct().withColumnRenamed("d", "win_d")
+    # map-side window fan-out: each daily sketch contributes itself to the
+    # 7 windows that can see it — no day×day self-join, no second pass
+    # over raw events; the 7× amplification happens on the KB-sized
+    # sketch relation, not the fact table
+    fanned = buckets.select(
+        F.explode(
+            F.expr("sequence(d, d + INTERVAL 6 DAYS, INTERVAL 1 DAY)")
+        ).alias("win_d"),
+        "bucket",
+        "bm",
+    )
+    # valid windows = days that actually occur (cheap ts-only second scan)
+    days = ev.select(day.alias("win_d")).distinct()
     merged = (
-        days.join(
-            buckets,
-            (F.col("d") <= F.col("win_d"))
-            & (F.col("d") > F.date_sub(F.col("win_d"), 7)),
-        )
+        fanned.join(F.broadcast(days), "win_d")
         .groupBy("win_d", "bucket")
         .agg(F.bitmap_or_agg("bm").alias("bm7"))
     )

@@ -1061,3 +1061,104 @@ def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_converting_views"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_distribution_drift_monitor",
+    doc="Streaming drift monitor (T6 × ML-ops): 6-hour tumbling windows "
+    "of event-type counts maintained incrementally (update mode, "
+    "watermarked, finalized by last emission per window exactly like "
+    "stream_windowed_event_counts), then each closed window's type "
+    "distribution is scored against the whole-stream baseline with "
+    "Laplace-smoothed PSI — the alert a serving pipeline raises when "
+    "traffic mix shifts.  Per-window state is 5 counters; the baseline "
+    "is a broadcast 5-row relation.",
+    tags=("streaming", "mlops", "drift", "ext"),
+    oracle="""
+WITH w AS (
+  SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS ws,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, count(*) AS nb FROM events GROUP BY 1
+), tot AS (
+  SELECT ws, sum(n) AS nw FROM w GROUP BY ws
+), btot AS (SELECT sum(nb) AS nbt FROM base),
+scored AS (
+  SELECT w.ws,
+         sum(((w.n + 0.5) / (tot.nw + 2.5)
+              - (base.nb + 0.5) / (btot.nbt + 2.5))
+             * ln(((w.n + 0.5) / (tot.nw + 2.5))
+                  / ((base.nb + 0.5) / (btot.nbt + 2.5)))) AS psi,
+         any_value(tot.nw) AS n_events
+  FROM w
+  JOIN tot ON tot.ws = w.ws
+  JOIN base ON base.event_type = w.event_type
+  CROSS JOIN btot
+  GROUP BY w.ws
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(psi, 6) AS psi,
+       psi > 0.1 AS drift_alert
+FROM scored ORDER BY window_start
+""",
+)
+def stream_distribution_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    source_dir = _tmp("driftmon_src")
+    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    emissions_dir = _tmp("driftmon_emit")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(emissions_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", _tmp("driftmon_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(emissions_dir)
+    w = (
+        emitted.groupBy("w", "event_type")
+        .agg(F.max_by("n", F.col("batch_id")).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    base = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("nb"))
+    btot = base.agg(F.sum("nb").alias("nbt"))
+    tot = w.groupBy("ws").agg(F.sum("n").alias("nw"))
+    p = (F.col("n") + 0.5) / (F.col("nw") + 2.5)
+    qd = (F.col("nb") + 0.5) / (F.col("nbt") + 2.5)
+    scored = (
+        w.join(tot, "ws")
+        .join(F.broadcast(base), "event_type")
+        .crossJoin(F.broadcast(btot))
+        .groupBy("ws")
+        .agg(
+            F.sum((p - qd) * F.log(p / qd)).alias("psi"),
+            F.any_value("nw").alias("n_events"),
+        )
+    )
+    return scored.select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm").alias("window_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("psi", 6).alias("psi"),
+        (F.col("psi") > 0.1).alias("drift_alert"),
+    ).orderBy("window_start")

@@ -721,3 +721,46 @@ def test_gpd_threshold_broadcasts_back(spark, sf_dir):
     plan = _plan(_QUERIES["agg_pot_gpd_fit"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _n_scans(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_bitmap_sliding_window_merges_daily_sketches(spark, sf_dir):
+    # raw user ids must fold into bitmaps on ONE full scan; the only
+    # other scan allowed is the ts-only day-list projection.  The window
+    # merge is a map-side fan-out (Generate) over the sketch relation,
+    # never a day×day SortMergeJoin
+    plan = _plan(_QUERIES["window_sliding_distinct_bitmap"].fn(spark, sf_dir))
+    assert _n_scans(plan) <= 2, f"window merge must not rescan events:\n{plan}"
+    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan  # the 7-window sketch fan-out
+
+
+def test_drift_grid_single_fact_scan(spark, sf_dir):
+    # all three features and both periods bin in ONE conditional
+    # aggregate over one lineitem scan (the explode is map-side)
+    plan = _plan(_QUERIES["mlops_drift_grid_binned_ks"].fn(spark, sf_dir))
+    assert _n_scans(plan) == 1, "features must share one scan"
+    assert "Generate" in plan  # the map-side feature explode
+
+
+def test_leakage_screen_one_wide_aggregate(spark, sf_dir):
+    import re
+
+    # the whole correlation grid must ride one join + two aggregates
+    # (per-customer fold, then the wide corr reduce) — shuffles stay ≤ 3
+    plan = _plan(_QUERIES["mlops_label_leakage_screen"].fn(spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, f"corr grid must not rescan per feature:\n{plan}"
+
+
+def test_conformal_quantiles_broadcast_to_holdout(spark, sf_dir):
+    # calibration relations (5 rows each) must broadcast into the 1997
+    # holdout scan, never shuffle it
+    plan = _plan(_QUERIES["agg_conformal_interval_coverage"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
