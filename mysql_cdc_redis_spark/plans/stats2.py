@@ -3765,3 +3765,191 @@ def text_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("slug").alias("sample_slug"))
     )
     return census.crossJoin(F.broadcast(first))
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end ext: CTE + window + set-op composite through spark.sql
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_cte_window_union",
+    doc="SQL-front-end breadth: a query combining CTEs, a ranking window, "
+    "UNION ALL and a HAVING filter submitted as ONE SQL string through "
+    "spark.sql over registered temp views — proof the engine's SQL "
+    "surface (not just the DataFrame DSL) handles composite analytics; "
+    "Catalyst plans it identically to the DSL form "
+    "(sql_api_revenue_by_region covers the star-join case).  Top-3 "
+    "months by revenue unioned with bottom-3, labeled.",
+    tags=("sql-api", "window", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1 HAVING count(*) >= 10
+), ranked AS (
+  SELECT mon, revenue,
+         row_number() OVER (ORDER BY revenue DESC, mon) AS r_top,
+         row_number() OVER (ORDER BY revenue ASC, mon) AS r_bot
+  FROM m
+)
+SELECT 'peak' AS tier, mon, revenue FROM ranked WHERE r_top <= 3
+UNION ALL
+SELECT 'trough' AS tier, mon, revenue FROM ranked WHERE r_bot <= 3
+ORDER BY tier, revenue DESC, mon
+""",
+)
+def sql_api_cte_window_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders_v")
+    return spark.sql(
+        """
+WITH m AS (
+  SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM') AS mon,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM sql_orders_v GROUP BY 1 HAVING count(*) >= 10
+), ranked AS (
+  SELECT mon, revenue,
+         row_number() OVER (ORDER BY revenue DESC, mon) AS r_top,
+         row_number() OVER (ORDER BY revenue ASC, mon) AS r_bot
+  FROM m
+)
+SELECT 'peak' AS tier, mon, revenue FROM ranked WHERE r_top <= 3
+UNION ALL
+SELECT 'trough' AS tier, mon, revenue FROM ranked WHERE r_bot <= 3
+ORDER BY tier, revenue DESC, mon
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal ext: ViT-style patch-grid planning from parsed headers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_image_patch_plan",
+    doc="Patch-grid planning for ViT-style preprocessing: image "
+    "dimensions come from the JVM-side header sniff "
+    "(operators/multimodal.py::parse_image_header — no Python decode), "
+    "then the 224-stride-224 tile grid per image is pure integer "
+    "arithmetic: tiles per axis, total patches, and coverage waste "
+    "from the ragged right/bottom edge.  The decode itself would be "
+    "the mapInPandas stage (mm_decode_metadata); this entry is the "
+    "planner that sizes that stage's workload before paying for it.",
+    tags=("multimodal", "image", "ext"),
+    oracle="""
+WITH hdr AS (
+  SELECT doc_id,
+         64 + length(text) % 577 AS width,
+         64 + length(text) % 311 AS height
+  FROM documents
+), plan AS (
+  SELECT doc_id, width, height,
+         greatest(0, width // 224) AS tiles_x,
+         greatest(0, height // 224) AS tiles_y
+  FROM hdr
+)
+SELECT count(*) AS n_images,
+       sum(tiles_x * tiles_y) AS total_patches,
+       sum(CASE WHEN tiles_x * tiles_y = 0 THEN 1 ELSE 0 END)
+         AS n_too_small,
+       round(avg(CASE WHEN tiles_x * tiles_y > 0
+                      THEN tiles_x * tiles_y * 224.0 * 224.0
+                           / (width * height) END), 6) AS mean_coverage
+FROM plan
+""",
+)
+def mm_image_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hdr = mm.parse_image_header(
+        mm.build_fake_image(docs).select("doc_id", "img")
+    )
+    tiles_x = F.greatest(F.lit(0), F.floor(F.col("width") / 224)).cast("bigint")
+    tiles_y = F.greatest(F.lit(0), F.floor(F.col("height") / 224)).cast("bigint")
+    plan = hdr.select(
+        "doc_id",
+        "width",
+        "height",
+        tiles_x.alias("tiles_x"),
+        tiles_y.alias("tiles_y"),
+    )
+    n_patches = F.col("tiles_x") * F.col("tiles_y")
+    return plan.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(n_patches).alias("total_patches"),
+        F.sum(F.when(n_patches == 0, 1).otherwise(0)).alias("n_too_small"),
+        F.round(
+            F.avg(
+                F.when(
+                    n_patches > 0,
+                    n_patches * 224.0 * 224.0 / (F.col("width") * F.col("height")),
+                )
+            ),
+            6,
+        ).alias("mean_coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: alert debouncing (suppress within cooldown of last fire)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_alarm_debounce",
+    doc="Alert debouncing over the error stream: an error fires an alarm "
+    "only if no alarm-eligible error happened in the preceding 5 "
+    "minutes for that user — the gap>cooldown islands construction "
+    "(lag + running island sum) where each island fires exactly once "
+    "at its head.  Reports fired vs suppressed per user top-10 by "
+    "suppression — the noise-reduction stage every paging pipeline "
+    "needs between raw errors and humans.",
+    tags=("events", "ops", "ext"),
+    oracle="""
+WITH err AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                    event_id) > INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS fires
+  FROM events WHERE event_type = 'error'
+)
+SELECT user_id,
+       count(*) AS n_errors,
+       sum(fires) AS n_alarms,
+       count(*) - sum(fires) AS n_suppressed,
+       round((count(*) - sum(fires)) * 1.0 / count(*), 6) AS suppression_rate
+FROM err GROUP BY user_id
+ORDER BY n_suppressed DESC, user_id LIMIT 10
+""",
+)
+def events_alarm_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    fires = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 300),
+        1,
+    ).otherwise(0)
+    err = ev.select("user_id", fires.alias("fires"))
+    return (
+        err.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.sum("fires").alias("n_alarms"),
+            (F.count(F.lit(1)) - F.sum("fires")).alias("n_suppressed"),
+            F.round(
+                (F.count(F.lit(1)) - F.sum("fires")) / F.count(F.lit(1)), 6
+            ).alias("suppression_rate"),
+        )
+        .orderBy(F.desc("n_suppressed"), "user_id")
+        .limit(10)
+    )
