@@ -3953,3 +3953,309 @@ def events_alarm_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_suppressed"), "user_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: stochastic oscillator (%K / %D) on the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_stochastic_oscillator",
+    doc="Stochastic oscillator on monthly revenue: %K locates the "
+    "current value inside the trailing-6-month min/max band, %D "
+    "smooths %K with a 3-period mean — rolling-extrema frames plus a "
+    "frame-over-derived-column, all on the ~80-row folded series.  "
+    "Completes the technical-indicator family next to RSI and the "
+    "Bollinger bands.",
+    tags=("window", "finance", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), k AS (
+  SELECT mon, y,
+         min(y) OVER (ORDER BY mon ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+           AS lo,
+         max(y) OVER (ORDER BY mon ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+           AS hi,
+         row_number() OVER (ORDER BY mon) AS rn
+  FROM m
+), pk AS (
+  SELECT mon, rn,
+         100.0 * (y - lo) / nullif(hi - lo, 0) AS pct_k
+  FROM k
+)
+SELECT strftime(mon, '%Y-%m') AS mon,
+       round(pct_k, 4) AS pct_k,
+       round(avg(pct_k) OVER (ORDER BY rn ROWS BETWEEN 2 PRECEDING
+                              AND CURRENT ROW), 4) AS pct_d
+FROM pk WHERE rn > 5 ORDER BY mon
+""",
+)
+def window_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    w = Window.orderBy("mon")
+    band = w.rowsBetween(-5, 0)
+    k = m.select(
+        "mon",
+        "y",
+        F.min("y").over(band).alias("lo"),
+        F.max("y").over(band).alias("hi"),
+        F.row_number().over(w).alias("rn"),
+    )
+    pct_k = 100.0 * (F.col("y") - F.col("lo")) / F.nullif(
+        F.col("hi") - F.col("lo"), F.lit(0.0)
+    )
+    pk = k.select("mon", "rn", pct_k.alias("pct_k"))
+    wd = Window.orderBy("rn").rowsBetween(-2, 0)
+    return (
+        pk.filter(F.col("rn") > 5)
+        .select(
+            F.date_format("mon", "yyyy-MM").alias("mon"),
+            F.round("pct_k", 4).alias("pct_k"),
+            F.round(F.avg("pct_k").over(wd), 4).alias("pct_d"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: skyline (Pareto-dominance) query over supplier metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_skyline_suppliers",
+    doc="Skyline query: suppliers not dominated on (revenue supplied ↑, "
+    "avg discount given ↓) — s is dominated iff another supplier is ≥ "
+    "on both axes and strictly better on one.  For the 2-D case the "
+    "skyline falls out of ONE sort-order window (running max of the "
+    "second axis over the first-axis order), no quadratic dominance "
+    "join — the classic sweep that scales as sort + window over the "
+    "folded supplier relation.  Multi-objective shortlisting next to "
+    "join_topsis_supplier_rank's scalarized ranking.",
+    tags=("join", "ranking", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+         round(avg(l_discount), 6) AS disc
+  FROM lineitem GROUP BY l_suppkey
+), sweep AS (
+  -- order by rev desc: a supplier is on the skyline iff its discount is
+  -- strictly lower than every better-revenue supplier's minimum
+  SELECT l_suppkey, rev, disc,
+         min(disc) OVER (ORDER BY rev DESC, l_suppkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_disc_above
+  FROM s
+)
+SELECT l_suppkey, rev, disc
+FROM sweep
+WHERE best_disc_above IS NULL OR disc < best_disc_above
+ORDER BY rev DESC, l_suppkey
+""",
+)
+def join_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "rev"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("disc"),
+    )
+    w = Window.orderBy(F.desc("rev"), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sweep = s.select(
+        "l_suppkey", "rev", "disc", F.min("disc").over(w).alias("best_disc_above")
+    )
+    return (
+        sweep.filter(
+            F.col("best_disc_above").isNull()
+            | (F.col("disc") < F.col("best_disc_above"))
+        )
+        .select("l_suppkey", "rev", "disc")
+        .orderBy(F.desc("rev"), "l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: deterministic (hash-seeded) permutation test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_permutation_test_deterministic",
+    doc="Permutation test without a random source: 64 pseudo-permutations "
+    "of the treatment labels, each a pure function of md5(user, b) — "
+    "replay-stable and identical on both engines.  The observed arm "
+    "difference in mean per-user event value is compared against the "
+    "permuted distribution; p = share of |permuted diff| ≥ |observed|.  "
+    "The B×N fan-out is map-side over the per-user relation (never the "
+    "raw fact table) and every replicate folds in one grouped "
+    "aggregate — resampling inference at warehouse scale.",
+    tags=("agg", "stats", "experiment", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, avg(value) AS v,
+         ascii(substring(md5(user_id::VARCHAR), 1, 1)) % 2 AS arm
+  FROM events GROUP BY user_id
+), obs AS (
+  SELECT avg(CASE WHEN arm = 1 THEN v END)
+         - avg(CASE WHEN arm = 0 THEN v END) AS d_obs
+  FROM u
+), perm AS (
+  SELECT b.b,
+         avg(CASE WHEN ascii(substring(md5(user_id::VARCHAR || ':' ||
+                                           b.b::VARCHAR), 1, 1)) % 2 = 1
+                  THEN v END)
+         - avg(CASE WHEN ascii(substring(md5(user_id::VARCHAR || ':' ||
+                                             b.b::VARCHAR), 1, 1)) % 2 = 0
+                    THEN v END) AS d_perm
+  FROM u CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY b.b
+)
+SELECT round(obs.d_obs, 6) AS observed_diff,
+       count(*) AS n_permutations,
+       sum(CASE WHEN abs(perm.d_perm) >= abs(obs.d_obs) THEN 1 ELSE 0 END)
+         AS n_extreme,
+       round(sum(CASE WHEN abs(perm.d_perm) >= abs(obs.d_obs)
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS p_value
+FROM perm, obs
+GROUP BY obs.d_obs
+""",
+)
+def agg_permutation_test_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uid_str = F.col("user_id").cast("string")
+    arm = F.ascii(F.substring(F.md5(uid_str.cast("binary")), 1, 1)) % 2
+    u = ev.groupBy("user_id").agg(F.avg("value").alias("v")).select(
+        "user_id", "v", arm.alias("arm")
+    )
+    obs = u.agg(
+        (
+            F.avg(F.when(F.col("arm") == 1, F.col("v")))
+            - F.avg(F.when(F.col("arm") == 0, F.col("v")))
+        ).alias("d_obs")
+    )
+    perm_arm = (
+        F.ascii(
+            F.substring(
+                F.md5(
+                    F.concat(uid_str, F.lit(":"), F.col("b").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                1,
+            )
+        )
+        % 2
+    )
+    perm = (
+        u.select(
+            "user_id",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        )
+        .select("v", "b", perm_arm.alias("parm"))
+        .groupBy("b")
+        .agg(
+            (
+                F.avg(F.when(F.col("parm") == 1, F.col("v")))
+                - F.avg(F.when(F.col("parm") == 0, F.col("v")))
+            ).alias("d_perm")
+        )
+    )
+    extreme = F.when(
+        F.abs(F.col("d_perm")) >= F.abs(F.col("d_obs")), 1
+    ).otherwise(0)
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.count(F.lit(1)).alias("n_permutations"),
+            F.sum(extreme).alias("n_extreme"),
+            F.round(F.sum(extreme) / F.count(F.lit(1)), 6).alias("p_value"),
+        )
+        .select(
+            F.round("d_obs", 6).alias("observed_diff"),
+            "n_permutations",
+            "n_extreme",
+            "p_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ext: degree assortativity of the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    doc="Degree assortativity of the part co-purchase graph (edge = two "
+    "parts bought in the same order — the sparse graph, unlike the "
+    "near-complete supplier projection): the Pearson correlation of "
+    "endpoint degrees across edges, both orientations per undirected "
+    "edge as convention demands.  Degrees from one aggregate over the "
+    "edge list, the correlation from one more after a broadcast degree "
+    "join; positive means hub products co-sell with other hubs.",
+    tags=("graph", "join", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT s1.l_partkey AS a, s2.l_partkey AS b
+  FROM lineitem s1 JOIN lineitem s2
+    ON s1.l_orderkey = s2.l_orderkey AND s1.l_partkey < s2.l_partkey
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+), oriented AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION ALL
+  SELECT b AS x, a AS y FROM edges
+)
+SELECT count(*) AS n_edge_ends,
+       round(corr(da.d, db.d), 6) AS assortativity
+FROM oriented o
+JOIN deg da ON da.v = o.x
+JOIN deg db ON db.v = o.y
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    s1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    s2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    edges = (
+        s1.join(s2, "ok").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    oriented = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionAll(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    da = F.broadcast(deg.select(F.col("v").alias("x"), F.col("d").alias("dx")))
+    db = F.broadcast(deg.select(F.col("v").alias("y"), F.col("d").alias("dy")))
+    return (
+        oriented.join(da, "x")
+        .join(db, "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_edge_ends"),
+            F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+        )
+    )
