@@ -4259,3 +4259,427 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Naive Bayes classifier trained and scored from aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_naive_bayes_eval",
+    doc="Naive Bayes without an ML library: class priors and per-feature "
+    "likelihoods P(segment|y), P(nation|y) are just Laplace-smoothed "
+    "contingency aggregates; scoring joins each customer to the two "
+    "broadcast likelihood tables and compares log-posteriors.  "
+    "Train and eval in three passes total, everything decomposable — "
+    "the canonical proof that counts ARE the model for NB.  Reports "
+    "accuracy vs the majority-class baseline.",
+    tags=("agg", "ml", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT c.c_custkey, any_value(c.c_mktsegment) AS seg,
+         any_value(c.c_nationkey) AS nat,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), prior AS (
+  SELECT sum(y) + 1.0 AS n1, sum(1 - y) + 1.0 AS n0,
+         count(*) + 2.0 AS n
+  FROM f
+), lseg AS (
+  SELECT seg,
+         ln((sum(y) + 0.5) / (SELECT n1 FROM prior)) AS l1,
+         ln((sum(1 - y) + 0.5) / (SELECT n0 FROM prior)) AS l0
+  FROM f GROUP BY seg
+), lnat AS (
+  SELECT nat,
+         ln((sum(y) + 0.5) / (SELECT n1 FROM prior)) AS l1,
+         ln((sum(1 - y) + 0.5) / (SELECT n0 FROM prior)) AS l0
+  FROM f GROUP BY nat
+), scored AS (
+  SELECT f.y,
+         CASE WHEN ln(p.n1 / p.n) + ls.l1 + ln_.l1
+                   > ln(p.n0 / p.n) + ls.l0 + ln_.l0
+              THEN 1 ELSE 0 END AS pred
+  FROM f
+  JOIN lseg ls ON ls.seg = f.seg
+  JOIN lnat ln_ ON ln_.nat = f.nat
+  CROSS JOIN prior p
+)
+SELECT count(*) AS n_customers,
+       round(avg(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END), 6) AS nb_accuracy,
+       round(greatest(avg(y * 1.0), 1 - avg(y * 1.0)), 6) AS baseline_accuracy,
+       sum(pred) AS n_predicted_positive
+FROM scored
+""",
+)
+def agg_naive_bayes_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_mktsegment").alias("seg"),
+            F.any_value("c_nationkey").alias("nat"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    prior = f.agg(
+        (F.sum("y") + 1.0).alias("n1"),
+        (F.sum(1 - F.col("y")) + 1.0).alias("n0"),
+        (F.count(F.lit(1)) + 2.0).alias("n"),
+    )
+
+    def _lik(key: str) -> DataFrame:
+        return (
+            f.groupBy(key)
+            .agg(
+                F.sum("y").alias("cy"),
+                F.sum(1 - F.col("y")).alias("cn"),
+            )
+            .crossJoin(F.broadcast(prior.select("n1", "n0")))
+            .select(
+                key,
+                F.log((F.col("cy") + 0.5) / F.col("n1")).alias(f"l1_{key}"),
+                F.log((F.col("cn") + 0.5) / F.col("n0")).alias(f"l0_{key}"),
+            )
+        )
+
+    scored = (
+        f.join(F.broadcast(_lik("seg")), "seg")
+        .join(F.broadcast(_lik("nat")), "nat")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "y",
+            F.when(
+                F.log(F.col("n1") / F.col("n")) + F.col("l1_seg") + F.col("l1_nat")
+                > F.log(F.col("n0") / F.col("n")) + F.col("l0_seg") + F.col("l0_nat"),
+                1,
+            )
+            .otherwise(0)
+            .alias("pred"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.avg(F.when(F.col("pred") == F.col("y"), 1.0).otherwise(0.0)), 6
+        ).alias("nb_accuracy"),
+        F.round(F.greatest(F.avg("y"), 1 - F.avg("y")), 6).alias(
+            "baseline_accuracy"
+        ),
+        F.sum("pred").alias("n_predicted_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mlops ext: deterministic k-fold cross-validation harness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlops_kfold_cv_deterministic",
+    doc="5-fold cross-validation without a random source: folds are "
+    "md5(custkey) mod 5 (replay-stable, identical on both engines); "
+    "for every fold the threshold classifier (predict URGENT iff "
+    "balance above the train-arm's rank-based median) is fitted on "
+    "the other four folds and scored on the held-out fold.  The "
+    "train-side quantile per fold comes from ONE pass with a 5× "
+    "map-side fan-out (each row serves in 4 train sets), never 5 "
+    "rescans — the pattern that makes CV affordable at 100 TB.",
+    tags=("mlops", "ml", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT c.c_custkey, any_value(round(c.c_acctbal, 2)) AS bal,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y,
+         ascii(substring(md5(c.c_custkey::VARCHAR), 2, 1)) % 5 AS fold
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), fan AS (
+  SELECT k.k AS eval_fold, f.bal, f.y, f.fold
+  FROM f CROSS JOIN (SELECT unnest(range(0, 5)) AS k) k
+), train AS (
+  SELECT eval_fold, bal,
+         row_number() OVER (PARTITION BY eval_fold ORDER BY bal) AS rn,
+         count(*) OVER (PARTITION BY eval_fold) AS cnt
+  FROM fan WHERE fold <> eval_fold
+), thr AS (
+  SELECT eval_fold, bal AS threshold
+  FROM train WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+)
+SELECT t.eval_fold AS fold,
+       count(*) AS n_eval,
+       any_value(t.threshold) AS threshold,
+       round(avg(CASE WHEN (e.bal > t.threshold) = (e.y = 1)
+                      THEN 1.0 ELSE 0.0 END), 6) AS fold_accuracy
+FROM f e JOIN thr t ON t.eval_fold = e.fold
+GROUP BY t.eval_fold ORDER BY fold
+""",
+)
+def mlops_kfold_cv_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    fold = (
+        F.ascii(
+            F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 2, 1)
+        )
+        % 5
+    )
+    f = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.round("c_acctbal", 2)).alias("bal"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .select("c_custkey", "bal", "y", fold.alias("fold"))
+    )
+    fan = f.select(
+        "bal",
+        "y",
+        "fold",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("eval_fold"),
+    )
+    train = fan.filter(F.col("fold") != F.col("eval_fold")).select(
+        "eval_fold",
+        "bal",
+        F.row_number()
+        .over(Window.partitionBy("eval_fold").orderBy("bal"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("eval_fold")).alias("cnt"),
+    )
+    thr = train.filter(
+        F.col("rn") == F.ceil(0.5 * F.col("cnt")).cast("bigint")
+    ).select("eval_fold", F.col("bal").alias("threshold"))
+    return (
+        f.join(F.broadcast(thr), thr.eval_fold == f.fold)
+        .groupBy("eval_fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.any_value("threshold").alias("threshold"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (F.col("bal") > F.col("threshold")) == (F.col("y") == 1),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("fold_accuracy"),
+        )
+        .select(
+            F.col("eval_fold").alias("fold"),
+            "n_eval",
+            "threshold",
+            "fold_accuracy",
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: interval-union coverage (sweep-line measure of covered time)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_interval_union_coverage",
+    doc="Measure of the UNION of overlapping intervals — total seconds "
+    "covered by at least one user session (30-min-gap sessions as "
+    "elsewhere): the sweep-line +1/−1 construction where covered time "
+    "is the sum of gaps whose running active-count stays positive.  "
+    "The companion of agg_max_concurrency (same sweep, different "
+    "reduction); interval union is the measure dedup that naive "
+    "SUM(duration) double-counts.",
+    tags=("agg", "interval", "ext"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                    event_id) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), sess AS (
+  SELECT min(ts) AS t0, max(ts) AS t1 FROM s GROUP BY user_id, sid
+  HAVING max(ts) > min(ts)
+), pts AS (
+  SELECT t0 AS t, 1 AS delta FROM sess
+  UNION ALL SELECT t1, -1 FROM sess
+), sweep AS (
+  SELECT t,
+         sum(delta) OVER (ORDER BY t, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS active,
+         lead(t) OVER (ORDER BY t, delta DESC) AS t_next
+  FROM pts
+)
+SELECT (SELECT count(*) FROM sess) AS n_intervals,
+       sum(CASE WHEN active > 0
+                THEN date_diff('second', t, t_next) ELSE 0 END)
+         AS covered_seconds,
+       (SELECT sum(date_diff('second', t0, t1)) FROM sess)
+         AS naive_sum_seconds
+FROM sweep WHERE t_next IS NOT NULL
+""",
+)
+def agg_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    s = ev.select("user_id", "ts", new_s.alias("new_s")).select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("sid"),
+    )
+    sess = (
+        s.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .filter(F.col("t1") > F.col("t0"))
+    )
+    pts = sess.select(F.col("t0").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("t1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", F.desc("delta"))
+    sweep = pts.select(
+        "t",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("active"),
+        F.lead("t").over(w).alias("t_next"),
+    )
+    covered = sweep.filter(F.col("t_next").isNotNull()).agg(
+        F.sum(
+            F.when(
+                F.col("active") > 0,
+                F.unix_timestamp("t_next") - F.unix_timestamp("t"),
+            ).otherwise(0)
+        ).alias("covered_seconds"),
+    )
+    naive = sess.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.unix_timestamp("t1") - F.unix_timestamp("t0")).alias(
+            "naive_sum_seconds"
+        ),
+    )
+    return covered.crossJoin(F.broadcast(naive)).select(
+        "n_intervals", "covered_seconds", "naive_sum_seconds"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: SPRT sequential test (running LLR with decision boundaries)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_sprt_sequential_test",
+    doc="Wald's sequential probability ratio test over the daily "
+    "purchase-share series: H0 p=0.19 vs H1 p=0.21, per-day binomial "
+    "log-likelihood-ratio increments accumulated as a running window "
+    "sum, boundaries ln((1−β)/α), ln(β/(1−α)) at α=β=0.05; the first "
+    "boundary crossing (if any) ends the experiment — sequential "
+    "testing as a pure window plan, no loop.  Reports the decision "
+    "day and the path extremes.",
+    tags=("window", "stats", "experiment", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+), llr AS (
+  SELECT day,
+         x * ln(0.21 / 0.19) + (n - x) * ln(0.79 / 0.81) AS inc
+  FROM d
+), path AS (
+  SELECT day,
+         sum(inc) OVER (ORDER BY day) AS cum_llr
+  FROM llr
+), dec AS (
+  SELECT day, cum_llr,
+         CASE WHEN cum_llr >= ln(0.95 / 0.05) THEN 'accept_h1'
+              WHEN cum_llr <= ln(0.05 / 0.95) THEN 'accept_h0'
+              ELSE NULL END AS verdict
+  FROM path
+)
+SELECT (SELECT count(*) FROM path) AS n_days,
+       round((SELECT max(cum_llr) FROM path), 6) AS max_llr,
+       round((SELECT min(cum_llr) FROM path), 6) AS min_llr,
+       (SELECT strftime(min(day), '%Y-%m-%d') FROM dec
+        WHERE verdict IS NOT NULL) AS decision_day,
+       coalesce((SELECT any_value(verdict ORDER BY day) FROM dec
+                 WHERE verdict IS NOT NULL), 'continue') AS decision
+""",
+)
+def window_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+    )
+    inc = F.col("x") * math.log(0.21 / 0.19) + (F.col("n") - F.col("x")) * math.log(
+        0.79 / 0.81
+    )
+    path = d.select("day", inc.alias("inc")).select(
+        "day", F.sum("inc").over(Window.orderBy("day")).alias("cum_llr")
+    )
+    hi, lo = math.log(0.95 / 0.05), math.log(0.05 / 0.95)
+    dec = path.select(
+        "day",
+        "cum_llr",
+        F.when(F.col("cum_llr") >= hi, F.lit("accept_h1"))
+        .when(F.col("cum_llr") <= lo, F.lit("accept_h0"))
+        .alias("verdict"),
+    )
+    summary = path.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max("cum_llr"), 6).alias("max_llr"),
+        F.round(F.min("cum_llr"), 6).alias("min_llr"),
+    )
+    first = dec.filter(F.col("verdict").isNotNull()).agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("decision_day"),
+        F.min_by("verdict", "day").alias("_v"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(first))
+        .select(
+            "n_days",
+            "max_llr",
+            "min_llr",
+            "decision_day",
+            F.coalesce(F.col("_v"), F.lit("continue")).alias("decision"),
+        )
+    )
