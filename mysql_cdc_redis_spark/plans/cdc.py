@@ -1941,3 +1941,80 @@ def cdc_partial_image_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rid", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
         .orderBy("rid")
     )
+
+
+# ---------------------------------------------------------------------------
+# M3 ext: dead-letter routing (quarantine with reasons, clean stream on)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_dead_letter_routing",
+    doc="Dead-letter-queue pattern over the changelog: events are "
+    "classified in ONE pass — null key (the reference's SaveIgnore, "
+    "rcache.py:231-236), unknown action verb, or timestamp outside the "
+    "valid horizon — with the FIRST failing rule recorded as the DLQ "
+    "reason; clean events pass through untouched.  A single scan "
+    "produces the routing census (reason × table counts + clean "
+    "share), the operational view the reference's warn-and-drop "
+    "(mwlogger) never aggregates.  Corrupt events are synthesized "
+    "from the changelog by seq pattern so both engines see the same "
+    "damage.",
+    tags=("cdc", "ref:M3", "quality", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+damaged AS (
+  SELECT CASE WHEN seq % 97 = 0 THEN NULL ELSE o_orderkey END AS k,
+         CASE WHEN seq % 89 = 0 THEN 'upsert?' ELSE cdc_action END AS act,
+         CASE WHEN seq % 83 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+              ELSE cdc_ts END AS ts2
+  FROM ch
+), routed AS (
+  SELECT CASE WHEN k IS NULL THEN 'null_key'
+              WHEN act NOT IN ('insert', 'update', 'delete')
+                THEN 'unknown_action'
+              WHEN ts2 < TIMESTAMP '1990-01-01 00:00:00' THEN 'stale_ts'
+              ELSE 'clean' END AS route
+  FROM damaged
+)
+SELECT route, count(*) AS n_events,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM routed GROUP BY route ORDER BY route
+""",
+)
+def cdc_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ch = orders_changelog(spark, sf_dir)
+    damaged = ch.select(
+        F.when(F.col("seq") % 97 == 0, F.lit(None)).otherwise(
+            F.col("o_orderkey")
+        ).alias("k"),
+        F.when(F.col("seq") % 89 == 0, F.lit("upsert?")).otherwise(
+            F.col("cdc_action")
+        ).alias("act"),
+        F.when(
+            F.col("seq") % 83 == 0,
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        ).otherwise(F.col("cdc_ts").cast("timestamp")).alias("ts2"),
+    )
+    route = (
+        F.when(F.col("k").isNull(), "null_key")
+        .when(~F.col("act").isin("insert", "update", "delete"), "unknown_action")
+        .when(F.col("ts2") < F.lit("1990-01-01 00:00:00").cast("timestamp"), "stale_ts")
+        .otherwise("clean")
+    )
+    routed = damaged.select(route.alias("route"))
+    w_all = Window.partitionBy()
+    return (
+        routed.groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "route",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.sum("n_events").over(w_all), 6
+            ).alias("share"),
+        )
+        .orderBy("route")
+    )

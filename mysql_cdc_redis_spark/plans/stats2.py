@@ -4683,3 +4683,224 @@ def window_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_v"), F.lit("continue")).alias("decision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: M4 time-series decimation (min/max/first/last per bucket)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_m4_downsampling",
+    doc="M4 downsampling of the daily order-count series to 16 buckets: "
+    "per pixel-bucket min, max, first and last (by time) — the "
+    "visualization-preserving decimation that guarantees rendered "
+    "extremes survive, computed as one tiny grouped aggregate with "
+    "min_by/max_by for the endpoint values.  The series fold is the "
+    "only fact-table pass; a dashboard at 100 TB reads 64 points, not "
+    "600 M rows.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY date_trunc('day', ts)) - 1 AS t,
+         count(*) AS y
+  FROM events GROUP BY date_trunc('day', ts)
+), b AS (
+  SELECT t, y,
+         CAST(floor(t * 16.0 / (SELECT count(*) FROM d)) AS INT) AS bucket
+  FROM d
+)
+SELECT bucket,
+       count(*) AS n_points,
+       min(y) AS y_min, max(y) AS y_max,
+       arg_min(y, t) AS y_first, arg_max(y, t) AS y_last
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def window_m4_downsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    ).select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    b = d.crossJoin(F.broadcast(n)).select(
+        "t", "y", (F.col("t") * 16 / F.col("n")).cast("int").alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            F.min_by("y", "t").alias("y_first"),
+            F.max_by("y", "t").alias("y_last"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: D1/D7/D30 retention curve by first-seen cohort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dn_retention",
+    doc="Classic Dn retention: for every user the first-seen day anchors "
+    "the cohort, and D1/D7/D28 measure the share active exactly n days "
+    "later — the day-offset grid folds from one (user, day) distinct "
+    "projection joined back to the broadcast first-seen relation; "
+    "denominators only count cohorts old enough to be observable at "
+    "each horizon.  The per-day-offset complement of the weekly "
+    "cohort matrix (cohort_weekly_retention).",
+    tags=("events", "product", "ext"),
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+), first_seen AS (
+  SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id
+), span AS (SELECT max(d) AS dmax FROM ud),
+offsets AS (
+  SELECT u.user_id,
+         date_diff('day', f.d0, u.d) AS n
+  FROM ud u JOIN first_seen f USING (user_id)
+), horizon AS (
+  SELECT h.h,
+         count(DISTINCT CASE WHEN o.n = h.h THEN o.user_id END) AS retained,
+         (SELECT count(*) FROM first_seen f, span
+          WHERE date_diff('day', f.d0, span.dmax) >= h.h) AS eligible
+  FROM offsets o
+  CROSS JOIN (VALUES (1), (7), (28)) AS h(h)
+  GROUP BY h.h
+)
+SELECT h AS day_offset, eligible, retained,
+       round(retained * 1.0 / eligible, 6) AS retention
+FROM horizon ORDER BY day_offset
+""",
+)
+def events_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    span = ud.agg(F.max("d").alias("dmax"))
+    offsets = ud.join(F.broadcast(first_seen), "user_id").select(
+        "user_id", F.datediff("d", "d0").alias("n")
+    )
+    horizons = offsets.select(
+        "user_id",
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(28))).alias("h"),
+    )
+    retained = (
+        horizons.filter(F.col("n") == F.col("h"))
+        .groupBy("h")
+        .agg(F.countDistinct("user_id").alias("retained"))
+    )
+    eligible = (
+        first_seen.crossJoin(F.broadcast(span))
+        .select(F.datediff("dmax", "d0").alias("age"))
+        .select(
+            F.explode(F.array(F.lit(1), F.lit(7), F.lit(28))).alias("h"), "age"
+        )
+        .filter(F.col("age") >= F.col("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("eligible"))
+    )
+    return (
+        eligible.join(retained, "h", "left")
+        .select(
+            F.col("h").alias("day_offset"),
+            "eligible",
+            F.coalesce(F.col("retained"), F.lit(0)).alias("retained"),
+            F.round(
+                F.coalesce(F.col("retained"), F.lit(0)) / F.col("eligible"), 6
+            ).alias("retention"),
+        )
+        .orderBy("day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Tukey-fence outlier census per segment (IQR rule)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_tukey_fence_outliers",
+    doc="Tukey's IQR outlier rule per market segment: rank-based Q1/Q3 "
+    "(type-1 quantiles, engine-exact like the conformal entries), "
+    "fences at 1.5·IQR, then one broadcast-join pass counts mild and "
+    "extreme (3·IQR) outliers — the third member of the robust-"
+    "detection family next to grouped z-scores and MAD.",
+    tags=("agg", "robust", "ext"),
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment AS seg, round(c_acctbal, 2) AS bal FROM customer
+), r AS (
+  SELECT seg, bal,
+         row_number() OVER (PARTITION BY seg ORDER BY bal) AS rn,
+         count(*) OVER (PARTITION BY seg) AS cnt
+  FROM v
+), q AS (
+  SELECT seg,
+         max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT)
+                  THEN bal END) AS q1,
+         max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT)
+                  THEN bal END) AS q3
+  FROM r GROUP BY seg
+)
+SELECT v.seg, count(*) AS n,
+       any_value(q.q1) AS q1, any_value(q.q3) AS q3,
+       sum(CASE WHEN v.bal < q.q1 - 1.5 * (q.q3 - q.q1)
+                 OR v.bal > q.q3 + 1.5 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS n_mild_outliers,
+       sum(CASE WHEN v.bal < q.q1 - 3.0 * (q.q3 - q.q1)
+                 OR v.bal > q.q3 + 3.0 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS n_extreme_outliers
+FROM v JOIN q ON q.seg = v.seg
+GROUP BY v.seg ORDER BY v.seg
+""",
+)
+def agg_tukey_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.select(
+        F.col("c_mktsegment").alias("seg"), F.round("c_acctbal", 2).alias("bal")
+    )
+    r = v.select(
+        "seg",
+        "bal",
+        F.row_number().over(Window.partitionBy("seg").orderBy("bal")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("cnt"),
+    )
+    at = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")).cast("bigint"),
+            F.col("bal"),
+        )
+    )
+    q = r.groupBy("seg").agg(at(0.25).alias("q1"), at(0.75).alias("q3"))
+    iqr = F.col("q3") - F.col("q1")
+    mild = (F.col("bal") < F.col("q1") - 1.5 * iqr) | (
+        F.col("bal") > F.col("q3") + 1.5 * iqr
+    )
+    extreme = (F.col("bal") < F.col("q1") - 3.0 * iqr) | (
+        F.col("bal") > F.col("q3") + 3.0 * iqr
+    )
+    return (
+        v.join(F.broadcast(q), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("q1").alias("q1"),
+            F.any_value("q3").alias("q3"),
+            F.sum(F.when(mild, 1).otherwise(0)).alias("n_mild_outliers"),
+            F.sum(F.when(extreme, 1).otherwise(0)).alias("n_extreme_outliers"),
+        )
+        .orderBy("seg")
+    )
