@@ -4904,3 +4904,296 @@ def agg_tukey_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Hodges-Lehmann location estimator (median of Walsh averages)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hodges_lehmann",
+    doc="Hodges-Lehmann estimator of monthly revenue location: the "
+    "median of all pairwise (Walsh) averages over the ~80-month folded "
+    "series — the rank-based location estimate that pairs with "
+    "Theil-Sen's slope.  The O(m²)≈3k pair fan-out runs on the tiny "
+    "aggregated relation; reported next to the plain mean and median "
+    "to show the robustness gap.",
+    tags=("agg", "robust", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), walsh AS (
+  SELECT (a.y + b.y) / 2 AS w
+  FROM m a JOIN m b ON a.mon <= b.mon
+), r AS (
+  SELECT w, row_number() OVER (ORDER BY w) AS rn, count(*) OVER () AS cnt
+  FROM walsh
+), med AS (
+  SELECT w AS hl FROM r WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+)
+SELECT (SELECT count(*) FROM walsh) AS n_walsh,
+       round((SELECT hl FROM med), 2) AS hodges_lehmann,
+       (SELECT round(avg(y), 2) FROM m) AS plain_mean
+""",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    walsh = a.join(b, F.col("a.mon") <= F.col("b.mon")).select(
+        ((F.col("a.y") + F.col("b.y")) / 2).alias("w")
+    )
+    r = walsh.select(
+        "w",
+        F.row_number().over(Window.orderBy("w")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    med = r.filter(
+        F.col("rn") == F.ceil(0.5 * F.col("cnt")).cast("bigint")
+    ).select(F.round("w", 2).alias("hodges_lehmann"))
+    n = walsh.agg(F.count(F.lit(1)).alias("n_walsh"))
+    mean = m.agg(F.round(F.avg("y"), 2).alias("plain_mean"))
+    return n.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mean))
+
+
+# ---------------------------------------------------------------------------
+# graph ext: BFS frontier expansion (3 hops from a seed part)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_bfs_levels_3hop",
+    doc="Breadth-first levels in the part co-purchase graph: three "
+    "unrolled frontier expansions from seed part 1 — each hop joins "
+    "the current frontier against the edge list and anti-joins the "
+    "visited set, the iterative-graph pattern (like the Markov power "
+    "steps) where per-hop cost is |frontier ⋈ edges|, never the whole "
+    "graph squared.  Reports nodes reached per level plus the "
+    "eccentricity-bounded remainder.",
+    tags=("graph", "join", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT s1.l_partkey AS a, s2.l_partkey AS b
+  FROM lineitem s1 JOIN lineitem s2
+    ON s1.l_orderkey = s2.l_orderkey AND s1.l_partkey < s2.l_partkey
+), sym AS (
+  SELECT a AS x, b AS y FROM edges UNION ALL SELECT b, a FROM edges
+), l0 AS (SELECT 1::BIGINT AS v),
+l1 AS (
+  SELECT DISTINCT y AS v FROM sym JOIN l0 ON sym.x = l0.v
+  WHERE y NOT IN (SELECT v FROM l0)
+), l2 AS (
+  SELECT DISTINCT y AS v FROM sym JOIN l1 ON sym.x = l1.v
+  WHERE y NOT IN (SELECT v FROM l0) AND y NOT IN (SELECT v FROM l1)
+), l3 AS (
+  SELECT DISTINCT y AS v FROM sym JOIN l2 ON sym.x = l2.v
+  WHERE y NOT IN (SELECT v FROM l0) AND y NOT IN (SELECT v FROM l1)
+    AND y NOT IN (SELECT v FROM l2)
+), nodes AS (
+  SELECT count(DISTINCT x) AS n_nodes FROM sym
+)
+SELECT (SELECT count(*) FROM l1) AS level1,
+       (SELECT count(*) FROM l2) AS level2,
+       (SELECT count(*) FROM l3) AS level3,
+       n_nodes,
+       n_nodes - 1 - (SELECT count(*) FROM l1)
+               - (SELECT count(*) FROM l2)
+               - (SELECT count(*) FROM l3) AS unreached_within_3
+FROM nodes
+""",
+)
+def graph_bfs_levels_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    s1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    s2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    edges = (
+        s1.join(s2, "ok").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    sym = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionAll(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+    frontier = edges.sparkSession.range(1, 2).select(F.col("id").alias("v"))
+    visited = frontier
+    levels = []
+    for _ in range(3):
+        nxt = (
+            sym.join(F.broadcast(frontier), sym.x == frontier.v)
+            .select(F.col("y").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+        )
+        levels.append(nxt.agg(F.count(F.lit(1))))
+        visited = visited.unionAll(nxt).distinct()
+        frontier = nxt
+    nodes = sym.agg(F.countDistinct("x").alias("n_nodes"))
+    out = nodes
+    for i, lv in enumerate(levels):
+        out = out.crossJoin(
+            F.broadcast(lv.withColumnRenamed("count(1)", f"level{i + 1}"))
+        )
+    return out.select(
+        "level1",
+        "level2",
+        "level3",
+        "n_nodes",
+        (
+            F.col("n_nodes")
+            - 1
+            - F.col("level1")
+            - F.col("level2")
+            - F.col("level3")
+        ).alias("unreached_within_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: Cavnar-Trenkle character-trigram language identification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_cavnar_trenkle_langid",
+    doc="The real n-gram language identifier (Cavnar-Trenkle 1994), not "
+    "the stopword shortcut: per-language top-20 character-trigram rank "
+    "profiles built from the labeled corpus in one explode+aggregate, "
+    "then every document's top-10 trigrams are scored against each "
+    "profile by out-of-place rank distance (missing trigram = max "
+    "penalty) and the argmin language wins.  Everything is explodes, "
+    "grouped counts and rank windows — the profile relation is 5×20 "
+    "rows, broadcast for scoring.  Self-classification accuracy "
+    "reported per language.",
+    tags=("text", "langid", "ext"),
+    oracle="""
+WITH tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(1, length(norm) - 1)),
+                               i -> substring(norm, i, 3))) AS g
+  FROM (SELECT doc_id, lang,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents)
+), prof AS (
+  SELECT lang AS plang, g, rank FROM (
+    SELECT lang, g, count(*) AS n,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, g) AS rank
+    FROM tri GROUP BY lang, g
+  ) WHERE rank <= 20
+), docg AS (
+  SELECT doc_id, lang, g, rank FROM (
+    SELECT doc_id, lang, g, count(*) AS n,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g) AS rank
+    FROM tri GROUP BY doc_id, lang, g
+  ) WHERE rank <= 10
+), score AS (
+  SELECT d.doc_id, d.lang, p.plang,
+         sum(CASE WHEN pp.rank IS NULL THEN 21
+                  ELSE abs(d.rank - pp.rank) END) AS dist
+  FROM docg d
+  CROSS JOIN (SELECT DISTINCT plang FROM prof) p
+  LEFT JOIN prof pp ON pp.plang = p.plang AND pp.g = d.g
+  GROUP BY d.doc_id, d.lang, p.plang
+), pred AS (
+  SELECT doc_id, lang, plang AS plang_pred FROM (
+    SELECT doc_id, lang, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY dist, plang) AS rn
+    FROM score
+  ) WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN plang_pred = lang THEN 1 ELSE 0 END) AS n_correct,
+       round(avg(CASE WHEN plang_pred = lang THEN 1.0 ELSE 0.0 END), 6)
+         AS accuracy
+FROM pred GROUP BY lang ORDER BY lang
+""",
+)
+def text_cavnar_trenkle_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(1, length("
+                "regexp_replace(lower(trim(text)), '\\\\s+', ' ')) - 2)), "
+                "i -> substring(regexp_replace(lower(trim(text)), "
+                "'\\\\s+', ' '), i, 3))"
+            )
+        ).alias("g"),
+    )
+    prof = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("lang").alias("plang"),
+            "g",
+            F.row_number()
+            .over(Window.partitionBy("lang").orderBy(F.desc("n"), "g"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    docg = (
+        tri.groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            "lang",
+            "g",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy(F.desc("n"), "g"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    langs = prof.select("plang").distinct()
+    pp = prof.select(
+        F.col("plang").alias("pp_lang"), F.col("g").alias("pp_g"),
+        F.col("rank").alias("pp_rank"),
+    )
+    score = (
+        docg.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(pp),
+            (F.col("pp_lang") == F.col("plang")) & (F.col("pp_g") == F.col("g")),
+            "left",
+        )
+        .groupBy("doc_id", "lang", "plang")
+        .agg(
+            F.sum(
+                F.when(F.col("pp_rank").isNull(), 21).otherwise(
+                    F.abs(F.col("rank") - F.col("pp_rank"))
+                )
+            ).alias("dist")
+        )
+    )
+    pred = score.groupBy("doc_id", "lang").agg(
+        F.min_by("plang", F.struct("dist", "plang")).alias("plang_pred")
+    )
+    return (
+        pred.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("plang_pred") == F.col("lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.avg(
+                    F.when(F.col("plang_pred") == F.col("lang"), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )
