@@ -5197,3 +5197,236 @@ def text_cavnar_trenkle_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# W6 ext: two-phase exact top-k over a high-cardinality key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_two_phase_bucketed",
+    doc="Exact global top-10 users by event count via the two-phase "
+    "candidate pattern: users hash into 16 buckets (each user wholly "
+    "inside one bucket), phase one takes the per-bucket top-10 "
+    "(WindowGroupLimit pushes the limit below the exchange), phase two "
+    "ranks only the ≤160 candidates — correct by construction because "
+    "a global top-10 member must be top-10 of its own bucket.  The "
+    "shape that replaces a global sort when the key space is too "
+    "large for TakeOrdered's single heap to be the bottleneck.",
+    tags=("topk", "scale", "ext"),
+    oracle="""
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+""",
+)
+def topk_two_phase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    bucket = F.pmod(F.hash("user_id"), F.lit(16))
+    phase1 = (
+        counts.withColumn("bkt", bucket)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("bkt").orderBy(
+                    F.desc("n_events"), "user_id"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .drop("bkt", "rk")
+    )
+    return phase1.orderBy(F.desc("n_events"), "user_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: group-sequential monitoring with O'Brien-Fleming boundaries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_group_sequential_obf",
+    doc="Group-sequential A/B monitoring: weekly looks at the cumulative "
+    "purchase-rate difference between the md5-parity arms, each look's "
+    "z-statistic compared against the O'Brien-Fleming boundary "
+    "4.56/√t́ (t́ = information fraction) — the alpha-spending "
+    "discipline real experimentation platforms enforce instead of "
+    "naive daily peeking.  Cumulative arm cells come from running "
+    "windows over per-week conditional aggregates; one fact pass.",
+    tags=("agg", "experiment", "ext"),
+    oracle="""
+WITH e AS (
+  SELECT date_trunc('week', ts) AS wk,
+         ascii(substring(md5(user_id::VARCHAR), 1, 1)) % 2 AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), wcell AS (
+  SELECT wk, arm, count(*) AS n, sum(conv) AS x FROM e GROUP BY wk, arm
+), looks AS (
+  SELECT wk,
+         sum(CASE WHEN arm = 1 THEN n END) OVER w AS n1,
+         sum(CASE WHEN arm = 1 THEN x END) OVER w AS x1,
+         sum(CASE WHEN arm = 0 THEN n END) OVER w AS n0,
+         sum(CASE WHEN arm = 0 THEN x END) OVER w AS x0,
+         row_number() OVER (ORDER BY wk) AS look,
+         count(*) OVER () AS n_looks
+  FROM wcell
+  WINDOW w AS (ORDER BY wk ROWS UNBOUNDED PRECEDING)
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY wk ORDER BY look DESC) AS rn
+    FROM looks
+  ) WHERE rn = 1
+), z AS (
+  SELECT wk, n1 + n0 AS n_total,
+         (x1 * 1.0 / n1 - x0 * 1.0 / n0)
+         / sqrt((x1 + x0) * 1.0 / (n1 + n0)
+                * (1 - (x1 + x0) * 1.0 / (n1 + n0))
+                * (1.0 / n1 + 1.0 / n0)) AS z_stat,
+         (n1 + n0) * 1.0 / max(n1 + n0) OVER () AS info_frac
+  FROM dedup
+)
+SELECT strftime(wk, '%Y-%m-%d') AS week,
+       CAST(n_total AS BIGINT) AS n_total,
+       round(z_stat, 4) AS z_stat,
+       round(4.56 / sqrt(info_frac) * 0.5, 4) AS obf_boundary,
+       abs(z_stat) > 4.56 / sqrt(info_frac) * 0.5 AS stop_early
+FROM z ORDER BY week
+""",
+)
+def agg_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.ascii(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1))
+        % 2
+    )
+    e = ev.select(
+        F.date_trunc("week", "ts").alias("wk"),
+        arm.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    wcell = e.groupBy("wk", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    looks = wcell.select(
+        "wk",
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).over(w).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).over(w).alias("x1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).over(w).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).over(w).alias("x0"),
+    )
+    dedup = (
+        looks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("wk").orderBy(
+                    F.desc(F.col("n1") + F.col("n0"))
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n1, x1, n0, x0 = F.col("n1"), F.col("x1"), F.col("n0"), F.col("x0")
+    p_pool = (x1 + x0) / (n1 + n0)
+    z_stat = (x1 / n1 - x0 / n0) / F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / n1 + 1.0 / n0)
+    )
+    zed = dedup.select(
+        "wk",
+        (n1 + n0).alias("n_total"),
+        z_stat.alias("z_stat"),
+    ).withColumn(
+        "info_frac",
+        F.col("n_total") / F.max("n_total").over(Window.partitionBy()),
+    )
+    boundary = 4.56 / F.sqrt(F.col("info_frac")) * 0.5
+    return zed.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round("z_stat", 4).alias("z_stat"),
+        F.round(boundary, 4).alias("obf_boundary"),
+        (F.abs(F.col("z_stat")) > boundary).alias("stop_early"),
+    ).orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Laspeyres / Paasche / Fisher price indices between years
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_price_index_fisher",
+    doc="Classical price indices for the 1996→2000 comparison, computed "
+    "from per-part unit prices and quantities in ONE conditional "
+    "aggregate per part (base and current period side by side), then "
+    "the Laspeyres (base-weighted), Paasche (current-weighted) and "
+    "Fisher (geometric mean) indices from a second 1-row aggregate "
+    "over parts traded in both periods — the econometric rollup shape "
+    "where every sum is decomposable and the part dimension prunes "
+    "naturally.",
+    tags=("agg", "econ", "ext"),
+    oracle="""
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity END) AS q0,
+         sum(CASE WHEN year(l_shipdate) = 1996 THEN l_extendedprice END)
+           / sum(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity END) AS p0,
+         sum(CASE WHEN year(l_shipdate) = 2000 THEN l_quantity END) AS q1,
+         sum(CASE WHEN year(l_shipdate) = 2000 THEN l_extendedprice END)
+           / sum(CASE WHEN year(l_shipdate) = 2000 THEN l_quantity END) AS p1
+  FROM lineitem WHERE year(l_shipdate) IN (1996, 2000)
+  GROUP BY l_partkey
+), both_ AS (
+  SELECT * FROM pp WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+), s AS (
+  SELECT count(*) AS n_parts,
+         sum(p1 * q0) / sum(p0 * q0) AS laspeyres,
+         sum(p1 * q1) / sum(p0 * q1) AS paasche
+  FROM both_
+)
+SELECT n_parts,
+       round(laspeyres, 6) AS laspeyres,
+       round(paasche, 6) AS paasche,
+       round(sqrt(laspeyres * paasche), 6) AS fisher
+FROM s
+""",
+)
+def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    q_at = lambda y: F.sum(F.when(yr == y, F.col("l_quantity")))  # noqa: E731
+    v_at = lambda y: F.sum(F.when(yr == y, F.col("l_extendedprice")))  # noqa: E731
+    pp = (
+        li.filter(yr.isin(1996, 2000))
+        .groupBy("l_partkey")
+        .agg(
+            q_at(1996).alias("q0"),
+            (v_at(1996) / q_at(1996)).alias("p0"),
+            q_at(2000).alias("q1"),
+            (v_at(2000) / q_at(2000)).alias("p1"),
+        )
+    )
+    both = pp.filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    s = both.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (
+            F.sum(F.col("p1") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0"))
+        ).alias("laspeyres"),
+        (
+            F.sum(F.col("p1") * F.col("q1")) / F.sum(F.col("p0") * F.col("q1"))
+        ).alias("paasche"),
+    )
+    return s.select(
+        "n_parts",
+        F.round("laspeyres", 6).alias("laspeyres"),
+        F.round("paasche", 6).alias("paasche"),
+        F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 6).alias("fisher"),
+    )
