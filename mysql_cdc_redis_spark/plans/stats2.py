@@ -5430,3 +5430,263 @@ def agg_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("paasche", 6).alias("paasche"),
         F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 6).alias("fisher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events ext: bot detection by inter-arrival regularity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bot_regularity_screen",
+    doc="Bot screening from timing alone: per-user inter-event gaps (one "
+    "lag window), then the coefficient of variation of those gaps — "
+    "humans are bursty (CV ≈ 1 for Poisson), schedulers are metronomes "
+    "(CV → 0) — with the ten most-regular high-volume users surfaced.  "
+    "One window + one aggregate per user; minimum-event support keeps "
+    "the estimate meaningful.",
+    tags=("events", "ops", "ext"),
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+), s AS (
+  SELECT user_id, count(*) AS n_gaps,
+         avg(gap_s) AS mean_gap, stddev_samp(gap_s) AS sd_gap
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+  HAVING count(*) >= 20
+)
+SELECT user_id, n_gaps,
+       round(mean_gap, 2) AS mean_gap_s,
+       round(sd_gap / mean_gap, 6) AS gap_cv,
+       sd_gap / mean_gap < 0.3 AS bot_suspect
+FROM s ORDER BY gap_cv, user_id LIMIT 10
+""",
+)
+def events_bot_regularity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    g = ev.select("user_id", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.avg("gap_s").alias("mean_gap"),
+            F.stddev_samp("gap_s").alias("sd_gap"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+    )
+    cv = F.col("sd_gap") / F.col("mean_gap")
+    return (
+        s.select(
+            "user_id",
+            "n_gaps",
+            F.round("mean_gap", 2).alias("mean_gap_s"),
+            F.round(cv, 6).alias("gap_cv"),
+            (cv < 0.3).alias("bot_suspect"),
+        )
+        .orderBy("gap_cv", "user_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: haversine great-circle distance matrix (trig scalar surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_haversine_matrix",
+    doc="Great-circle distances between synthetic nation centroids "
+    "(lat/lon derived deterministically from the nation key — the "
+    "fixtures carry no geo columns, the trig pipeline is the "
+    "deliverable): the haversine formula end to end in radians/sin/"
+    "cos/asin built-ins, 25×25 pairs from a broadcast self-join of the "
+    "dimension, nearest-neighbour per nation reported.  Locks the "
+    "spherical-geometry scalar surface every geo join needs.",
+    tags=("scalar", "geo", "ext"),
+    oracle="""
+WITH geo AS (
+  SELECT n_nationkey AS k, n_name,
+         (n_nationkey * 6 - 72) * 1.0 AS lat,
+         (n_nationkey * 13 - 150) * 1.0 AS lon
+  FROM nation
+), pairs AS (
+  SELECT a.k AS k_a, a.n_name AS name_a, b.k AS k_b,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist_km
+  FROM geo a JOIN geo b ON a.k <> b.k
+), nn AS (
+  SELECT k_a, name_a, k_b, dist_km,
+         row_number() OVER (PARTITION BY k_a ORDER BY dist_km, k_b) AS rn
+  FROM pairs
+)
+SELECT k_a AS nationkey, name_a AS nation, k_b AS nearest_nationkey,
+       round(dist_km, 2) AS nearest_km
+FROM nn WHERE rn = 1 ORDER BY nationkey
+""",
+)
+def scalar_haversine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    nation = load_table(spark, sf_dir, "nation")
+    geo = nation.select(
+        F.col("n_nationkey").alias("k"),
+        "n_name",
+        (F.col("n_nationkey") * 6 - 72).cast("double").alias("lat"),
+        (F.col("n_nationkey") * 13 - 150).cast("double").alias("lon"),
+    )
+    a, b = geo.alias("a"), geo.alias("b")
+    dlat = F.radians(F.col("b.lat") - F.col("a.lat")) / 2
+    dlon = F.radians(F.col("b.lon") - F.col("a.lon")) / 2
+    h = F.pow(F.sin(dlat), F.lit(2)) + F.cos(F.radians(F.col("a.lat"))) * F.cos(
+        F.radians(F.col("b.lat"))
+    ) * F.pow(F.sin(dlon), F.lit(2))
+    pairs = a.join(b, F.col("a.k") != F.col("b.k")).select(
+        F.col("a.k").alias("k_a"),
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.k").alias("k_b"),
+        (2 * 6371.0 * F.asin(F.sqrt(h))).alias("dist_km"),
+    )
+    nn = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("k_a").orderBy("dist_km", "k_b")
+        ),
+    ).filter(F.col("rn") == 1)
+    return nn.select(
+        F.col("k_a").alias("nationkey"),
+        F.col("name_a").alias("nation"),
+        F.col("k_b").alias("nearest_nationkey"),
+        F.round("dist_km", 2).alias("nearest_km"),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# sim ext: hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_hard_negative_mining",
+    doc="Contrastive-training data prep: for each anchor embedding the "
+    "nearest SAME-label vector (positive) and the nearest DIFFERENT-"
+    "label vector (hard negative) by exact cosine, plus the margin "
+    "between them — the triplet-mining pass that decides which pairs "
+    "are worth a gradient.  Anchors are a bounded slice; at scale the "
+    "candidate set comes from the IVF/LSH buckets instead of all "
+    "pairs, same downstream shape.  Order-stable double folds keep "
+    "cosine bit-identical to the oracle.",
+    tags=("similarity", "training", "ext"),
+    oracle="""
+WITH pairs AS (
+  SELECT x.vec_id AS anchor, x.label AS label_a,
+         y.vec_id AS cand, y.label AS label_c,
+         list_sum(list_transform(range(1, 65),
+                  d -> CAST(x.embedding[d] AS DOUBLE)
+                     * CAST(y.embedding[d] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                 d -> CAST(x.embedding[d] AS DOUBLE)
+                    * CAST(x.embedding[d] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65),
+                 d -> CAST(y.embedding[d] AS DOUBLE)
+                    * CAST(y.embedding[d] AS DOUBLE))))) AS cos_sim
+  FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id
+  WHERE x.vec_id < 20
+), pos AS (
+  SELECT anchor, cand AS positive_id, cos_sim AS pos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor
+                                 ORDER BY cos_sim DESC, cand) AS rn
+    FROM pairs WHERE label_a = label_c
+  ) WHERE rn = 1
+), neg AS (
+  SELECT anchor, cand AS negative_id, cos_sim AS neg_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor
+                                 ORDER BY cos_sim DESC, cand) AS rn
+    FROM pairs WHERE label_a <> label_c
+  ) WHERE rn = 1
+)
+SELECT p.anchor, p.positive_id, round(p.pos_sim, 6) AS pos_sim,
+       n.negative_id, round(n.neg_sim, 6) AS neg_sim,
+       round(p.pos_sim - n.neg_sim, 6) AS margin
+FROM pos p JOIN neg n USING (anchor)
+ORDER BY anchor
+""",
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("label_c"),
+        F.col("embedding").alias("ec"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, ec, (a, b) -> cast(a as double) * "
+        "cast(b as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, a -> cast(a as double) * "
+        "cast(a as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    pairs = (
+        x.join(F.broadcast(y), F.col("anchor") != F.col("cand"))
+        .select(
+            "anchor",
+            "label_a",
+            "cand",
+            "label_c",
+            (dot / (F.expr(nrm.format(c="ea")) * F.expr(nrm.format(c="ec")))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+
+    def _best(filtered: DataFrame, id_out: str, sim_out: str) -> DataFrame:
+        return (
+            filtered.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("anchor").orderBy(
+                        F.desc("cos_sim"), "cand"
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "anchor",
+                F.col("cand").alias(id_out),
+                F.col("cos_sim").alias(sim_out),
+            )
+        )
+
+    pos = _best(pairs.filter(F.col("label_a") == F.col("label_c")), "positive_id", "pos_sim")
+    neg = _best(pairs.filter(F.col("label_a") != F.col("label_c")), "negative_id", "neg_sim")
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            "anchor",
+            "positive_id",
+            F.round("pos_sim", 6).alias("pos_sim"),
+            "negative_id",
+            F.round("neg_sim", 6).alias("neg_sim"),
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        )
+        .orderBy("anchor")
+    )
