@@ -5690,3 +5690,324 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Weibull fit via the log-log linearization of Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weibull_loglog_fit",
+    doc="Parametric Weibull fit of order-fulfilment durations by the "
+    "classic linearization: the empirical survival curve (same "
+    "censoring-aware construction as agg_nelson_aalen) is transformed "
+    "to ln(−ln S(t)) vs ln t, where Weibull data fall on a line with "
+    "slope = shape k and intercept = −k·ln λ — one regr_slope/"
+    "regr_intercept aggregate over the ≤100 survival points.  Shape "
+    "k>1 reads as wear-out (fulfilment risk grows with age).",
+    tags=("agg", "survival", "ext"),
+    oracle="""
+WITH dur AS (
+  SELECT o.o_orderkey,
+         date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS t,
+         max(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS censored
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), cell AS (
+  SELECT t, sum(1 - censored) AS d, sum(censored) AS c
+  FROM dur WHERE t > 0 GROUP BY t
+), risk AS (
+  SELECT t, d,
+         sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS gone,
+         sum(d + c) OVER () AS total
+  FROM cell
+), km AS (
+  -- drop the terminal event time (d = risk set ⇒ S hits 0, ln blows up);
+  -- every earlier point's product is unaffected
+  SELECT t,
+         exp(sum(ln(1 - d * 1.0 / (total - coalesce(gone, 0))))
+             OVER (ORDER BY t)) AS s
+  FROM risk WHERE d > 0 AND d < total - coalesce(gone, 0)
+), pts AS (
+  SELECT ln(t * 1.0) AS lx, ln(-ln(s)) AS ly
+  FROM km WHERE s > 0 AND s < 1
+)
+SELECT count(*) AS n_points,
+       round(regr_slope(ly, lx), 4) AS shape_k,
+       round(exp(-regr_intercept(ly, lx) / regr_slope(ly, lx)), 2)
+         AS scale_lambda,
+       regr_slope(ly, lx) > 1 AS wear_out
+FROM pts
+""",
+)
+def agg_weibull_loglog_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dur = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.datediff(F.max("l_shipdate"), F.first("o_orderdate")).alias("t"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("censored"),
+        )
+        .filter(F.col("t") > 0)
+    )
+    cell = dur.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    w = Window.orderBy("t")
+    risk = cell.select(
+        "t",
+        "d",
+        F.sum(F.col("d") + F.col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("gone"),
+        F.sum(F.col("d") + F.col("c")).over(Window.partitionBy()).alias("total"),
+    )
+    n_risk = F.col("total") - F.coalesce(F.col("gone"), F.lit(0))
+    km = (
+        risk.filter((F.col("d") > 0) & (F.col("d") < n_risk))
+        .select(
+            "t",
+            F.exp(
+                F.sum(F.log(1 - F.col("d") / n_risk)).over(w)
+            ).alias("s"),
+        )
+    )
+    pts = km.filter((F.col("s") > 0) & (F.col("s") < 1)).select(
+        F.log(F.col("t").cast("double")).alias("lx"),
+        F.log(-F.log("s")).alias("ly"),
+    )
+    slope = F.regr_slope(F.col("ly"), F.col("lx"))
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(slope, 4).alias("shape_k"),
+        F.round(
+            F.exp(-F.regr_intercept(F.col("ly"), F.col("lx")) / slope), 2
+        ).alias("scale_lambda"),
+        (slope > 1).alias("wear_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Kaufman efficiency ratio (trend vs noise per window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_kaufman_efficiency",
+    doc="Kaufman's efficiency ratio on monthly revenue: |net change over "
+    "the trailing 6 months| / Σ|month-to-month changes| — 1 means a "
+    "clean trend, →0 means churning noise.  A lag window for the "
+    "deltas, two frame sums for the ratio, all on the folded series; "
+    "the regime classifier that decides when trend indicators "
+    "(window_mom_growth, the oscillators) are even meaningful.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT mon, y,
+         abs(y - lag(y) OVER (ORDER BY mon)) AS step,
+         row_number() OVER (ORDER BY mon) AS rn
+  FROM m
+), k AS (
+  SELECT mon, rn,
+         abs(y - lag(y, 6) OVER (ORDER BY mon)) AS net,
+         sum(step) OVER (ORDER BY mon ROWS BETWEEN 5 PRECEDING
+                         AND CURRENT ROW) AS path
+  FROM d
+)
+SELECT strftime(mon, '%Y-%m') AS mon,
+       round(net / nullif(path, 0), 6) AS efficiency_ratio,
+       net / nullif(path, 0) > 0.5 AS trending
+FROM k WHERE rn > 6 ORDER BY mon
+""",
+)
+def window_kaufman_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    w = Window.orderBy("mon")
+    d = m.select(
+        "mon",
+        "y",
+        F.abs(F.col("y") - F.lag("y").over(w)).alias("step"),
+        F.row_number().over(w).alias("rn"),
+    )
+    k = d.select(
+        "mon",
+        "rn",
+        F.abs(F.col("y") - F.lag("y", 6).over(w)).alias("net"),
+        F.sum("step").over(w.rowsBetween(-5, 0)).alias("path"),
+    )
+    er = F.col("net") / F.nullif(F.col("path"), F.lit(0.0))
+    return (
+        k.filter(F.col("rn") > 6)
+        .select(
+            F.date_format("mon", "yyyy-MM").alias("mon"),
+            F.round(er, 6).alias("efficiency_ratio"),
+            (er > 0.5).alias("trending"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mlops ext: point-in-time-correct training-set assembly
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlops_pit_training_set",
+    doc="Leakage-free training-set assembly (the feature-store join): for "
+    "every order, features computed STRICTLY from the customer's "
+    "earlier history — prior order count, prior spend, days since the "
+    "previous order — via exclusive-frame windows over the per-"
+    "customer order sequence, labeled with the current order's "
+    "urgency.  No future rows can reach a feature by construction "
+    "(the 1-PRECEDING frame is the point-in-time guarantee "
+    "cdc_temporal_scd2_enrich gives for dimensions, applied to "
+    "behavioural aggregates).  Feature-summary output.",
+    tags=("mlops", "features", "ext"),
+    oracle="""
+WITH h AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label,
+         count(*) OVER w AS n_prior,
+         coalesce(sum(o_totalprice) OVER w, 0) AS prior_spend,
+         date_diff('day', lag(o_orderdate)
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey), o_orderdate)
+           AS days_since_prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT label,
+       count(*) AS n_rows,
+       round(avg(n_prior), 4) AS mean_prior_orders,
+       round(avg(prior_spend), 2) AS mean_prior_spend,
+       round(avg(days_since_prev), 4) AS mean_days_since_prev,
+       sum(CASE WHEN n_prior = 0 THEN 1 ELSE 0 END) AS n_cold_start
+FROM h GROUP BY label ORDER BY label
+""",
+)
+def mlops_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wpast = wseq.rowsBetween(Window.unboundedPreceding, -1)
+    h = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "label"
+        ),
+        F.count(F.lit(1)).over(wpast).alias("n_prior"),
+        F.coalesce(F.sum("o_totalprice").over(wpast), F.lit(0.0)).alias(
+            "prior_spend"
+        ),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(wseq)
+        ).alias("days_since_prev"),
+    )
+    return (
+        h.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("n_prior"), 4).alias("mean_prior_orders"),
+            F.round(F.avg("prior_spend"), 2).alias("mean_prior_spend"),
+            F.round(F.avg("days_since_prev"), 4).alias("mean_days_since_prev"),
+            F.sum(F.when(F.col("n_prior") == 0, 1).otherwise(0)).alias(
+                "n_cold_start"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: SFT prompt/response pair preparation under a token budget
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_sft_pair_prep",
+    doc="Supervised-fine-tuning pair assembly: adjacent same-source "
+    "documents (by doc_id order, one lead window per source) become "
+    "(prompt, response) pairs, whitespace token counts gate the "
+    "combined length to a 256-token context budget, and the per-source "
+    "yield report shows what the budget discards — the formatting "
+    "pass between a curated corpus and a trainer.  One window + one "
+    "aggregate; the pair text itself stays unmaterialized (only "
+    "lengths flow).",
+    tags=("corpus", "training", "ext"),
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ')) AS n_tok
+  FROM documents
+), pairs AS (
+  SELECT source, n_tok AS prompt_tok,
+         lead(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+           AS response_tok
+  FROM t
+)
+SELECT source,
+       count(response_tok) AS n_pairs,
+       sum(CASE WHEN prompt_tok + response_tok <= 256
+                THEN 1 ELSE 0 END) AS n_within_budget,
+       round(sum(CASE WHEN prompt_tok + response_tok <= 256
+                      THEN 1 ELSE 0 END) * 1.0
+             / count(response_tok), 6) AS budget_yield,
+       sum(CASE WHEN prompt_tok + response_tok <= 256
+                THEN prompt_tok + response_tok ELSE 0 END) AS kept_tokens
+FROM pairs GROUP BY source ORDER BY source
+""",
+)
+def corpus_sft_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", ts.token_count(F.col("text")).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = t.select(
+        "source",
+        F.col("n_tok").alias("prompt_tok"),
+        F.lead("n_tok").over(w).alias("response_tok"),
+    )
+    within = F.col("prompt_tok") + F.col("response_tok") <= 256
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count("response_tok").alias("n_pairs"),
+            F.sum(F.when(within, 1).otherwise(0)).alias("n_within_budget"),
+            F.round(
+                F.sum(F.when(within, 1).otherwise(0)) / F.count("response_tok"),
+                6,
+            ).alias("budget_yield"),
+            F.sum(
+                F.when(
+                    within, F.col("prompt_tok") + F.col("response_tok")
+                ).otherwise(0)
+            ).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
