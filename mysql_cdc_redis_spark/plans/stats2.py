@@ -6011,3 +6011,290 @@ def corpus_sft_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_RAKE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, u.pos, u.w,
+         list_contains({_STOP_SQL}, u.w) AS is_stop
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents) d,
+       LATERAL (SELECT p.pos, d.toks[p.pos] AS w
+                FROM unnest(range(1, len(d.toks) + 1)) p(pos)) u
+), nxt AS (
+  SELECT doc_id, w, is_stop,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         lead(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS stop2
+  FROM tok
+), freq AS (
+  SELECT w, count(*) AS freq FROM tok WHERE NOT is_stop GROUP BY w
+), adj AS (
+  SELECT w, w2 FROM nxt
+  WHERE NOT is_stop AND NOT coalesce(stop2, TRUE)
+), dout AS (SELECT w, count(*) AS dout FROM adj GROUP BY w),
+din AS (SELECT w2 AS w, count(*) AS din FROM adj GROUP BY w2),
+scored AS (
+  SELECT f.w, f.freq,
+         f.freq + coalesce(o.dout, 0) + coalesce(i.din, 0) AS degree
+  FROM freq f LEFT JOIN dout o USING (w) LEFT JOIN din i USING (w)
+)
+SELECT w, freq, degree,
+       round(degree * 1.0 / freq, 6) AS rake_score
+FROM scored WHERE freq >= 5
+ORDER BY rake_score DESC, freq DESC, w LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: bimodality coefficient (mixture-separation screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bimodality_coefficient",
+    doc="Sarle's bimodality coefficient per market segment: "
+    "BC = (skew²+1)/(kurtosis+3·(n−1)²/((n−2)(n−3))), values above the "
+    "uniform benchmark 5/9 flag a possible mixture — the one-pass "
+    "moment screen run before paying for real mixture modelling.  "
+    "Reuses the same decomposable third/fourth-moment aggregates as "
+    "agg_skewness_kurtosis, grouped.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+-- population moments from power sums (Spark's skewness/kurtosis use the
+-- population g1/g2 while DuckDB's are sample-corrected — power sums agree)
+WITH s AS (
+  SELECT c_mktsegment, count(*) AS n,
+         avg(c_acctbal) AS m1,
+         avg(c_acctbal * c_acctbal) AS m2r,
+         avg(pow(c_acctbal, 3)) AS m3r,
+         avg(pow(c_acctbal, 4)) AS m4r
+  FROM customer GROUP BY c_mktsegment
+), g AS (
+  SELECT c_mktsegment, n,
+         (m3r - 3 * m1 * m2r + 2 * pow(m1, 3))
+           / pow(m2r - m1 * m1, 1.5) AS g1,
+         (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * pow(m1, 4))
+           / pow(m2r - m1 * m1, 2) - 3 AS g2
+  FROM s
+)
+SELECT c_mktsegment, n,
+       round(g1, 5) AS skew,
+       round(g2, 5) AS excess_kurtosis,
+       round((g1 * g1 + 1)
+             / (g2 + 3.0 * pow(n - 1, 2) / ((n - 2) * (n - 3))), 5)
+         AS bimodality_coef,
+       (g1 * g1 + 1)
+       / (g2 + 3.0 * pow(n - 1, 2) / ((n - 2) * (n - 3))) > 5.0 / 9
+         AS mixture_suspect
+FROM g ORDER BY c_mktsegment
+""",
+)
+def agg_bimodality_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    s = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("m1"),
+        F.avg(x * x).alias("m2r"),
+        F.avg(F.pow(x, F.lit(3))).alias("m3r"),
+        F.avg(F.pow(x, F.lit(4))).alias("m4r"),
+    )
+    m1, m2r, m3r, m4r = F.col("m1"), F.col("m2r"), F.col("m3r"), F.col("m4r")
+    var = m2r - m1 * m1
+    g1 = (m3r - 3 * m1 * m2r + 2 * F.pow(m1, F.lit(3))) / F.pow(var, F.lit(1.5))
+    g2 = (
+        m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * F.pow(m1, F.lit(4))
+    ) / F.pow(var, F.lit(2)) - 3
+    n = F.col("n")
+    bc = (g1 * g1 + 1) / (
+        g2 + 3.0 * F.pow(n - 1, F.lit(2)) / ((n - 2) * (n - 3))
+    )
+    return (
+        s.select(
+            "c_mktsegment",
+            "n",
+            F.round(g1, 5).alias("skew"),
+            F.round(g2, 5).alias("excess_kurtosis"),
+            F.round(bc, 5).alias("bimodality_coef"),
+            (bc > 5.0 / 9).alias("mixture_suspect"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: two-level Haar wavelet decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_haar_wavelet_levels",
+    doc="Two-level Haar multiresolution analysis of the first 64 days of "
+    "event counts: level-1 pairs (t//2) split into approximation "
+    "(pair mean) and detail (half-difference), level-2 repeats on the "
+    "approximations — energy per band plus the Parseval check that "
+    "approximation+detail energy reproduces the signal energy exactly "
+    "(×2 per level for the unnormalized transform).  Dyadic grouping "
+    "keys make every level one tiny aggregate; the multiresolution "
+    "screen behind events_spectral_period_scan's single-frequency "
+    "view.",
+    tags=("events", "timeseries", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY date_trunc('day', ts)) - 1 AS t,
+         count(*) * 1.0 AS y
+  FROM events GROUP BY date_trunc('day', ts)
+  QUALIFY t < 64
+), l1 AS (
+  SELECT t // 2 AS p,
+         avg(y) AS a1,
+         (max(CASE WHEN t % 2 = 0 THEN y END)
+          - max(CASE WHEN t % 2 = 1 THEN y END)) / 2 AS d1
+  FROM d GROUP BY t // 2
+), l2 AS (
+  SELECT p // 2 AS q,
+         avg(a1) AS a2,
+         (max(CASE WHEN p % 2 = 0 THEN a1 END)
+          - max(CASE WHEN p % 2 = 1 THEN a1 END)) / 2 AS d2
+  FROM l1 GROUP BY p // 2
+)
+SELECT (SELECT count(*) FROM d) AS n_samples,
+       round((SELECT sum(y * y) FROM d), 2) AS signal_energy,
+       round((SELECT sum(d1 * d1) FROM l1), 2) AS detail1_energy,
+       round((SELECT sum(d2 * d2) FROM l2), 2) AS detail2_energy,
+       round((SELECT sum(a2 * a2) FROM l2), 2) AS approx2_energy,
+       round((SELECT 4 * sum(a2 * a2) + 4 * sum(d2 * d2) FROM l2)
+             + (SELECT 2 * sum(d1 * d1) FROM l1), 2) AS reconstructed_energy
+""",
+)
+def events_haar_wavelet_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(
+            (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
+        )
+        .filter(F.col("t") < 64)
+    )
+    l1 = d.groupBy((F.col("t") / 2).cast("bigint").alias("p")).agg(
+        F.avg("y").alias("a1"),
+        (
+            (
+                F.max(F.when(F.col("t") % 2 == 0, F.col("y")))
+                - F.max(F.when(F.col("t") % 2 == 1, F.col("y")))
+            )
+            / 2
+        ).alias("d1"),
+    )
+    l2 = l1.groupBy((F.col("p") / 2).cast("bigint").alias("q")).agg(
+        F.avg("a1").alias("a2"),
+        (
+            (
+                F.max(F.when(F.col("p") % 2 == 0, F.col("a1")))
+                - F.max(F.when(F.col("p") % 2 == 1, F.col("a1")))
+            )
+            / 2
+        ).alias("d2"),
+    )
+    sig = d.agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.sum(F.col("y") * F.col("y")), 2).alias("signal_energy"),
+    )
+    e1 = l1.agg(
+        F.round(F.sum(F.col("d1") * F.col("d1")), 2).alias("detail1_energy"),
+        F.sum(F.col("d1") * F.col("d1")).alias("_d1raw"),
+    )
+    e2 = l2.agg(
+        F.round(F.sum(F.col("d2") * F.col("d2")), 2).alias("detail2_energy"),
+        F.round(F.sum(F.col("a2") * F.col("a2")), 2).alias("approx2_energy"),
+        F.sum(F.col("a2") * F.col("a2")).alias("_a2raw"),
+        F.sum(F.col("d2") * F.col("d2")).alias("_d2raw"),
+    )
+    return (
+        sig.crossJoin(F.broadcast(e1))
+        .crossJoin(F.broadcast(e2))
+        .select(
+            "n_samples",
+            "signal_energy",
+            "detail1_energy",
+            "detail2_energy",
+            "approx2_energy",
+            F.round(
+                4 * F.col("_a2raw") + 4 * F.col("_d2raw") + 2 * F.col("_d1raw"),
+                2,
+            ).alias("reconstructed_energy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: RAKE-style keyword scoring (degree/frequency)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_rake_keywords",
+    doc="Keyword extraction à la RAKE, distilled to its word graph: "
+    "within-document adjacent word pairs (stopwords break candidate "
+    "phrases) build a co-occurrence degree per word, the RAKE score "
+    "deg(w)/freq(w) rewards words that appear inside long content "
+    "phrases, and the corpus-level top-15 keywords fall out of one "
+    "ranking.  Explodes + aggregates only; the stopword list is the "
+    "same broadcast dictionary the quality gates use.",
+    tags=("text", "keywords", "ext"),
+    oracle=_RAKE_ORACLE,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in ts.STOPWORDS])
+    toks = docs.select(
+        "doc_id", F.posexplode(ts.tokens(F.col("text"))).alias("pos", "w")
+    ).withColumn("is_stop", F.array_contains(stop_arr, F.col("w")))
+    nxt = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        "is_stop",
+        F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+        F.lead("is_stop")
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("stop2"),
+    )
+    content = toks.filter(~F.col("is_stop"))
+    freq = content.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    adj = (
+        nxt.filter(~F.col("is_stop") & ~F.coalesce(F.col("stop2"), F.lit(True)))
+        .select("w", "w2")
+    )
+    deg_out = adj.groupBy("w").agg(F.count(F.lit(1)).alias("dout"))
+    deg_in = adj.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).alias("din")
+    )
+    scored = (
+        freq.join(deg_out, "w", "left")
+        .join(deg_in, "w", "left")
+        .select(
+            "w",
+            "freq",
+            (
+                F.col("freq")
+                + F.coalesce(F.col("dout"), F.lit(0))
+                + F.coalesce(F.col("din"), F.lit(0))
+            ).alias("degree"),
+        )
+        .withColumn(
+            "rake_score",
+            F.round(F.col("degree") / F.col("freq"), 6),
+        )
+    )
+    return (
+        scored.filter(F.col("freq") >= 5)
+        .orderBy(F.desc("rake_score"), F.desc("freq"), "w")
+        .limit(15)
+    )
