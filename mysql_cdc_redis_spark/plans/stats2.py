@@ -6298,3 +6298,275 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.desc("freq"), "w")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# events ext: compact per-entity time-series feature vector (tsfresh-lite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ts_feature_vector",
+    doc="Per-user time-series feature extraction in one pass over the "
+    "event stream: count, value mean/std, daily trend slope "
+    "(regr_slope against the day index), lag-free burstiness (gap CV) "
+    "and active-day span — the compact tsfresh-style vector a "
+    "downstream model consumes instead of raw events.  Every feature "
+    "is a decomposable aggregate or a lag window inside the same "
+    "user partition; top-5 busiest users shown.",
+    tags=("events", "features", "ext"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s,
+         date_diff('day', (SELECT min(ts) FROM events), ts) AS day_idx
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(avg(value), 4) AS value_mean,
+       round(stddev_samp(value), 4) AS value_std,
+       round(regr_slope(value, day_idx), 6) AS value_trend,
+       round(stddev_samp(gap_s) / avg(gap_s), 6) AS gap_cv,
+       count(DISTINCT day_idx) AS active_days
+FROM g GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 5
+""",
+)
+def events_ts_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.min("ts").alias("t0"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "value",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap_s"
+        ),
+        F.datediff("ts", "t0").alias("day_idx"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("value_mean"),
+            F.round(F.stddev_samp("value"), 4).alias("value_std"),
+            F.round(F.regr_slope(F.col("value"), F.col("day_idx")), 6).alias(
+                "value_trend"
+            ),
+            F.round(F.stddev_samp("gap_s") / F.avg("gap_s"), 6).alias("gap_cv"),
+            F.countDistinct("day_idx").alias("active_days"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: the NOT IN null trap, demonstrated and locked
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_notin_null_trap",
+    doc="The classic three-valued-logic footgun, locked as a semantic "
+    "contract: customers 'without orders' via NOT IN collapses to "
+    "ZERO rows the moment the subquery contains a single NULL key "
+    "(x <> NULL is UNKNOWN for every x), while NOT EXISTS / anti-join "
+    "gives the intended answer.  One injected-NULL subquery, both "
+    "formulations counted side by side — identical on both engines "
+    "because the trap is ANSI semantics, not an implementation "
+    "choice.  Teams migrating the reference's Python set-difference "
+    "(dump2csv manifest logic) hit exactly this.",
+    tags=("join", "semantics", "ext"),
+    oracle="""
+WITH keys AS (
+  SELECT CASE WHEN o_orderkey % 5000 = 0 THEN NULL
+              ELSE o_custkey END AS k
+  FROM orders
+)
+SELECT (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey))
+         AS n_not_exists,
+       (SELECT count(*) FROM keys WHERE k IS NULL) > 0 AS subquery_has_null
+""",
+)
+def join_notin_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    keys = orders.select(
+        F.when(F.col("o_orderkey") % 5000 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    cust.createOrReplaceTempView("ninc_customer_v")
+    keys.createOrReplaceTempView("ninc_keys_v")
+    spark = cust.sparkSession
+    not_in = spark.sql(
+        "SELECT count(*) AS n_not_in FROM ninc_customer_v "
+        "WHERE c_custkey NOT IN (SELECT k FROM ninc_keys_v)"
+    )
+    not_exists = cust.join(
+        keys, cust.c_custkey == keys.k, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_not_exists"))
+    has_null = keys.agg(
+        (F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)) > 0).alias(
+            "subquery_has_null"
+        )
+    )
+    return (
+        not_in.crossJoin(F.broadcast(not_exists))
+        .crossJoin(F.broadcast(has_null))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Bradley-Terry pairwise-comparison strengths (3 MM iterations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bradley_terry_iterations",
+    doc="Bradley-Terry ranking from pairwise contests: within each order, "
+    "the higher-unit-price brand of a pair 'wins'; three unrolled "
+    "minorize-maximize updates π ← W / Σ n_ab/(π_a+π_b) over the "
+    "≤300-cell pair matrix (each step one broadcast join + two tiny "
+    "aggregates, the same bounded-iteration pattern as the Markov and "
+    "k-means steps) recover latent brand strengths from nothing but "
+    "comparisons.  Top-5 strengths, normalized to mean 1.",
+    tags=("agg", "ranking", "ext"),
+    oracle="""
+WITH li2 AS (
+  SELECT l_orderkey, p_brand,
+         avg(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY l_orderkey, p_brand
+), duel AS (
+  SELECT CASE WHEN a.unit_price > b.unit_price THEN a.p_brand
+              ELSE b.p_brand END AS winner,
+         CASE WHEN a.unit_price > b.unit_price THEN b.p_brand
+              ELSE a.p_brand END AS loser
+  FROM li2 a JOIN li2 b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  WHERE a.unit_price <> b.unit_price
+), pairs AS (
+  SELECT least(winner, loser) AS x, greatest(winner, loser) AS y,
+         count(*) AS n_xy,
+         sum(CASE WHEN winner = least(winner, loser) THEN 1 ELSE 0 END)
+           AS wins_x
+  FROM duel GROUP BY 1, 2
+), wins AS (
+  SELECT brand, sum(w) AS w FROM (
+    SELECT x AS brand, wins_x AS w FROM pairs
+    UNION ALL SELECT y, n_xy - wins_x FROM pairs
+  ) GROUP BY brand
+), pi0 AS (SELECT brand, 1.0 AS pi FROM wins),
+it1 AS (
+  SELECT w.brand, w.w / sum(p.n_xy / (pa.pi + pb.pi)) AS pi
+  FROM wins w
+  JOIN (SELECT x AS brand, y AS other, n_xy FROM pairs
+        UNION ALL SELECT y, x, n_xy FROM pairs) p ON p.brand = w.brand
+  JOIN pi0 pa ON pa.brand = p.brand
+  JOIN pi0 pb ON pb.brand = p.other
+  GROUP BY w.brand, w.w
+), it2 AS (
+  SELECT w.brand, w.w / sum(p.n_xy / (pa.pi + pb.pi)) AS pi
+  FROM wins w
+  JOIN (SELECT x AS brand, y AS other, n_xy FROM pairs
+        UNION ALL SELECT y, x, n_xy FROM pairs) p ON p.brand = w.brand
+  JOIN it1 pa ON pa.brand = p.brand
+  JOIN it1 pb ON pb.brand = p.other
+  GROUP BY w.brand, w.w
+), it3 AS (
+  SELECT w.brand, w.w / sum(p.n_xy / (pa.pi + pb.pi)) AS pi
+  FROM wins w
+  JOIN (SELECT x AS brand, y AS other, n_xy FROM pairs
+        UNION ALL SELECT y, x, n_xy FROM pairs) p ON p.brand = w.brand
+  JOIN it2 pa ON pa.brand = p.brand
+  JOIN it2 pb ON pb.brand = p.other
+  GROUP BY w.brand, w.w
+)
+SELECT brand, round(pi / (SELECT avg(pi) FROM it3), 6) AS strength
+FROM it3 ORDER BY strength DESC, brand LIMIT 5
+""",
+)
+def agg_bradley_terry_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li2 = (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("up"))
+    )
+    a, b = li2.alias("a"), li2.alias("b")
+    duel = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .filter(F.col("a.up") != F.col("b.up"))
+        .select(
+            F.when(F.col("a.up") > F.col("b.up"), F.col("a.p_brand"))
+            .otherwise(F.col("b.p_brand"))
+            .alias("winner"),
+            F.when(F.col("a.up") > F.col("b.up"), F.col("b.p_brand"))
+            .otherwise(F.col("a.p_brand"))
+            .alias("loser"),
+        )
+    )
+    x = F.least("winner", "loser")
+    y = F.greatest("winner", "loser")
+    pairs = duel.groupBy(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n_xy"),
+        F.sum(
+            F.when(F.col("winner") == F.least("winner", "loser"), 1).otherwise(0)
+        ).alias("wins_x"),
+    )
+    wins = (
+        pairs.select(F.col("x").alias("brand"), F.col("wins_x").alias("w"))
+        .unionAll(
+            pairs.select(
+                F.col("y").alias("brand"),
+                (F.col("n_xy") - F.col("wins_x")).alias("w"),
+            )
+        )
+        .groupBy("brand")
+        .agg(F.sum("w").alias("w"))
+    )
+    sym = pairs.select(
+        F.col("x").alias("brand"), F.col("y").alias("other"), "n_xy"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("brand"), F.col("x").alias("other"), "n_xy"
+        )
+    )
+    pi = wins.select("brand", F.lit(1.0).alias("pi"))
+    for _ in range(3):
+        pa = F.broadcast(pi.select(F.col("brand").alias("pa_b"), F.col("pi").alias("pa")))
+        pb = F.broadcast(pi.select(F.col("brand").alias("pb_b"), F.col("pi").alias("pb")))
+        pi = (
+            wins.join(sym, "brand")
+            .join(pa, F.col("brand") == F.col("pa_b"))
+            .join(pb, F.col("other") == F.col("pb_b"))
+            .groupBy("brand")
+            .agg(
+                (
+                    F.any_value("w")
+                    / F.sum(F.col("n_xy") / (F.col("pa") + F.col("pb")))
+                ).alias("pi")
+            )
+        )
+    mean_pi = pi.agg(F.avg("pi").alias("mean_pi"))
+    return (
+        pi.crossJoin(F.broadcast(mean_pi))
+        .select("brand", F.round(F.col("pi") / F.col("mean_pi"), 6).alias("strength"))
+        .orderBy(F.desc("strength"), "brand")
+        .limit(5)
+    )
