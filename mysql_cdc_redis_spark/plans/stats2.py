@@ -6570,3 +6570,329 @@ def agg_bradley_terry_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("strength"), "brand")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Kruskal-Wallis rank test across k groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_kruskal_wallis",
+    doc="Kruskal-Wallis H test of order value across the five priorities "
+    "— the k-sample nonparametric that completes the family next to "
+    "Mann-Whitney (2 samples) and Friedman (blocked): global midranks "
+    "from one RANGE window over cent-rounded values, rank sums per "
+    "group, H = 12/(N(N+1))·ΣR_j²/n_j − 3(N+1) with the standard tie "
+    "correction from a per-value tie census.  One sort-window pass "
+    "plus two tiny aggregates.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS grp, round(o_totalprice, 2) AS x FROM orders
+), r AS (
+  SELECT grp, x,
+         (rank() OVER (ORDER BY x)
+          + (count(*) OVER (PARTITION BY x) - 1) / 2.0) AS midrank
+  FROM v
+), gs AS (
+  SELECT grp, count(*) AS n, sum(midrank) AS rsum FROM r GROUP BY grp
+), ties AS (
+  SELECT sum(c * c * c - c) AS tie_term, sum(c) AS n_total FROM (
+    SELECT count(*) AS c FROM v GROUP BY x
+  )
+), h AS (
+  SELECT (12.0 / (t.n_total * (t.n_total + 1))
+          * (SELECT sum(rsum * rsum / n) FROM gs)
+          - 3 * (t.n_total + 1))
+         / (1 - t.tie_term * 1.0 / (pow(t.n_total, 3) - t.n_total)) AS h_stat,
+         (SELECT count(*) FROM gs) - 1 AS dof
+  FROM ties t
+)
+SELECT round(h_stat, 4) AS h_stat, dof, h_stat > 9.488 AS reject_at_05
+FROM h
+""",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round("o_totalprice", 2).alias("x"),
+    )
+    r = v.select(
+        "grp",
+        (
+            F.rank().over(Window.orderBy("x"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    gs = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("midrank").alias("rsum")
+    )
+    ties = v.groupBy("x").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie_term"
+        ),
+        F.sum("c").alias("n_total"),
+    )
+    srs = gs.agg(
+        F.sum(F.col("rsum") * F.col("rsum") / F.col("n")).alias("srs"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = ties.crossJoin(F.broadcast(srs))
+    n_tot = F.col("n_total")
+    h_stat = (
+        12.0 / (n_tot * (n_tot + 1)) * F.col("srs") - 3 * (n_tot + 1)
+    ) / (1 - F.col("tie_term") / (F.pow(n_tot, F.lit(3)) - n_tot))
+    return j.select(
+        F.round(h_stat, 4).alias("h_stat"),
+        (F.col("k") - 1).alias("dof"),
+        (h_stat > 9.488).alias("reject_at_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Brown-Forsythe variance-equality test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_brown_forsythe",
+    doc="Brown-Forsythe homogeneity-of-variance test (Levene with the "
+    "median center): per-priority rank-based medians of order value, "
+    "absolute deviations from them, then one-way ANOVA F over those "
+    "deviations — the precondition check for agg_anova_f_oneway's "
+    "equal-variance assumption, built entirely from the same "
+    "rank-quantile and moment machinery.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS grp, round(o_totalprice, 2) AS x FROM orders
+), med AS (
+  SELECT grp, x AS m FROM (
+    SELECT grp, x,
+           row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+           count(*) OVER (PARTITION BY grp) AS cnt
+    FROM v
+  ) WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+), dev AS (
+  SELECT v.grp, abs(v.x - med.m) AS z
+  FROM v JOIN med ON med.grp = v.grp
+), g AS (
+  SELECT grp, count(*) AS n, avg(z) AS mz, var_samp(z) AS vz
+  FROM dev GROUP BY grp
+), t AS (
+  SELECT count(*) AS k, sum(n) AS n_total,
+         sum(n * mz) / sum(n) AS grand, sum((n - 1) * vz) AS ssw
+  FROM g
+), b AS (
+  SELECT sum(n * pow(mz - (SELECT grand FROM t), 2)) AS ssb FROM g
+)
+SELECT t.k, t.n_total,
+       round(b.ssb / (t.k - 1) / (t.ssw / (t.n_total - t.k)), 4) AS f_stat,
+       b.ssb / (t.k - 1) / (t.ssw / (t.n_total - t.k)) > 2.372
+         AS variances_differ
+FROM t, b
+""",
+)
+def agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round("o_totalprice", 2).alias("x"),
+    )
+    med = (
+        v.select(
+            "grp",
+            "x",
+            F.row_number()
+            .over(Window.partitionBy("grp").orderBy("x"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.ceil(0.5 * F.col("cnt")).cast("bigint"))
+        .select("grp", F.col("x").alias("m"))
+    )
+    dev = v.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("x") - F.col("m")).alias("z")
+    )
+    g = dev.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("z").alias("mz"),
+        F.var_samp("z").alias("vz"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        (F.sum(F.col("n") * F.col("mz")) / F.sum("n")).alias("grand"),
+        F.sum((F.col("n") - 1) * F.col("vz")).alias("ssw"),
+    )
+    b = (
+        g.crossJoin(F.broadcast(t.select("grand")))
+        .agg(
+            F.sum(
+                F.col("n") * F.pow(F.col("mz") - F.col("grand"), F.lit(2))
+            ).alias("ssb")
+        )
+    )
+    f_stat = (F.col("ssb") / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("n_total") - F.col("k"))
+    )
+    return (
+        t.crossJoin(F.broadcast(b))
+        .select(
+            "k",
+            "n_total",
+            F.round(f_stat, 4).alias("f_stat"),
+            (f_stat > 2.372).alias("variances_differ"),
+        )
+    )
+
+
+_ABLATION_ORACLE = f"""
+WITH d AS (
+  SELECT n_chars, {_NORM} AS norm FROM documents
+), t AS (
+  SELECT n_chars, string_split(norm, ' ') AS toks FROM d
+), m AS (
+  SELECT CASE WHEN n_chars >= 100 AND n_chars <= 1500 THEN 1 ELSE 0 END
+           AS g_len,
+         CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+                   / len(toks) >= 0.05 THEN 1 ELSE 0 END AS g_lang,
+         CASE WHEN len(list_distinct(toks)) * 1.0 / len(toks) >= 0.5
+              THEN 1 ELSE 0 END AS g_rep
+  FROM t
+)
+SELECT g_len, g_lang, g_rep, count(*) AS n_docs
+FROM m GROUP BY 1, 2, 3 ORDER BY g_len, g_lang, g_rep
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: quality-filter ablation grid (all 8 gate combinations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_filter_ablation_grid",
+    doc="Ablation analysis of three corpus gates — length band, English "
+    "lang-ID, low-repetition (distinct-token ratio) — evaluated as all "
+    "8 on/off combinations in ONE pass: each document computes its "
+    "3-bit pass mask once, the grid is a GROUPING SETS-free bitmask "
+    "group-by, and survivors per combination show which gates bite "
+    "and which overlap.  The ablation table a data-quality review "
+    "actually reads, at one scan instead of 8.",
+    tags=("corpus", "quality", "ext"),
+    oracle=_ABLATION_ORACLE,
+)
+def corpus_filter_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ts.tokens(F.col("text"))
+    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 1500)
+    lang_ok = ts.lang_id(F.col("text")) == "en"
+    rep_ok = F.size(F.array_distinct(toks)) / F.size(toks) >= 0.5
+    m = docs.select(
+        len_ok.cast("int").alias("g_len"),
+        lang_ok.cast("int").alias("g_lang"),
+        rep_ok.cast("int").alias("g_rep"),
+    )
+    return (
+        m.groupBy("g_len", "g_lang", "g_rep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("g_len", "g_lang", "g_rep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ext: modularity of a given two-community partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_modularity_partition",
+    doc="Newman modularity Q of a candidate split of the part co-purchase "
+    "graph (community = p_size parity, a deliberately weak partition): "
+    "Q = Σ_c (e_c/m − (d_c/2m)²) from three tiny aggregates over the "
+    "edge list and degree relation — the objective every community-"
+    "detection loop (label propagation, Louvain steps) evaluates; Q≈0 "
+    "certifies the parity split carries no structure.",
+    tags=("graph", "join", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT s1.l_partkey AS a, s2.l_partkey AS b
+  FROM lineitem s1 JOIN lineitem s2
+    ON s1.l_orderkey = s2.l_orderkey AND s1.l_partkey < s2.l_partkey
+), comm AS (
+  SELECT p_partkey AS v, p_size % 2 AS c FROM part
+), m AS (SELECT count(*) AS m_edges FROM edges),
+within AS (
+  SELECT ca.c, count(*) AS e_c
+  FROM edges e JOIN comm ca ON ca.v = e.a JOIN comm cb ON cb.v = e.b
+  WHERE ca.c = cb.c GROUP BY ca.c
+), deg AS (
+  SELECT c, sum(d) AS d_c FROM (
+    SELECT v, count(*) AS d FROM (
+      SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+    ) GROUP BY v
+  ) dv JOIN comm ON comm.v = dv.v GROUP BY c
+)
+SELECT (SELECT m_edges FROM m) AS n_edges,
+       round(sum(coalesce(w.e_c, 0) * 1.0 / mm.m_edges
+                 - pow(d.d_c / (2.0 * mm.m_edges), 2)), 6) AS modularity_q
+FROM deg d
+LEFT JOIN within w ON w.c = d.c
+CROSS JOIN m mm
+""",
+)
+def graph_modularity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("v"), (F.col("p_size") % 2).alias("c")
+    )
+    s1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    s2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    edges = (
+        s1.join(s2, "ok").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    ca = F.broadcast(part.select(F.col("v").alias("a"), F.col("c").alias("c_a")))
+    cb = F.broadcast(part.select(F.col("v").alias("b"), F.col("c").alias("c_b")))
+    within = (
+        edges.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(F.broadcast(part), "v")
+        .groupBy("c")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    q = (
+        deg.join(within, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .agg(
+            F.any_value("m_edges").alias("n_edges"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("e_c"), F.lit(0)) / F.col("m_edges")
+                    - F.pow(
+                        F.col("d_c") / (2.0 * F.col("m_edges")), F.lit(2)
+                    )
+                ),
+                6,
+            ).alias("modularity_q"),
+        )
+    )
+    return q
