@@ -6896,3 +6896,244 @@ def graph_modularity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return q
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Cohen's h effect size for two proportions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cohens_h_proportions",
+    doc="Cohen's h — the arcsine-stabilized effect size for the urgent-"
+    "order proportion contrast between BUILDING and MACHINERY "
+    "customers: h = 2·asin(√p1) − 2·asin(√p2), the magnitude companion "
+    "to agg_two_proportion_ztest exactly as Cohen's d accompanies the "
+    "t-test.  One conditional aggregate pass, closed form.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT any_value(c.c_mktsegment) AS seg,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c.c_custkey
+), s AS (
+  SELECT avg(CASE WHEN seg = 'BUILDING' THEN y * 1.0 END) AS p1,
+         count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS n1,
+         avg(CASE WHEN seg = 'MACHINERY' THEN y * 1.0 END) AS p2,
+         count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS n2
+  FROM f
+)
+SELECT n1, n2,
+       round(p1, 6) AS p_building,
+       round(p2, 6) AS p_machinery,
+       round(2 * asin(sqrt(p1)) - 2 * asin(sqrt(p2)), 6) AS cohens_h,
+       abs(2 * asin(sqrt(p1)) - 2 * asin(sqrt(p2))) < 0.2 AS negligible
+FROM s
+""",
+)
+def agg_cohens_h_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_mktsegment").alias("seg"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    s = f.agg(
+        F.avg(F.when(F.col("seg") == "BUILDING", F.col("y").cast("double"))).alias(
+            "p1"
+        ),
+        F.count(F.when(F.col("seg") == "BUILDING", 1)).alias("n1"),
+        F.avg(
+            F.when(F.col("seg") == "MACHINERY", F.col("y").cast("double"))
+        ).alias("p2"),
+        F.count(F.when(F.col("seg") == "MACHINERY", 1)).alias("n2"),
+    )
+    h = 2 * F.asin(F.sqrt(F.col("p1"))) - 2 * F.asin(F.sqrt(F.col("p2")))
+    return s.select(
+        "n1",
+        "n2",
+        F.round("p1", 6).alias("p_building"),
+        F.round("p2", 6).alias("p_machinery"),
+        F.round(h, 6).alias("cohens_h"),
+        (F.abs(h) < 0.2).alias("negligible"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Simpson diversity / inverse Simpson / Pielou evenness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_diversity_simpson_evenness",
+    doc="Ecology-style diversity suite for the brand mix per region: "
+    "Simpson's index 1−Σp² (probability two random lines differ in "
+    "brand), inverse Simpson (effective number of brands), and Pielou "
+    "evenness H/ln(richness) — the HHI/entropy family completed with "
+    "the effective-species view.  Brand cells fold in one pass per "
+    "region; the diversity math runs on ≤25 cells per group.",
+    tags=("agg", "diversity", "ext"),
+    oracle="""
+WITH cells AS (
+  SELECT r.r_name AS region, p.p_brand, count(*) AS n
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation na ON na.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = na.n_regionkey
+  GROUP BY 1, 2
+), p AS (
+  SELECT region, n * 1.0 / sum(n) OVER (PARTITION BY region) AS pr
+  FROM cells
+)
+SELECT region,
+       count(*) AS richness,
+       round(1 - sum(pr * pr), 6) AS simpson_diversity,
+       round(1 / sum(pr * pr), 4) AS effective_brands,
+       round(-sum(pr * ln(pr)) / ln(count(*)), 6) AS pielou_evenness
+FROM p GROUP BY region ORDER BY region
+""",
+)
+def agg_diversity_simpson_evenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nat), nat.n_nationkey == supp.s_nationkey)
+        .join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = cells.select(
+        "region",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("region"))).alias("pr"),
+    )
+    return (
+        p.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("richness"),
+            F.round(1 - F.sum(F.col("pr") * F.col("pr")), 6).alias(
+                "simpson_diversity"
+            ),
+            F.round(1 / F.sum(F.col("pr") * F.col("pr")), 4).alias(
+                "effective_brands"
+            ),
+            F.round(
+                -F.sum(F.col("pr") * F.log("pr")) / F.log(F.count(F.lit(1))), 6
+            ).alias("pielou_evenness"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: sequential basket pairs (brand A this order → brand B next)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_sequential_pairs",
+    doc="Sequential-pattern mining one level up from co-occurrence "
+    "(basket_brand_pair_lift is WITHIN an order): which brand follows "
+    "which across a customer's CONSECUTIVE orders — the order sequence "
+    "comes from one lead window per customer, the two baskets join on "
+    "the (order, next-order) edge, and directed (prev → next) brand "
+    "pair supports fall out of one aggregate.  Top-10 sequential "
+    "pairs with their reverse-direction count for asymmetry reading.",
+    tags=("join", "mining", "sequence", "ext"),
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), seq AS (
+  SELECT o_orderkey,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS next_key
+  FROM orders
+), pairs AS (
+  SELECT a.p_brand AS brand_prev, b.p_brand AS brand_next,
+         count(*) AS n_transitions
+  FROM seq
+  JOIN ob a ON a.l_orderkey = seq.o_orderkey
+  JOIN ob b ON b.l_orderkey = seq.next_key
+  GROUP BY 1, 2
+)
+SELECT p.brand_prev, p.brand_next, p.n_transitions,
+       coalesce(r.n_transitions, 0) AS n_reverse
+FROM pairs p
+LEFT JOIN pairs r
+  ON r.brand_prev = p.brand_next AND r.brand_next = p.brand_prev
+WHERE p.brand_prev <> p.brand_next
+ORDER BY p.n_transitions DESC, p.brand_prev, p.brand_next
+LIMIT 10
+""",
+)
+def basket_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders")
+    ob = (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    seq = orders.select(
+        "o_orderkey",
+        F.lead("o_orderkey")
+        .over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )
+        .alias("next_key"),
+    ).filter(F.col("next_key").isNotNull())
+    a = ob.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("p_brand").alias("brand_prev"),
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("next_key"),
+        F.col("p_brand").alias("brand_next"),
+    )
+    pairs = (
+        seq.join(a, "o_orderkey")
+        .join(b, "next_key")
+        .groupBy("brand_prev", "brand_next")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    rev = pairs.select(
+        F.col("brand_prev").alias("brand_next"),
+        F.col("brand_next").alias("brand_prev"),
+        F.col("n_transitions").alias("n_reverse"),
+    )
+    return (
+        pairs.filter(F.col("brand_prev") != F.col("brand_next"))
+        .join(F.broadcast(rev), ["brand_prev", "brand_next"], "left")
+        .select(
+            "brand_prev",
+            "brand_next",
+            "n_transitions",
+            F.coalesce(F.col("n_reverse"), F.lit(0)).alias("n_reverse"),
+        )
+        .orderBy(F.desc("n_transitions"), "brand_prev", "brand_next")
+        .limit(10)
+    )
