@@ -7137,3 +7137,232 @@ def basket_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_transitions"), "brand_prev", "brand_next")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: rolling beta (frame-decomposed rolling regression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rolling_beta",
+    doc="Rolling 3-month beta of the BUILDING segment's revenue against "
+    "total market revenue: the regression slope over a moving frame, "
+    "decomposed into four frame AVERAGES "
+    "(E[xy]−E[x]E[y])/(E[x²]−E[x]²) so it runs as plain window "
+    "aggregates — no per-frame refit, no UDF — over the folded "
+    "monthly two-series relation.  The moving-relationship measure "
+    "behind window_rolling_correlation, in slope units.",
+    tags=("window", "regression", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o.o_orderdate) AS mon,
+         round(sum(o.o_totalprice), 2) AS y_all,
+         round(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                        THEN o.o_totalprice ELSE 0 END), 2) AS y_seg
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), r AS (
+  SELECT mon,
+         avg(y_seg * y_all) OVER w AS exy,
+         avg(y_seg) OVER w AS ex,
+         avg(y_all) OVER w AS ey,
+         avg(y_all * y_all) OVER w AS ey2,
+         row_number() OVER (ORDER BY mon) AS rn
+  FROM m
+  WINDOW w AS (ORDER BY mon ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(mon, '%Y-%m') AS mon,
+       round((exy - ex * ey) / (ey2 - ey * ey), 6) AS beta_3m
+FROM r WHERE rn >= 3 ORDER BY mon
+""",
+)
+def window_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = (
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("y_all"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c_mktsegment") == "BUILDING",
+                        F.col("o_totalprice"),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("y_seg"),
+        )
+    )
+    w = Window.orderBy("mon").rowsBetween(-2, 0)
+    r = m.select(
+        "mon",
+        F.avg(F.col("y_seg") * F.col("y_all")).over(w).alias("exy"),
+        F.avg("y_seg").over(w).alias("ex"),
+        F.avg("y_all").over(w).alias("ey"),
+        F.avg(F.col("y_all") * F.col("y_all")).over(w).alias("ey2"),
+        F.row_number().over(Window.orderBy("mon")).alias("rn"),
+    )
+    beta = (F.col("exy") - F.col("ex") * F.col("ey")) / (
+        F.col("ey2") - F.col("ey") * F.col("ey")
+    )
+    return (
+        r.filter(F.col("rn") >= 3)
+        .select(
+            F.date_format("mon", "yyyy-MM").alias("mon"),
+            F.round(beta, 6).alias("beta_3m"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: indirect standardization (SMR per nation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_indirect_standardization_smr",
+    doc="Indirectly standardized urgent-order ratios: each nation's "
+    "expected count applies the GLOBAL per-segment urgent rates to "
+    "that nation's segment mix, and SMR = observed/expected reads as "
+    "above/below par after composition adjustment — epidemiology's "
+    "standardized mortality ratio applied to the confounder the "
+    "Mantel-Haenszel entry conditions away.  Global rates are a "
+    "5-row broadcast; one customer-grain pass.  Five most-extreme "
+    "nations reported.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT any_value(c.c_nationkey) AS nat, any_value(c.c_mktsegment) AS seg,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), rate AS (
+  SELECT seg, avg(y * 1.0) AS r FROM f GROUP BY seg
+), cell AS (
+  SELECT nat, f.seg, count(*) AS n, sum(y) AS obs FROM f GROUP BY nat, f.seg
+), smr AS (
+  SELECT nat, sum(obs) AS observed,
+         sum(n * rate.r) AS expected
+  FROM cell JOIN rate ON rate.seg = cell.seg
+  GROUP BY nat
+)
+SELECT nat AS nationkey, CAST(observed AS BIGINT) AS observed,
+       round(expected, 4) AS expected,
+       round(observed / expected, 6) AS smr
+FROM smr
+ORDER BY abs(ln(observed / expected)) DESC, nat LIMIT 5
+""",
+)
+def agg_indirect_standardization_smr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_nationkey").alias("nat"),
+            F.any_value("c_mktsegment").alias("seg"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    rate = f.groupBy("seg").agg(F.avg(F.col("y").cast("double")).alias("r"))
+    cell = f.groupBy("nat", "seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("obs")
+    )
+    smr = (
+        cell.join(F.broadcast(rate), "seg")
+        .groupBy("nat")
+        .agg(
+            F.sum("obs").alias("observed"),
+            F.sum(F.col("n") * F.col("r")).alias("expected"),
+        )
+    )
+    ratio = F.col("observed") / F.col("expected")
+    return (
+        smr.select(
+            F.col("nat").alias("nationkey"),
+            F.col("observed").cast("bigint").alias("observed"),
+            F.round("expected", 4).alias("expected"),
+            F.round(ratio, 6).alias("smr"),
+            F.abs(F.log(ratio)).alias("_dev"),
+        )
+        .orderBy(F.desc("_dev"), "nationkey")
+        .limit(5)
+        .drop("_dev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: term burstiness (content vs function word detector)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_term_burstiness",
+    doc="Term burstiness à la Katz: for the twenty most frequent tokens, "
+    "the variance-to-mean ratio of per-document counts (zero-including "
+    "— the absent-document mass comes from the corpus size, no dense "
+    "join needed: E and E[X²] are computed over occurrences and "
+    "rescaled by N) separates bursty content words (VMR≫1) from "
+    "evenly-sprinkled function words (VMR≈1).  The statistical "
+    "justification behind stopword lists, measured rather than "
+    "assumed.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                            'g'), ' ')) AS t
+  FROM documents
+), n_docs AS (SELECT count(*) AS nd FROM documents),
+dc AS (
+  SELECT t, doc_id, count(*) AS c FROM tok GROUP BY t, doc_id
+), term AS (
+  SELECT t,
+         sum(c) AS total,
+         sum(c * c) AS sum_c2,
+         count(*) AS n_docs_with
+  FROM dc GROUP BY t
+), top AS (
+  SELECT t, total, sum_c2, n_docs_with FROM term
+  ORDER BY total DESC, t LIMIT 20
+)
+SELECT t AS term, total, n_docs_with,
+       round((sum_c2 * 1.0 / nd - pow(total * 1.0 / nd, 2))
+             / (total * 1.0 / nd), 6) AS burstiness_vmr
+FROM top, n_docs ORDER BY total DESC, t
+""",
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    tok = docs.select("doc_id", F.explode(ts.tokens(F.col("text"))).alias("t"))
+    dc = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    term = dc.groupBy("t").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.count(F.lit(1)).alias("n_docs_with"),
+    )
+    top = term.orderBy(F.desc("total"), "t").limit(20)
+    mean = F.col("total") / F.col("nd")
+    vmr = (F.col("sum_c2") / F.col("nd") - mean * mean) / mean
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("t").alias("term"),
+            "total",
+            "n_docs_with",
+            F.round(vmr, 6).alias("burstiness_vmr"),
+        )
+        .orderBy(F.desc("total"), "term")
+    )
