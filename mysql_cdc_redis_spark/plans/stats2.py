@@ -7366,3 +7366,255 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim ext: filtered vector search (metadata predicate + top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_filtered_vector_search",
+    doc="Filtered ANN, the vector-DB table stake: top-5 cosine "
+    "neighbours of query vector 0 restricted to label 2 — the "
+    "metadata predicate prunes BEFORE any distance math (pushed to "
+    "the scan, so at 100 TB the label partition/zone map skips "
+    "segments), then the usual order-stable JVM dot products and "
+    "TakeOrdered.  The unfiltered twin is sim_cosine_topk_bruteforce; "
+    "the delta in candidates is the pruning evidence.",
+    tags=("similarity", "filter", "ext"),
+    oracle="""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.label,
+         list_sum(list_transform(range(1, 65),
+                  d -> CAST(e.embedding[d] AS DOUBLE)
+                     * CAST(q.qe[d] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                 d -> CAST(e.embedding[d] AS DOUBLE)
+                    * CAST(e.embedding[d] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65),
+                 d -> CAST(q.qe[d] AS DOUBLE)
+                    * CAST(q.qe[d] AS DOUBLE))))) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.label = 2 AND e.vec_id <> 0
+)
+SELECT vec_id, label, round(cos_sim, 6) AS cos_sim,
+       (SELECT count(*) FROM embeddings WHERE label = 2 AND vec_id <> 0)
+         AS n_candidates
+FROM cand ORDER BY cos_sim DESC, vec_id LIMIT 5
+""",
+)
+def sim_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cand = emb.filter((F.col("label") == 2) & (F.col("vec_id") != 0))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qe, (a, b) -> cast(a as double) * "
+        "cast(b as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({c}, a -> cast(a as double) * "
+        "cast(a as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            (
+                dot
+                / (
+                    F.expr(nrm.format(c="embedding"))
+                    * F.expr(nrm.format(c="qe"))
+                )
+            ).alias("cos_sim"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+    )
+    return (
+        scored.select(
+            "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"),
+            "n_candidates",
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: monthly SLA percentile trend (P50/P90 cycle time + slope)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_sla_percentile_trend",
+    doc="Operational SLA reporting: monthly P50/P90 order-fulfilment "
+    "cycle times (rank-based per month, engine-exact) plus the linear "
+    "trend of the P90 across months — the worsening-tail detector an "
+    "SRE review reads.  One join+fold to per-order durations, one "
+    "rank window per month grain, one regr_slope over ≤80 cells.",
+    tags=("window", "ops", "ext"),
+    oracle="""
+WITH dur AS (
+  SELECT date_trunc('month', o.o_orderdate) AS mon,
+         date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS t
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), r AS (
+  SELECT mon, t,
+         row_number() OVER (PARTITION BY mon ORDER BY t) AS rn,
+         count(*) OVER (PARTITION BY mon) AS cnt
+  FROM dur
+), q AS (
+  SELECT mon,
+         max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN t END) AS p50,
+         max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN t END) AS p90,
+         any_value(cnt) AS n_orders
+  FROM r GROUP BY mon
+), idx AS (
+  SELECT mon, n_orders, p50, p90,
+         row_number() OVER (ORDER BY mon) AS i
+  FROM q
+), trend AS (
+  SELECT regr_slope(p90, i) AS p90_slope FROM idx
+)
+SELECT strftime(idx.mon, '%Y-%m') AS mon, idx.n_orders, idx.p50, idx.p90,
+       round((SELECT p90_slope FROM trend), 6) AS p90_trend_per_month
+FROM idx ORDER BY mon LIMIT 12
+""",
+)
+def window_sla_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dur = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.datediff(F.max("l_shipdate"), F.first("o_orderdate")).alias("t"))
+        .select(F.date_trunc("month", "o_orderdate").alias("mon"), "t")
+    )
+    r = dur.select(
+        "mon",
+        "t",
+        F.row_number().over(Window.partitionBy("mon").orderBy("t")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("mon")).alias("cnt"),
+    )
+    at = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")).cast("bigint"),
+            F.col("t"),
+        )
+    )
+    q = r.groupBy("mon").agg(
+        at(0.5).alias("p50"),
+        at(0.9).alias("p90"),
+        F.any_value("cnt").alias("n_orders"),
+    )
+    idx = q.select(
+        "mon",
+        "n_orders",
+        "p50",
+        "p90",
+        F.row_number().over(Window.orderBy("mon")).alias("i"),
+    )
+    trend = idx.agg(
+        F.round(F.regr_slope(F.col("p90"), F.col("i")), 6).alias(
+            "p90_trend_per_month"
+        )
+    )
+    return (
+        idx.crossJoin(F.broadcast(trend))
+        .select(
+            F.date_format("mon", "yyyy-MM").alias("mon"),
+            "n_orders",
+            "p50",
+            "p90",
+            "p90_trend_per_month",
+        )
+        .orderBy("mon")
+        .limit(12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# mlops ext: shadow-traffic sampling stability proof
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlops_shadow_traffic_stability",
+    doc="Consistent-hash shadow sampling, with its defining property "
+    "PROVEN in-plan: the 10% user sample (md5 bucket < 10) is "
+    "identical every day — per-day sampled-user sets all Jaccard-1.0 "
+    "against the global sampled set — unlike rand()-per-row sampling "
+    "which resamples each batch.  Census: per-day sampled share "
+    "(≈10%), plus the stability verdict from one distinct-aggregate "
+    "comparison.  The property that makes shadow deployments and "
+    "longitudinal cohorts replayable.",
+    tags=("mlops", "sampling", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id,
+         (('0x' || substr(md5('shadow#' || CAST(user_id AS VARCHAR)), 1, 15))
+            ::BIGINT) % 100 < 10 AS sampled
+  FROM events
+), daily AS (
+  SELECT d,
+         count(*) AS n_users,
+         sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled
+  FROM u GROUP BY d
+), global_sampled AS (
+  SELECT count(DISTINCT user_id) AS g FROM u WHERE sampled
+), stability AS (
+  -- a user sampled on ANY day is sampled on EVERY day it appears
+  SELECT count(*) AS n_violations FROM (
+    SELECT user_id FROM u GROUP BY user_id
+    HAVING count(DISTINCT sampled) > 1
+  )
+)
+SELECT count(*) AS n_days,
+       round(avg(n_sampled * 1.0 / n_users), 4) AS mean_daily_share,
+       (SELECT g FROM global_sampled) AS n_distinct_sampled_users,
+       (SELECT n_violations FROM stability) AS n_flip_flop_users,
+       (SELECT n_violations FROM stability) = 0 AS deterministic
+FROM daily
+""",
+)
+def mlops_shadow_traffic_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        "user_id",
+        (split_bucket(F.col("user_id"), "shadow") < 10).alias("sampled"),
+    ).distinct()
+    daily = u.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+    )
+    g = u.filter(F.col("sampled")).agg(
+        F.countDistinct("user_id").alias("n_distinct_sampled_users")
+    )
+    viol = (
+        u.groupBy("user_id")
+        .agg(F.countDistinct("sampled").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_flip_flop_users"))
+    )
+    return (
+        daily.agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.col("n_sampled") / F.col("n_users")), 4).alias(
+                "mean_daily_share"
+            ),
+        )
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(viol))
+        .withColumn("deterministic", F.col("n_flip_flop_users") == 0)
+    )
