@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..sources.changelog import ORDERS_CHANGELOG_SQL
 from .catalog import register
 
 # ---------------------------------------------------------------------------
@@ -7618,3 +7619,276 @@ def mlops_shadow_traffic_stability(spark: SparkSession, sf_dir: str) -> DataFram
         .crossJoin(F.broadcast(viol))
         .withColumn("deterministic", F.col("n_flip_flop_users") == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: post-stratified treatment-effect estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_post_stratified_lift",
+    doc="Post-stratification for the md5-arm experiment: per-(segment, "
+    "arm) mean order values reweighted by the GLOBAL segment shares, "
+    "so accidental mix imbalance between arms cancels — the "
+    "design-based cousin of CUPED's regression adjustment.  Naive and "
+    "post-stratified lifts side by side with the mix-imbalance "
+    "magnitude that explains their gap; two tiny aggregates over one "
+    "customer-grain pass.",
+    tags=("agg", "experiment", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT c.c_mktsegment AS seg,
+         ascii(substring(md5(c.c_custkey::VARCHAR), 1, 1)) % 2 AS arm,
+         o.o_totalprice AS v
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+), cell AS (
+  SELECT seg, arm, count(*) AS n, avg(v) AS m FROM f GROUP BY seg, arm
+), share AS (
+  SELECT seg, sum(n) * 1.0 / (SELECT sum(n) FROM cell) AS w FROM cell
+  GROUP BY seg
+), est AS (
+  SELECT
+    (SELECT sum(n * m) / sum(n) FROM cell WHERE arm = 1)
+    - (SELECT sum(n * m) / sum(n) FROM cell WHERE arm = 0) AS naive_lift,
+    (SELECT sum(s.w * c.m) FROM cell c JOIN share s ON s.seg = c.seg
+     WHERE c.arm = 1)
+    - (SELECT sum(s.w * c.m) FROM cell c JOIN share s ON s.seg = c.seg
+       WHERE c.arm = 0) AS ps_lift,
+    (SELECT max(abs(t.sh1 - t.sh0)) FROM (
+       SELECT seg,
+              sum(CASE WHEN arm = 1 THEN n ELSE 0 END) * 1.0
+                / (SELECT sum(n) FROM cell WHERE arm = 1) AS sh1,
+              sum(CASE WHEN arm = 0 THEN n ELSE 0 END) * 1.0
+                / (SELECT sum(n) FROM cell WHERE arm = 0) AS sh0
+       FROM cell GROUP BY seg) t) AS max_mix_imbalance
+)
+SELECT round(naive_lift, 4) AS naive_lift,
+       round(ps_lift, 4) AS post_stratified_lift,
+       round(naive_lift - ps_lift, 4) AS composition_bias,
+       round(max_mix_imbalance, 6) AS max_mix_imbalance
+FROM est
+""",
+)
+def agg_post_stratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    arm = (
+        F.ascii(F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 1))
+        % 2
+    )
+    f = cust.join(orders, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        arm.alias("arm"),
+        F.col("o_totalprice").alias("v"),
+    )
+    cell = f.groupBy("seg", "arm").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("v").alias("m")
+    )
+    tot = cell.agg(F.sum("n").alias("nt"))
+    share = (
+        cell.groupBy("seg")
+        .agg(F.sum("n").alias("ns"))
+        .crossJoin(F.broadcast(tot))
+        .select("seg", (F.col("ns") / F.col("nt")).alias("w"))
+    )
+
+    def _arm_stats(a: int):
+        c = cell.filter(F.col("arm") == a)
+        naive = c.agg(
+            (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias(f"naive{a}"),
+            F.sum("n").alias(f"narm{a}"),
+        )
+        ps = (
+            c.join(F.broadcast(share), "seg")
+            .agg(F.sum(F.col("w") * F.col("m")).alias(f"ps{a}"))
+        )
+        return naive, ps
+
+    n1, p1 = _arm_stats(1)
+    n0, p0 = _arm_stats(0)
+    imb = (
+        cell.groupBy("seg")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias("c0"),
+        )
+        .crossJoin(F.broadcast(n1.select("narm1")))
+        .crossJoin(F.broadcast(n0.select("narm0")))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1") / F.col("narm1") - F.col("c0") / F.col("narm0")
+                )
+            ).alias("max_mix_imbalance")
+        )
+    )
+    naive_lift = F.col("naive1") - F.col("naive0")
+    ps_lift = F.col("ps1") - F.col("ps0")
+    return (
+        n1.crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p0))
+        .crossJoin(F.broadcast(imb))
+        .select(
+            F.round(naive_lift, 4).alias("naive_lift"),
+            F.round(ps_lift, 4).alias("post_stratified_lift"),
+            F.round(naive_lift - ps_lift, 4).alias("composition_bias"),
+            F.round("max_mix_imbalance", 6).alias("max_mix_imbalance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K5 ext: replay-range recovery plan from sequence gaps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_replay_range_plan",
+    doc="Recovery planning one step past cdc_seq_gap_census: the missing "
+    "sequence ranges themselves, as (from_seq, to_seq, width) replay "
+    "instructions — present seqs collapse to islands via the "
+    "lag-difference trick, each island boundary emits the gap that "
+    "precedes it.  This is the work order an operator hands the "
+    "upstream (the reference can only log and resubscribe, "
+    "cdc.py:101-103); damage is synthesized by dropping seq ranges "
+    "deterministically.  Widest five gaps reported.",
+    tags=("cdc", "ops", "ref:K5", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+present AS (
+  SELECT DISTINCT seq FROM ch
+  WHERE NOT (seq % 101 BETWEEN 40 AND 44) AND NOT (seq % 211 = 7)
+), marked AS (
+  SELECT seq,
+         lag(seq) OVER (ORDER BY seq) AS prev_seq
+  FROM present
+)
+SELECT prev_seq + 1 AS from_seq,
+       seq - 1 AS to_seq,
+       seq - prev_seq - 1 AS width
+FROM marked
+WHERE prev_seq IS NOT NULL AND seq - prev_seq > 1
+ORDER BY width DESC, from_seq LIMIT 5
+""",
+)
+def cdc_replay_range_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..sources.changelog import orders_changelog
+
+    ch = orders_changelog(spark, sf_dir)
+    present = (
+        ch.filter(
+            ~((F.col("seq") % 101).between(40, 44)) & (F.col("seq") % 211 != 7)
+        )
+        .select("seq")
+        .distinct()
+    )
+    marked = present.select(
+        "seq", F.lag("seq").over(Window.orderBy("seq")).alias("prev_seq")
+    )
+    return (
+        marked.filter(
+            F.col("prev_seq").isNotNull() & (F.col("seq") - F.col("prev_seq") > 1)
+        )
+        .select(
+            (F.col("prev_seq") + 1).alias("from_seq"),
+            (F.col("seq") - 1).alias("to_seq"),
+            (F.col("seq") - F.col("prev_seq") - 1).alias("width"),
+        )
+        .orderBy(F.desc("width"), "from_seq")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: Jensen-Shannon divergence matrix between sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_js_divergence_matrix",
+    doc="Pairwise Jensen-Shannon divergence between the unigram "
+    "distributions of every document source — the symmetric, bounded "
+    "[0, ln 2] companion of the one-directional KL entry: smoothed "
+    "per-source token shares from one explode+aggregate, source pairs "
+    "joined on the token key (union vocabulary, absent mass from the "
+    "smoothing floor), JSD = ½KL(P‖M)+½KL(Q‖M).  The corpus-mixing "
+    "distance matrix a data-mixture design reads.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                            'g'), ' ')) AS t
+  FROM documents
+), vocab AS (SELECT DISTINCT t FROM tok),
+counts AS (
+  SELECT s.source, v.t, coalesce(c.n, 0) + 0.5 AS n
+  FROM (SELECT DISTINCT source FROM tok) s
+  CROSS JOIN vocab v
+  LEFT JOIN (SELECT source, t, count(*) AS n FROM tok GROUP BY source, t) c
+    ON c.source = s.source AND c.t = v.t
+), p AS (
+  SELECT source, t,
+         n / sum(n) OVER (PARTITION BY source) AS pr
+  FROM counts
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         sum(0.5 * a.pr * ln(a.pr / ((a.pr + b.pr) / 2))
+             + 0.5 * b.pr * ln(b.pr / ((a.pr + b.pr) / 2))) AS jsd
+  FROM p a JOIN p b ON a.t = b.t AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, round(jsd, 6) AS jsd_nats
+FROM pairs ORDER BY src_a, src_b
+""",
+)
+def text_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(ts.tokens(F.col("text"))).alias("t"))
+    vocab = tok.select("t").distinct()
+    sources = tok.select("source").distinct()
+    c = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        sources.crossJoin(vocab)
+        .join(c, ["source", "t"], "left")
+        .select(
+            "source", "t", (F.coalesce(F.col("n"), F.lit(0)) + 0.5).alias("n")
+        )
+    )
+    p = counts.select(
+        "source",
+        "t",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("source"))).alias("pr"),
+    )
+    a = p.select(
+        F.col("source").alias("src_a"), "t", F.col("pr").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("src_b"), F.col("t").alias("t2"),
+        F.col("pr").alias("pb"),
+    )
+    mid = (F.col("pa") + F.col("pb")) / 2
+    pairs = (
+        a.join(
+            b,
+            (F.col("t") == F.col("t2")) & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                0.5 * F.col("pa") * F.log(F.col("pa") / mid)
+                + 0.5 * F.col("pb") * F.log(F.col("pb") / mid)
+            ).alias("jsd")
+        )
+    )
+    return pairs.select(
+        "src_a", "src_b", F.round("jsd", 6).alias("jsd_nats")
+    ).orderBy("src_a", "src_b")
