@@ -7892,3 +7892,266 @@ def text_js_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "src_a", "src_b", F.round("jsd", 6).alias("jsd_nats")
     ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: partial correlation controlling for a categorical confounder
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_partial_correlation_within",
+    doc="Partial correlation of document length and stopword density "
+    "CONTROLLING for source: both variables are residualized against "
+    "their source means (a broadcast of 4 group rows), and the "
+    "correlation of residuals is the within-source association — "
+    "compared against the raw pooled correlation to expose how much "
+    "of it was Simpson-style between-source composition.  Two "
+    "decomposable passes.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT source, n_chars * 1.0 AS x,
+         len(list_filter(string_split(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'), ' '),
+                         t -> length(t) <= 3)) * 1.0
+           / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                             'g'), ' ')) AS y
+  FROM documents
+), gm AS (
+  SELECT source, avg(x) AS mx, avg(y) AS my FROM d GROUP BY source
+), r AS (
+  SELECT d.x - gm.mx AS rx, d.y - gm.my AS ry, d.x, d.y
+  FROM d JOIN gm ON gm.source = d.source
+)
+SELECT count(*) AS n_docs,
+       round(corr(x, y), 6) AS raw_corr,
+       round(corr(rx, ry), 6) AS partial_corr_within,
+       round(corr(x, y) - corr(rx, ry), 6) AS composition_component
+FROM r
+""",
+)
+def agg_partial_correlation_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ts.tokens(F.col("text"))
+    short_ratio = F.size(F.filter(toks, lambda t: F.length(t) <= 3)) / F.size(toks)
+    d = docs.select(
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        short_ratio.alias("y"),
+    )
+    gm = d.groupBy("source").agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my")
+    )
+    r = d.join(F.broadcast(gm), "source").select(
+        "x",
+        "y",
+        (F.col("x") - F.col("mx")).alias("rx"),
+        (F.col("y") - F.col("my")).alias("ry"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.corr("x", "y"), 6).alias("raw_corr"),
+        F.round(F.corr("rx", "ry"), 6).alias("partial_corr_within"),
+        F.round(F.corr("x", "y") - F.corr("rx", "ry"), 6).alias(
+            "composition_component"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tooling ext: generated conformed date dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tooling_date_dimension_build",
+    doc="The warehouse date dimension, generated not loaded: one "
+    "sequence() explode materializes every day of 1996-1997 with "
+    "conformed attributes (ISO week, quarter, weekend flag, "
+    "month-end flag), then a validation census proves the calendar "
+    "is complete and the attributes consistent — the dimension "
+    "gapfill_daily_orders implicitly assumes, built as a first-class "
+    "relation.  Zero input tables; pure generation.",
+    tags=("tooling", "dimension", "ext"),
+    oracle="""
+WITH cal AS (
+  SELECT CAST(unnest(range(DATE '1996-01-01', DATE '1998-01-01',
+                           INTERVAL 1 DAY)) AS DATE) AS d
+), dim AS (
+  SELECT d,
+         isodow(d) AS iso_dow,
+         CAST(quarter(d) AS INT) AS q,
+         isodow(d) >= 6 AS is_weekend,
+         d = last_day(d) AS is_month_end
+  FROM cal
+)
+SELECT count(*) AS n_days,
+       sum(CASE WHEN is_weekend THEN 1 ELSE 0 END) AS n_weekend,
+       sum(CASE WHEN is_month_end THEN 1 ELSE 0 END) AS n_month_ends,
+       count(DISTINCT q) AS n_quarters,
+       min(d) = DATE '1996-01-01' AND max(d) = DATE '1997-12-31'
+         AND count(*) = 731 AS calendar_complete
+FROM dim
+""",
+)
+def tooling_date_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_ = spark
+    cal = spark_.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1997-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    dim = cal.select(
+        "d",
+        (F.expr("weekday(d)") + 1).alias("iso_dow"),
+        F.quarter("d").alias("q"),
+        (F.expr("weekday(d)") >= 5).alias("is_weekend"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    )
+    return dim.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("is_weekend"), 1).otherwise(0)).alias("n_weekend"),
+        F.sum(F.when(F.col("is_month_end"), 1).otherwise(0)).alias(
+            "n_month_ends"
+        ),
+        F.countDistinct("q").alias("n_quarters"),
+        (
+            (F.min("d") == F.lit("1996-01-01").cast("date"))
+            & (F.max("d") == F.lit("1997-12-31").cast("date"))
+            & (F.count(F.lit(1)) == 731)
+        ).alias("calendar_complete"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: robustness sensitivity triptych (raw / winsorized / trimmed t)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_robustness_sensitivity_ttest",
+    doc="Sensitivity analysis of the BUILDING-vs-MACHINERY balance "
+    "contrast under three treatments of outliers — raw Welch t, "
+    "winsorized at P5/P95 (values clamped), trimmed (values dropped) "
+    "— computed side by side from ONE pass plus the quantile "
+    "broadcast.  If the three t-statistics disagree materially the "
+    "effect lives in the tails and the headline test is fragile; "
+    "agreement certifies robustness.  The meta-analysis pattern over "
+    "agg_welch_ttest / agg_winsorized_mean / agg_trimmed_mean.",
+    tags=("agg", "robust", "ext"),
+    oracle="""
+WITH v AS (
+  SELECT c_mktsegment AS seg, round(c_acctbal, 2) AS x FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+), cuts AS (
+  SELECT seg,
+         max(CASE WHEN rn = CAST(ceil(0.05 * cnt) AS BIGINT) THEN x END)
+           AS x5,
+         max(CASE WHEN rn = CAST(ceil(0.95 * cnt) AS BIGINT) THEN x END)
+           AS x95
+  FROM (
+    SELECT seg, x,
+           row_number() OVER (PARTITION BY seg ORDER BY x) AS rn,
+           count(*) OVER (PARTITION BY seg) AS cnt
+    FROM v
+  ) GROUP BY seg
+), j AS (
+  SELECT v.seg, v.x, c.x5, c.x95,
+         least(greatest(v.x, c.x5), c.x95) AS xw
+  FROM v JOIN cuts c ON c.seg = v.seg
+), t AS (
+  SELECT
+    -- raw
+    (avg(CASE WHEN seg = 'BUILDING' THEN x END)
+     - avg(CASE WHEN seg = 'MACHINERY' THEN x END))
+    / sqrt(var_samp(CASE WHEN seg = 'BUILDING' THEN x END)
+             / count(CASE WHEN seg = 'BUILDING' THEN 1 END)
+           + var_samp(CASE WHEN seg = 'MACHINERY' THEN x END)
+             / count(CASE WHEN seg = 'MACHINERY' THEN 1 END)) AS t_raw,
+    -- winsorized
+    (avg(CASE WHEN seg = 'BUILDING' THEN xw END)
+     - avg(CASE WHEN seg = 'MACHINERY' THEN xw END))
+    / sqrt(var_samp(CASE WHEN seg = 'BUILDING' THEN xw END)
+             / count(CASE WHEN seg = 'BUILDING' THEN 1 END)
+           + var_samp(CASE WHEN seg = 'MACHINERY' THEN xw END)
+             / count(CASE WHEN seg = 'MACHINERY' THEN 1 END)) AS t_winsor,
+    -- trimmed
+    (avg(CASE WHEN seg = 'BUILDING' AND x >= x5 AND x <= x95
+              THEN x END)
+     - avg(CASE WHEN seg = 'MACHINERY' AND x >= x5 AND x <= x95
+                THEN x END))
+    / sqrt(var_samp(CASE WHEN seg = 'BUILDING' AND x >= x5 AND x <= x95
+                         THEN x END)
+             / count(CASE WHEN seg = 'BUILDING' AND x >= x5 AND x <= x95
+                          THEN 1 END)
+           + var_samp(CASE WHEN seg = 'MACHINERY' AND x >= x5 AND x <= x95
+                           THEN x END)
+             / count(CASE WHEN seg = 'MACHINERY' AND x >= x5 AND x <= x95
+                          THEN 1 END)) AS t_trim
+  FROM j
+)
+SELECT round(t_raw, 4) AS t_raw,
+       round(t_winsor, 4) AS t_winsorized,
+       round(t_trim, 4) AS t_trimmed,
+       greatest(abs(t_raw - t_winsor), abs(t_raw - t_trim)) < 1.0
+         AS conclusion_robust
+FROM t
+""",
+)
+def agg_robustness_sensitivity_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    v = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        F.col("c_mktsegment").alias("seg"), F.round("c_acctbal", 2).alias("x")
+    )
+    r = v.select(
+        "seg",
+        "x",
+        F.row_number().over(Window.partitionBy("seg").orderBy("x")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("cnt"),
+    )
+    at = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("cnt")).cast("bigint"),
+            F.col("x"),
+        )
+    )
+    cuts = r.groupBy("seg").agg(at(0.05).alias("x5"), at(0.95).alias("x95"))
+    j = v.join(F.broadcast(cuts), "seg").withColumn(
+        "xw", F.least(F.greatest(F.col("x"), F.col("x5")), F.col("x95"))
+    )
+
+    def _t(col, extra=None):
+        in_b = F.col("seg") == "BUILDING"
+        in_m = F.col("seg") == "MACHINERY"
+        if extra is not None:
+            in_b = in_b & extra
+            in_m = in_m & extra
+        cb = F.when(in_b, F.col(col))
+        cm = F.when(in_m, F.col(col))
+        return (F.avg(cb) - F.avg(cm)) / F.sqrt(
+            F.var_samp(cb) / F.count(cb) + F.var_samp(cm) / F.count(cm)
+        )
+
+    inband = (F.col("x") >= F.col("x5")) & (F.col("x") <= F.col("x95"))
+    t_raw = _t("x")
+    t_win = _t("xw")
+    t_trim = _t("x", inband)
+    return j.agg(
+        F.round(t_raw, 4).alias("t_raw"),
+        F.round(t_win, 4).alias("t_winsorized"),
+        F.round(t_trim, 4).alias("t_trimmed"),
+        (
+            F.greatest(F.abs(t_raw - t_win), F.abs(t_raw - t_trim)) < 1.0
+        ).alias("conclusion_robust"),
+    )
