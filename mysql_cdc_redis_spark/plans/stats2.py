@@ -8155,3 +8155,218 @@ def agg_robustness_sensitivity_ttest(spark: SparkSession, sf_dir: str) -> DataFr
             F.greatest(F.abs(t_raw - t_win), F.abs(t_raw - t_trim)) < 1.0
         ).alias("conclusion_robust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 ext: frequent 3-itemsets (brand triples) — Apriori one level up
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_brand_triples",
+    doc="Frequent 3-itemset mining over order baskets: brand triples "
+    "a<b<c co-present in an order, counted via the oriented three-way "
+    "self-join on the DISTINCT (order, brand) projection — the same "
+    "orientation trick as triangle counting keeps every triple "
+    "enumerated once and the candidate space bounded by the 25-brand "
+    "dictionary (≤2300 triples), never the basket cube.  Support "
+    "against the basket count; top-10 triples.",
+    tags=("join", "mining", "ext"),
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM ob),
+triples AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, c.p_brand AS brand_c,
+         count(*) AS n_orders
+  FROM ob a
+  JOIN ob b ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+  JOIN ob c ON c.l_orderkey = a.l_orderkey AND b.p_brand < c.p_brand
+  GROUP BY 1, 2, 3
+)
+SELECT brand_a, brand_b, brand_c, n_orders,
+       round(n_orders * 1.0 / nb.n_baskets, 6) AS support
+FROM triples, nb
+ORDER BY n_orders DESC, brand_a, brand_b, brand_c LIMIT 10
+""",
+)
+def basket_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = ob.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    a = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b"))
+    c = ob.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_c"))
+    triples = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .join(c, "ok")
+        .where(F.col("brand_b") < F.col("brand_c"))
+        .groupBy("brand_a", "brand_b", "brand_c")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        triples.crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n_baskets"), 6).alias("support"),
+        )
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b", "brand_c")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 ext: SCD type 3 (current + previous value columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_scd3_previous_value",
+    doc="SCD type 3 from the changelog: per order key, the CURRENT "
+    "status and the immediately PREVIOUS distinct status as sibling "
+    "columns — max_by at the last seq plus max_by over the prefix "
+    "before the last status change, both inside one grouped "
+    "aggregate (value-change detection via a lag window first).  "
+    "Completes the dimension-history family: SCD2 keeps all versions "
+    "(cdc_scd2_history), SCD3 keeps exactly one look-back.  Counts "
+    "summary + changed-key census.",
+    tags=("cdc", "ref:M1", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+seqd AS (
+  SELECT o_orderkey, seq, o_orderstatus,
+         lag(o_orderstatus) OVER (PARTITION BY o_orderkey ORDER BY seq)
+           AS prev_status
+  FROM ch WHERE o_orderkey IS NOT NULL AND cdc_action <> 'delete'
+), changes AS (
+  SELECT o_orderkey, seq, o_orderstatus, prev_status
+  FROM seqd
+  WHERE prev_status IS DISTINCT FROM o_orderstatus
+), scd3 AS (
+  SELECT o_orderkey,
+         arg_max(o_orderstatus, seq) AS current_status,
+         arg_max(prev_status, seq) AS previous_status
+  FROM changes GROUP BY o_orderkey
+)
+SELECT count(*) AS n_keys,
+       sum(CASE WHEN previous_status IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_with_history,
+       count(DISTINCT current_status) AS n_current_statuses,
+       sum(CASE WHEN current_status = previous_status THEN 1 ELSE 0 END)
+         AS n_inconsistent
+FROM scd3
+""",
+)
+def cdc_scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..sources.changelog import orders_changelog
+
+    ch = orders_changelog(spark, sf_dir).filter(
+        F.col("o_orderkey").isNotNull() & (F.col("cdc_action") != "delete")
+    )
+    seqd = ch.select(
+        "o_orderkey",
+        "seq",
+        "o_orderstatus",
+        F.lag("o_orderstatus")
+        .over(Window.partitionBy("o_orderkey").orderBy("seq"))
+        .alias("prev_status"),
+    )
+    changes = seqd.filter(
+        ~F.col("prev_status").eqNullSafe(F.col("o_orderstatus"))
+    )
+    scd3 = changes.groupBy("o_orderkey").agg(
+        F.max_by("o_orderstatus", "seq").alias("current_status"),
+        F.max_by("prev_status", "seq").alias("previous_status"),
+    )
+    return scd3.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.when(F.col("previous_status").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_history"),
+        F.countDistinct("current_status").alias("n_current_statuses"),
+        F.sum(
+            F.when(
+                F.col("current_status") == F.col("previous_status"), 1
+            ).otherwise(0)
+        ).alias("n_inconsistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Cronbach's alpha (internal-consistency reliability)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cronbach_alpha",
+    doc="Cronbach's alpha over a k=3 'item battery': each customer's "
+    "first three order values (by date) pivot wide via conditional "
+    "max_by aggregates, then α = k/(k−1)·(1 − Σ item variances / "
+    "variance of the item sum) from one moment pass over complete "
+    "cases — the psychometric reliability coefficient, showing the "
+    "pivot-then-moments shape any survey/battery analysis needs.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, round(o_totalprice, 2) AS v,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i
+  FROM orders
+), wide AS (
+  SELECT o_custkey,
+         max(CASE WHEN i = 1 THEN v END) AS v1,
+         max(CASE WHEN i = 2 THEN v END) AS v2,
+         max(CASE WHEN i = 3 THEN v END) AS v3
+  FROM seq WHERE i <= 3 GROUP BY o_custkey
+), complete AS (
+  SELECT * FROM wide WHERE v3 IS NOT NULL
+)
+SELECT count(*) AS n_respondents,
+       round(3.0 / 2 * (1 - (var_samp(v1) + var_samp(v2) + var_samp(v3))
+                            / var_samp(v1 + v2 + v3)), 6) AS cronbach_alpha,
+       3.0 / 2 * (1 - (var_samp(v1) + var_samp(v2) + var_samp(v3))
+                      / var_samp(v1 + v2 + v3)) < 0.5 AS items_unrelated
+FROM complete
+""",
+)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("v"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )
+        .alias("i"),
+    ).filter(F.col("i") <= 3)
+    wide = seq.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("i") == 1, F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("i") == 2, F.col("v"))).alias("v2"),
+        F.max(F.when(F.col("i") == 3, F.col("v"))).alias("v3"),
+    )
+    complete = wide.filter(F.col("v3").isNotNull())
+    alpha = 1.5 * (
+        1
+        - (F.var_samp("v1") + F.var_samp("v2") + F.var_samp("v3"))
+        / F.var_samp(F.col("v1") + F.col("v2") + F.col("v3"))
+    )
+    return complete.agg(
+        F.count(F.lit(1)).alias("n_respondents"),
+        F.round(alpha, 6).alias("cronbach_alpha"),
+        (alpha < 0.5).alias("items_unrelated"),
+    )
