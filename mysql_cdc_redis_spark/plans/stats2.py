@@ -8370,3 +8370,301 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha, 6).alias("cronbach_alpha"),
         (alpha < 0.5).alias("items_unrelated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events ext: absorbing-chain expected visits (purchase as absorber)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_absorbing_markov_steps",
+    doc="Absorption analysis of the event chain with 'purchase' as the "
+    "absorbing state: expected visits to each transient state before "
+    "absorption, approximated by the truncated Neumann series "
+    "I+Q+Q²+…+Q⁶ of the transient block — six unrolled vector-matrix "
+    "steps over the ≤16-cell transient matrix (the same bounded-"
+    "iteration shape as the stationary-distribution entry, but "
+    "answering 'how long until conversion' instead of 'where does "
+    "traffic settle').  Expected visits from each starting state.",
+    tags=("events", "graph", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+), pair AS (
+  SELECT event_type AS src, nxt AS dst FROM seq
+  WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+), q AS (
+  SELECT src, dst, count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY src)
+           AS pr
+  FROM pair GROUP BY src, dst
+), qt AS (SELECT * FROM q WHERE dst <> 'purchase'),
+states AS (SELECT DISTINCT src FROM qt),
+v0 AS (SELECT s0.src AS start, s0.src AS state, 1.0 AS v
+       FROM states s0),
+v1 AS (SELECT v0.start, qt.dst AS state, sum(v0.v * qt.pr) AS v
+       FROM v0 JOIN qt ON qt.src = v0.state GROUP BY v0.start, qt.dst),
+v2 AS (SELECT v1.start, qt.dst AS state, sum(v1.v * qt.pr) AS v
+       FROM v1 JOIN qt ON qt.src = v1.state GROUP BY v1.start, qt.dst),
+v3 AS (SELECT v2.start, qt.dst AS state, sum(v2.v * qt.pr) AS v
+       FROM v2 JOIN qt ON qt.src = v2.state GROUP BY v2.start, qt.dst),
+v4 AS (SELECT v3.start, qt.dst AS state, sum(v3.v * qt.pr) AS v
+       FROM v3 JOIN qt ON qt.src = v3.state GROUP BY v3.start, qt.dst),
+v5 AS (SELECT v4.start, qt.dst AS state, sum(v4.v * qt.pr) AS v
+       FROM v4 JOIN qt ON qt.src = v4.state GROUP BY v4.start, qt.dst),
+v6 AS (SELECT v5.start, qt.dst AS state, sum(v5.v * qt.pr) AS v
+       FROM v5 JOIN qt ON qt.src = v5.state GROUP BY v5.start, qt.dst),
+total AS (
+  SELECT start, sum(v) AS expected_steps_6 FROM (
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL
+    SELECT * FROM v2 UNION ALL SELECT * FROM v3 UNION ALL
+    SELECT * FROM v4 UNION ALL SELECT * FROM v5 UNION ALL
+    SELECT * FROM v6
+  ) GROUP BY start
+)
+SELECT start AS start_state,
+       round(expected_steps_6, 4) AS expected_visits_truncated
+FROM total ORDER BY start_state
+""",
+)
+def events_absorbing_markov_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    ).filter(F.col("nxt").isNotNull() & (F.col("event_type") != "purchase"))
+    q = (
+        seq.groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "src",
+            "dst",
+            (F.col("n") / F.sum("n").over(Window.partitionBy("src"))).alias("pr"),
+        )
+    )
+    qt = F.broadcast(q.filter(F.col("dst") != "purchase"))
+    states = q.select("src").distinct()
+    v = states.select(
+        F.col("src").alias("start"), F.col("src").alias("state"),
+        F.lit(1.0).alias("v"),
+    )
+    acc = v
+    for _ in range(6):
+        v = (
+            v.join(qt, qt.src == v.state)
+            .groupBy("start", F.col("dst").alias("state_n"))
+            .agg(F.sum(F.col("v") * F.col("pr")).alias("v"))
+            .withColumnRenamed("state_n", "state")
+        )
+        acc = acc.unionAll(v)
+    return (
+        acc.groupBy("start")
+        .agg(F.round(F.sum("v"), 4).alias("expected_visits_truncated"))
+        .select(F.col("start").alias("start_state"), "expected_visits_truncated")
+        .orderBy("start_state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Gini mean difference via the rank closed form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini_mean_difference",
+    doc="Gini mean difference per segment WITHOUT the O(n²) pair "
+    "enumeration: GMD = 2/(n(n−1))·Σ(2i−n−1)·x₍ᵢ₎ over the within-"
+    "group rank order — one rank window plus one aggregate, the "
+    "sort-based identity that turns a quadratic dispersion measure "
+    "into a group-by.  Reported next to the standard deviation "
+    "(GMD/σ ≈ 1.128 under normality, so the ratio doubles as a "
+    "shape diagnostic).",
+    tags=("agg", "robust", "ext"),
+    oracle="""
+WITH r AS (
+  SELECT c_mktsegment AS seg, round(c_acctbal, 2) AS x,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY round(c_acctbal, 2), c_custkey) AS i,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+SELECT seg, any_value(n) AS n,
+       round(2.0 / (any_value(n) * (any_value(n) - 1))
+             * sum((2 * i - n - 1) * x), 4) AS gmd,
+       round(stddev_samp(x), 4) AS sd,
+       round(2.0 / (any_value(n) * (any_value(n) - 1))
+             * sum((2 * i - n - 1) * x) / stddev_samp(x), 4) AS gmd_sd_ratio
+FROM r GROUP BY seg ORDER BY seg
+""",
+)
+def agg_gini_mean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    x = F.round("c_acctbal", 2)
+    r = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        x.alias("x"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(x, "c_custkey")
+        )
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    gmd = (
+        2.0
+        / (F.any_value("n") * (F.any_value("n") - 1))
+        * F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
+    )
+    return (
+        r.groupBy("seg")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.round(gmd, 4).alias("gmd"),
+            F.round(F.stddev_samp("x"), 4).alias("sd"),
+            F.round(gmd / F.stddev_samp("x"), 4).alias("gmd_sd_ratio"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Wilson score intervals for per-segment proportions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_wilson_score_interval",
+    doc="Wilson score 95% confidence intervals for the urgent-order "
+    "proportion per segment — the interval that behaves at the "
+    "boundaries where the naive Wald ±1.96√(p(1−p)/n) collapses; "
+    "both reported so the difference is visible.  Pure closed form "
+    "on the 5 proportion cells from one customer-grain pass.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT any_value(c.c_mktsegment) AS seg,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), s AS (
+  SELECT seg, count(*) AS n, avg(y * 1.0) AS p FROM f GROUP BY seg
+)
+SELECT seg, n, round(p, 6) AS p_hat,
+       round((p + 1.9208 / n
+              - 1.96 * sqrt(p * (1 - p) / n + 0.9604 / (n * n)))
+             / (1 + 3.8416 / n), 6) AS wilson_lo,
+       round((p + 1.9208 / n
+              + 1.96 * sqrt(p * (1 - p) / n + 0.9604 / (n * n)))
+             / (1 + 3.8416 / n), 6) AS wilson_hi,
+       round(p - 1.96 * sqrt(p * (1 - p) / n), 6) AS wald_lo
+FROM s ORDER BY seg
+""",
+)
+def agg_wilson_score_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_mktsegment").alias("seg"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    s = f.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("y").cast("double")).alias("p"),
+    )
+    n, p = F.col("n"), F.col("p")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return s.select(
+        "seg",
+        "n",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + 1.9208 / n - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.9208 / n + half) / denom, 6).alias("wilson_hi"),
+        F.round(p - 1.96 * F.sqrt(p * (1 - p) / n), 6).alias("wald_lo"),
+    ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# tooling ext: histogram-based join cardinality estimation vs actual
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tooling_join_cardinality_estimate",
+    doc="Optimizer introspection from first principles: the "
+    "customer⋈orders equi-join size estimated from 64-bucket key "
+    "histograms (per bucket nₐ·n_b/max(dₐ,d_b), the classic "
+    "System-R-with-histograms formula) against the TRUE join "
+    "cardinality — the estimation error a cost-based optimizer "
+    "lives with.  Three aggregates; the histogram relations are "
+    "64 rows each.",
+    tags=("tooling", "optimizer", "ext"),
+    oracle="""
+WITH ha AS (
+  SELECT c_custkey % 64 AS b, count(*) AS na,
+         count(DISTINCT c_custkey) AS da
+  FROM customer GROUP BY 1
+), hb AS (
+  SELECT o_custkey % 64 AS b, count(*) AS nb,
+         count(DISTINCT o_custkey) AS db
+  FROM orders GROUP BY 1
+), est AS (
+  SELECT sum(ha.na * hb.nb * 1.0 / greatest(ha.da, hb.db)) AS est_rows
+  FROM ha JOIN hb ON hb.b = ha.b
+), act AS (
+  SELECT count(*) AS true_rows
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+)
+SELECT CAST(round(est.est_rows, 0) AS BIGINT) AS estimated_rows,
+       act.true_rows,
+       round(est.est_rows / act.true_rows, 4) AS q_error
+FROM est, act
+""",
+)
+def tooling_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ha = cust.groupBy((F.col("c_custkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("na"),
+        F.countDistinct("c_custkey").alias("da"),
+    )
+    hb = orders.groupBy((F.col("o_custkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.countDistinct("o_custkey").alias("db"),
+    )
+    est = (
+        ha.join(hb, "b")
+        .agg(
+            F.sum(
+                F.col("na")
+                * F.col("nb")
+                / F.greatest(F.col("da"), F.col("db"))
+            ).alias("est_rows")
+        )
+    )
+    act = cust.join(orders, orders.o_custkey == cust.c_custkey).agg(
+        F.count(F.lit(1)).alias("true_rows")
+    )
+    return (
+        est.crossJoin(F.broadcast(act))
+        .select(
+            F.round("est_rows", 0).cast("bigint").alias("estimated_rows"),
+            "true_rows",
+            F.round(F.col("est_rows") / F.col("true_rows"), 4).alias("q_error"),
+        )
+    )
