@@ -8668,3 +8668,266 @@ def tooling_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.col("est_rows") / F.col("true_rows"), 4).alias("q_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: fixed-effect meta-analysis with I² heterogeneity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_meta_analysis_fixed_effect",
+    doc="Meta-analysis across nations treated as independent studies: "
+    "each nation estimates the BUILDING-minus-MACHINERY balance "
+    "difference with its own standard error, the pooled fixed-effect "
+    "estimate is the inverse-variance weighted mean, and Cochran's Q "
+    "with I² = (Q−df)/Q quantifies cross-study heterogeneity — the "
+    "evidence-synthesis shape for 'same experiment, many markets'.  "
+    "One conditional aggregate to 25 study rows, closed form after.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH study AS (
+  SELECT c_nationkey AS nat,
+         avg(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END)
+         - avg(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END)
+           AS eff,
+         var_samp(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END)
+           / count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END)
+         + var_samp(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END)
+           / count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS se2
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c_nationkey
+  HAVING count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) >= 2
+     AND count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) >= 2
+), pool AS (
+  SELECT count(*) AS k,
+         sum(eff / se2) / sum(1 / se2) AS pooled,
+         sqrt(1 / sum(1 / se2)) AS pooled_se
+  FROM study
+), q AS (
+  SELECT sum(pow(eff - pool.pooled, 2) / se2) AS q_stat
+  FROM study, pool
+)
+SELECT pool.k AS n_studies,
+       round(pool.pooled, 4) AS pooled_effect,
+       round(pool.pooled_se, 4) AS pooled_se,
+       round(q.q_stat, 4) AS cochran_q,
+       round(greatest(0, (q.q_stat - (pool.k - 1)) / q.q_stat), 6)
+         AS i_squared
+FROM pool, q
+""",
+)
+def agg_meta_analysis_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    in_b = F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal"))
+    in_m = F.when(F.col("c_mktsegment") == "MACHINERY", F.col("c_acctbal"))
+    study = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(
+            (F.avg(in_b) - F.avg(in_m)).alias("eff"),
+            (
+                F.var_samp(in_b) / F.count(in_b)
+                + F.var_samp(in_m) / F.count(in_m)
+            ).alias("se2"),
+            F.count(in_b).alias("nb"),
+            F.count(in_m).alias("nm"),
+        )
+        .filter((F.col("nb") >= 2) & (F.col("nm") >= 2))
+    )
+    pool = study.agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("eff") / F.col("se2")) / F.sum(1 / F.col("se2"))).alias(
+            "pooled"
+        ),
+        F.sqrt(1 / F.sum(1 / F.col("se2"))).alias("pooled_se"),
+    )
+    q = (
+        study.crossJoin(F.broadcast(pool.select("pooled")))
+        .agg(
+            F.sum(
+                F.pow(F.col("eff") - F.col("pooled"), F.lit(2)) / F.col("se2")
+            ).alias("q_stat")
+        )
+    )
+    return (
+        pool.crossJoin(F.broadcast(q))
+        .select(
+            F.col("k").alias("n_studies"),
+            F.round("pooled", 4).alias("pooled_effect"),
+            F.round("pooled_se", 4).alias("pooled_se"),
+            F.round("q_stat", 4).alias("cochran_q"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("q_stat") - (F.col("k") - 1)) / F.col("q_stat"),
+                ),
+                6,
+            ).alias("i_squared"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Pettitt rank-based changepoint test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_pettitt_changepoint",
+    doc="Pettitt's nonparametric changepoint test on monthly revenue: "
+    "U_t = 2·(cumulative midrank sum up to t) − t·(n+1) measures the "
+    "rank imbalance of every possible split in one pass over the "
+    "ranked ~80-month series, K = max|U_t| locates the most likely "
+    "shift, and the approximate p-value 2·exp(−6K²/(n³+n²)) decides — "
+    "the rank-robust sibling of window_cusum_changepoint, immune to "
+    "the outlier months that drag a mean-based CUSUM.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT mon,
+         (rank() OVER (ORDER BY y)
+          + (count(*) OVER (PARTITION BY y) - 1) / 2.0) AS midrank,
+         row_number() OVER (ORDER BY mon) AS t,
+         count(*) OVER () AS n
+  FROM m
+), u AS (
+  SELECT mon, t, n,
+         2 * sum(midrank) OVER (ORDER BY t) - t * (n + 1.0) AS u_t
+  FROM r
+), k AS (
+  SELECT mon, t, n, abs(u_t) AS au,
+         row_number() OVER (ORDER BY abs(u_t) DESC, t) AS rn
+  FROM u WHERE t < n
+)
+SELECT strftime(mon, '%Y-%m') AS change_month,
+       CAST(t AS BIGINT) AS t_index,
+       round(au, 1) AS k_stat,
+       round(2 * exp(-6 * au * au / (pow(n, 3) + pow(n, 2))), 6)
+         AS approx_p,
+       2 * exp(-6 * au * au / (pow(n, 3) + pow(n, 2))) < 0.05
+         AS significant
+FROM k WHERE rn = 1
+""",
+)
+def window_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    r = m.select(
+        "mon",
+        (
+            F.rank().over(Window.orderBy("y"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
+        ).alias("midrank"),
+        F.row_number().over(Window.orderBy("mon")).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    u = r.select(
+        "mon",
+        "t",
+        "n",
+        (
+            2 * F.sum("midrank").over(Window.orderBy("t"))
+            - F.col("t") * (F.col("n") + 1.0)
+        ).alias("u_t"),
+    )
+    k = (
+        u.filter(F.col("t") < F.col("n"))
+        .withColumn("au", F.abs(F.col("u_t")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("au"), "t")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    p = 2 * F.exp(
+        -6 * F.col("au") * F.col("au")
+        / (F.pow(F.col("n"), F.lit(3)) + F.pow(F.col("n"), F.lit(2)))
+    )
+    return k.select(
+        F.date_format("mon", "yyyy-MM").alias("change_month"),
+        F.col("t").cast("bigint").alias("t_index"),
+        F.round("au", 1).alias("k_stat"),
+        F.round(p, 6).alias("approx_p"),
+        (p < 0.05).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: license/compliance contamination scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_license_scan",
+    doc="License-contamination scan over the corpus: case-insensitive "
+    "pattern census for copyright lines, SPDX-style license mentions "
+    "and all-rights-reserved markers, rolled up per source with the "
+    "flagged-document share — the compliance gate that runs before "
+    "any training corpus ships.  One regexp projection + one "
+    "aggregate; patterns are a broadcast constant at any scale.",
+    tags=("corpus", "compliance", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT source,
+         CASE WHEN regexp_matches(lower(text), 'copyright|\\(c\\)')
+              THEN 1 ELSE 0 END AS f_copy,
+         CASE WHEN regexp_matches(lower(text),
+                                  'license|gpl|apache|creative commons')
+              THEN 1 ELSE 0 END AS f_lic,
+         CASE WHEN regexp_matches(lower(text), 'all rights reserved')
+              THEN 1 ELSE 0 END AS f_arr
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(f_copy) AS n_copyright,
+       sum(f_lic) AS n_license_terms,
+       sum(f_arr) AS n_rights_reserved,
+       round(avg(CASE WHEN f_copy + f_lic + f_arr > 0
+                      THEN 1.0 ELSE 0.0 END), 6) AS flagged_share
+FROM flags GROUP BY source ORDER BY source
+""",
+)
+def corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    f_copy = (F.regexp_count(low, F.lit("copyright|\\(c\\)")) > 0).cast("int")
+    f_lic = (
+        F.regexp_count(low, F.lit("license|gpl|apache|creative commons")) > 0
+    ).cast("int")
+    f_arr = (F.regexp_count(low, F.lit("all rights reserved")) > 0).cast("int")
+    flags = docs.select(
+        "source",
+        f_copy.alias("f_copy"),
+        f_lic.alias("f_lic"),
+        f_arr.alias("f_arr"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_copy").alias("n_copyright"),
+            F.sum("f_lic").alias("n_license_terms"),
+            F.sum("f_arr").alias("n_rights_reserved"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("f_copy") + F.col("f_lic") + F.col("f_arr") > 0,
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("flagged_share"),
+        )
+        .orderBy("source")
+    )
