@@ -8931,3 +8931,230 @@ def corpus_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: historical VaR and expected shortfall on monthly returns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_historical_var_es",
+    doc="Historical (empirical) value-at-risk and expected shortfall of "
+    "monthly revenue log-returns: VaR95 is the rank-based 5th "
+    "percentile return (an actual observation, engine-exact), ES is "
+    "the mean of returns at or below it — the nonparametric risk "
+    "pair that complements the parametric GPD tail fit "
+    "(agg_pot_gpd_fit).  One lag window + one rank pick + one "
+    "conditional mean.",
+    tags=("window", "finance", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT ln(y / lag(y) OVER (ORDER BY mon)) AS ret FROM m
+), rr AS (
+  SELECT ret,
+         row_number() OVER (ORDER BY ret) AS rn,
+         count(*) OVER () AS cnt
+  FROM r WHERE ret IS NOT NULL
+), var_ AS (
+  SELECT ret AS var95 FROM rr
+  WHERE rn = CAST(ceil(0.05 * cnt) AS BIGINT)
+)
+SELECT (SELECT count(*) FROM rr) AS n_returns,
+       round((SELECT var95 FROM var_), 6) AS var_95,
+       round((SELECT avg(ret) FROM rr, var_ WHERE ret <= var_.var95), 6)
+         AS expected_shortfall_95,
+       (SELECT avg(ret) FROM rr, var_ WHERE ret <= var_.var95)
+         <= (SELECT var95 FROM var_) AS es_dominates_var
+""",
+)
+def window_historical_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    r = m.select(
+        F.log(F.col("y") / F.lag("y").over(Window.orderBy("mon"))).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    rr = r.select(
+        "ret",
+        F.row_number().over(Window.orderBy("ret")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    var_ = rr.filter(
+        F.col("rn") == F.ceil(0.05 * F.col("cnt")).cast("bigint")
+    ).select(F.col("ret").alias("var95"))
+    n = rr.agg(F.count(F.lit(1)).alias("n_returns"))
+    es = (
+        rr.crossJoin(F.broadcast(var_))
+        .filter(F.col("ret") <= F.col("var95"))
+        .agg(F.avg("ret").alias("es"))
+    )
+    return (
+        n.crossJoin(F.broadcast(var_))
+        .crossJoin(F.broadcast(es))
+        .select(
+            "n_returns",
+            F.round("var95", 6).alias("var_95"),
+            F.round("es", 6).alias("expected_shortfall_95"),
+            (F.col("es") <= F.col("var95")).alias("es_dominates_var"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mlops ext: experiment seed isolation (cross-experiment independence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlops_experiment_seed_isolation",
+    doc="Seed-isolation audit for layered experiments: the same user "
+    "population split 50/50 under two different salts must overlap at "
+    "≈50% (p²+q² for independent fair splits) — systematic overlap "
+    "means experiment B inherits experiment A's assignment and their "
+    "effects confound.  One distinct-user pass computing both arms, "
+    "a 2×2 assignment table, and the chi-square independence check "
+    "across salts.",
+    tags=("mlops", "experiment", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         ascii(substring(md5('expA#' || user_id::VARCHAR), 1, 1)) % 2 AS a,
+         ascii(substring(md5('expB#' || user_id::VARCHAR), 1, 1)) % 2 AS b
+  FROM events
+), cell AS (
+  SELECT count(*) AS n,
+         sum(a * b) AS n11,
+         sum(a * (1 - b)) AS n10,
+         sum((1 - a) * b) AS n01,
+         sum((1 - a) * (1 - b)) AS n00
+  FROM u
+)
+SELECT n,
+       round((n11 + n00) * 1.0 / n, 6) AS same_arm_share,
+       round(pow(n11 * n00 - n10 * n01, 2) * n * 1.0
+             / ((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)), 4)
+         AS chi2_independence,
+       pow(n11 * n00 - n10 * n01, 2) * n * 1.0
+       / ((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)) < 3.841
+         AS salts_independent
+FROM cell
+""",
+)
+def mlops_experiment_seed_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+
+    def _arm(salt: str):
+        return (
+            F.ascii(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + "#"), uid).cast("binary")), 1, 1
+                )
+            )
+            % 2
+        )
+
+    u = ev.select("user_id").distinct().select(
+        _arm("expA").alias("a"), _arm("expB").alias("b")
+    )
+    a, b = F.col("a"), F.col("b")
+    cell = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * b).alias("n11"),
+        F.sum(a * (1 - b)).alias("n10"),
+        F.sum((1 - a) * b).alias("n01"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    n = F.col("n")
+    n11, n10, n01, n00 = F.col("n11"), F.col("n10"), F.col("n01"), F.col("n00")
+    chi2 = (
+        F.pow(n11 * n00 - n10 * n01, F.lit(2))
+        * n
+        / ((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))
+    )
+    return cell.select(
+        "n",
+        F.round((n11 + n00) / n, 6).alias("same_arm_share"),
+        F.round(chi2, 4).alias("chi2_independence"),
+        (chi2 < 3.841).alias("salts_independent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 ext: idempotency-key dedup of duplicated submissions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_idempotency_key_dedup",
+    doc="API-style idempotency: duplicate submissions (every seq "
+    "divisible by 13 is re-sent with a bumped seq, synthesized "
+    "deterministically) are suppressed by keep-first per idempotency "
+    "key (table, original seq) — a window rank inside the key, the "
+    "exactly-once admission the reference's Redis SETNX lock "
+    "approximates per-process (rcache.py:36-42) done declaratively "
+    "per-event.  Census: submissions in, uniques kept, dupes "
+    "suppressed, and proof the kept stream has no key twice.",
+    tags=("cdc", "ref:M3", "idempotency", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+submissions AS (
+  SELECT seq AS idem_key, seq, cdc_action FROM ch
+  UNION ALL
+  SELECT seq AS idem_key, seq + 1000000, cdc_action
+  FROM ch WHERE seq % 13 = 0
+), ranked AS (
+  SELECT idem_key, seq,
+         row_number() OVER (PARTITION BY idem_key ORDER BY seq) AS rn
+  FROM submissions
+)
+SELECT count(*) AS n_submissions,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_admitted,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_suppressed,
+       (SELECT count(*) FROM (
+          SELECT idem_key FROM ranked WHERE rn = 1
+          GROUP BY idem_key HAVING count(*) > 1)) AS n_double_admits
+FROM ranked
+""",
+)
+def cdc_idempotency_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..sources.changelog import orders_changelog
+
+    ch = orders_changelog(spark, sf_dir).select("seq", "cdc_action")
+    dup = ch.filter(F.col("seq") % 13 == 0).select(
+        F.col("seq").alias("idem_key"),
+        (F.col("seq") + 1000000).alias("seq"),
+        "cdc_action",
+    )
+    submissions = ch.select(
+        F.col("seq").alias("idem_key"), "seq", "cdc_action"
+    ).unionAll(dup)
+    ranked = submissions.select(
+        "idem_key",
+        F.row_number()
+        .over(Window.partitionBy("idem_key").orderBy("seq"))
+        .alias("rn"),
+    )
+    admitted = ranked.filter(F.col("rn") == 1)
+    double_admits = (
+        admitted.groupBy("idem_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_double_admits"))
+    )
+    census = ranked.agg(
+        F.count(F.lit(1)).alias("n_submissions"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_admitted"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_suppressed"),
+    )
+    return census.crossJoin(F.broadcast(double_admits))
