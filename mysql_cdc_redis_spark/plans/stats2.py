@@ -9158,3 +9158,317 @@ def cdc_idempotency_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_suppressed"),
     )
     return census.crossJoin(F.broadcast(double_admits))
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: propensity-score stratified treatment effect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_propensity_stratified_effect",
+    doc="Observational causal workflow from counts alone: treatment = "
+    "above-median balance, propensity P(treated | segment, nation) "
+    "estimated as the cell share (the saturated-covariate analogue "
+    "of a logistic fit), units stratified into propensity quintiles, "
+    "and the urgent-order outcome contrast pooled across strata "
+    "weighted by stratum size — confounding by observed covariates "
+    "removed without any ML library.  Naive vs stratified effect "
+    "side by side; rank-based quintile edges keep both engines "
+    "exact.",
+    tags=("agg", "causal", "ext"),
+    oracle="""
+WITH med AS (
+  SELECT bal AS m FROM (
+    SELECT round(c_acctbal, 2) AS bal,
+           row_number() OVER (ORDER BY round(c_acctbal, 2), c_custkey) AS rn,
+           count(*) OVER () AS cnt
+    FROM customer
+  ) WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+), f AS (
+  SELECT c.c_custkey,
+         any_value(c.c_mktsegment) AS seg,
+         any_value(c.c_nationkey) AS nat,
+         CASE WHEN any_value(round(c.c_acctbal, 2)) > (SELECT m FROM med)
+              THEN 1 ELSE 0 END AS treat,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), ps AS (
+  SELECT seg, nat, avg(treat * 1.0) AS p FROM f GROUP BY seg, nat
+), scored AS (
+  SELECT f.treat, f.y,
+         ntile(5) OVER (ORDER BY ps.p, f.seg, f.nat, f.c_custkey) AS stratum
+  FROM f JOIN ps ON ps.seg = f.seg AND ps.nat = f.nat
+), strata AS (
+  SELECT stratum, count(*) AS n,
+         avg(CASE WHEN treat = 1 THEN y * 1.0 END)
+         - avg(CASE WHEN treat = 0 THEN y * 1.0 END) AS diff
+  FROM scored GROUP BY stratum
+  HAVING count(CASE WHEN treat = 1 THEN 1 END) > 0
+     AND count(CASE WHEN treat = 0 THEN 1 END) > 0
+)
+SELECT (SELECT round(avg(CASE WHEN treat = 1 THEN y * 1.0 END)
+                     - avg(CASE WHEN treat = 0 THEN y * 1.0 END), 6)
+        FROM f) AS naive_effect,
+       round(sum(n * diff) / sum(n), 6) AS stratified_effect,
+       count(*) AS n_strata_used
+FROM strata
+""",
+)
+def agg_propensity_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = F.round("c_acctbal", 2)
+    ranked = cust.select(
+        bal.alias("bal"),
+        F.row_number().over(Window.orderBy(bal, "c_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(0.5 * F.col("cnt")).cast("bigint")
+    ).select(F.col("bal").alias("m"))
+    f = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_mktsegment").alias("seg"),
+            F.any_value("c_nationkey").alias("nat"),
+            F.any_value(F.round("c_acctbal", 2)).alias("bal"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+        .crossJoin(F.broadcast(med))
+        .withColumn(
+            "treat", F.when(F.col("bal") > F.col("m"), 1).otherwise(0)
+        )
+    )
+    ps = f.groupBy("seg", "nat").agg(
+        F.avg(F.col("treat").cast("double")).alias("p")
+    )
+    scored = f.join(F.broadcast(ps), ["seg", "nat"]).select(
+        "treat",
+        "y",
+        F.ntile(5)
+        .over(Window.orderBy("p", "seg", "nat", "c_custkey"))
+        .alias("stratum"),
+    )
+    y_t = F.when(F.col("treat") == 1, F.col("y").cast("double"))
+    y_c = F.when(F.col("treat") == 0, F.col("y").cast("double"))
+    strata = (
+        scored.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.avg(y_t) - F.avg(y_c)).alias("diff"),
+            F.count(y_t).alias("nt"),
+            F.count(y_c).alias("nc"),
+        )
+        .filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    )
+    naive = f.agg(
+        F.round(F.avg(y_t) - F.avg(y_c), 6).alias("naive_effect")
+    )
+    pooled = strata.agg(
+        F.round(
+            F.sum(F.col("n") * F.col("diff")) / F.sum("n"), 6
+        ).alias("stratified_effect"),
+        F.count(F.lit(1)).alias("n_strata_used"),
+    )
+    return naive.crossJoin(F.broadcast(pooled))
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: up/down capture ratios of a segment vs the market
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_updown_capture",
+    doc="Up-capture / down-capture of the BUILDING segment's monthly "
+    "revenue returns against the whole market's: mean segment return "
+    "conditioned on market-up months over mean market-up return, and "
+    "the mirror for down months — the asymmetry profile (captures "
+    "more upside than downside?) that a single beta hides.  One "
+    "two-series fold + one lag window + one conditional aggregate.",
+    tags=("window", "finance", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o.o_orderdate) AS mon,
+         round(sum(o.o_totalprice), 2) AS y_all,
+         round(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                        THEN o.o_totalprice ELSE 0 END), 2) AS y_seg
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), r AS (
+  SELECT CASE WHEN y_all > 0 AND lag(y_all) OVER (ORDER BY mon) > 0
+              THEN ln(y_all / lag(y_all) OVER (ORDER BY mon)) END AS rm,
+         CASE WHEN y_seg > 0 AND lag(y_seg) OVER (ORDER BY mon) > 0
+              THEN ln(y_seg / lag(y_seg) OVER (ORDER BY mon)) END AS rs
+  FROM m
+)
+SELECT count(CASE WHEN rm > 0 THEN 1 END) AS n_up_months,
+       count(CASE WHEN rm < 0 THEN 1 END) AS n_down_months,
+       round(avg(CASE WHEN rm > 0 THEN rs END)
+             / avg(CASE WHEN rm > 0 THEN rm END), 4) AS up_capture,
+       round(avg(CASE WHEN rm < 0 THEN rs END)
+             / avg(CASE WHEN rm < 0 THEN rm END), 4) AS down_capture
+FROM r WHERE rm IS NOT NULL
+""",
+)
+def window_updown_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = (
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("y_all"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c_mktsegment") == "BUILDING",
+                        F.col("o_totalprice"),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("y_seg"),
+        )
+    )
+    w = Window.orderBy("mon")
+    prev_all = F.lag("y_all").over(w)
+    prev_seg = F.lag("y_seg").over(w)
+    r = m.select(
+        F.when(
+            (F.col("y_all") > 0) & (prev_all > 0),
+            F.log(F.col("y_all") / prev_all),
+        ).alias("rm"),
+        F.when(
+            (F.col("y_seg") > 0) & (prev_seg > 0),
+            F.log(F.col("y_seg") / prev_seg),
+        ).alias("rs"),
+    ).filter(F.col("rm").isNotNull())
+    up = F.col("rm") > 0
+    dn = F.col("rm") < 0
+    return r.agg(
+        F.count(F.when(up, 1)).alias("n_up_months"),
+        F.count(F.when(dn, 1)).alias("n_down_months"),
+        F.round(
+            F.avg(F.when(up, F.col("rs"))) / F.avg(F.when(up, F.col("rm"))), 4
+        ).alias("up_capture"),
+        F.round(
+            F.avg(F.when(dn, F.col("rs"))) / F.avg(F.when(dn, F.col("rm"))), 4
+        ).alias("down_capture"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ext: HITS hub/authority scores (two unrolled iterations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_hits_iterations",
+    doc="Kleinberg's HITS on the directed event-transition graph "
+    "(src→dst edges weighted by transition count): two unrolled "
+    "hub/authority updates — a(v)=Σ h(u) over in-edges, h(u)=Σ a(v) "
+    "over out-edges, L1-normalized each pass — the mutually-"
+    "reinforcing fixpoint PageRank's single score cannot express.  "
+    "Each step is one broadcast join + one 5-row aggregate; scores "
+    "per state after iteration two.",
+    tags=("graph", "events", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, count(*) * 1.0 AS w FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+), nodes AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)
+), h0 AS (SELECT v, 1.0 AS h FROM nodes),
+a1r AS (
+  SELECT e.dst AS v, sum(e.w * h0.h) AS a
+  FROM e JOIN h0 ON h0.v = e.src GROUP BY e.dst
+), a1 AS (SELECT v, a / (SELECT sum(a) FROM a1r) AS a FROM a1r),
+h1r AS (
+  SELECT e.src AS v, sum(e.w * a1.a) AS h
+  FROM e JOIN a1 ON a1.v = e.dst GROUP BY e.src
+), h1 AS (SELECT v, h / (SELECT sum(h) FROM h1r) AS h FROM h1r),
+a2r AS (
+  SELECT e.dst AS v, sum(e.w * h1.h) AS a
+  FROM e JOIN h1 ON h1.v = e.src GROUP BY e.dst
+), a2 AS (SELECT v, a / (SELECT sum(a) FROM a2r) AS a FROM a2r),
+h2r AS (
+  SELECT e.src AS v, sum(e.w * a2.a) AS h
+  FROM e JOIN a2 ON a2.v = e.dst GROUP BY e.src
+), h2 AS (SELECT v, h / (SELECT sum(h) FROM h2r) AS h FROM h2r)
+SELECT n.v AS state,
+       round(coalesce(a2.a, 0), 6) AS authority,
+       round(coalesce(h2.h, 0), 6) AS hub
+FROM nodes n
+LEFT JOIN a2 ON a2.v = n.v
+LEFT JOIN h2 ON h2.v = n.v
+ORDER BY state
+""",
+)
+def graph_hits_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    e = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    h = nodes.select("v", F.lit(1.0).alias("h"))
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("_tot"))
+        return df.crossJoin(F.broadcast(tot)).select(
+            "v", (F.col(col) / F.col("_tot")).alias(col)
+        )
+
+    a = None
+    for _ in range(2):
+        hb = F.broadcast(h.select(F.col("v").alias("hv"), "h"))
+        a = _norm(
+            e.join(hb, F.col("src") == F.col("hv"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("w") * F.col("h")).alias("a")),
+            "a",
+        )
+        ab = F.broadcast(a.select(F.col("v").alias("av"), "a"))
+        h = _norm(
+            e.join(ab, F.col("dst") == F.col("av"))
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum(F.col("w") * F.col("a")).alias("h")),
+            "h",
+        )
+    return (
+        nodes.join(a.withColumnRenamed("a", "authority"), "v", "left")
+        .join(h.withColumnRenamed("h", "hub"), "v", "left")
+        .select(
+            F.col("v").alias("state"),
+            F.round(F.coalesce(F.col("authority"), F.lit(0.0)), 6).alias(
+                "authority"
+            ),
+            F.round(F.coalesce(F.col("hub"), F.lit(0.0)), 6).alias("hub"),
+        )
+        .orderBy("state")
+    )
