@@ -9472,3 +9472,278 @@ def graph_hits_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Freedman-Diaconis data-driven histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_freedman_diaconis_hist",
+    doc="Histogram with the bin width chosen by the data: the Freedman-"
+    "Diaconis rule h = 2·IQR/n^⅓ from rank-based quartiles, the "
+    "implied bin count, and the resulting distribution of order "
+    "values — the adaptive sibling of the fixed-width "
+    "agg_price_histogram, showing the two-pass shape (statistics, "
+    "then binning with the broadcast width) any auto-binning "
+    "profiler uses.  Bin edges floor-aligned so both engines agree "
+    "exactly; ten most-populated bins shown.",
+    tags=("agg", "histogram", "ext"),
+    oracle="""
+WITH v AS (
+  SELECT round(o_totalprice, 2) AS x FROM orders
+), r AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n
+  FROM v
+), q AS (
+  SELECT max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN x END) AS q1,
+         max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN x END) AS q3,
+         any_value(n) AS n
+  FROM r
+), w AS (
+  SELECT round(2 * (q3 - q1) / pow(n, 1.0 / 3), 2) AS h, n FROM q
+), binned AS (
+  SELECT CAST(floor(v.x / w.h) AS BIGINT) AS bin, w.h,
+         count(*) AS n_orders
+  FROM v, w GROUP BY 1, 2
+)
+SELECT bin, round(bin * h, 2) AS bin_lo, n_orders,
+       round(any_value(h), 2) AS fd_width
+FROM binned GROUP BY bin, h, n_orders
+ORDER BY n_orders DESC, bin LIMIT 10
+""",
+)
+def agg_freedman_diaconis_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(F.round("o_totalprice", 2).alias("x"))
+    r = v.select(
+        "x",
+        F.row_number().over(Window.orderBy("x")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    at = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("x"),
+        )
+    )
+    q = r.agg(at(0.25).alias("q1"), at(0.75).alias("q3"), F.any_value("n").alias("n"))
+    w = q.select(
+        F.round(
+            2 * (F.col("q3") - F.col("q1")) / F.pow(F.col("n"), F.lit(1.0 / 3)),
+            2,
+        ).alias("h")
+    )
+    binned = (
+        v.crossJoin(F.broadcast(w))
+        .groupBy(
+            F.floor(F.col("x") / F.col("h")).cast("bigint").alias("bin"), "h"
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        binned.select(
+            "bin",
+            F.round(F.col("bin") * F.col("h"), 2).alias("bin_lo"),
+            "n_orders",
+            F.round(F.col("h"), 2).alias("fd_width"),
+        )
+        .orderBy(F.desc("n_orders"), "bin")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: suffix-stemming vocabulary compression census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_suffix_stemming_census",
+    doc="Stemming-lite: strip the four regular English suffixes "
+    "(-ing, -ed, -es, -s, longest first, guarded by a 3-char stem "
+    "minimum) in one nested-CASE projection, then measure what it "
+    "buys — vocabulary size before/after, compression ratio, and "
+    "the merge census (stems absorbing the most surface forms).  "
+    "The normalization step between tokenization and the vocab "
+    "builders (text_oov_rate_profile, corpus_vocab_growth), with "
+    "its effect quantified instead of assumed.",
+    tags=("text", "normalization", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT unnest(string_split(regexp_replace(lower(trim(text)),
+                                                     '\\s+', ' ', 'g'), ' '))
+           AS w
+  FROM documents
+), stem AS (
+  SELECT w,
+         CASE
+           WHEN length(w) >= 6 AND w LIKE '%ing'
+             THEN substring(w, 1, length(w) - 3)
+           WHEN length(w) >= 5 AND w LIKE '%ed'
+             THEN substring(w, 1, length(w) - 2)
+           WHEN length(w) >= 5 AND w LIKE '%es'
+             THEN substring(w, 1, length(w) - 2)
+           WHEN length(w) >= 4 AND w LIKE '%s'
+             THEN substring(w, 1, length(w) - 1)
+           ELSE w END AS s
+  FROM tok
+), merge AS (
+  SELECT s, count(*) AS n_forms FROM stem GROUP BY s
+)
+SELECT (SELECT count(*) FROM tok) AS vocab_before,
+       (SELECT count(*) FROM merge) AS vocab_after,
+       round((SELECT count(*) FROM merge) * 1.0
+             / (SELECT count(*) FROM tok), 6) AS compression,
+       (SELECT max(n_forms) FROM merge) AS max_forms_per_stem,
+       (SELECT count(*) FROM merge WHERE n_forms > 1) AS n_merging_stems
+""",
+)
+def text_suffix_stemming_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ts.tokens(F.col("text"))).alias("w")).distinct()
+    w = F.col("w")
+    ln = F.length(w)
+    stem = tok.select(
+        "w",
+        F.when(
+            (ln >= 6) & w.endswith("ing"), F.expr("substring(w, 1, length(w) - 3)")
+        )
+        .when((ln >= 5) & w.endswith("ed"), F.expr("substring(w, 1, length(w) - 2)"))
+        .when((ln >= 5) & w.endswith("es"), F.expr("substring(w, 1, length(w) - 2)"))
+        .when((ln >= 4) & w.endswith("s"), F.expr("substring(w, 1, length(w) - 1)"))
+        .otherwise(w)
+        .alias("s"),
+    )
+    merge = stem.groupBy("s").agg(F.count(F.lit(1)).alias("n_forms"))
+    before = tok.agg(F.count(F.lit(1)).alias("vocab_before"))
+    after = merge.agg(
+        F.count(F.lit(1)).alias("vocab_after"),
+        F.max("n_forms").alias("max_forms_per_stem"),
+        F.sum(F.when(F.col("n_forms") > 1, 1).otherwise(0)).alias(
+            "n_merging_stems"
+        ),
+    )
+    return (
+        before.crossJoin(F.broadcast(after))
+        .select(
+            "vocab_before",
+            "vocab_after",
+            F.round(F.col("vocab_after") / F.col("vocab_before"), 6).alias(
+                "compression"
+            ),
+            "max_forms_per_stem",
+            "n_merging_stems",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Oaxaca-Blinder decomposition of a group mean gap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_oaxaca_blinder",
+    doc="Oaxaca-Blinder two-fold decomposition of the BUILDING−MACHINERY "
+    "mean-balance gap over the nation covariate: the explained part "
+    "Σ(w_B−w_M)·m_M applies MACHINERY's within-nation means to the "
+    "composition difference, the unexplained part Σw_B·(m_B−m_M) is "
+    "the within-nation residual — the labor-economics standard for "
+    "'how much of the gap is mix, how much is rate'.  One cell "
+    "aggregate per group, closed-form reassembly; the identity "
+    "explained+unexplained = total gap is emitted as the check.",
+    tags=("agg", "causal", "ext"),
+    oracle="""
+WITH cell AS (
+  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+         count(*) AS n, avg(c_acctbal) AS m
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1, 2
+), w AS (
+  SELECT nat,
+         max(CASE WHEN seg = 'BUILDING' THEN n END) * 1.0
+           / sum(max(CASE WHEN seg = 'BUILDING' THEN n END))
+             OVER () AS wb,
+         max(CASE WHEN seg = 'MACHINERY' THEN n END) * 1.0
+           / sum(max(CASE WHEN seg = 'MACHINERY' THEN n END))
+             OVER () AS wm,
+         max(CASE WHEN seg = 'BUILDING' THEN m END) AS mb,
+         max(CASE WHEN seg = 'MACHINERY' THEN m END) AS mm
+  FROM cell GROUP BY nat
+), ok AS (
+  SELECT * FROM w
+  WHERE wb IS NOT NULL AND wm IS NOT NULL
+    AND mb IS NOT NULL AND mm IS NOT NULL
+), parts AS (
+  SELECT sum((wb - wm) * mm) AS explained,
+         sum(wb * (mb - mm)) AS unexplained,
+         sum(wb * mb) - sum(wm * mm) AS total_gap
+  FROM ok
+)
+SELECT round(total_gap, 4) AS total_gap,
+       round(explained, 4) AS explained_mix,
+       round(unexplained, 4) AS unexplained_within,
+       round(abs(total_gap - explained - unexplained), 6) < 0.001
+         AS identity_holds
+FROM parts
+""",
+)
+def agg_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    cell = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("c_acctbal").alias("m"))
+    )
+    w_all = Window.partitionBy()
+    nb = F.max(F.when(F.col("seg") == "BUILDING", F.col("n")))
+    nm = F.max(F.when(F.col("seg") == "MACHINERY", F.col("n")))
+    mb = F.max(F.when(F.col("seg") == "BUILDING", F.col("m")))
+    mm = F.max(F.when(F.col("seg") == "MACHINERY", F.col("m")))
+    w = cell.groupBy("nat").agg(
+        nb.alias("nb"), nm.alias("nm"), mb.alias("mb"), mm.alias("mm")
+    ).select(
+        "nat",
+        (F.col("nb") / F.sum("nb").over(w_all)).alias("wb"),
+        (F.col("nm") / F.sum("nm").over(w_all)).alias("wm"),
+        "mb",
+        "mm",
+    )
+    ok = w.filter(
+        F.col("wb").isNotNull()
+        & F.col("wm").isNotNull()
+        & F.col("mb").isNotNull()
+        & F.col("mm").isNotNull()
+    )
+    parts = ok.agg(
+        F.sum((F.col("wb") - F.col("wm")) * F.col("mm")).alias("explained"),
+        F.sum(F.col("wb") * (F.col("mb") - F.col("mm"))).alias("unexplained"),
+        (
+            F.sum(F.col("wb") * F.col("mb")) - F.sum(F.col("wm") * F.col("mm"))
+        ).alias("total_gap"),
+    )
+    return parts.select(
+        F.round("total_gap", 4).alias("total_gap"),
+        F.round("explained", 4).alias("explained_mix"),
+        F.round("unexplained", 4).alias("unexplained_within"),
+        (
+            F.round(
+                F.abs(
+                    F.col("total_gap") - F.col("explained") - F.col("unexplained")
+                ),
+                6,
+            )
+            < 0.001
+        ).alias("identity_holds"),
+    )
