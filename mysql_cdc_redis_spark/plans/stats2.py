@@ -9747,3 +9747,258 @@ def agg_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.001
         ).alias("identity_holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events ext: extremal index via runs declustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_extremal_index_declustering",
+    doc="Dependent-extremes correction for the burst analyses: hourly "
+    "event counts exceeding their P95 are declustered by the runs "
+    "rule (exceedances closer than 3 hours belong to one storm), and "
+    "the extremal index θ ≈ clusters/exceedances measures how much "
+    "the effective number of independent extremes shrinks — the "
+    "quantity that must multiply the GPD return levels "
+    "(agg_pot_gpd_fit) before they mean anything on clustered data.  "
+    "Rank threshold + lag islands, all on the hourly fold.",
+    tags=("events", "extremes", "ext"),
+    oracle="""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1
+), thr AS (
+  SELECT n AS u FROM (
+    SELECT n, row_number() OVER (ORDER BY n) AS rn, count(*) OVER () AS cnt
+    FROM h
+  ) WHERE rn = CAST(ceil(0.95 * cnt) AS BIGINT)
+), exc AS (
+  SELECT hr FROM h, thr WHERE h.n > thr.u
+), runs AS (
+  SELECT hr,
+         CASE WHEN date_diff('hour',
+                             lag(hr) OVER (ORDER BY hr), hr) > 3
+              OR lag(hr) OVER (ORDER BY hr) IS NULL
+              THEN 1 ELSE 0 END AS new_cluster
+  FROM exc
+)
+SELECT (SELECT u FROM thr) AS threshold,
+       count(*) AS n_exceedances,
+       sum(new_cluster) AS n_clusters,
+       round(sum(new_cluster) * 1.0 / count(*), 6) AS extremal_index
+FROM runs
+""",
+)
+def events_extremal_index_declustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = h.select(
+        "n",
+        F.row_number().over(Window.orderBy("n")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    thr = r.filter(
+        F.col("rn") == F.ceil(0.95 * F.col("cnt")).cast("bigint")
+    ).select(F.col("n").alias("u"))
+    exc = h.crossJoin(F.broadcast(thr)).filter(F.col("n") > F.col("u")).select(
+        "hr", "u"
+    )
+    prev = F.lag("hr").over(Window.orderBy("hr"))
+    new_cluster = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("hr") - F.unix_timestamp(prev)) / 3600 > 3),
+        1,
+    ).otherwise(0)
+    runs = exc.select("u", new_cluster.alias("new_cluster"))
+    return runs.agg(
+        F.any_value("u").alias("threshold"),
+        F.count(F.lit(1)).alias("n_exceedances"),
+        F.sum("new_cluster").alias("n_clusters"),
+        F.round(F.sum("new_cluster") / F.count(F.lit(1)), 6).alias(
+            "extremal_index"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: the first BPE merge, as a distributed aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_first_merge",
+    doc="Byte-pair encoding's core step, distributed: words decompose to "
+    "character symbols, adjacent symbol pairs count across the corpus "
+    "weighted by word frequency (one explode + aggregate), and the "
+    "winning pair is the first merge a BPE tokenizer would learn — "
+    "plus the corpus-wide compression that single merge buys "
+    "(occurrences merged / total symbols).  Training a real vocab "
+    "iterates exactly this aggregate; one step proves the shape "
+    "(the iteration pattern is the Markov/k-means loop).",
+    tags=("text", "tokenizer", "ext"),
+    oracle="""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                              'g'), ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substring(w, p.i, 2) AS pair, sum(freq) AS n
+  FROM words,
+       LATERAL unnest(range(1, length(w))) p(i)
+  GROUP BY 1
+), best AS (
+  SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 1
+), totals AS (
+  SELECT sum(freq * length(w)) AS total_symbols FROM words
+)
+SELECT best.pair AS merge_pair,
+       best.n AS n_occurrences,
+       totals.total_symbols,
+       round(best.n * 1.0 / totals.total_symbols, 6) AS merge_coverage
+FROM best, totals
+""",
+)
+def text_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(ts.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    best = pairs.orderBy(F.desc("n"), "pair").limit(1)
+    totals = words.agg(
+        F.sum(F.col("freq") * F.length("w")).alias("total_symbols")
+    )
+    return (
+        best.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("pair").alias("merge_pair"),
+            F.col("n").alias("n_occurrences"),
+            "total_symbols",
+            F.round(F.col("n") / F.col("total_symbols"), 6).alias(
+                "merge_coverage"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Holm step-down multiple-testing correction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_holm_stepdown",
+    doc="Holm's step-down correction over the same per-nation z-tests as "
+    "the Benjamini-Hochberg entry: p-values ranked ascending, the "
+    "i-th compared against α/(m−i+1), rejection stops at the first "
+    "failure (a running-AND via min-over-prefix window) — the FWER "
+    "side of the multiple-testing house, stricter than BH's FDR.  "
+    "Same logistic normal-CDF approximation so p-values are "
+    "bit-identical across engines; rejected count under each method "
+    "side by side.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey AS nat, count(*) AS n, avg(c_acctbal) AS m,
+         var_samp(c_acctbal) AS v
+  FROM customer GROUP BY c_nationkey
+), tot AS (
+  SELECT sum(n * m) / sum(n) AS grand FROM g
+), z AS (
+  SELECT nat,
+         abs((m - tot.grand) / sqrt(v / n)) AS az
+  FROM g, tot
+), p AS (
+  SELECT nat,
+         2 * (1 - 1 / (1 + exp(-1.702 * az))) AS pval
+  FROM z
+), ranked AS (
+  SELECT nat, pval,
+         row_number() OVER (ORDER BY pval, nat) AS i,
+         count(*) OVER () AS m_tests
+  FROM p
+), holm AS (
+  SELECT nat, pval, i,
+         min(CASE WHEN pval <= 0.10 / (m_tests - i + 1)
+                  THEN 1 ELSE 0 END)
+           OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS pass_chain
+  FROM ranked
+)
+SELECT count(*) AS m_tests,
+       sum(pass_chain) AS holm_rejections,
+       round(min(pval), 6) AS min_p,
+       coalesce(round(max(CASE WHEN pass_chain = 1 THEN pval END), 6),
+                -1.0) AS largest_rejected_p
+FROM holm
+""",
+)
+def agg_holm_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(F.col("c_nationkey").alias("nat")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("c_acctbal").alias("m"),
+        F.var_samp("c_acctbal").alias("v"),
+    )
+    tot = g.agg((F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand"))
+    z = g.crossJoin(F.broadcast(tot)).select(
+        "nat",
+        F.abs(
+            (F.col("m") - F.col("grand")) / F.sqrt(F.col("v") / F.col("n"))
+        ).alias("az"),
+    )
+    p = z.select(
+        "nat",
+        (2 * (1 - 1 / (1 + F.exp(-1.702 * F.col("az"))))).alias("pval"),
+    )
+    ranked = p.select(
+        "nat",
+        "pval",
+        F.row_number().over(Window.orderBy("pval", "nat")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m_tests"),
+    )
+    passes = F.when(
+        F.col("pval") <= 0.10 / (F.col("m_tests") - F.col("i") + 1), 1
+    ).otherwise(0)
+    holm = ranked.select(
+        "pval",
+        F.min(passes)
+        .over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pass_chain"),
+    )
+    return holm.agg(
+        F.count(F.lit(1)).alias("m_tests"),
+        F.sum("pass_chain").alias("holm_rejections"),
+        F.round(F.min("pval"), 6).alias("min_p"),
+        F.coalesce(
+            F.round(
+                F.max(F.when(F.col("pass_chain") == 1, F.col("pval"))), 6
+            ),
+            F.lit(-1.0),
+        ).alias("largest_rejected_p"),
+    )
