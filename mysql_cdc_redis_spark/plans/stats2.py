@@ -10002,3 +10002,233 @@ def agg_holm_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1.0),
         ).alias("largest_rejected_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: coupon-collector coverage check (expected vs observed distinct)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_coupon_collector_check",
+    doc="Coupon-collector sanity check of the basket model: for each "
+    "basket-size bucket, the observed mean number of DISTINCT brands "
+    "per order vs the uniform-draw expectation B·(1−(1−1/B)^n) — "
+    "agreement says brands land in baskets like independent uniform "
+    "draws, a persistent gap exposes brand clustering that the "
+    "association miners (basket_brand_pair_lift) then explain.  Two "
+    "aggregates; the expectation is closed form per bucket.",
+    tags=("agg", "probability", "ext"),
+    oracle="""
+WITH b AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         count(DISTINCT p_brand) AS n_brands
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY l_orderkey
+), nb AS (SELECT count(DISTINCT p_brand) * 1.0 AS B FROM part),
+buckets AS (
+  SELECT n_lines, count(*) AS n_orders, avg(n_brands) AS obs_mean
+  FROM b GROUP BY n_lines
+)
+SELECT n_lines, n_orders,
+       round(obs_mean, 4) AS observed_mean_brands,
+       round(nb.B * (1 - pow(1 - 1 / nb.B, n_lines)), 4)
+         AS expected_mean_brands,
+       round(obs_mean - nb.B * (1 - pow(1 - 1 / nb.B, n_lines)), 4)
+         AS gap
+FROM buckets, nb
+ORDER BY n_lines
+""",
+)
+def agg_coupon_collector_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+    nb = part.agg(F.countDistinct("p_brand").cast("double").alias("B"))
+    buckets = b.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.avg("n_brands").alias("obs_mean"),
+    )
+    expected = F.col("B") * (
+        1 - F.pow(1 - 1 / F.col("B"), F.col("n_lines"))
+    )
+    return (
+        buckets.crossJoin(F.broadcast(nb))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.round("obs_mean", 4).alias("observed_mean_brands"),
+            F.round(expected, 4).alias("expected_mean_brands"),
+            F.round(F.col("obs_mean") - expected, 4).alias("gap"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: run-length encode ∘ decode roundtrip (columnar primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_rle_roundtrip",
+    doc="Run-length encoding as window algebra, proven lossless: the "
+    "order-status sequence (by orderkey) collapses to (value, "
+    "run_length) pairs via the islands construction, re-expands "
+    "through sequence+explode, and the roundtrip is verified "
+    "position-by-position against the original — the columnar "
+    "compression primitive (sibling of the delta-encode entry) whose "
+    "compression ratio is also the sortedness diagnostic of the "
+    "column.  Entirely windows, HOFs and one anti-join-style check.",
+    tags=("scalar", "compression", "ext"),
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey, o_orderstatus AS v,
+         row_number() OVER (ORDER BY o_orderkey) AS pos
+  FROM orders
+), chg AS (
+  SELECT pos, v,
+         CASE WHEN v IS DISTINCT FROM lag(v) OVER (ORDER BY pos)
+              THEN 1 ELSE 0 END AS is_new
+  FROM s
+), isl AS (
+  SELECT pos, v, sum(is_new) OVER (ORDER BY pos) AS run_id FROM chg
+), rle AS (
+  SELECT run_id, any_value(v) AS v, min(pos) AS start_pos,
+         count(*) AS run_len
+  FROM isl GROUP BY run_id
+), decoded AS (
+  SELECT start_pos + p.i AS pos, v
+  FROM rle, LATERAL unnest(range(0, run_len)) p(i)
+), diff AS (
+  SELECT count(*) AS n_mismatches
+  FROM s FULL OUTER JOIN decoded d ON d.pos = s.pos
+  WHERE s.v IS DISTINCT FROM d.v
+)
+SELECT (SELECT count(*) FROM s) AS n_values,
+       (SELECT count(*) FROM rle) AS n_runs,
+       round((SELECT count(*) FROM rle) * 1.0
+             / (SELECT count(*) FROM s), 6) AS compression_ratio,
+       (SELECT max(run_len) FROM rle) AS longest_run,
+       (SELECT n_mismatches FROM diff) = 0 AS roundtrip_exact
+""",
+)
+def scalar_rle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.col("o_orderstatus").alias("v"),
+        F.row_number().over(Window.orderBy("o_orderkey")).alias("pos"),
+    )
+    w = Window.orderBy("pos")
+    isl = s.select(
+        "pos",
+        "v",
+        F.sum(
+            F.when(
+                ~F.col("v").eqNullSafe(F.lag("v").over(w)), 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    rle = isl.groupBy("run_id").agg(
+        F.any_value("v").alias("v"),
+        F.min("pos").alias("start_pos"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    decoded = rle.select(
+        F.col("v").alias("dv"),
+        F.explode(
+            F.sequence(
+                F.col("start_pos"), F.col("start_pos") + F.col("run_len") - 1
+            )
+        ).alias("pos"),
+    )
+    diff = (
+        s.join(decoded, "pos", "full_outer")
+        .filter(~F.col("v").eqNullSafe(F.col("dv")))
+        .agg(F.count(F.lit(1)).alias("n_mismatches"))
+    )
+    stats = s.agg(F.count(F.lit(1)).alias("n_values"))
+    rstats = rle.agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(rstats))
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "n_values",
+            "n_runs",
+            F.round(F.col("n_runs") / F.col("n_values"), 6).alias(
+                "compression_ratio"
+            ),
+            "longest_run",
+            (F.col("n_mismatches") == 0).alias("roundtrip_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: hapax / dis legomena lexical profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    doc="Hapax legomena profile per source: the share of vocabulary "
+    "appearing exactly once (and twice — dis legomena), plus "
+    "Sichel's S = dis/vocab — the lexical-richness fingerprint "
+    "whose ~50% hapax share is remarkably stable across natural "
+    "corpora and whose collapse flags templated or deduplicated "
+    "text.  One explode + two aggregates; pairs with Heaps "
+    "(corpus_vocab_growth) and Zipf (text_zipf_slope).",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                            'g'), ' ')) AS t
+  FROM documents
+), tf AS (
+  SELECT source, t, count(*) AS n FROM tok GROUP BY source, t
+)
+SELECT source,
+       count(*) AS vocab,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax,
+       sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS dis,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS hapax_ratio,
+       round(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS sichel_s
+FROM tf GROUP BY source ORDER BY source
+""",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(ts.tokens(F.col("text"))).alias("t"))
+    tf = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    dis = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            hapax.alias("hapax"),
+            dis.alias("dis"),
+            F.round(hapax / F.count(F.lit(1)), 6).alias("hapax_ratio"),
+            F.round(dis / F.count(F.lit(1)), 6).alias("sichel_s"),
+        )
+        .orderBy("source")
+    )
