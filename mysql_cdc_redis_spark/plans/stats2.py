@@ -10232,3 +10232,319 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Hampel filter despiking (rolling median ± 3·MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_hampel_despike",
+    doc="Hampel despiking of the daily event-count series: each point is "
+    "compared against its 7-point rolling MEDIAN ± 3×1.4826×rolling "
+    "MAD — both robust statistics computed inside one collect_list "
+    "frame with array_sort + element_at (no UDF), so a single wild "
+    "spike cannot poison its own detection the way a rolling "
+    "mean/σ filter lets it.  Spikes flagged and the despiked "
+    "replacement value (the local median) emitted; census output.",
+    tags=("window", "robust", "timeseries", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY date_trunc('day', ts)) AS t,
+         count(*) * 1.0 AS y
+  FROM events GROUP BY date_trunc('day', ts)
+), fr AS (
+  SELECT t, y,
+         list_sort(list(y) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING)) AS win
+  FROM d
+), med AS (
+  SELECT t, y, win,
+         win[CAST(ceil(len(win) / 2.0) AS BIGINT)] AS m
+  FROM fr
+), mad AS (
+  SELECT t, y, m,
+         list_sort(list_transform(win, x -> abs(x - m)))
+           [CAST(ceil(len(win) / 2.0) AS BIGINT)] AS md
+  FROM med
+)
+SELECT count(*) AS n_days,
+       sum(CASE WHEN abs(y - m) > 3 * 1.4826 * md THEN 1 ELSE 0 END)
+         AS n_spikes,
+       round(avg(CASE WHEN abs(y - m) > 3 * 1.4826 * md
+                      THEN abs(y - m) END), 4) AS mean_spike_magnitude,
+       round(sum(CASE WHEN abs(y - m) > 3 * 1.4826 * md
+                      THEN m ELSE y END) / sum(y), 6) AS despiked_mass_ratio
+FROM mad
+""",
+)
+def window_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    ).select(F.row_number().over(Window.orderBy("day")).alias("t"), "y")
+    w = Window.orderBy("t").rowsBetween(-3, 3)
+    fr = d.select(
+        "t", "y", F.array_sort(F.collect_list("y").over(w)).alias("win")
+    )
+    mid = F.ceil(F.size("win") / 2.0).cast("int")
+    med = fr.select(
+        "t", "y", "win", F.element_at("win", mid).alias("m")
+    )
+    mad = med.select(
+        "y",
+        "m",
+        F.element_at(
+            F.array_sort(
+                F.transform(F.col("win"), lambda x: F.abs(x - F.col("m")))
+            ),
+            F.ceil(F.size("win") / 2.0).cast("int"),
+        ).alias("md"),
+    )
+    spike = F.abs(F.col("y") - F.col("m")) > 3 * 1.4826 * F.col("md")
+    return mad.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(spike, 1).otherwise(0)).alias("n_spikes"),
+        F.round(
+            F.avg(F.when(spike, F.abs(F.col("y") - F.col("m")))), 4
+        ).alias("mean_spike_magnitude"),
+        F.round(
+            F.sum(F.when(spike, F.col("m")).otherwise(F.col("y"))) / F.sum("y"),
+            6,
+        ).alias("despiked_mass_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ext: bow-tie reachability classification around a hub state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_bowtie_classification",
+    doc="Bow-tie decomposition of the event-type digraph around the "
+    "'purchase' hub: states that reach it within 3 hops (IN side), "
+    "states it reaches (OUT side), both (CORE), neither (TENDRILS) — "
+    "forward and backward frontiers each expand as the bounded "
+    "broadcast-join iteration, and the classification is two "
+    "membership flags.  The reachability census web-graph and "
+    "dependency analyses run, on the behavioural flow graph.",
+    tags=("graph", "events", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+), e AS (
+  SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)
+), fwd AS (  -- reachable FROM purchase (OUT side)
+  SELECT DISTINCT dst AS v FROM e WHERE src = 'purchase'
+  UNION
+  SELECT DISTINCT e2.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  WHERE e1.src = 'purchase'
+  UNION
+  SELECT DISTINCT e3.dst FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e2.dst
+  WHERE e1.src = 'purchase'
+), bwd AS (  -- states that REACH purchase (IN side)
+  SELECT DISTINCT src AS v FROM e WHERE dst = 'purchase'
+  UNION
+  SELECT DISTINCT e1.src FROM e e1 JOIN e e2 ON e2.src = e1.dst
+  WHERE e2.dst = 'purchase'
+  UNION
+  SELECT DISTINCT e1.src FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e2.dst
+  WHERE e3.dst = 'purchase'
+)
+SELECT n.v AS state,
+       CASE WHEN n.v = 'purchase' THEN 'HUB'
+            WHEN f.v IS NOT NULL AND b.v IS NOT NULL THEN 'CORE'
+            WHEN b.v IS NOT NULL THEN 'IN'
+            WHEN f.v IS NOT NULL THEN 'OUT'
+            ELSE 'TENDRIL' END AS bowtie_class
+FROM nodes n
+LEFT JOIN fwd f ON f.v = n.v
+LEFT JOIN bwd b ON b.v = n.v
+ORDER BY state
+""",
+)
+def graph_bowtie_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    e = seq.distinct()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+
+    def _reach(start_col: str, step_out: str) -> DataFrame:
+        frontier = e.filter(F.col(start_col) == "purchase").select(
+            F.col(step_out).alias("v")
+        ).distinct()
+        seen = frontier
+        for _ in range(2):
+            nxt = (
+                e.join(
+                    F.broadcast(frontier),
+                    F.col(start_col if start_col == "dst" else "src")
+                    == F.col("v"),
+                )
+                .select(F.col(step_out).alias("v2"))
+                .distinct()
+                .withColumnRenamed("v2", "v")
+            )
+            seen = seen.unionAll(nxt).distinct()
+            frontier = nxt
+        return seen
+
+    fwd = _reach("src", "dst")  # reachable from purchase
+    bwd = _reach("dst", "src")  # reaches purchase
+    fb = F.broadcast(fwd.withColumnRenamed("v", "fv"))
+    bb = F.broadcast(bwd.withColumnRenamed("v", "bv"))
+    cls = (
+        F.when(F.col("v") == "purchase", "HUB")
+        .when(F.col("fv").isNotNull() & F.col("bv").isNotNull(), "CORE")
+        .when(F.col("bv").isNotNull(), "IN")
+        .when(F.col("fv").isNotNull(), "OUT")
+        .otherwise("TENDRIL")
+    )
+    return (
+        nodes.join(fb, nodes.v == F.col("fv"), "left")
+        .join(bb, nodes.v == F.col("bv"), "left")
+        .select(F.col("v").alias("state"), cls.alias("bowtie_class"))
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: net promoter score from value-decile proxy ratings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_net_promoter_score",
+    doc="NPS per market segment with balance deciles standing in for the "
+    "0-10 survey scale (deciles 9-10 promote, 1-6 detract — the "
+    "standard cut): one deterministic ntile window, one conditional "
+    "aggregate, promoters-minus-detractors in points.  The "
+    "executive-dashboard number, demonstrating the ordinal-collapse "
+    "pattern any Likert-scale rollup uses.",
+    tags=("agg", "product", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT c_mktsegment AS seg,
+         ntile(10) OVER (ORDER BY round(c_acctbal, 2), c_custkey) AS decile
+  FROM customer
+)
+SELECT seg, count(*) AS n,
+       sum(CASE WHEN decile >= 9 THEN 1 ELSE 0 END) AS promoters,
+       sum(CASE WHEN decile <= 6 THEN 1 ELSE 0 END) AS detractors,
+       round((sum(CASE WHEN decile >= 9 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN decile <= 6 THEN 1 ELSE 0 END)) * 100.0
+             / count(*), 2) AS nps
+FROM d GROUP BY seg ORDER BY seg
+""",
+)
+def agg_net_promoter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    d = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.ntile(10)
+        .over(Window.orderBy(F.round("c_acctbal", 2), "c_custkey"))
+        .alias("decile"),
+    )
+    prom = F.sum(F.when(F.col("decile") >= 9, 1).otherwise(0))
+    detr = F.sum(F.when(F.col("decile") <= 6, 1).otherwise(0))
+    return (
+        d.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            prom.alias("promoters"),
+            detr.alias("detractors"),
+            F.round((prom - detr) * 100.0 / F.count(F.lit(1)), 2).alias("nps"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: mean-reversion half-life via the AR(1) slope
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mean_reversion_half_life",
+    doc="Ornstein-Uhlenbeck-style mean-reversion half-life of monthly "
+    "revenue: regress Δy on the lagged level (one lag window + one "
+    "regr_slope), φ = 1+slope is the AR(1) coefficient, and "
+    "half-life = −ln2/ln φ months says how fast shocks decay — the "
+    "number that separates a mean-reverting series (trade the "
+    "deviations) from a random walk (don't).  Emitted with the "
+    "random-walk verdict at |slope| ≈ 0.",
+    tags=("agg", "timeseries", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT y - lag(y) OVER (ORDER BY mon) AS dy,
+         lag(y) OVER (ORDER BY mon) AS y_prev
+  FROM m
+), fit AS (
+  SELECT count(*) AS n_obs,
+         regr_slope(dy, y_prev) AS b
+  FROM r WHERE dy IS NOT NULL
+)
+SELECT n_obs,
+       round(b, 6) AS ar1_slope,
+       round(1 + b, 6) AS phi,
+       round(-ln(2) / ln(1 + b), 2) AS half_life_months,
+       abs(b) < 0.05 AS near_random_walk
+FROM fit WHERE b > -1 AND b < 0
+""",
+)
+def agg_mean_reversion_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    w = Window.orderBy("mon")
+    r = m.select(
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("y_prev"),
+    ).filter(F.col("dy").isNotNull())
+    fit = r.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.regr_slope(F.col("dy"), F.col("y_prev")).alias("b"),
+    )
+    b = F.col("b")
+    return fit.filter((b > -1) & (b < 0)).select(
+        "n_obs",
+        F.round(b, 6).alias("ar1_slope"),
+        F.round(1 + b, 6).alias("phi"),
+        F.round(-F.log(F.lit(2.0)) / F.log(1 + b), 2).alias(
+            "half_life_months"
+        ),
+        (F.abs(b) < 0.05).alias("near_random_walk"),
+    )
