@@ -10548,3 +10548,164 @@ def agg_mean_reversion_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs(b) < 0.05).alias("near_random_walk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J2 ext: role-playing date dimension (one dim, two roles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_role_playing_dates",
+    doc="Role-playing dimension, the Kimball staple: ONE generated "
+    "calendar relation joined twice under different roles — order "
+    "date and ship date — so the same conformed attributes (weekend "
+    "flag, quarter) describe both legs of each lineitem's lifecycle "
+    "without duplicating the dimension.  Both joins broadcast the "
+    "731-row calendar; the output contrasts weekend shares by role, "
+    "which a single-role model cannot even express.",
+    tags=("join", "dimension", "ext"),
+    oracle="""
+WITH cal AS (
+  SELECT CAST(unnest(range(DATE '1995-01-01', DATE '2002-01-01',
+                           INTERVAL 1 DAY)) AS DATE) AS d,
+         isodow(CAST(unnest(range(DATE '1995-01-01', DATE '2002-01-01',
+                                  INTERVAL 1 DAY)) AS DATE)) >= 6
+           AS is_weekend
+), j AS (
+  SELECT co.is_weekend AS ordered_weekend,
+         cs.is_weekend AS shipped_weekend
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN cal co ON co.d = CAST(o.o_orderdate AS DATE)
+  JOIN cal cs ON cs.d = CAST(l.l_shipdate AS DATE)
+)
+SELECT count(*) AS n_lines,
+       round(avg(CASE WHEN ordered_weekend THEN 1.0 ELSE 0.0 END), 6)
+         AS ordered_weekend_share,
+       round(avg(CASE WHEN shipped_weekend THEN 1.0 ELSE 0.0 END), 6)
+         AS shipped_weekend_share,
+       sum(CASE WHEN ordered_weekend AND shipped_weekend
+                THEN 1 ELSE 0 END) AS both_weekend
+FROM j
+""",
+)
+def join_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    ).select("d", (F.expr("weekday(d)") >= 5).alias("is_weekend"))
+    co = F.broadcast(
+        cal.select(F.col("d").alias("od"), F.col("is_weekend").alias("ow"))
+    )
+    cs = F.broadcast(
+        cal.select(F.col("d").alias("sd"), F.col("is_weekend").alias("sw"))
+    )
+    j = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(co, F.col("o_orderdate").cast("date") == F.col("od"))
+        .join(cs, F.col("l_shipdate").cast("date") == F.col("sd"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg(F.when(F.col("ow"), 1.0).otherwise(0.0)), 6).alias(
+            "ordered_weekend_share"
+        ),
+        F.round(F.avg(F.when(F.col("sw"), 1.0).otherwise(0.0)), 6).alias(
+            "shipped_weekend_share"
+        ),
+        F.sum(F.when(F.col("ow") & F.col("sw"), 1).otherwise(0)).alias(
+            "both_weekend"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: MATTR (moving-average type-token ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_mattr_windowed",
+    doc="MATTR — the moving-average type-token ratio that fixes plain "
+    "TTR's length bias: within each document a 25-token sliding "
+    "window (posexplode + ROWS frame of collect_list, distinct count "
+    "via array_distinct) measures local diversity, averaged per "
+    "document and rolled up per source next to the raw TTR it "
+    "replaces.  Windows partition by document, so the frame never "
+    "crosses a doc boundary and the shuffle key is doc_id.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, u.pos, u.w
+  FROM (SELECT doc_id, source,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g'), ' ') AS toks
+        FROM documents) d,
+       LATERAL (SELECT p.pos, d.toks[p.pos] AS w
+                FROM unnest(range(1, len(d.toks) + 1)) p(pos)) u
+), win AS (
+  SELECT doc_id, source, pos,
+         list(w) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS frame
+  FROM tok
+), full_w AS (
+  SELECT doc_id, source,
+         len(list_distinct(frame)) * 1.0 / len(frame) AS wttr
+  FROM win WHERE len(frame) = 25
+), per_doc AS (
+  SELECT doc_id, source, avg(wttr) AS mattr FROM full_w
+  GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(mattr), 6) AS mean_mattr,
+       round(min(mattr), 6) AS min_mattr
+FROM per_doc GROUP BY source ORDER BY source
+""",
+)
+def text_mattr_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(ts.tokens(F.col("text"))).alias("pos", "w"),
+    )
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-24, 0)
+    win = tok.select(
+        "doc_id",
+        "source",
+        F.collect_list("w").over(frame).alias("frame"),
+    )
+    full_w = win.filter(F.size("frame") == 25).select(
+        "doc_id",
+        "source",
+        (
+            F.size(F.array_distinct("frame")) / F.size("frame")
+        ).alias("wttr"),
+    )
+    per_doc = full_w.groupBy("doc_id", "source").agg(
+        F.avg("wttr").alias("mattr")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mattr"), 6).alias("mean_mattr"),
+            F.round(F.min("mattr"), 6).alias("min_mattr"),
+        )
+        .orderBy("source")
+    )
