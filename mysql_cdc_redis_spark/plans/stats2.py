@@ -10709,3 +10709,168 @@ def text_mattr_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: log-rank test comparing two survival curves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_log_rank_test",
+    doc="Log-rank test of fulfilment-duration survival between URGENT "
+    "and other orders: at every event time the observed URGENT events "
+    "are compared against the expectation under a common hazard "
+    "(d·n₁/n from the shared risk set), the standardized sum is the "
+    "log-rank chi-square — the hypothesis test that belongs with the "
+    "KM / Nelson-Aalen / Weibull estimators already in the catalog.  "
+    "Risk sets per group from running windows over the duration axis.",
+    tags=("agg", "survival", "ext"),
+    oracle="""
+WITH dur AS (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS grp,
+         date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS t
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+  HAVING date_diff('day', o.o_orderdate, max(l.l_shipdate)) > 0
+), cell AS (
+  SELECT t,
+         count(*) AS d,
+         sum(grp) AS d1
+  FROM dur GROUP BY t
+), risk AS (
+  SELECT t, d, d1,
+         (SELECT count(*) FROM dur) - coalesce(
+           sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n,
+         (SELECT sum(grp) FROM dur) - coalesce(
+           sum(d1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS n1
+  FROM cell
+), s AS (
+  SELECT sum(d1) AS o1,
+         sum(d * n1 * 1.0 / n) AS e1,
+         sum(d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n)
+             * (n - d) / nullif(n - 1, 0)) AS v
+  FROM risk WHERE n > 0
+)
+SELECT CAST(o1 AS BIGINT) AS observed_urgent_events,
+       round(e1, 4) AS expected_urgent_events,
+       round(pow(o1 - e1, 2) / v, 4) AS logrank_chi2,
+       pow(o1 - e1, 2) / v > 3.841 AS curves_differ
+FROM s
+""",
+)
+def agg_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dur = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.datediff(F.max("l_shipdate"), F.first("o_orderdate")).alias("t"))
+        .filter(F.col("t") > 0)
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("grp"),
+            "t",
+        )
+    )
+    totals = dur.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("grp").alias("nt1")
+    )
+    cell = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("d"), F.sum("grp").alias("d1")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = cell.crossJoin(F.broadcast(totals)).select(
+        "t",
+        "d",
+        "d1",
+        (F.col("nt") - F.coalesce(F.sum("d").over(w), F.lit(0))).alias("n"),
+        (F.col("nt1") - F.coalesce(F.sum("d1").over(w), F.lit(0))).alias("n1"),
+    )
+    p1 = F.col("n1") / F.col("n")
+    s = risk.filter(F.col("n") > 0).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("d") * p1).alias("e1"),
+        F.sum(
+            F.col("d")
+            * p1
+            * (1 - p1)
+            * (F.col("n") - F.col("d"))
+            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+        ).alias("v"),
+    )
+    chi2 = F.pow(F.col("o1") - F.col("e1"), F.lit(2)) / F.col("v")
+    return s.select(
+        F.col("o1").cast("bigint").alias("observed_urgent_events"),
+        F.round("e1", 4).alias("expected_urgent_events"),
+        F.round(chi2, 4).alias("logrank_chi2"),
+        (chi2 > 3.841).alias("curves_differ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: circular (directional) statistics of time-of-day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_circular_time_stats",
+    doc="Directional statistics for the time-of-day cycle, where linear "
+    "means lie (23:00 and 01:00 average to noon): each event maps to "
+    "an angle on the 24-hour circle, the mean resultant vector gives "
+    "the circular mean hour and the concentration R (1 = all events "
+    "at the same minute, 0 = uniform), plus circular variance — per "
+    "event type, one trig aggregate pass.  The correct machinery "
+    "under events_hourly_seasonality's histogram.",
+    tags=("events", "stats", "ext"),
+    oracle="""
+WITH a AS (
+  SELECT event_type,
+         2 * pi() * (extract(hour FROM ts) * 3600
+                     + extract(minute FROM ts) * 60
+                     + extract(second FROM ts)) / 86400.0 AS theta
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         avg(cos(theta)) AS c, avg(sin(theta)) AS s
+  FROM a GROUP BY event_type
+)
+SELECT event_type, n,
+       round(((atan2(s, c) + 2 * pi()) % (2 * pi())) * 24 / (2 * pi()), 4)
+         AS circular_mean_hour,
+       round(sqrt(c * c + s * s), 6) AS concentration_r,
+       round(1 - sqrt(c * c + s * s), 6) AS circular_variance
+FROM s ORDER BY event_type
+""",
+)
+def events_circular_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).cast("double")
+    theta = 2 * math.pi * secs / 86400.0
+    s = ev.select("event_type", theta.alias("theta")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.cos("theta")).alias("c"),
+        F.avg(F.sin("theta")).alias("s"),
+    )
+    two_pi = 2 * math.pi
+    mean_angle = (F.atan2(F.col("s"), F.col("c")) + two_pi) % two_pi
+    r = F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mean_angle * 24 / two_pi, 4).alias("circular_mean_hour"),
+        F.round(r, 6).alias("concentration_r"),
+        F.round(1 - r, 6).alias("circular_variance"),
+    ).orderBy("event_type")
