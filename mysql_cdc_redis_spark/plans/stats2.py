@@ -10874,3 +10874,246 @@ def events_circular_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 6).alias("concentration_r"),
         F.round(1 - r, 6).alias("circular_variance"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# eval ext: Youden J optimal cutpoint (ROC-side operating point)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mlops_youden_cutpoint",
+    doc="Youden's J operating point for the balance→urgent classifier: "
+    "the same decile-boundary sweep as mlops_threshold_sweep_f1 but "
+    "scored on sensitivity+specificity−1 — the ROC-side optimum that "
+    "ignores prevalence, where F1 bakes it in; when the two sweeps "
+    "disagree on the cut, the prevalence sensitivity of the decision "
+    "is the finding.  Suffix sums over 10 cells, argmax flagged.",
+    tags=("mlops", "eval", "ext"),
+    oracle="""
+WITH flags AS (
+  SELECT c.c_custkey, any_value(round(c.c_acctbal, 2)) AS bal,
+         max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+), d AS (
+  SELECT y, ntile(10) OVER (ORDER BY bal, c_custkey) AS decile FROM flags
+), cell AS (
+  SELECT decile, sum(y) AS pos, sum(1 - y) AS neg FROM d GROUP BY decile
+), sweep AS (
+  SELECT decile AS cut_decile,
+         sum(pos) OVER () - sum(pos) OVER (ORDER BY decile) AS tp,
+         sum(neg) OVER () - sum(neg) OVER (ORDER BY decile) AS fp,
+         sum(pos) OVER () AS tpos, sum(neg) OVER () AS tneg
+  FROM cell
+), j AS (
+  SELECT cut_decile,
+         tp * 1.0 / tpos AS sensitivity,
+         1 - fp * 1.0 / tneg AS specificity
+  FROM sweep WHERE cut_decile < 10
+)
+SELECT cut_decile,
+       round(sensitivity, 6) AS sensitivity,
+       round(specificity, 6) AS specificity,
+       round(sensitivity + specificity - 1, 6) AS youden_j,
+       sensitivity + specificity - 1
+         = max(sensitivity + specificity - 1) OVER () AS is_best
+FROM j ORDER BY cut_decile
+""",
+)
+def mlops_youden_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.round("c_acctbal", 2)).alias("bal"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    d = flags.select(
+        "y", F.ntile(10).over(Window.orderBy("bal", "c_custkey")).alias("decile")
+    )
+    cell = d.groupBy("decile").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile")
+    sweep = cell.select(
+        F.col("decile").alias("cut_decile"),
+        (F.sum("pos").over(w_all) - F.sum("pos").over(w_cum)).alias("tp"),
+        (F.sum("neg").over(w_all) - F.sum("neg").over(w_cum)).alias("fp"),
+        F.sum("pos").over(w_all).alias("tpos"),
+        F.sum("neg").over(w_all).alias("tneg"),
+    ).filter(F.col("cut_decile") < 10)
+    sens = F.col("tp") / F.col("tpos")
+    spec = 1 - F.col("fp") / F.col("tneg")
+    jdf = sweep.select(
+        "cut_decile",
+        F.round(sens, 6).alias("sensitivity"),
+        F.round(spec, 6).alias("specificity"),
+        F.round(sens + spec - 1, 6).alias("youden_j"),
+        (sens + spec - 1).alias("_j"),
+    )
+    return (
+        jdf.withColumn("is_best", F.col("_j") == F.max("_j").over(w_all))
+        .drop("_j")
+        .orderBy("cut_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: turning-points randomness test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_turning_points_test",
+    doc="Turning-points test of the monthly revenue series: interior "
+    "months that are strict local peaks or troughs (two lags, one "
+    "pass), counted against the i.i.d. expectation 2(n−2)/3 with "
+    "variance (16n−29)/90 — the randomness screen that reads short-"
+    "scale alternation where the runs test reads sign persistence "
+    "and the record census reads trend.  One window + one aggregate.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT y,
+         lag(y) OVER (ORDER BY mon) AS yp,
+         lead(y) OVER (ORDER BY mon) AS yn,
+         count(*) OVER () AS n
+  FROM m
+), tp AS (
+  SELECT n,
+         CASE WHEN (y > yp AND y > yn) OR (y < yp AND y < yn)
+              THEN 1 ELSE 0 END AS is_turn
+  FROM t WHERE yp IS NOT NULL AND yn IS NOT NULL
+)
+SELECT any_value(n) AS n_months,
+       sum(is_turn) AS n_turning_points,
+       round(2.0 * (any_value(n) - 2) / 3, 4) AS expected,
+       round((sum(is_turn) - 2.0 * (any_value(n) - 2) / 3)
+             / sqrt((16 * any_value(n) - 29) / 90.0), 4) AS z_stat
+FROM tp
+""",
+)
+def window_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    w = Window.orderBy("mon")
+    t = m.select(
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).filter(F.col("yp").isNotNull() & F.col("yn").isNotNull())
+    is_turn = F.when(
+        ((F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")))
+        | ((F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn"))),
+        1,
+    ).otherwise(0)
+    tp = t.select("n", is_turn.alias("is_turn"))
+    n = F.any_value("n")
+    expected = 2.0 * (n - 2) / 3
+    return tp.agg(
+        n.alias("n_months"),
+        F.sum("is_turn").alias("n_turning_points"),
+        F.round(expected, 4).alias("expected"),
+        F.round(
+            (F.sum("is_turn") - expected)
+            / F.sqrt((16 * n - 29) / 90.0),
+            4,
+        ).alias("z_stat"),
+    )
+
+
+_FLEISS_ORACLE = f"""
+WITH d AS (SELECT text, {_NORM} AS norm FROM documents),
+t AS (SELECT text, string_split(norm, ' ') AS toks FROM d),
+m AS (
+  SELECT CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+              / len(toks) >= 0.05 AS INT)
+         + CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                * 1.0 / length(text) >= 0.99 AS INT)
+         + CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                * 1.0 / length(text) >= 0.25 AS INT) AS k_yes
+  FROM t
+), s AS (
+  SELECT count(*) AS n_items,
+         avg((k_yes * (k_yes - 1) + (3 - k_yes) * (2 - k_yes)) / 6.0)
+           AS p_bar,
+         sum(k_yes) / (3.0 * count(*)) AS p_yes
+  FROM m
+)
+SELECT n_items,
+       round(p_bar, 6) AS mean_agreement,
+       round(p_yes, 6) AS yes_share,
+       round((p_bar - (p_yes * p_yes + (1 - p_yes) * (1 - p_yes)))
+             / (1 - (p_yes * p_yes + (1 - p_yes) * (1 - p_yes))), 6)
+         AS fleiss_kappa
+FROM s
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# eval ext: Fleiss' kappa across three heuristic raters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_fleiss_kappa_three_raters",
+    doc="Fleiss' kappa over three independent 'raters' of English-ness — "
+    "the stopword-density champion, the ascii-density challenger, and "
+    "a vowel-ratio third opinion — each document getting 3 binary "
+    "votes: per-item agreement P_i from the vote counts, chance "
+    "agreement from the marginal category shares, κ = (P̄−P̄e)/(1−P̄e).  "
+    "The ≥3-rater generalization of the Cohen's-kappa entry, one "
+    "projection + two aggregates.",
+    tags=("eval", "agreement", "ext"),
+    oracle=_FLEISS_ORACLE,
+)
+def eval_fleiss_kappa_three_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = (ts.stopword_ratio(F.col("text")) >= 0.05).cast("int")
+    ascii_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "")
+    ) / F.length("text")
+    r2 = (ascii_ratio >= 0.99).cast("int")
+    vowel_ratio = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", "")
+    ) / F.length("text")
+    r3 = (vowel_ratio >= 0.25).cast("int")
+    votes = docs.select((r1 + r2 + r3).alias("k_yes"))
+    # per-item agreement with n=3 raters: P_i = (yes*(yes-1)+no*(no-1))/6
+    k = F.col("k_yes")
+    p_i = (k * (k - 1) + (3 - k) * (2 - k)) / 6.0
+    s = votes.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg(p_i).alias("p_bar"),
+        (F.sum(k) / (3.0 * F.count(F.lit(1)))).alias("p_yes"),
+    )
+    pe = F.col("p_yes") * F.col("p_yes") + (1 - F.col("p_yes")) * (
+        1 - F.col("p_yes")
+    )
+    return s.select(
+        "n_items",
+        F.round("p_bar", 6).alias("mean_agreement"),
+        F.round(F.col("p_yes"), 6).alias("yes_share"),
+        F.round((F.col("p_bar") - pe) / (1 - pe), 6).alias("fleiss_kappa"),
+    )
