@@ -11117,3 +11117,222 @@ def eval_fleiss_kappa_three_raters(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("p_yes"), 6).alias("yes_share"),
         F.round((F.col("p_bar") - pe) / (1 - pe), 6).alias("fleiss_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: gamma-Poisson empirical-Bayes rate shrinkage (with exposure)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_gamma_poisson_rate_shrinkage",
+    doc="Empirical-Bayes shrinkage for RATES with unequal exposure — the "
+    "gamma-Poisson companion of the beta-binomial entry: per-user "
+    "daily event rates x/T (T = active-day exposure), a method-of-"
+    "moments Gamma(α,β) prior fitted across users, posterior mean "
+    "rate (x+α)/(T+β) — low-exposure users shrink toward the prior, "
+    "heavy users keep their data.  The ranking fix for any "
+    "per-entity rate leaderboard; top-5 biggest moves.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT user_id, count(*) AS x,
+         count(DISTINCT date_trunc('day', ts)) AS t
+  FROM events GROUP BY user_id
+), mom AS (
+  SELECT avg(x * 1.0 / t) AS mu, var_samp(x * 1.0 / t) AS s2 FROM u
+), prior AS (
+  SELECT mu * mu / s2 AS alpha, mu / s2 AS beta FROM mom
+)
+SELECT user_id, x, t,
+       round(x * 1.0 / t, 6) AS raw_rate,
+       round((x + alpha) / (t + beta), 6) AS eb_rate,
+       round(alpha, 4) AS prior_alpha,
+       round(beta, 4) AS prior_beta
+FROM u, prior
+ORDER BY abs(x * 1.0 / t - (x + alpha) / (t + beta)) DESC, user_id
+LIMIT 5
+""",
+)
+def agg_gamma_poisson_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("t"),
+    )
+    rate = F.col("x") / F.col("t")
+    mom = u.agg(F.avg(rate).alias("mu"), F.var_samp(rate).alias("s2"))
+    prior = mom.select(
+        (F.col("mu") * F.col("mu") / F.col("s2")).alias("alpha"),
+        (F.col("mu") / F.col("s2")).alias("beta"),
+    )
+    eb = (F.col("x") + F.col("alpha")) / (F.col("t") + F.col("beta"))
+    return (
+        u.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "x",
+            "t",
+            F.round(rate, 6).alias("raw_rate"),
+            F.round(eb, 6).alias("eb_rate"),
+            F.round("alpha", 4).alias("prior_alpha"),
+            F.round("beta", 4).alias("prior_beta"),
+            F.abs(rate - eb).alias("_moved"),
+        )
+        .orderBy(F.desc("_moved"), "user_id")
+        .limit(5)
+        .drop("_moved")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: overlap coefficients between event-type audiences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_type_overlap_coefficients",
+    doc="Audience overlap between event types by the Szymkiewicz-Simpson "
+    "coefficient |A∩B|/min(|A|,|B|) next to Jaccard — overlap=1 reads "
+    "as containment (every error-user also clicks) even when Jaccard "
+    "is small, the asymmetry Jaccard alone hides.  Distinct user "
+    "sets per type from one projection; the 10 type pairs intersect "
+    "via a self-join on the user key.",
+    tags=("events", "sets", "ext"),
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM ut GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_both,
+       round(i.n_both * 1.0 / least(sa.n, sb.n), 6) AS overlap_coef,
+       round(i.n_both * 1.0 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY type_a, type_b
+""",
+)
+def events_type_overlap_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    )
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("overlap_coef"),
+            F.round(
+                F.col("n_both")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: delta-method standard error for a ratio metric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_delta_method_ratio_se",
+    doc="Delta-method standard error of revenue-per-order per segment — "
+    "the closed-form answer to 'what is the SE of a ratio of two "
+    "correlated sums': Var(X̄/Ȳ) ≈ (μx/μy)²(σx²/μx² + σy²/μy² − "
+    "2σxy/(μxμy))/n from one pass of moments and the covariance — the "
+    "analytic companion of the jackknife CI entry, at one scan "
+    "instead of one scan per left-out group.  Per-customer grain, "
+    "95% interval emitted.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT c.c_mktsegment AS seg, c.c_custkey,
+         coalesce(sum(o.o_totalprice), 0) AS rev,
+         count(o.o_orderkey) AS n_ord
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+), s AS (
+  SELECT seg, count(*) AS n,
+         avg(rev) AS mx, avg(n_ord * 1.0) AS my,
+         var_samp(rev) AS vx, var_samp(n_ord * 1.0) AS vy,
+         covar_samp(rev, n_ord * 1.0) AS cxy
+  FROM u GROUP BY seg
+)
+SELECT seg, n,
+       round(mx / my, 4) AS revenue_per_order,
+       round(abs(mx / my) * sqrt((vx / (mx * mx) + vy / (my * my)
+                                  - 2 * cxy / (mx * my)) / n), 4)
+         AS delta_se,
+       round(mx / my - 1.96 * abs(mx / my)
+             * sqrt((vx / (mx * mx) + vy / (my * my)
+                     - 2 * cxy / (mx * my)) / n), 4) AS ci_lo,
+       round(mx / my + 1.96 * abs(mx / my)
+             * sqrt((vx / (mx * mx) + vy / (my * my)
+                     - 2 * cxy / (mx * my)) / n), 4) AS ci_hi
+FROM s ORDER BY seg
+""",
+)
+def agg_delta_method_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("seg"), "c_custkey")
+        .agg(
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("rev"),
+            F.count("o_orderkey").cast("double").alias("n_ord"),
+        )
+    )
+    s = u.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("rev").alias("mx"),
+        F.avg("n_ord").alias("my"),
+        F.var_samp("rev").alias("vx"),
+        F.var_samp("n_ord").alias("vy"),
+        F.covar_samp("rev", "n_ord").alias("cxy"),
+    )
+    mx, my = F.col("mx"), F.col("my")
+    ratio = mx / my
+    rel_var = (
+        F.col("vx") / (mx * mx)
+        + F.col("vy") / (my * my)
+        - 2 * F.col("cxy") / (mx * my)
+    ) / F.col("n")
+    se = F.abs(ratio) * F.sqrt(rel_var)
+    return s.select(
+        "seg",
+        "n",
+        F.round(ratio, 4).alias("revenue_per_order"),
+        F.round(se, 4).alias("delta_se"),
+        F.round(ratio - 1.96 * se, 4).alias("ci_lo"),
+        F.round(ratio + 1.96 * se, 4).alias("ci_hi"),
+    ).orderBy("seg")
