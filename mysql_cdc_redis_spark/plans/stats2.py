@@ -11336,3 +11336,209 @@ def agg_delta_method_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio - 1.96 * se, 4).alias("ci_lo"),
         F.round(ratio + 1.96 * se, 4).alias("ci_hi"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# text ext: Chao1 estimator of unseen vocabulary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chao1_unseen_vocab",
+    doc="Chao1 lower bound on TOTAL vocabulary including words never "
+    "observed: S_obs + f1²/(2·f2) from the hapax (f1) and dis-"
+    "legomena (f2) counts the lexical profile already computes — the "
+    "capture-recapture idea applied to types, answering 'how much "
+    "vocabulary would more crawling buy' before paying for the "
+    "crawl.  Per source; coverage = S_obs/Ŝ is the stopping "
+    "criterion.",
+    tags=("text", "corpus", "ext"),
+    oracle="""
+WITH tf AS (
+  SELECT source, t, count(*) AS n FROM (
+    SELECT source,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                              'g'), ' ')) AS t
+    FROM documents
+  ) GROUP BY source, t
+), s AS (
+  SELECT source,
+         count(*) AS s_obs,
+         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2
+  FROM tf GROUP BY source
+)
+SELECT source, s_obs, f1, f2,
+       round(s_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 1) AS chao1_estimate,
+       round(s_obs / (s_obs + f1 * (f1 - 1) / (2.0 * (f2 + 1))), 6)
+         AS coverage
+FROM s ORDER BY source
+""",
+)
+def text_chao1_unseen_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(ts.tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    chao1 = F.col("s_obs") + F.col("f1") * (F.col("f1") - 1) / (
+        2.0 * (F.col("f2") + 1)
+    )
+    return s.select(
+        "source",
+        "s_obs",
+        "f1",
+        "f2",
+        F.round(chao1, 1).alias("chao1_estimate"),
+        F.round(F.col("s_obs") / chao1, 6).alias("coverage"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: two-way fixed effects (within transformation) R²
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_twoway_fixed_effects_r2",
+    doc="Panel-econometrics within transformation: customer balances "
+    "demeaned by BOTH segment and nation fixed effects "
+    "(y − ȳ_seg − ȳ_nat + ȳ), with the variance absorbed by each "
+    "margin and the residual share — how much of the outcome the two "
+    "categorical structures explain before any regressor enters.  "
+    "Two broadcast mean relations, one demeaning pass, one moment "
+    "aggregate.",
+    tags=("agg", "causal", "ext"),
+    oracle="""
+WITH g AS (SELECT avg(c_acctbal) AS grand FROM customer),
+seg AS (
+  SELECT c_mktsegment, avg(c_acctbal) AS ms FROM customer GROUP BY 1
+), nat AS (
+  SELECT c_nationkey, avg(c_acctbal) AS mn FROM customer GROUP BY 1
+), d AS (
+  SELECT c.c_acctbal - g.grand AS y_c,
+         c.c_acctbal - seg.ms - nat.mn + g.grand AS resid
+  FROM customer c
+  JOIN seg ON seg.c_mktsegment = c.c_mktsegment
+  JOIN nat ON nat.c_nationkey = c.c_nationkey
+  CROSS JOIN g
+)
+SELECT count(*) AS n,
+       round(var_pop(y_c), 2) AS total_var,
+       round(var_pop(resid), 2) AS residual_var,
+       round(1 - var_pop(resid) / var_pop(y_c), 6) AS twfe_r2
+FROM d
+""",
+)
+def agg_twoway_fixed_effects_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.agg(F.avg("c_acctbal").alias("grand"))
+    seg = cust.groupBy("c_mktsegment").agg(F.avg("c_acctbal").alias("ms"))
+    nat = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("mn"))
+    d = (
+        cust.join(F.broadcast(seg), "c_mktsegment")
+        .join(F.broadcast(nat), "c_nationkey")
+        .crossJoin(F.broadcast(g))
+        .select(
+            (F.col("c_acctbal") - F.col("grand")).alias("y_c"),
+            (
+                F.col("c_acctbal")
+                - F.col("ms")
+                - F.col("mn")
+                + F.col("grand")
+            ).alias("resid"),
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.var_pop("y_c"), 2).alias("total_var"),
+        F.round(F.var_pop("resid"), 2).alias("residual_var"),
+        F.round(1 - F.var_pop("resid") / F.var_pop("y_c"), 6).alias(
+            "twfe_r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ext: observed graph vs the Erdős-Rényi null model
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_null_model_comparison",
+    doc="Null-model benchmarking of the part co-purchase graph: the "
+    "observed edge count fixes the Erdős-Rényi density p, and the "
+    "observed triangle count is compared against the ER expectation "
+    "C(n,3)·p³ — a triangle excess factor ≫1 is the quantitative "
+    "'this graph is clustered, not random' verdict that transitivity "
+    "alone doesn't calibrate.  Reuses the oriented triangle join; "
+    "the null expectation is closed form.",
+    tags=("graph", "join", "ext"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT s1.l_partkey AS a, s2.l_partkey AS b
+  FROM lineitem s1 JOIN lineitem s2
+    ON s1.l_orderkey = s2.l_orderkey AND s1.l_partkey < s2.l_partkey
+), nn AS (
+  SELECT count(DISTINCT v) AS n FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+  )
+), m AS (SELECT count(*) AS m_edges FROM edges),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+), calc AS (
+  SELECT nn.n, m.m_edges, tri.n_tri,
+         m.m_edges * 2.0 / (nn.n * (nn.n - 1)) AS p
+  FROM nn, m, tri
+)
+SELECT n AS n_nodes, m_edges, n_tri AS observed_triangles,
+       round(n * (n - 1.0) * (n - 2) / 6 * p * p * p, 2)
+         AS expected_er_triangles,
+       round(n_tri / (n * (n - 1.0) * (n - 2) / 6 * p * p * p), 4)
+         AS triangle_excess
+FROM calc
+""",
+)
+def graph_null_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    s1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("a"))
+    s2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("b"))
+    edges = (
+        s1.join(s2, "ok").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    nn = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .agg(F.countDistinct("v").alias("n"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    calc = nn.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(tri))
+    n = F.col("n")
+    p = F.col("m_edges") * 2.0 / (n * (n - 1))
+    exp_tri = n * (n - 1.0) * (n - 2) / 6 * p * p * p
+    return calc.select(
+        n.alias("n_nodes"),
+        "m_edges",
+        F.col("n_tri").alias("observed_triangles"),
+        F.round(exp_tri, 2).alias("expected_er_triangles"),
+        F.round(F.col("n_tri") / exp_tri, 4).alias("triangle_excess"),
+    )
