@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from ..sources.changelog import ORDERS_CHANGELOG_SQL
+from .cdc import _FOLD_LAMBDA
 from .catalog import register
 
 # ---------------------------------------------------------------------------
@@ -11541,4 +11542,214 @@ def graph_null_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tri").alias("observed_triangles"),
         F.round(exp_tri, 2).alias("expected_er_triangles"),
         F.round(F.col("n_tri") / exp_tri, 4).alias("triangle_excess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdc ext: per-key hash-chain integrity (tamper-evident changelog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_hash_chain_integrity",
+    doc="Tamper-evident audit chaining over the changelog: within each "
+    "order key the events fold (seq order) through h_i = "
+    "md5(h_{i−1} ‖ action ‖ payload) — a per-key hash chain computed "
+    "as one JVM aggregate-HOF over the collected event list, so the "
+    "chain head is a single 32-char column any downstream replica "
+    "can recompute and compare.  The census groups keys by chain "
+    "length and fingerprints the whole table as an md5 of sorted "
+    "chain heads — byte-identical across engines and replicas, the "
+    "anti-entropy primitive at audit-log strength.",
+    tags=("cdc", "integrity", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+ev AS (
+  SELECT o_orderkey, seq,
+         cdc_action || '|' || coalesce(o_orderstatus, '~') || '|'
+           || coalesce(CAST(round(o_totalprice, 2) AS VARCHAR), '~') AS leaf
+  FROM ch WHERE o_orderkey IS NOT NULL
+), chain AS (
+  SELECT o_orderkey,
+         count(*) AS n_events,
+         list_reduce(list_prepend('genesis',
+                                  list(leaf ORDER BY seq)),
+                     (acc, x) -> md5(acc || x)) AS head
+  FROM ev GROUP BY o_orderkey
+), by_len AS (
+  SELECT n_events, count(*) AS n_keys FROM chain GROUP BY n_events
+)
+SELECT (SELECT count(*) FROM chain) AS n_chains,
+       (SELECT max(n_events) FROM chain) AS longest_chain,
+       (SELECT count(*) FROM by_len) AS n_distinct_lengths,
+       (SELECT md5(string_agg(head, '' ORDER BY head)) FROM chain)
+         AS table_fingerprint
+""",
+)
+def cdc_hash_chain_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.changelog import orders_changelog
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey").isNotNull())
+    leaf = F.concat_ws(
+        "|",
+        F.col("cdc_action"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("~")),
+        F.coalesce(
+            F.round("o_totalprice", 2).cast("string"), F.lit("~")
+        ),
+    )
+    ev = ch.select("o_orderkey", "seq", leaf.alias("leaf"))
+    chain = ev.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "leaf"))),
+                lambda s: s.leaf,
+            ),
+            F.lit("genesis"),
+            lambda acc, x: F.md5(F.concat(acc, x).cast("binary")),
+        ).alias("head"),
+    )
+    stats = chain.agg(
+        F.count(F.lit(1)).alias("n_chains"),
+        F.max("n_events").alias("longest_chain"),
+        F.countDistinct("n_events").alias("n_distinct_lengths"),
+    )
+    fp = chain.agg(
+        F.md5(
+            F.concat_ws("", F.array_sort(F.collect_list("head"))).cast("binary")
+        ).alias("table_fingerprint")
+    )
+    return stats.crossJoin(F.broadcast(fp))
+
+
+# ---------------------------------------------------------------------------
+# cdc ext: formulation-equivalence proof (compaction == window-latest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_formulation_equivalence_proof",
+    doc="Equivalence proof as a query: the aggregate-fold compaction "
+    "(operators/compaction.py::compact — one shuffle, max_by payload) "
+    "and the window-latest formulation (row_number over seq desc, "
+    "keep rn=1, apply the same action fold) must produce identical "
+    "live states — both run in ONE plan and their full-outer diff is "
+    "counted; n_differences = 0 is the contract a refactor must "
+    "keep.  Testing-as-a-query: the check itself ships as a "
+    "catalog entry the driver re-proves on every round.",
+    tags=("cdc", "contract", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+agg_form AS (
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_orderstatus, seq) AS st,
+           arg_max(round(o_totalprice, 2), seq) AS tp
+    FROM ch WHERE o_orderkey IS NOT NULL GROUP BY 1
+  ) WHERE cdc_action NOT IN ('#absent#', 'delete')
+),
+win_form AS (
+  SELECT rid, st, tp FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid, o_orderstatus AS st,
+           round(o_totalprice, 2) AS tp,
+           row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY seq DESC) AS rn
+    FROM ch WHERE o_orderkey IS NOT NULL
+  ) latest
+  JOIN (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid2, {_FOLD_LAMBDA} AS act
+    FROM ch WHERE o_orderkey IS NOT NULL GROUP BY 1
+  ) folded ON folded.rid2 = latest.rid
+  WHERE rn = 1 AND act NOT IN ('#absent#', 'delete')
+),
+diff AS (
+  SELECT count(*) AS n_differences
+  FROM agg_form a FULL OUTER JOIN win_form w ON w.rid = a.rid
+  WHERE a.rid IS NULL OR w.rid IS NULL
+     OR a.st IS DISTINCT FROM w.st OR a.tp IS DISTINCT FROM w.tp
+)
+SELECT (SELECT count(*) FROM agg_form) AS n_agg_form,
+       (SELECT count(*) FROM win_form) AS n_win_form,
+       (SELECT n_differences FROM diff) AS n_differences,
+       (SELECT n_differences FROM diff) = 0 AS formulations_equivalent
+""",
+)
+def cdc_formulation_equivalence_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.compaction import ACTION_FOLD_SENTINEL, _fold_actions
+    from ..sources.changelog import orders_changelog
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey").isNotNull())
+    rid = F.col("o_orderkey").cast("string")
+    # formulation 1: aggregate fold (the production compact() shape)
+    agg_form = (
+        ch.groupBy(rid.alias("rid"))
+        .agg(
+            _fold_actions(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "cdc_action"))),
+                    lambda s: s.cdc_action,
+                )
+            ).alias("act"),
+            F.max_by("o_orderstatus", "seq").alias("st"),
+            F.max_by(F.round("o_totalprice", 2), "seq").alias("tp"),
+        )
+        .filter(~F.col("act").isin(ACTION_FOLD_SENTINEL, "delete"))
+        .drop("act")
+    )
+    # formulation 2: window-latest + separate action fold
+    latest = (
+        ch.select(
+            rid.alias("rid"),
+            F.col("o_orderstatus").alias("st"),
+            F.round("o_totalprice", 2).alias("tp"),
+            F.row_number()
+            .over(Window.partitionBy("o_orderkey").orderBy(F.desc("seq")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    folded = (
+        ch.groupBy(rid.alias("rid2"))
+        .agg(
+            _fold_actions(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "cdc_action"))),
+                    lambda s: s.cdc_action,
+                )
+            ).alias("act")
+        )
+        .filter(~F.col("act").isin(ACTION_FOLD_SENTINEL, "delete"))
+    )
+    win_form = latest.join(folded, latest.rid == folded.rid2).select(
+        "rid", "st", "tp"
+    )
+    a = agg_form.select(
+        F.col("rid").alias("arid"), F.col("st").alias("ast"),
+        F.col("tp").alias("atp"),
+    )
+    wdf = win_form.select(
+        F.col("rid").alias("wrid"), F.col("st").alias("wst"),
+        F.col("tp").alias("wtp"),
+    )
+    diff = (
+        a.join(wdf, a.arid == wdf.wrid, "full_outer")
+        .filter(
+            F.col("arid").isNull()
+            | F.col("wrid").isNull()
+            | ~F.col("ast").eqNullSafe(F.col("wst"))
+            | ~F.col("atp").eqNullSafe(F.col("wtp"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_differences"))
+    )
+    na = agg_form.agg(F.count(F.lit(1)).alias("n_agg_form"))
+    nw = win_form.agg(F.count(F.lit(1)).alias("n_win_form"))
+    return (
+        na.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(diff))
+        .withColumn("formulations_equivalent", F.col("n_differences") == 0)
     )
