@@ -11753,3 +11753,282 @@ def cdc_formulation_equivalence_proof(spark: SparkSession, sf_dir: str) -> DataF
         .crossJoin(F.broadcast(diff))
         .withColumn("formulations_equivalent", F.col("n_differences") == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Theil inequality decomposition (within + between = total)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_theil_decomposition",
+    doc="The property that makes Theil-T the inequality measure for "
+    "grouped data: total inequality over customer spend decomposes "
+    "EXACTLY into a within-region term (income-share-weighted group "
+    "Theils) plus a between-region term — group means from one cell "
+    "aggregate broadcast back, everything else decomposable sums, "
+    "and the additivity identity |T − Tw − Tb| < 1e−9 emitted as "
+    "the check (Gini famously fails it; agg_theil_index reports "
+    "only the total).",
+    tags=("agg", "inequality", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT r.r_name AS region, sum(o.o_totalprice) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, o.o_custkey
+  HAVING sum(o.o_totalprice) > 0
+), tot AS (
+  SELECT count(*) AS n, avg(y) AS mu FROM u
+), grp AS (
+  SELECT region, count(*) AS ng, avg(y) AS mug FROM u GROUP BY region
+), terms AS (
+  SELECT u.region, u.y, g.ng, g.mug, t.n, t.mu
+  FROM u JOIN grp g ON g.region = u.region CROSS JOIN tot t
+), pieces AS (
+  SELECT
+    sum((y / mu) * ln(y / mu)) / any_value(n) AS t_total,
+    sum((ng * mug / (n * mu))
+        * ((y / mug) * ln(y / mug)) / ng) AS t_within
+  FROM terms
+), between_t AS (
+  SELECT sum((g.ng * g.mug / (t.n * t.mu)) * ln(g.mug / t.mu)) AS t_between
+  FROM grp g CROSS JOIN tot t
+)
+SELECT round(p.t_total, 6) AS theil_total,
+       round(p.t_within, 6) AS theil_within,
+       round(b.t_between, 6) AS theil_between,
+       abs(p.t_total - p.t_within - b.t_between) < 1e-9
+         AS additivity_holds
+FROM pieces p, between_t b
+""",
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    u = (
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
+        .join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("y"))
+        .filter(F.col("y") > 0)
+    )
+    tot = u.agg(F.count(F.lit(1)).alias("n"), F.avg("y").alias("mu"))
+    grp = u.groupBy("region").agg(
+        F.count(F.lit(1)).alias("ng"), F.avg("y").alias("mug")
+    )
+    terms = u.join(F.broadcast(grp), "region").crossJoin(F.broadcast(tot))
+    y, mu, mug = F.col("y"), F.col("mu"), F.col("mug")
+    n, ng = F.col("n"), F.col("ng")
+    pieces = terms.agg(
+        (F.sum((y / mu) * F.log(y / mu)) / F.any_value(n)).alias("t_total"),
+        F.sum(
+            (ng * mug / (n * mu)) * ((y / mug) * F.log(y / mug)) / ng
+        ).alias("t_within"),
+    )
+    between_t = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((ng * mug / (n * mu)) * F.log(mug / mu)).alias("t_between")
+        )
+    )
+    return (
+        pieces.crossJoin(F.broadcast(between_t))
+        .select(
+            F.round("t_total", 6).alias("theil_total"),
+            F.round("t_within", 6).alias("theil_within"),
+            F.round("t_between", 6).alias("theil_between"),
+            (
+                F.abs(
+                    F.col("t_total") - F.col("t_within") - F.col("t_between")
+                )
+                < 1e-9
+            ).alias("additivity_holds"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: Mann-Kendall trend test on the monthly series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_mann_kendall_trend",
+    doc="Mann-Kendall monotone-trend test: S = Σ sign(y_j − y_i) over "
+    "all ~3k month pairs (the same bounded self-join as Theil-Sen, "
+    "which estimates the slope this test decides about), variance "
+    "with the tie correction, and the continuity-corrected z — the "
+    "distribution-free trend verdict used throughout environmental "
+    "statistics.  Pairs on the folded series only.",
+    tags=("window", "timeseries", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT sum(sign(b.y - a.y)) AS s_stat, count(*) AS n_pairs
+  FROM m a JOIN m b ON a.mon < b.mon
+), ties AS (
+  SELECT sum(c * (c - 1) * (2 * c + 5)) AS tie_term FROM (
+    SELECT count(*) AS c FROM m GROUP BY y
+  )
+), dims AS (SELECT count(*) AS n FROM m)
+SELECT CAST(s.s_stat AS BIGINT) AS s_stat,
+       dims.n AS n_months,
+       round((dims.n * (dims.n - 1) * (2 * dims.n + 5) - ties.tie_term)
+             / 18.0, 2) AS var_s,
+       round((s.s_stat - sign(s.s_stat))
+             / sqrt((dims.n * (dims.n - 1) * (2 * dims.n + 5)
+                     - ties.tie_term) / 18.0), 4) AS z_stat
+FROM s, ties, dims
+""",
+)
+def window_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    s = a.join(b, F.col("a.mon") < F.col("b.mon")).agg(
+        F.sum(F.signum(F.col("b.y") - F.col("a.y"))).alias("s_stat"),
+    )
+    ties = (
+        m.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie_term")
+        )
+    )
+    dims = m.agg(F.count(F.lit(1)).alias("n"))
+    j = s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(dims))
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    return j.select(
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        n.alias("n_months"),
+        F.round(var_s, 2).alias("var_s"),
+        F.round(
+            (F.col("s_stat") - F.signum(F.col("s_stat"))) / F.sqrt(var_s), 4
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: two-asset minimum-variance portfolio weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_min_variance_portfolio",
+    doc="Markowitz closed form for two assets: monthly revenue returns "
+    "of the BUILDING and MACHINERY segments as the two assets, the "
+    "minimum-variance weight w* = (σ₂² − σ₁₂)/(σ₁² + σ₂² − 2σ₁₂) "
+    "from one covariance aggregate, and the achieved portfolio "
+    "volatility against each asset alone — the diversification "
+    "arithmetic every allocation screen runs, as one two-series fold "
+    "plus closed form.",
+    tags=("agg", "finance", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o.o_orderdate) AS mon,
+         round(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                        THEN o.o_totalprice ELSE 0 END), 2) AS y1,
+         round(sum(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                        THEN o.o_totalprice ELSE 0 END), 2) AS y2
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), r AS (
+  SELECT CASE WHEN y1 > 0 AND lag(y1) OVER (ORDER BY mon) > 0
+              THEN ln(y1 / lag(y1) OVER (ORDER BY mon)) END AS r1,
+         CASE WHEN y2 > 0 AND lag(y2) OVER (ORDER BY mon) > 0
+              THEN ln(y2 / lag(y2) OVER (ORDER BY mon)) END AS r2
+  FROM m
+), s AS (
+  SELECT var_samp(r1) AS v1, var_samp(r2) AS v2,
+         covar_samp(r1, r2) AS c12, count(*) AS n
+  FROM r WHERE r1 IS NOT NULL AND r2 IS NOT NULL
+)
+SELECT n,
+       round((v2 - c12) / (v1 + v2 - 2 * c12), 6) AS w_building,
+       round(sqrt(v1), 6) AS vol_building,
+       round(sqrt(v2), 6) AS vol_machinery,
+       round(sqrt(
+         pow((v2 - c12) / (v1 + v2 - 2 * c12), 2) * v1
+         + pow(1 - (v2 - c12) / (v1 + v2 - 2 * c12), 2) * v2
+         + 2 * ((v2 - c12) / (v1 + v2 - 2 * c12))
+             * (1 - (v2 - c12) / (v1 + v2 - 2 * c12)) * c12), 6)
+         AS vol_portfolio
+FROM s
+""",
+)
+def agg_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = (
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c_mktsegment") == "BUILDING",
+                        F.col("o_totalprice"),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("y1"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("c_mktsegment") == "MACHINERY",
+                        F.col("o_totalprice"),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("y2"),
+        )
+    )
+    w = Window.orderBy("mon")
+
+    def _ret(col: str):
+        prev = F.lag(col).over(w)
+        return F.when(
+            (F.col(col) > 0) & (prev > 0), F.log(F.col(col) / prev)
+        )
+
+    r = m.select(_ret("y1").alias("r1"), _ret("y2").alias("r2")).filter(
+        F.col("r1").isNotNull() & F.col("r2").isNotNull()
+    )
+    s = r.agg(
+        F.var_samp("r1").alias("v1"),
+        F.var_samp("r2").alias("v2"),
+        F.covar_samp("r1", "r2").alias("c12"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    v1, v2, c12 = F.col("v1"), F.col("v2"), F.col("c12")
+    wstar = (v2 - c12) / (v1 + v2 - 2 * c12)
+    vol_p = F.sqrt(
+        F.pow(wstar, F.lit(2)) * v1
+        + F.pow(1 - wstar, F.lit(2)) * v2
+        + 2 * wstar * (1 - wstar) * c12
+    )
+    return s.select(
+        "n",
+        F.round(wstar, 6).alias("w_building"),
+        F.round(F.sqrt(v1), 6).alias("vol_building"),
+        F.round(F.sqrt(v2), 6).alias("vol_machinery"),
+        F.round(vol_p, 6).alias("vol_portfolio"),
+    )
