@@ -12032,3 +12032,200 @@ def agg_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(v2), 6).alias("vol_machinery"),
         F.round(vol_p, 6).alias("vol_portfolio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: ARCH LM test for volatility clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_arch_lm_test",
+    doc="Engle's ARCH LM test on monthly revenue returns: squared "
+    "demeaned returns regressed on their own lag (one lag window + "
+    "one regr aggregate), LM = n·R² against the 1-df chi-square — "
+    "significant means volatility clusters and any i.i.d.-variance "
+    "interval (the Sharpe entry, the z-tests) understates risk in "
+    "bursts.  The diagnostic that decides whether GARCH-style "
+    "machinery is even needed.",
+    tags=("window", "finance", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT ln(y / lag(y) OVER (ORDER BY mon)) AS ret, mon FROM m
+), e2 AS (
+  SELECT mon, pow(ret - avg(ret) OVER (), 2) AS e2
+  FROM r WHERE ret IS NOT NULL
+), lagged AS (
+  SELECT e2, lag(e2) OVER (ORDER BY mon) AS e2_lag FROM e2
+), fit AS (
+  SELECT count(*) AS n, regr_r2(e2, e2_lag) AS r2
+  FROM lagged WHERE e2_lag IS NOT NULL
+)
+SELECT n, round(r2, 6) AS r2,
+       round(n * r2, 4) AS lm_stat,
+       n * r2 > 3.841 AS volatility_clusters
+FROM fit
+""",
+)
+def window_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    w = Window.orderBy("mon")
+    r = m.select(
+        "mon", F.log(F.col("y") / F.lag("y").over(w)).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    e2 = r.select(
+        "mon",
+        F.pow(
+            F.col("ret") - F.avg("ret").over(Window.partitionBy()), F.lit(2)
+        ).alias("e2"),
+    )
+    lagged = e2.select(
+        "e2", F.lag("e2").over(Window.orderBy("mon")).alias("e2_lag")
+    ).filter(F.col("e2_lag").isNotNull())
+    fit = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.regr_r2(F.col("e2"), F.col("e2_lag")).alias("r2"),
+    )
+    lm = F.col("n") * F.col("r2")
+    return fit.select(
+        "n",
+        F.round("r2", 6).alias("r2"),
+        F.round(lm, 4).alias("lm_stat"),
+        (lm > 3.841).alias("volatility_clusters"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: temperature-scaled multilingual sampling weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_temperature_sampling_weights",
+    doc="The multilingual sampling formula every LLM data recipe cites: "
+    "per-language corpus shares p_i raised to α (here the standard "
+    "α=0.3, 0.7 and 1.0 side by side) and renormalized — low-resource "
+    "languages up-weight as α falls, and the effective language count "
+    "exp(entropy) quantifies how much each temperature flattens the "
+    "mix.  One cell aggregate, closed form per α, no data movement "
+    "beyond the 5-row language relation.",
+    tags=("corpus", "sampling", "ext"),
+    oracle="""
+WITH p AS (
+  SELECT lang, count(*) * 1.0 / sum(count(*)) OVER () AS share
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, share,
+         pow(share, 0.3) / sum(pow(share, 0.3)) OVER () AS w_03,
+         pow(share, 0.7) / sum(pow(share, 0.7)) OVER () AS w_07
+  FROM p
+)
+SELECT lang,
+       round(share, 6) AS natural_share,
+       round(w_07, 6) AS weight_alpha_07,
+       round(w_03, 6) AS weight_alpha_03,
+       round(w_03 / share, 4) AS upsample_factor_03
+FROM t ORDER BY lang
+""",
+)
+def corpus_temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_all = Window.partitionBy()
+    p = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).select(
+        "lang", (F.col("n") / F.sum("n").over(w_all)).alias("share")
+    )
+
+    def _temp(alpha: float):
+        pw = F.pow(F.col("share"), F.lit(alpha))
+        return pw / F.sum(pw).over(w_all)
+
+    t = p.select(
+        "lang",
+        "share",
+        _temp(0.3).alias("w_03"),
+        _temp(0.7).alias("w_07"),
+    )
+    return t.select(
+        "lang",
+        F.round("share", 6).alias("natural_share"),
+        F.round("w_07", 6).alias("weight_alpha_07"),
+        F.round("w_03", 6).alias("weight_alpha_03"),
+        F.round(F.col("w_03") / F.col("share"), 4).alias(
+            "upsample_factor_03"
+        ),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# events ext: per-user behavioral entropy distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_behavior_entropy",
+    doc="Predictability profile of the user base: each user's event-type "
+    "distribution collapses to a Shannon entropy (0 bits = always the "
+    "same action, log2(5) ≈ 2.32 = uniform), and the population "
+    "histogram of those entropies (quarter-bit bins) says how much of "
+    "the audience a per-user personalization model can even help — "
+    "the per-entity twin of the global Markov entropy-rate entry.  "
+    "Cell counts, per-user totals joined back, two decomposable "
+    "aggregates.",
+    tags=("events", "entropy", "ext"),
+    oracle="""
+WITH cell AS (
+  SELECT user_id, event_type, count(*) AS n FROM events
+  GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, sum(n) AS nt FROM cell GROUP BY user_id
+), ent AS (
+  SELECT c.user_id,
+         -sum((c.n * 1.0 / t.nt) * log2(c.n * 1.0 / t.nt)) AS h
+  FROM cell c JOIN tot t ON t.user_id = c.user_id
+  GROUP BY c.user_id
+), binned AS (
+  SELECT CAST(floor(h / 0.25) AS INT) AS bin, count(*) AS n_users
+  FROM ent GROUP BY 1
+)
+SELECT bin, round(bin * 0.25, 2) AS entropy_lo, n_users,
+       round((SELECT avg(h) FROM ent), 6) AS mean_entropy
+FROM binned ORDER BY bin
+""",
+)
+def events_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("user_id").agg(F.sum("n").alias("nt"))
+    share = F.col("n") / F.col("nt")
+    ent = (
+        cell.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum(share * F.log2(share))).alias("h"))
+    )
+    mean_h = ent.agg(F.round(F.avg("h"), 6).alias("mean_entropy"))
+    binned = ent.groupBy(
+        F.floor(F.col("h") / 0.25).cast("int").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        binned.crossJoin(F.broadcast(mean_h))
+        .select(
+            "bin",
+            F.round(F.col("bin") * 0.25, 2).alias("entropy_lo"),
+            "n_users",
+            "mean_entropy",
+        )
+        .orderBy("bin")
+    )
