@@ -12229,3 +12229,282 @@ def events_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Storey's pi0 and the null-proportion view of multiple testing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_storey_pi0",
+    doc="Storey's estimate of the true-null proportion over the same "
+    "per-nation p-values as the BH and Holm entries: π̂₀(λ) = "
+    "#{p > λ}/(m(1−λ)) at λ = 0.5, the quantity that converts BH's "
+    "worst-case FDR into the sharper q-value — plus the smallest "
+    "Storey q-value as the decision summary.  Same logistic "
+    "normal-CDF so all three multiple-testing entries share "
+    "bit-identical p-values.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey AS nat, count(*) AS n, avg(c_acctbal) AS m,
+         var_samp(c_acctbal) AS v
+  FROM customer GROUP BY c_nationkey
+), tot AS (SELECT sum(n * m) / sum(n) AS grand FROM g),
+p AS (
+  SELECT nat,
+         2 * (1 - 1 / (1 + exp(-1.702
+              * abs((m - tot.grand) / sqrt(v / n))))) AS pval
+  FROM g, tot
+), s AS (
+  SELECT count(*) AS m_tests,
+         sum(CASE WHEN pval > 0.5 THEN 1 ELSE 0 END) AS n_above,
+         min(pval) AS min_p
+  FROM p
+)
+SELECT m_tests, n_above,
+       round(least(1.0, n_above / (m_tests * 0.5)), 6) AS pi0_hat,
+       round(min_p, 6) AS min_p,
+       round(least(1.0, n_above / (m_tests * 0.5)) * min_p * m_tests, 6)
+         AS min_q_value
+FROM s
+""",
+)
+def agg_storey_pi0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(F.col("c_nationkey").alias("nat")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("c_acctbal").alias("m"),
+        F.var_samp("c_acctbal").alias("v"),
+    )
+    tot = g.agg((F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand"))
+    az = F.abs(
+        (F.col("m") - F.col("grand")) / F.sqrt(F.col("v") / F.col("n"))
+    )
+    p = g.crossJoin(F.broadcast(tot)).select(
+        (2 * (1 - 1 / (1 + F.exp(-1.702 * az)))).alias("pval")
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("m_tests"),
+        F.sum(F.when(F.col("pval") > 0.5, 1).otherwise(0)).alias("n_above"),
+        F.min("pval").alias("min_p"),
+    )
+    pi0 = F.least(F.lit(1.0), F.col("n_above") / (F.col("m_tests") * 0.5))
+    return s.select(
+        "m_tests",
+        "n_above",
+        F.round(pi0, 6).alias("pi0_hat"),
+        F.round("min_p", 6).alias("min_p"),
+        F.round(pi0 * F.col("min_p") * F.col("m_tests"), 6).alias(
+            "min_q_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: BIC-approximated Bayes factor for the arm contrast
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bayes_factor_bic",
+    doc="Model-comparison view of the md5-arm experiment: the null "
+    "(one mean) vs the arm model (two means) compared by "
+    "BF₁₀ ≈ exp((BIC₀−BIC₁)/2) with BIC = n·ln(RSS/n) + k·ln(n) — "
+    "evidence on a continuous scale instead of a p-value threshold, "
+    "from one conditional moment pass (the RSS of each model is a "
+    "variance identity, no residual materialization).  Jeffreys' "
+    "verdict attached.",
+    tags=("agg", "stats", "experiment", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT ascii(substring(md5(user_id::VARCHAR), 1, 1)) % 2 AS arm,
+         avg(value) AS v
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT count(*) AS n,
+         var_pop(v) * count(*) AS rss0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         var_pop(CASE WHEN arm = 1 THEN v END)
+           * sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+         + var_pop(CASE WHEN arm = 0 THEN v END)
+           * sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS rss1
+  FROM u
+), bic AS (
+  SELECT n,
+         n * ln(rss0 / n) + 1 * ln(n) AS bic0,
+         n * ln(rss1 / n) + 2 * ln(n) AS bic1
+  FROM s
+)
+SELECT n,
+       round(bic0, 4) AS bic_null,
+       round(bic1, 4) AS bic_arms,
+       round(exp((bic0 - bic1) / 2), 6) AS bayes_factor_10,
+       CASE WHEN exp((bic0 - bic1) / 2) > 3 THEN 'evidence_for_effect'
+            WHEN exp((bic0 - bic1) / 2) < 1.0 / 3 THEN 'evidence_for_null'
+            ELSE 'inconclusive' END AS jeffreys_verdict
+FROM bic
+""",
+)
+def agg_bayes_factor_bic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.ascii(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1))
+        % 2
+    )
+    u = ev.groupBy("user_id").agg(F.avg("value").alias("v")).select(
+        arm.alias("arm"), "v"
+    )
+    v1 = F.when(F.col("arm") == 1, F.col("v"))
+    v0 = F.when(F.col("arm") == 0, F.col("v"))
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.var_pop("v") * F.count(F.lit(1))).alias("rss0"),
+        (
+            F.var_pop(v1) * F.count(v1) + F.var_pop(v0) * F.count(v0)
+        ).alias("rss1"),
+    )
+    n = F.col("n")
+    bic0 = n * F.log(F.col("rss0") / n) + 1 * F.log(n)
+    bic1 = n * F.log(F.col("rss1") / n) + 2 * F.log(n)
+    bf = F.exp((bic0 - bic1) / 2)
+    return s.select(
+        "n",
+        F.round(bic0, 4).alias("bic_null"),
+        F.round(bic1, 4).alias("bic_arms"),
+        F.round(bf, 6).alias("bayes_factor_10"),
+        F.when(bf > 3, "evidence_for_effect")
+        .when(bf < 1.0 / 3, "evidence_for_null")
+        .otherwise("inconclusive")
+        .alias("jeffreys_verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: Feistel-network pseudonymization (reversible, format-preserving)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_feistel_pseudonymize",
+    doc="Reversible pseudonymization without a lookup table: customer "
+    "keys pass through a 2-round Feistel network over 16-bit halves "
+    "with md5-derived round functions — a keyed bijection on 32-bit "
+    "ids, so analytics join on pseudonyms while re-identification "
+    "needs the secret, and decryption is the same rounds in reverse.  "
+    "The roundtrip is proven in-plan (decrypt∘encrypt = identity for "
+    "every key) plus a collision check on the pseudonym space.  "
+    "Pure expression pipeline, identical md5 both engines.",
+    tags=("scalar", "privacy", "ext"),
+    oracle="""
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey // 65536 AS BIGINT) AS l0,
+         CAST(c_custkey % 65536 AS BIGINT) AS r0
+  FROM customer
+), r1 AS (
+  SELECT k, r0 AS l1,
+         CAST(xor(l0, ('0x' || substr(md5('rk1#' || r0::VARCHAR), 1, 4))
+                        ::BIGINT % 65536) AS BIGINT) AS r1
+  FROM base
+), r2 AS (
+  SELECT k, r1 AS l2,
+         CAST(xor(l1, ('0x' || substr(md5('rk2#' || r1::VARCHAR), 1, 4))
+                        ::BIGINT % 65536) AS BIGINT) AS r2
+  FROM r1
+), enc AS (
+  SELECT k, l2 * 65536 + r2 AS pseudo, l2, r2 FROM r2
+), dec AS (
+  -- invert: round 2 then round 1
+  SELECT k, pseudo,
+         CAST(xor(r2, ('0x' || substr(md5('rk2#' || l2::VARCHAR), 1, 4))
+                        ::BIGINT % 65536) AS BIGINT) AS l1b,
+         l2 AS r1b
+  FROM enc
+), dec2 AS (
+  SELECT k, pseudo,
+         CAST(xor(r1b, ('0x' || substr(md5('rk1#' || l1b::VARCHAR), 1, 4))
+                         ::BIGINT % 65536) AS BIGINT) AS l0b,
+         l1b AS r0b
+  FROM dec
+)
+SELECT count(*) AS n_keys,
+       count(DISTINCT pseudo) AS n_pseudonyms,
+       sum(CASE WHEN l0b * 65536 + r0b = k THEN 1 ELSE 0 END)
+         AS n_roundtrip_ok,
+       count(*) = count(DISTINCT pseudo)
+         AND sum(CASE WHEN l0b * 65536 + r0b = k THEN 1 ELSE 0 END)
+             = count(*) AS bijection_proven
+FROM dec2
+""",
+)
+def scalar_feistel_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+
+    def _round_f(salt: str, half):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(salt + "#"), half.cast("string")).cast(
+                            "binary"
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 65536
+        )
+
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_custkey") / 65536).cast("bigint").alias("l0"),
+        (F.col("c_custkey") % 65536).cast("bigint").alias("r0"),
+    )
+    r1 = base.select(
+        "k",
+        F.col("r0").alias("l1"),
+        (
+            F.col("l0").bitwiseXOR(_round_f("rk1", F.col("r0")))
+        ).cast("bigint").alias("r1"),
+    )
+    r2 = r1.select(
+        "k",
+        F.col("r1").alias("l2"),
+        (
+            F.col("l1").bitwiseXOR(_round_f("rk2", F.col("r1")))
+        ).cast("bigint").alias("r2"),
+    )
+    enc = r2.select(
+        "k", (F.col("l2") * 65536 + F.col("r2")).alias("pseudo"), "l2", "r2"
+    )
+    dec = enc.select(
+        "k",
+        "pseudo",
+        (
+            F.col("r2").bitwiseXOR(_round_f("rk2", F.col("l2")))
+        ).cast("bigint").alias("l1b"),
+        F.col("l2").alias("r1b"),
+    )
+    dec2 = dec.select(
+        "k",
+        "pseudo",
+        (
+            F.col("r1b").bitwiseXOR(_round_f("rk1", F.col("l1b")))
+        ).cast("bigint").alias("l0b"),
+        F.col("l1b").alias("r0b"),
+    )
+    ok = F.col("l0b") * 65536 + F.col("r0b") == F.col("k")
+    return dec2.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.countDistinct("pseudo").alias("n_pseudonyms"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_roundtrip_ok"),
+        (
+            (F.count(F.lit(1)) == F.countDistinct("pseudo"))
+            & (F.sum(F.when(ok, 1).otherwise(0)) == F.count(F.lit(1)))
+        ).alias("bijection_proven"),
+    )
