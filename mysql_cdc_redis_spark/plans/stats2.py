@@ -12508,3 +12508,240 @@ def scalar_feistel_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.sum(F.when(ok, 1).otherwise(0)) == F.count(F.lit(1)))
         ).alias("bijection_proven"),
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy ext: differential-privacy budget planner for a release set
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_dp_budget_planner",
+    doc="The deterministic half of differential privacy — the accounting: "
+    "for a release of per-segment statistics, the L1 sensitivity of "
+    "each query (1 for counts; the max single-customer contribution "
+    "for sums, computed from the data), the Laplace scale b = Δ/ε "
+    "each release would need at ε=0.1, the relative error that noise "
+    "implies, and the total budget under basic composition.  Noise "
+    "itself needs an RNG at release time; every number that governs "
+    "it is a query, and that query is exact.",
+    tags=("privacy", "governance", "ext"),
+    oracle="""
+WITH contrib AS (
+  SELECT c.c_mktsegment AS seg, c.c_custkey,
+         count(o.o_orderkey) AS my_n,
+         coalesce(sum(o.o_totalprice), 0) AS my_sum
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+), rel AS (
+  SELECT seg,
+         count(*) AS released_count,
+         round(sum(my_sum), 2) AS released_sum,
+         max(my_sum) AS sum_sensitivity
+  FROM contrib GROUP BY seg
+)
+SELECT seg, released_count,
+       round(sum_sensitivity, 2) AS sum_sensitivity,
+       round(sum_sensitivity / 0.1, 2) AS laplace_scale_sum,
+       round(sum_sensitivity / 0.1 / released_sum, 8)
+         AS relative_noise_sum,
+       round(1 / 0.1, 1) AS laplace_scale_count,
+       CAST(0.2 AS DOUBLE) AS epsilon_per_segment,
+       CAST(round(0.2 * (SELECT count(*) FROM rel), 2) AS DOUBLE)
+         AS total_epsilon
+FROM rel ORDER BY seg
+""",
+)
+def privacy_dp_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    contrib = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("seg"), "c_custkey")
+        .agg(
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("my_sum"),
+        )
+    )
+    rel = contrib.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("released_count"),
+        F.round(F.sum("my_sum"), 2).alias("released_sum"),
+        F.max("my_sum").alias("sum_sensitivity"),
+    )
+    n_seg = rel.agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        rel.crossJoin(F.broadcast(n_seg))
+        .select(
+            "seg",
+            "released_count",
+            F.round("sum_sensitivity", 2).alias("sum_sensitivity"),
+            F.round(F.col("sum_sensitivity") / 0.1, 2).alias(
+                "laplace_scale_sum"
+            ),
+            F.round(
+                F.col("sum_sensitivity") / 0.1 / F.col("released_sum"), 8
+            ).alias("relative_noise_sum"),
+            F.round(F.lit(1 / 0.1), 1).alias("laplace_scale_count"),
+            F.lit(0.2).alias("epsilon_per_segment"),
+            F.round(0.2 * F.col("n_segments"), 2).alias("total_epsilon"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: code-vs-prose detection heuristics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_code_detection",
+    doc="Code-contamination gate for a prose corpus: symbol density "
+    "({};()=<>), digit density and the braces-per-char rate, each a "
+    "regexp census, fused into a code-likeness verdict per document "
+    "and rolled up per source — the filter every natural-language "
+    "corpus runs to keep (or route) source code.  One projection "
+    "pass; thresholds are the deliverable, not a model.",
+    tags=("text", "corpus", "quality", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT source,
+         length(regexp_replace(text, '[^{};()=<>]', '', 'g')) * 1.0
+           / length(text) AS sym_density,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+           / length(text) AS digit_density
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(sym_density), 6) AS mean_symbol_density,
+       round(avg(digit_density), 6) AS mean_digit_density,
+       sum(CASE WHEN sym_density > 0.02 OR digit_density > 0.15
+                THEN 1 ELSE 0 END) AS n_code_suspect,
+       round(avg(CASE WHEN sym_density > 0.02 OR digit_density > 0.15
+                      THEN 1.0 ELSE 0.0 END), 6) AS code_suspect_share
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sym = F.length(
+        F.regexp_replace(F.col("text"), "[^{};()=<>]", "")
+    ) / F.length("text")
+    dig = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ) / F.length("text")
+    f = docs.select(
+        "source", sym.alias("sym_density"), dig.alias("digit_density")
+    )
+    suspect = (F.col("sym_density") > 0.02) | (F.col("digit_density") > 0.15)
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sym_density"), 6).alias("mean_symbol_density"),
+            F.round(F.avg("digit_density"), 6).alias("mean_digit_density"),
+            F.sum(F.when(suspect, 1).otherwise(0)).alias("n_code_suspect"),
+            F.round(
+                F.avg(F.when(suspect, 1.0).otherwise(0.0)), 6
+            ).alias("code_suspect_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph ext: Katz centrality (three attenuated path steps)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_katz_centrality",
+    doc="Katz centrality on the directed event-transition graph: "
+    "c = Σ_k β^k (Aᵀ)^k·1 truncated at three steps with β=0.5 — "
+    "attenuated path COUNTING, which rewards being reachable by many "
+    "short paths where PageRank normalizes mass away and HITS "
+    "couples two scores.  Each step is the same bounded broadcast "
+    "join; the three-member centrality family (PageRank, HITS, Katz) "
+    "is now complete over one shared edge relation.",
+    tags=("graph", "events", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, count(*) * 1.0 AS w FROM seq
+  WHERE dst IS NOT NULL GROUP BY src, dst
+), tot AS (SELECT sum(w) AS tw FROM e),
+en AS (SELECT src, dst, w / tot.tw AS p FROM e, tot),
+nodes AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM en UNION SELECT dst FROM en)
+), k1 AS (
+  SELECT dst AS v, sum(0.5 * p) AS c FROM en GROUP BY dst
+), k2 AS (
+  SELECT en.dst AS v, sum(0.5 * k1.c * en.p) AS c
+  FROM en JOIN k1 ON k1.v = en.src GROUP BY en.dst
+), k3 AS (
+  SELECT en.dst AS v, sum(0.5 * k2.c * en.p) AS c
+  FROM en JOIN k2 ON k2.v = en.src GROUP BY en.dst
+)
+SELECT n.v AS state,
+       round(coalesce(k1.c, 0) + coalesce(k2.c, 0) + coalesce(k3.c, 0), 8)
+         AS katz_centrality
+FROM nodes n
+LEFT JOIN k1 ON k1.v = n.v
+LEFT JOIN k2 ON k2.v = n.v
+LEFT JOIN k3 ON k3.v = n.v
+ORDER BY state
+""",
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    e = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    tot = e.agg(F.sum("w").alias("tw"))
+    en = e.crossJoin(F.broadcast(tot)).select(
+        "src", "dst", (F.col("w") / F.col("tw")).alias("p")
+    )
+    nodes = (
+        en.select(F.col("src").alias("v"))
+        .unionAll(en.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    k1 = en.groupBy(F.col("dst").alias("v")).agg(
+        F.sum(0.5 * F.col("p")).alias("c")
+    )
+    levels = [k1]
+    prev = k1
+    for _ in range(2):
+        pb = F.broadcast(
+            prev.select(F.col("v").alias("pv"), F.col("c").alias("pc"))
+        )
+        prev = (
+            en.join(pb, en.src == F.col("pv"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(0.5 * F.col("pc") * F.col("p")).alias("c"))
+        )
+        levels.append(prev)
+    out = nodes
+    for i, lv in enumerate(levels):
+        out = out.join(
+            F.broadcast(lv.withColumnRenamed("c", f"c{i}")), "v", "left"
+        )
+    total = sum(
+        (F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(3)),
+        F.lit(0.0),
+    )
+    return out.select(
+        F.col("v").alias("state"),
+        F.round(total, 8).alias("katz_centrality"),
+    ).orderBy("state")
