@@ -12745,3 +12745,297 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("state"),
         F.round(total, 8).alias("katz_centrality"),
     ).orderBy("state")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: restricted mean survival time (area under KM)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_survival_rmst",
+    doc="Restricted mean survival time: the area under the Kaplan-Meier "
+    "fulfilment curve up to the 60-day horizon — 'expected days "
+    "unfulfilled within 60' — computed as the step integral "
+    "Σ S(tᵢ)·(t_{i+1}−tᵢ) over the same censoring-aware KM points as "
+    "the Weibull and log-rank entries.  The one-number survival "
+    "summary that stays valid when medians are undefined; windows "
+    "over the ≤100-point curve only.",
+    tags=("agg", "survival", "ext"),
+    oracle="""
+WITH dur AS (
+  SELECT o.o_orderkey,
+         date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS t,
+         max(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS censored
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+  HAVING date_diff('day', o.o_orderdate, max(l.l_shipdate)) > 0
+), cell AS (
+  SELECT t, sum(1 - censored) AS d, sum(censored) AS c
+  FROM dur GROUP BY t
+), risk AS (
+  SELECT t, d,
+         sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS gone,
+         sum(d + c) OVER () AS total
+  FROM cell
+), km AS (
+  SELECT t,
+         exp(sum(ln(1 - d * 1.0 / (total - coalesce(gone, 0))))
+             OVER (ORDER BY t)) AS s
+  FROM risk
+  WHERE d > 0 AND d < total - coalesce(gone, 0) AND t <= 60
+), seg AS (
+  SELECT t, s,
+         lead(t, 1, 60) OVER (ORDER BY t) AS t_next,
+         lag(s) OVER (ORDER BY t) AS s_prev,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM km
+)
+SELECT count(*) + 1 AS n_steps,
+       round((SELECT min(t) FROM km) * 1.0
+             + sum(s * (least(t_next, 60) - t)), 4) AS rmst_60,
+       round((SELECT min(s) FROM km), 6) AS s_at_horizon
+FROM seg
+""",
+)
+def agg_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dur = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.datediff(F.max("l_shipdate"), F.first("o_orderdate")).alias("t"),
+            F.max(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("censored"),
+        )
+        .filter(F.col("t") > 0)
+    )
+    cell = dur.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    w = Window.orderBy("t")
+    risk = cell.select(
+        "t",
+        "d",
+        F.sum(F.col("d") + F.col("c"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("gone"),
+        F.sum(F.col("d") + F.col("c")).over(Window.partitionBy()).alias("total"),
+    )
+    n_risk = F.col("total") - F.coalesce(F.col("gone"), F.lit(0))
+    km = (
+        risk.filter((F.col("d") > 0) & (F.col("d") < n_risk) & (F.col("t") <= 60))
+        .select(
+            "t",
+            F.exp(F.sum(F.log(1 - F.col("d") / n_risk)).over(w)).alias("s"),
+        )
+    )
+    seg = km.select(
+        "t",
+        "s",
+        F.lead("t", 1, 60).over(Window.orderBy("t")).alias("t_next"),
+    )
+    first_t = km.agg(F.min("t").alias("t0"), F.min("s").alias("s_min"))
+    integral = seg.agg(
+        F.count(F.lit(1)).alias("n_km"),
+        F.sum(
+            F.col("s") * (F.least(F.col("t_next"), F.lit(60)) - F.col("t"))
+        ).alias("area"),
+    )
+    return (
+        integral.crossJoin(F.broadcast(first_t))
+        .select(
+            (F.col("n_km") + 1).alias("n_steps"),
+            F.round(F.col("t0") * 1.0 + F.col("area"), 4).alias("rmst_60"),
+            F.round(F.col("s_min"), 6).alias("s_at_horizon"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: geohash encoding of coordinates (spatial index primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_geohash_encode",
+    doc="Geohash encoding end to end in expressions: the synthetic nation "
+    "centroids' lat/lon interleave through 15 bisection bits each "
+    "(an aggregate-HOF fold over the bit sequence) into a 30-bit "
+    "code rendered as 6 base32 characters — the spatial bucketing "
+    "key geo joins and maps APIs share.  The bisection fold is "
+    "deterministic integer math, so both engines emit identical "
+    "hashes; prefix-sharing neighbours demonstrate the locality "
+    "property.",
+    tags=("scalar", "geo", "ext"),
+    oracle="""
+WITH geo AS (
+  SELECT n_nationkey AS k, n_name,
+         (n_nationkey * 6 - 72) * 1.0 AS lat,
+         (n_nationkey * 13 - 150) * 1.0 AS lon
+  FROM nation
+), bits AS (
+  -- 15 bisection bits per axis via scaled integer truncation
+  SELECT k, n_name,
+         CAST(floor((lat + 90) / 180 * 32768) AS BIGINT) AS lat_bits,
+         CAST(floor((lon + 180) / 360 * 32768) AS BIGINT) AS lon_bits
+  FROM geo
+), interleaved AS (
+  -- geohash interleaves lon first: build the 30-bit code
+  SELECT k, n_name,
+         list_reduce(list_transform(range(0, 15), i ->
+           ((lon_bits // CAST(pow(2, 14 - i) AS BIGINT)) % 2) * 2
+           + ((lat_bits // CAST(pow(2, 14 - i) AS BIGINT)) % 2)),
+           (acc, x) -> acc * 4 + x) AS code
+  FROM bits
+), b32 AS (
+  SELECT k, n_name, code,
+         list_reduce(list_transform(range(0, 6), i ->
+           substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST((code // CAST(pow(32, 5 - i) AS BIGINT)) % 32
+                          AS INT) + 1, 1)),
+           (acc, x) -> acc || x) AS geohash
+  FROM interleaved
+)
+SELECT k AS nationkey, n_name AS nation, geohash
+FROM b32 ORDER BY nationkey
+""",
+)
+def scalar_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    geo = nation.select(
+        F.col("n_nationkey").alias("k"),
+        "n_name",
+        ((F.col("n_nationkey") * 6 - 72).cast("double")).alias("lat"),
+        ((F.col("n_nationkey") * 13 - 150).cast("double")).alias("lon"),
+    )
+    bits = geo.select(
+        "k",
+        "n_name",
+        F.floor((F.col("lat") + 90) / 180 * 32768).cast("bigint").alias(
+            "lat_bits"
+        ),
+        F.floor((F.col("lon") + 180) / 360 * 32768).cast("bigint").alias(
+            "lon_bits"
+        ),
+    )
+    interleaved = bits.withColumn(
+        "code",
+        F.expr(
+            "aggregate(sequence(0, 14), 0L, (acc, i) -> acc * 4 "
+            "+ ((lon_bits DIV cast(pow(2, 14 - i) as bigint)) % 2) * 2 "
+            "+ ((lat_bits DIV cast(pow(2, 14 - i) as bigint)) % 2))"
+        ),
+    )
+    b32 = interleaved.withColumn(
+        "geohash",
+        F.expr(
+            "aggregate(sequence(0, 5), '', (acc, i) -> concat(acc, "
+            "substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+            "cast((code DIV cast(pow(32, 5 - i) as bigint)) % 32 as int) + 1,"
+            " 1)))"
+        ),
+    )
+    return b32.select(
+        F.col("k").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        "geohash",
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: intraclass correlation (clustering-degree statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_intraclass_correlation",
+    doc="One-way random-effects ICC(1) for order values clustered within "
+    "customers: per-cluster (k, mean, within-SS) cells fold in one "
+    "pass (within-SS = k·var_pop), MSB/MSW reassemble with the "
+    "unbalanced-design k₀ correction, ICC = (MSB−MSW)/(MSB+(k₀−1)MSW) "
+    "— the number that says whether per-order rows are effectively "
+    "independent (ICC≈0) or the customer is the real unit of "
+    "analysis, i.e. whether every z-test in this catalog needs "
+    "clustered errors.  The design effect at the mean cluster size "
+    "is attached.",
+    tags=("agg", "stats", "ext"),
+    oracle="""
+WITH g AS (
+  SELECT o_custkey, count(*) AS k, avg(o_totalprice) AS m,
+         var_pop(o_totalprice) * count(*) AS ssw_i
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT count(*) AS n_clusters, sum(k) AS n,
+         sum(k * m) / sum(k) AS grand,
+         sum(ssw_i) AS ssw,
+         sum(k * k) AS sum_k2,
+         avg(k * 1.0) AS mean_k
+  FROM g
+), b AS (
+  SELECT sum(k * pow(m - (SELECT grand FROM t), 2)) AS ssb FROM g
+), ms AS (
+  SELECT t.n_clusters, t.n, t.mean_k,
+         b.ssb / (t.n_clusters - 1) AS msb,
+         t.ssw / (t.n - t.n_clusters) AS msw,
+         (t.n - t.sum_k2 * 1.0 / t.n) / (t.n_clusters - 1) AS k0
+  FROM t, b
+)
+SELECT n_clusters, n AS n_orders,
+       round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1,
+       round(k0, 4) AS k0,
+       round(1 + (mean_k - 1) * (msb - msw) / (msb + (k0 - 1) * msw), 4)
+         AS design_effect
+FROM ms
+""",
+)
+def agg_intraclass_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.avg("o_totalprice").alias("m"),
+        (F.var_pop("o_totalprice") * F.count(F.lit(1))).alias("ssw_i"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("k").alias("n"),
+        (F.sum(F.col("k") * F.col("m")) / F.sum("k")).alias("grand"),
+        F.sum("ssw_i").alias("ssw"),
+        F.sum(F.col("k") * F.col("k")).alias("sum_k2"),
+        F.avg(F.col("k").cast("double")).alias("mean_k"),
+    )
+    b = (
+        g.crossJoin(F.broadcast(t.select("grand")))
+        .agg(
+            F.sum(
+                F.col("k") * F.pow(F.col("m") - F.col("grand"), F.lit(2))
+            ).alias("ssb")
+        )
+    )
+    ms = t.crossJoin(F.broadcast(b)).select(
+        "n_clusters",
+        "n",
+        "mean_k",
+        (F.col("ssb") / (F.col("n_clusters") - 1)).alias("msb"),
+        (F.col("ssw") / (F.col("n") - F.col("n_clusters"))).alias("msw"),
+        (
+            (F.col("n") - F.col("sum_k2") / F.col("n"))
+            / (F.col("n_clusters") - 1)
+        ).alias("k0"),
+    )
+    icc = (F.col("msb") - F.col("msw")) / (
+        F.col("msb") + (F.col("k0") - 1) * F.col("msw")
+    )
+    return ms.select(
+        "n_clusters",
+        F.col("n").alias("n_orders"),
+        F.round(icc, 6).alias("icc1"),
+        F.round("k0", 4).alias("k0"),
+        F.round(1 + (F.col("mean_k") - 1) * icc, 4).alias("design_effect"),
+    )
