@@ -13039,3 +13039,166 @@ def agg_intraclass_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("k0", 4).alias("k0"),
         F.round(1 + (F.col("mean_k") - 1) * icc, 4).alias("design_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events ext: M/M/1 capacity projection from measured arrival rates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mm1_capacity_projection",
+    doc="Capacity planning from first principles: the measured arrival "
+    "rate λ (events/sec over the observation span) against a service-"
+    "rate sweep μ ∈ {1.2λ, 1.5λ, 2λ, 3λ} gives the M/M/1 projections "
+    "— utilization ρ, expected queue length ρ²/(1−ρ), expected wait "
+    "ρ/(μ−λ) — the what-if table an SRE reads before sizing workers.  "
+    "One aggregate for λ, closed form per scenario, the queueing "
+    "companion of the Little's-law consistency check.",
+    tags=("events", "queueing", "ext"),
+    oracle="""
+WITH lam AS (
+  SELECT count(*) * 1.0
+         / date_diff('second', min(ts), max(ts)) AS lambda_s
+  FROM events
+)
+SELECT round(lambda_s, 6) AS lambda_per_s,
+       CAST(s.factor AS DOUBLE) AS mu_over_lambda,
+       round(1.0 / s.factor, 6) AS rho,
+       round(pow(1.0 / s.factor, 2) / (1 - 1.0 / s.factor), 6)
+         AS expected_queue_len,
+       round((1.0 / s.factor) / (lambda_s * s.factor - lambda_s), 4)
+         AS expected_wait_s
+FROM lam CROSS JOIN (VALUES (1.2), (1.5), (2.0), (3.0)) s(factor)
+ORDER BY mu_over_lambda
+""",
+)
+def events_mm1_capacity_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lam = ev.agg(
+        (
+            F.count(F.lit(1))
+            / (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        ).alias("lambda_s")
+    )
+    scen = lam.select(
+        "lambda_s",
+        F.explode(
+            F.array(F.lit(1.2), F.lit(1.5), F.lit(2.0), F.lit(3.0))
+        ).alias("factor"),
+    )
+    rho = 1.0 / F.col("factor")
+    return scen.select(
+        F.round("lambda_s", 6).alias("lambda_per_s"),
+        F.col("factor").alias("mu_over_lambda"),
+        F.round(rho, 6).alias("rho"),
+        F.round(F.pow(rho, F.lit(2)) / (1 - rho), 6).alias(
+            "expected_queue_len"
+        ),
+        F.round(
+            rho / (F.col("lambda_s") * F.col("factor") - F.col("lambda_s")), 4
+        ).alias("expected_wait_s"),
+    ).orderBy("mu_over_lambda")
+
+
+# ---------------------------------------------------------------------------
+# text ext: Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_burrows_delta",
+    doc="Burrows' Delta, the stylometry standard: relative frequencies of "
+    "the corpus top-30 words per source, z-scored across sources per "
+    "word, and the pairwise Delta = mean |z₁ − z₂| — authorship/"
+    "register distance that weights every marker word equally "
+    "regardless of raw frequency (unlike the JS divergence entry, "
+    "which the frequent words dominate).  Explode → shares → "
+    "per-word moments → bounded source pairs.",
+    tags=("text", "stylometry", "ext"),
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                            'g'), ' ')) AS t
+  FROM documents
+), top AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS n FROM tok GROUP BY t
+    ORDER BY n DESC, t LIMIT 30
+  )
+), share AS (
+  SELECT tok.source, tok.t,
+         count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY tok.source)
+           AS f
+  FROM tok JOIN top USING (t)
+  GROUP BY tok.source, tok.t
+), z AS (
+  SELECT source, t,
+         (f - avg(f) OVER (PARTITION BY t))
+           / stddev_samp(f) OVER (PARTITION BY t) AS z
+  FROM share
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         avg(abs(a.z - b.z)) AS delta, count(*) AS n_words
+  FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_words, round(delta, 6) AS burrows_delta
+FROM pairs ORDER BY src_a, src_b
+""",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(ts.tokens(F.col("text"))).alias("t"))
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(30)
+        .select("t")
+    )
+    share = (
+        tok.join(F.broadcast(top), "t")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "source",
+            "t",
+            (
+                F.col("c")
+                / F.sum("c").over(Window.partitionBy("source"))
+            ).alias("f"),
+        )
+    )
+    wt = Window.partitionBy("t")
+    z = share.select(
+        "source",
+        "t",
+        (
+            (F.col("f") - F.avg("f").over(wt)) / F.stddev_samp("f").over(wt)
+        ).alias("z"),
+    )
+    a = z.select(F.col("source").alias("src_a"), "t", F.col("z").alias("za"))
+    b = z.select(
+        F.col("source").alias("src_b"), F.col("t").alias("t2"),
+        F.col("z").alias("zb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("t") == F.col("t2")) & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.avg(F.abs(F.col("za") - F.col("zb"))).alias("delta"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    return pairs.select(
+        "src_a", "src_b", "n_words", F.round("delta", 6).alias("burrows_delta")
+    ).orderBy("src_a", "src_b")
