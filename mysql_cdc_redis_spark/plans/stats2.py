@@ -13202,3 +13202,220 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "src_a", "src_b", "n_words", F.round("delta", 6).alias("burrows_delta")
     ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# events ext: spectral entropy (regularity of the rhythm)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_spectral_entropy",
+    doc="Spectral entropy of the daily event-count series: the DFT power "
+    "grid over periods 2-14 days (same construction as the period "
+    "scan) normalized to a distribution, whose Shannon entropy "
+    "divided by log(n) lands in [0,1] — 0 means one metronomic "
+    "cycle owns the signal, 1 means white noise.  The single-number "
+    "rhythm-regularity summary on top of "
+    "events_spectral_period_scan's full grid.",
+    tags=("events", "timeseries", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY date_trunc('day', ts)) - 1 AS t,
+         count(*) AS y
+  FROM events GROUP BY date_trunc('day', ts)
+), c AS (
+  SELECT t, y - avg(y) OVER () AS yc FROM d
+), grid AS (
+  SELECT p.p,
+         pow(sum(yc * cos(2 * pi() * t / p.p)), 2)
+         + pow(sum(yc * sin(2 * pi() * t / p.p)), 2) AS power
+  FROM c CROSS JOIN (SELECT unnest(range(2, 15)) AS p) p
+  GROUP BY p.p
+), norm_p AS (
+  SELECT p, power / sum(power) OVER () AS q FROM grid
+)
+SELECT count(*) AS n_periods,
+       round(-sum(q * ln(q)) / ln(count(*)), 6) AS spectral_entropy,
+       round(max(q), 6) AS dominant_share
+FROM norm_p
+""",
+)
+def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    ).select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"), "y"
+    )
+    c = d.select(
+        "t", (F.col("y") - F.avg("y").over(Window.partitionBy())).alias("yc")
+    )
+    ang = 2 * F.lit(3.141592653589793) * F.col("t") / F.col("p")
+    grid = (
+        c.select(
+            "t", "yc", F.explode(F.sequence(F.lit(2), F.lit(14))).alias("p")
+        )
+        .groupBy("p")
+        .agg(
+            (
+                F.pow(F.sum(F.col("yc") * F.cos(ang)), F.lit(2))
+                + F.pow(F.sum(F.col("yc") * F.sin(ang)), F.lit(2))
+            ).alias("power")
+        )
+    )
+    q = F.col("power") / F.sum("power").over(Window.partitionBy())
+    norm_p = grid.select(q.alias("q"))
+    return norm_p.agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.round(
+            -F.sum(F.col("q") * F.log("q")) / F.log(F.count(F.lit(1))), 6
+        ).alias("spectral_entropy"),
+        F.round(F.max("q"), 6).alias("dominant_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus ext: prompt-injection pattern scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_injection_scan",
+    doc="Prompt-injection security gate for a training corpus: regexp "
+    "census for instruction-override markers ('ignore previous/all "
+    "instructions'), role-smuggling strings ('system prompt', "
+    "'you are now'), and exfiltration asks ('repeat your "
+    "instructions') — the LLM-era sibling of the license scan, run "
+    "before text becomes weights.  Per-source counts + flagged "
+    "share; one regexp projection pass, patterns broadcast.",
+    tags=("corpus", "security", "ext"),
+    oracle="""
+WITH f AS (
+  SELECT source,
+         CASE WHEN regexp_matches(lower(text),
+                   'ignore (previous|all|the) instructions')
+              THEN 1 ELSE 0 END AS f_override,
+         CASE WHEN regexp_matches(lower(text),
+                   'system prompt|you are now|act as if')
+              THEN 1 ELSE 0 END AS f_role,
+         CASE WHEN regexp_matches(lower(text),
+                   'repeat (your|the) (instructions|prompt)')
+              THEN 1 ELSE 0 END AS f_exfil
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(f_override) AS n_override,
+       sum(f_role) AS n_role_smuggle,
+       sum(f_exfil) AS n_exfil,
+       round(avg(CASE WHEN f_override + f_role + f_exfil > 0
+                      THEN 1.0 ELSE 0.0 END), 6) AS flagged_share
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def corpus_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def _hit(pattern: str):
+        return (F.regexp_count(low, F.lit(pattern)) > 0).cast("int")
+
+    f = docs.select(
+        "source",
+        _hit("ignore (previous|all|the) instructions").alias("f_override"),
+        _hit("system prompt|you are now|act as if").alias("f_role"),
+        _hit("repeat (your|the) (instructions|prompt)").alias("f_exfil"),
+    )
+    any_hit = F.col("f_override") + F.col("f_role") + F.col("f_exfil") > 0
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("f_override").alias("n_override"),
+            F.sum("f_role").alias("n_role_smuggle"),
+            F.sum("f_exfil").alias("n_exfil"),
+            F.round(
+                F.avg(F.when(any_hit, 1.0).otherwise(0.0)), 6
+            ).alias("flagged_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: quantile treatment effects (distributional lift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_quantile_treatment_effects",
+    doc="Distributional view of the md5-arm experiment: rank-based "
+    "P10/P25/P50/P75/P90 of per-user order value in each arm, and "
+    "the per-quantile difference — the quantile treatment effects "
+    "that reveal a tail-only lift a mean test averages away.  One "
+    "rank window per arm (partitioned, so no single-partition sort), "
+    "pivoted by the 5 fixed probes.",
+    tags=("agg", "experiment", "ext"),
+    oracle="""
+WITH u AS (
+  SELECT ascii(substring(md5(o_custkey::VARCHAR), 1, 1)) % 2 AS arm,
+         round(o_totalprice, 2) AS v
+  FROM orders
+), r AS (
+  SELECT arm, v,
+         row_number() OVER (PARTITION BY arm ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY arm) AS cnt
+  FROM u
+), q AS (
+  SELECT p.p, r.arm, r.v
+  FROM r CROSS JOIN (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) p(p)
+  WHERE r.rn = CAST(ceil(p.p * r.cnt) AS BIGINT)
+)
+SELECT CAST(p AS DOUBLE) AS quantile,
+       max(CASE WHEN arm = 1 THEN v END) AS treat_q,
+       max(CASE WHEN arm = 0 THEN v END) AS control_q,
+       round(max(CASE WHEN arm = 1 THEN v END)
+             - max(CASE WHEN arm = 0 THEN v END), 2) AS qte
+FROM q GROUP BY p ORDER BY quantile
+""",
+)
+def agg_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    arm = (
+        F.ascii(F.substring(F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 1))
+        % 2
+    )
+    u = orders.select(arm.alias("arm"), F.round("o_totalprice", 2).alias("v"))
+    r = u.select(
+        "arm",
+        "v",
+        F.row_number().over(Window.partitionBy("arm").orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("arm")).alias("cnt"),
+    )
+    probes = F.array(
+        F.lit(0.1), F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)
+    )
+    q = r.select("arm", "v", "rn", "cnt", F.explode(probes).alias("p")).filter(
+        F.col("rn") == F.ceil(F.col("p") * F.col("cnt")).cast("bigint")
+    )
+    tq = F.max(F.when(F.col("arm") == 1, F.col("v")))
+    cq = F.max(F.when(F.col("arm") == 0, F.col("v")))
+    return (
+        q.groupBy("p")
+        .agg(
+            tq.alias("treat_q"),
+            cq.alias("control_q"),
+            F.round(tq - cq, 2).alias("qte"),
+        )
+        .select(
+            F.col("p").cast("double").alias("quantile"),
+            "treat_q",
+            "control_q",
+            "qte",
+        )
+        .orderBy("quantile")
+    )
