@@ -13419,3 +13419,165 @@ def agg_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("quantile")
     )
+
+
+# ---------------------------------------------------------------------------
+# text ext: lexicon-based sentiment polarity
+# ---------------------------------------------------------------------------
+
+_POS_WORDS = (
+    "good", "great", "best", "better", "happy", "love", "excellent",
+    "positive", "success", "win",
+)
+_NEG_WORDS = (
+    "bad", "worst", "worse", "sad", "hate", "terrible", "negative",
+    "failure", "lose", "problem",
+)
+
+
+_SENTIMENT_ORACLE = f"""
+WITH t AS (
+  SELECT source, string_split({_NORM}, ' ') AS toks FROM documents
+), f AS (
+  SELECT source,
+         len(list_filter(toks, x -> list_contains(['good', 'great', 'best', 'better', 'happy', 'love', 'excellent', 'positive', 'success', 'win'], x))) AS n_pos,
+         len(list_filter(toks, x -> list_contains(['bad', 'worst', 'worse', 'sad', 'hate', 'terrible', 'negative', 'failure', 'lose', 'problem'], x))) AS n_neg
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_pos) AS total_pos_hits,
+       sum(n_neg) AS total_neg_hits,
+       round(avg((n_pos - n_neg) * 1.0 / (n_pos + n_neg + 1.0)), 6)
+         AS mean_polarity,
+       round(avg(CASE WHEN n_pos + n_neg > 0 THEN 1.0 ELSE 0.0 END), 6)
+         AS subjective_share
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "text_sentiment_lexicon",
+    doc="Lexicon sentiment, the pre-neural baseline that still powers "
+    "dashboards: positive/negative word lists as broadcast arrays, "
+    "per-document polarity (pos−neg)/(pos+neg) from one HOF filter "
+    "pass, rolled up per source with the subjective share (documents "
+    "containing any sentiment word at all).  The fixture text is "
+    "synthetic, the machinery — dictionary intersection at token "
+    "level, smoothed polarity — is the deliverable.",
+    tags=("text", "sentiment", "ext"),
+    oracle=_SENTIMENT_ORACLE,
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ts.tokens(F.col("text"))
+    pos_arr = F.array(*[F.lit(w) for w in _POS_WORDS])
+    neg_arr = F.array(*[F.lit(w) for w in _NEG_WORDS])
+    n_pos = F.size(F.filter(toks, lambda t: F.array_contains(pos_arr, t)))
+    n_neg = F.size(F.filter(toks, lambda t: F.array_contains(neg_arr, t)))
+    f = docs.select(
+        "source", n_pos.alias("n_pos"), n_neg.alias("n_neg")
+    ).withColumn(
+        "polarity",
+        (F.col("n_pos") - F.col("n_neg"))
+        / (F.col("n_pos") + F.col("n_neg") + F.lit(1.0)),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pos").alias("total_pos_hits"),
+            F.sum("n_neg").alias("total_neg_hits"),
+            F.round(F.avg("polarity"), 6).alias("mean_polarity"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("n_pos") + F.col("n_neg") > 0, 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("subjective_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: I-MR individuals control chart
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_imr_control_chart",
+    doc="Shewhart individuals/moving-range chart on daily event counts: "
+    "the center line and the ±2.66·MR̄ control limits derive from the "
+    "mean moving range (one lag window), out-of-control days are "
+    "flagged against them, and the MR chart's own D4 limit "
+    "(3.267·MR̄) screens variability shifts — the SPC chart for "
+    "one-at-a-time observations, complementing the subgrouped "
+    "Bollinger/Cp entries.  Flagged-day census output.",
+    tags=("window", "spc", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(*) * 1.0 AS y
+  FROM events GROUP BY 1
+), mr AS (
+  SELECT day, y,
+         abs(y - lag(y) OVER (ORDER BY day)) AS mrange
+  FROM d
+), lim AS (
+  SELECT avg(y) AS center, avg(mrange) AS mr_bar FROM mr
+)
+SELECT (SELECT count(*) FROM d) AS n_days,
+       round(lim.center, 4) AS center_line,
+       round(lim.center - 2.66 * lim.mr_bar, 4) AS lcl,
+       round(lim.center + 2.66 * lim.mr_bar, 4) AS ucl,
+       (SELECT count(*) FROM mr, lim
+        WHERE mr.y < lim.center - 2.66 * lim.mr_bar
+           OR mr.y > lim.center + 2.66 * lim.mr_bar) AS n_out_of_control,
+       (SELECT count(*) FROM mr, lim
+        WHERE mr.mrange > 3.267 * lim.mr_bar) AS n_mr_violations
+FROM lim
+""",
+)
+def window_imr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    mr = d.select(
+        "day",
+        "y",
+        F.abs(F.col("y") - F.lag("y").over(Window.orderBy("day"))).alias(
+            "mrange"
+        ),
+    )
+    lim = mr.agg(
+        F.avg("y").alias("center"),
+        F.avg("mrange").alias("mr_bar"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    j = mr.crossJoin(F.broadcast(lim))
+    lcl = F.col("center") - 2.66 * F.col("mr_bar")
+    ucl = F.col("center") + 2.66 * F.col("mr_bar")
+    out = j.agg(
+        F.any_value("n_days").alias("n_days"),
+        F.round(F.any_value("center"), 4).alias("center_line"),
+        F.round(F.any_value("center") - 2.66 * F.any_value("mr_bar"), 4).alias(
+            "lcl"
+        ),
+        F.round(F.any_value("center") + 2.66 * F.any_value("mr_bar"), 4).alias(
+            "ucl"
+        ),
+        F.sum(
+            F.when((F.col("y") < lcl) | (F.col("y") > ucl), 1).otherwise(0)
+        ).alias("n_out_of_control"),
+        F.sum(
+            F.when(F.col("mrange") > 3.267 * F.col("mr_bar"), 1).otherwise(0)
+        ).alias("n_mr_violations"),
+    )
+    return out
