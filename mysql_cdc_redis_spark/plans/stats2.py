@@ -13581,3 +13581,168 @@ def window_imr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_mr_violations"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: Bland-Altman agreement between two total formulations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bland_altman_order_totals",
+    doc="Bland-Altman method-agreement analysis on two genuine "
+    "measurements of the same quantity the schema carries: the order "
+    "header total (o_totalprice) vs the detail-derived total "
+    "Σ extendedprice·(1−disc)·(1+tax) — mean bias, the ±1.96σ limits "
+    "of agreement, the share of orders outside them, and the "
+    "proportional-bias slope (difference regressed on the mean) "
+    "that says whether disagreement grows with order size.  The "
+    "reconciliation entry's statistical upgrade; one join + one "
+    "moment pass.",
+    tags=("agg", "agreement", "ext"),
+    oracle="""
+WITH pair AS (
+  SELECT o.o_orderkey,
+         round(o.o_totalprice, 2) AS m1,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)
+                   * (1 + l.l_tax)), 2) AS m2
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_totalprice
+), d AS (
+  SELECT (m1 - m2) AS diff, (m1 + m2) / 2 AS mean12 FROM pair
+), s AS (
+  SELECT count(*) AS n, avg(diff) AS bias, stddev_samp(diff) AS sd,
+         regr_slope(diff, mean12) AS prop_bias
+  FROM d
+)
+SELECT n,
+       round(bias, 4) AS mean_bias,
+       round(bias - 1.96 * sd, 4) AS loa_lower,
+       round(bias + 1.96 * sd, 4) AS loa_upper,
+       (SELECT count(*) FROM d, s
+        WHERE d.diff < s.bias - 1.96 * s.sd
+           OR d.diff > s.bias + 1.96 * s.sd) AS n_outside_loa,
+       round(prop_bias, 8) AS proportional_bias_slope
+FROM s
+""",
+)
+def agg_bland_altman_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("m2")
+        )
+        .select(F.round("o_totalprice", 2).alias("m1"), "m2")
+    )
+    d = pair.select(
+        (F.col("m1") - F.col("m2")).alias("diff"),
+        ((F.col("m1") + F.col("m2")) / 2).alias("mean12"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("diff").alias("bias"),
+        F.stddev_samp("diff").alias("sd"),
+        F.regr_slope(F.col("diff"), F.col("mean12")).alias("prop_bias"),
+    )
+    j = d.crossJoin(F.broadcast(s))
+    outside = j.filter(
+        (F.col("diff") < F.col("bias") - 1.96 * F.col("sd"))
+        | (F.col("diff") > F.col("bias") + 1.96 * F.col("sd"))
+    ).agg(F.count(F.lit(1)).alias("n_outside_loa"))
+    return (
+        s.crossJoin(F.broadcast(outside))
+        .select(
+            "n",
+            F.round("bias", 4).alias("mean_bias"),
+            F.round(F.col("bias") - 1.96 * F.col("sd"), 4).alias("loa_lower"),
+            F.round(F.col("bias") + 1.96 * F.col("sd"), 4).alias("loa_upper"),
+            "n_outside_loa",
+            F.round("prop_bias", 8).alias("proportional_bias_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: portable Soundex (phonetic blocking key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_soundex_portable",
+    doc="Soundex implemented from the algorithm, not a builtin (DuckDB "
+    "has none, so the portable spelling IS the deliverable): first "
+    "letter kept, consonants mapped to digit classes via nested "
+    "translate, adjacent duplicate codes collapsed with one regexp "
+    "backreference, vowels dropped, padded to 4 — applied to part-"
+    "name first words as the phonetic blocking key fuzzy matching "
+    "uses before paying for edit distances.  Key-space census plus "
+    "the biggest phonetic bucket.",
+    tags=("scalar", "text", "ext"),
+    oracle="""
+WITH w AS (
+  SELECT DISTINCT lower(string_split(p_name, ' ')[1]) AS word FROM part
+), coded AS (
+  SELECT word,
+         upper(substring(word, 1, 1)) ||
+         substring(
+           regexp_replace(
+             regexp_replace(
+               translate(substring(word, 2),
+                         'bfpvcgjkqsxzdtlmnraeiouyhw',
+                         '11112222222233455600000000'),
+               '(.)\\1+', '\\1', 'g'),
+             '0', '', 'g') || '000',
+           1, 3) AS sdx
+  FROM w
+), buckets AS (
+  SELECT sdx, count(*) AS n_words FROM coded GROUP BY sdx
+)
+SELECT (SELECT count(*) FROM w) AS n_words,
+       (SELECT count(*) FROM buckets) AS n_soundex_keys,
+       (SELECT max(n_words) FROM buckets) AS biggest_bucket,
+       (SELECT sdx FROM buckets ORDER BY n_words DESC, sdx LIMIT 1)
+         AS biggest_key
+""",
+)
+def scalar_soundex_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    word = F.lower(F.split(F.col("p_name"), " ").getItem(0))
+    w = part.select(word.alias("word")).distinct()
+    tail = F.expr("substring(word, 2)")
+    mapped = F.translate(
+        tail,
+        "bfpvcgjkqsxzdtlmnraeiouyhw",
+        "11112222222233455600000000",
+    )
+    collapsed = F.regexp_replace(mapped, "(.)\\1+", "$1")
+    cleaned = F.regexp_replace(collapsed, "0", "")
+    sdx = F.concat(
+        F.upper(F.substring(F.col("word"), 1, 1)),
+        F.substring(F.concat(cleaned, F.lit("000")), 1, 3),
+    )
+    coded = w.select("word", sdx.alias("sdx"))
+    buckets = coded.groupBy("sdx").agg(F.count(F.lit(1)).alias("n_words"))
+    top = (
+        buckets.orderBy(F.desc("n_words"), "sdx")
+        .limit(1)
+        .select(
+            F.col("n_words").alias("biggest_bucket"),
+            F.col("sdx").alias("biggest_key"),
+        )
+    )
+    stats = w.agg(F.count(F.lit(1)).alias("n_words")).crossJoin(
+        F.broadcast(buckets.agg(F.count(F.lit(1)).alias("n_soundex_keys")))
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_words", "n_soundex_keys", "biggest_bucket", "biggest_key"
+    )
