@@ -13746,3 +13746,177 @@ def scalar_soundex_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(top)).select(
         "n_words", "n_soundex_keys", "biggest_bucket", "biggest_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: full correlation matrix in one pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_correlation_matrix",
+    doc="The profiler's correlation matrix without N² scans: all six "
+    "pairwise correlations of quantity / extendedprice / discount / "
+    "tax ride ONE wide aggregate (corr is decomposable, so 6 corr "
+    "expressions share the scan), then unpivot to the tidy "
+    "(var_a, var_b, r) relation reports consume.  The multivariate "
+    "completion of the single-pair corr/covar entry.",
+    tags=("agg", "profile", "ext"),
+    oracle="""
+WITH w AS (
+  SELECT corr(l_quantity, l_extendedprice) AS qty_price,
+         corr(l_quantity, l_discount) AS qty_disc,
+         corr(l_quantity, l_tax) AS qty_tax,
+         corr(l_extendedprice, l_discount) AS price_disc,
+         corr(l_extendedprice, l_tax) AS price_tax,
+         corr(l_discount, l_tax) AS disc_tax
+  FROM lineitem
+)
+SELECT p.var_a, p.var_b,
+       round(CASE p.var_a || '|' || p.var_b
+         WHEN 'quantity|price' THEN w.qty_price
+         WHEN 'quantity|discount' THEN w.qty_disc
+         WHEN 'quantity|tax' THEN w.qty_tax
+         WHEN 'price|discount' THEN w.price_disc
+         WHEN 'price|tax' THEN w.price_tax
+         WHEN 'discount|tax' THEN w.disc_tax END, 6) AS r
+FROM w CROSS JOIN (VALUES
+  ('quantity', 'price'), ('quantity', 'discount'), ('quantity', 'tax'),
+  ('price', 'discount'), ('price', 'tax'), ('discount', 'tax'))
+  p(var_a, var_b)
+ORDER BY var_a, var_b
+""",
+)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price"),
+        F.corr("l_quantity", "l_discount").alias("qty_disc"),
+        F.corr("l_quantity", "l_tax").alias("qty_tax"),
+        F.corr("l_extendedprice", "l_discount").alias("price_disc"),
+        F.corr("l_extendedprice", "l_tax").alias("price_tax"),
+        F.corr("l_discount", "l_tax").alias("disc_tax"),
+    )
+    pairs = [
+        ("quantity", "price", "qty_price"),
+        ("quantity", "discount", "qty_disc"),
+        ("quantity", "tax", "qty_tax"),
+        ("price", "discount", "price_disc"),
+        ("price", "tax", "price_tax"),
+        ("discount", "tax", "disc_tax"),
+    ]
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    F.round(F.col(c), 6).alias("r"),
+                )
+                for a, b, c in pairs
+            ]
+        )
+    )
+    return (
+        w.select(stacked.alias("p"))
+        .select("p.var_a", "p.var_b", "p.r")
+        .orderBy("var_a", "var_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 ext: ULID-style lexicographically-sortable id minting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_ulid_mint",
+    doc="ULID-shaped identifiers minted deterministically: a 10-char "
+    "Crockford-base32 timestamp prefix (epoch millis of the event) "
+    "+ a 16-char md5-derived 'randomness' tail — replay-stable like "
+    "the UUIDv5 entry, but lexicographic order equals time order, "
+    "which is the property that keeps ingest-ordered keys from "
+    "shattering an LSM/parquet layout.  The monotonicity proof "
+    "(sorted-by-ulid = sorted-by-ts) runs in-plan over a bounded "
+    "event slice.",
+    tags=("scalar", "keys", "ext"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, ts,
+         CAST(epoch_ms(ts) AS BIGINT) AS ms
+  FROM events WHERE event_id < 200
+), ulid AS (
+  SELECT event_id, ts, ms,
+         list_reduce(list_transform(range(0, 10), i ->
+           substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ',
+                     CAST((ms // CAST(pow(32, 9 - i) AS BIGINT)) % 32
+                          AS INT) + 1, 1)),
+           (acc, x) -> acc || x)
+         || upper(substring(md5('ulid#' || event_id::VARCHAR), 1, 16))
+           AS id
+  FROM e
+), chk AS (
+  SELECT count(*) AS n,
+         count(DISTINCT id) AS n_distinct,
+         sum(CASE WHEN rn_by_id = rn_by_ts THEN 1 ELSE 0 END)
+           AS n_order_agree
+  FROM (
+    SELECT id,
+           row_number() OVER (ORDER BY id) AS rn_by_id,
+           row_number() OVER (ORDER BY ms, event_id) AS rn_by_ts
+    FROM ulid
+  )
+)
+SELECT n, n_distinct, n_order_agree,
+       n = n_distinct AND n = n_order_agree AS sortable_and_unique
+FROM chk
+""",
+)
+def scalar_ulid_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    e = ev.select(
+        "event_id",
+        (F.unix_timestamp("ts") * 1000 + F.date_format("ts", "SSS").cast("bigint")).alias("ms"),
+    )
+    prefix = F.expr(
+        "aggregate(sequence(0, 9), '', (acc, i) -> concat(acc, "
+        "substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', "
+        "cast((ms DIV cast(pow(32, 9 - i) as bigint)) % 32 as int) + 1, 1)))"
+    )
+    tail = F.upper(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("ulid#"), F.col("event_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            16,
+        )
+    )
+    ulid = e.select("event_id", "ms", F.concat(prefix, tail).alias("id"))
+    ranked = ulid.select(
+        F.row_number().over(Window.orderBy("id")).alias("rn_by_id"),
+        F.row_number().over(Window.orderBy("ms", "event_id")).alias("rn_by_ts"),
+        "id",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("rn_by_id") == F.col("rn_by_ts"), 1).otherwise(0)
+        ).alias("n_order_agree"),
+        (
+            (F.count(F.lit(1)) == F.countDistinct("id"))
+            & (
+                F.count(F.lit(1))
+                == F.sum(
+                    F.when(
+                        F.col("rn_by_id") == F.col("rn_by_ts"), 1
+                    ).otherwise(0)
+                )
+            )
+        ).alias("sortable_and_unique"),
+    )
