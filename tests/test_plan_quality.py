@@ -764,3 +764,32 @@ def test_conformal_quantiles_broadcast_to_holdout(spark, sf_dir):
     plan = _plan(_QUERIES["agg_conformal_interval_coverage"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_two_phase_topk_pushes_group_limit(spark, sf_dir):
+    # phase one's per-bucket top-10 must compile to WindowGroupLimit so
+    # the limit applies below the exchange — the whole point of the
+    # candidate pattern
+    plan = _plan(_QUERIES["topk_two_phase_bucketed"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, "bucketed top-k lost its group limit"
+
+
+def test_cavnar_trenkle_profiles_broadcast(spark, sf_dir):
+    # the 5×20 language profile and the language list must broadcast into
+    # the per-document scoring join — a shuffle join there would move the
+    # whole exploded trigram relation
+    plan = _plan(_QUERIES["text_cavnar_trenkle_langid"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_feistel_is_single_stage_projection(spark, sf_dir):
+    import re
+
+    # encryption+decryption+verdict is pure per-row expression work: the
+    # only exchanges allowed belong to the final census aggregate (its
+    # COUNT DISTINCT needs the usual two-phase pair); the rounds
+    # themselves must not introduce any join shuffle
+    plan = _plan(_QUERIES["scalar_feistel_pseudonymize"].fn(spark, sf_dir))
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_exchanges <= 2, f"Feistel rounds must not shuffle:\n{plan}"
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
