@@ -13920,3 +13920,158 @@ def scalar_ulid_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sortable_and_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 ext: forecast tracking signal (bias monitor for the backtest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_forecast_tracking_signal",
+    doc="Trigg's tracking signal over the trailing-3-month forecaster "
+    "from the backtest entry: running Σ(error)/running mean |error| "
+    "per month — drifting outside ±4 flags systematic bias (the "
+    "forecaster is consistently high or low), which MAPE alone "
+    "cannot distinguish from noise.  The monitor a forecasting "
+    "pipeline evaluates at every step, as two running windows over "
+    "the folded series; months beyond the control band counted.",
+    tags=("window", "forecast", "ext"),
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), f AS (
+  SELECT mon, y,
+         avg(y) OVER (ORDER BY mon ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+           AS fc,
+         row_number() OVER (ORDER BY mon) AS rn
+  FROM m
+), e AS (
+  SELECT mon, y - fc AS err, abs(y - fc) AS aerr,
+         row_number() OVER (ORDER BY mon) AS k
+  FROM f WHERE rn > 3
+), ts_ AS (
+  SELECT mon, k,
+         sum(err) OVER (ORDER BY k)
+           / (sum(aerr) OVER (ORDER BY k) / k) AS signal
+  FROM e
+)
+SELECT count(*) AS n_months,
+       round(min(signal), 4) AS min_signal,
+       round(max(signal), 4) AS max_signal,
+       sum(CASE WHEN abs(signal) > 4 THEN 1 ELSE 0 END)
+         AS n_bias_alarms,
+       round(avg(signal), 4) AS mean_signal
+FROM ts_
+""",
+)
+def window_forecast_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("y")
+    )
+    w = Window.orderBy("mon")
+    f = m.select(
+        "mon",
+        "y",
+        F.avg("y").over(w.rowsBetween(-3, -1)).alias("fc"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") > 3)
+    e = f.select(
+        "mon",
+        (F.col("y") - F.col("fc")).alias("err"),
+        F.abs(F.col("y") - F.col("fc")).alias("aerr"),
+        F.row_number().over(Window.orderBy("mon")).alias("k"),
+    )
+    wk = Window.orderBy("k")
+    signal = F.sum("err").over(wk) / (F.sum("aerr").over(wk) / F.col("k"))
+    ts_ = e.select(signal.alias("signal"))
+    return ts_.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.min("signal"), 4).alias("min_signal"),
+        F.round(F.max("signal"), 4).alias("max_signal"),
+        F.sum(F.when(F.abs(F.col("signal")) > 4, 1).otherwise(0)).alias(
+            "n_bias_alarms"
+        ),
+        F.round(F.avg("signal"), 4).alias("mean_signal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events ext: time irreversibility of the behaviour chain
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_irreversibility",
+    doc="Arrow-of-time measure for the event chain: the KL divergence "
+    "between the forward edge distribution P(i→j) and its time-"
+    "reverse P(j→i) over the shared (smoothed) edge space — zero "
+    "means the chain satisfies detailed balance and sessions look "
+    "the same played backwards, positive quantifies directional "
+    "flow (views precede purchases, never vice versa).  One lag "
+    "pass to edge counts, a self-join of the 25-cell matrix with "
+    "its transpose, closed form after.",
+    tags=("events", "entropy", "ext"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, count(*) AS n FROM seq
+  WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst
+), pairs AS (
+  SELECT f.src, f.dst,
+         f.n + 0.5 AS nf,
+         coalesce(r.n, 0) + 0.5 AS nr
+  FROM e f LEFT JOIN e r ON r.src = f.dst AND r.dst = f.src
+), tot AS (
+  SELECT sum(nf) AS tf, sum(nr) AS tr FROM pairs
+)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       round((SELECT sum((nf / tot.tf)
+                         * ln((nf / tot.tf) / (nr / tot.tr)))
+              FROM pairs, tot), 6) AS kl_forward_backward,
+       (SELECT sum((nf / tot.tf) * ln((nf / tot.tf) / (nr / tot.tr)))
+        FROM pairs, tot) > 0.05 AS time_directional
+""",
+)
+def events_time_irreversibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    e = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    rev = e.select(
+        F.col("src").alias("rsrc"), F.col("dst").alias("rdst"),
+        F.col("n").alias("rn_"),
+    )
+    pairs = e.join(
+        F.broadcast(rev),
+        (F.col("rsrc") == F.col("dst")) & (F.col("rdst") == F.col("src")),
+        "left",
+    ).select(
+        (F.col("n") + 0.5).alias("nf"),
+        (F.coalesce(F.col("rn_"), F.lit(0)) + 0.5).alias("nr"),
+    )
+    tot = pairs.agg(F.sum("nf").alias("tf"), F.sum("nr").alias("tr"))
+    j = pairs.crossJoin(F.broadcast(tot))
+    pf = F.col("nf") / F.col("tf")
+    pr = F.col("nr") / F.col("tr")
+    kl = F.sum(pf * F.log(pf / pr))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(kl, 6).alias("kl_forward_backward"),
+        (kl > 0.05).alias("time_directional"),
+    )
