@@ -14075,3 +14075,201 @@ def events_time_irreversibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(kl, 6).alias("kl_forward_backward"),
         (kl > 0.05).alias("time_directional"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc ext: medallion (bronze/silver/gold) layer audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_medallion_layer_audit",
+    doc="The medallion architecture as one auditable query: bronze = raw "
+    "changelog events, silver = the compacted live state (the "
+    "single-shuffle fold), gold = the per-status aggregate a consumer "
+    "reads — with the conservation identities between layers "
+    "(gold rows ≤ silver rows ≤ bronze keys ≤ bronze events, and "
+    "gold's total count equals silver's row count) proven in-plan.  "
+    "The lineage summary every layered lakehouse reports.",
+    tags=("cdc", "lineage", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+silver AS (
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_orderstatus, seq) AS st
+    FROM ch WHERE o_orderkey IS NOT NULL GROUP BY 1
+  ) WHERE cdc_action NOT IN ('#absent#', 'delete')
+), gold AS (
+  SELECT st, count(*) AS n FROM silver GROUP BY st
+)
+SELECT (SELECT count(*) FROM ch) AS bronze_events,
+       (SELECT count(DISTINCT o_orderkey) FROM ch
+        WHERE o_orderkey IS NOT NULL) AS bronze_keys,
+       (SELECT count(*) FROM silver) AS silver_rows,
+       (SELECT count(*) FROM gold) AS gold_rows,
+       (SELECT sum(n) FROM gold) = (SELECT count(*) FROM silver)
+         AS conservation_holds
+""",
+)
+def cdc_medallion_layer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import compact
+    from ..sources.changelog import orders_changelog
+
+    ch = orders_changelog(spark, sf_dir)
+    bronze = ch.agg(
+        F.count(F.lit(1)).alias("bronze_events"),
+        F.countDistinct(
+            F.when(F.col("o_orderkey").isNotNull(), F.col("o_orderkey"))
+        ).alias("bronze_keys"),
+    )
+    from ..sources.changelog import ORDERS_PAYLOAD, ORDERS_PK
+
+    silver = compact(ch, ORDERS_PK, ORDERS_PAYLOAD).filter(
+        F.col("cdc_action") != "delete"
+    )
+    silver_n = silver.agg(F.count(F.lit(1)).alias("silver_rows"))
+    gold = silver.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    gold_s = gold.agg(
+        F.count(F.lit(1)).alias("gold_rows"),
+        F.sum("n").alias("gold_total"),
+    )
+    return (
+        bronze.crossJoin(F.broadcast(silver_n))
+        .crossJoin(F.broadcast(gold_s))
+        .select(
+            "bronze_events",
+            "bronze_keys",
+            "silver_rows",
+            "gold_rows",
+            (F.col("gold_total") == F.col("silver_rows")).alias(
+                "conservation_holds"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text ext: BLEU-style n-gram precision between paired documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bleu_proxy_pairs",
+    doc="The generation-eval metric shape without a model: adjacent "
+    "same-source documents pair up as (candidate, reference) exactly "
+    "like the SFT-pair entry, and BLEU's core — clipped unigram and "
+    "bigram precision with the brevity penalty — computes from "
+    "token-multiset intersections (two explodes, grouped min() for "
+    "the clip, one geometric mean).  Corpus-level BLEU-2 per source; "
+    "near-duplicate pairs surface as outlier scores, which is the "
+    "dedup tie-in.",
+    tags=("text", "eval", "ext"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS toks,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+  FROM documents
+), pairs AS (
+  SELECT c.doc_id, c.source, c.toks AS cand, r.toks AS ref
+  FROM t c JOIN t r ON r.doc_id = c.ref_id
+), uni AS (
+  SELECT p.doc_id, p.source, u.w,
+         count(*) AS c_cnt
+  FROM pairs p, LATERAL unnest(p.cand) u(w)
+  GROUP BY p.doc_id, p.source, u.w
+), runi AS (
+  SELECT p.doc_id, u.w, count(*) AS r_cnt
+  FROM pairs p, LATERAL unnest(p.ref) u(w)
+  GROUP BY p.doc_id, u.w
+), clip AS (
+  SELECT uni.doc_id, uni.source,
+         sum(least(uni.c_cnt, coalesce(runi.r_cnt, 0))) AS matched,
+         sum(uni.c_cnt) AS total
+  FROM uni LEFT JOIN runi
+    ON runi.doc_id = uni.doc_id AND runi.w = uni.w
+  GROUP BY uni.doc_id, uni.source
+), lens AS (
+  SELECT doc_id, source, len(cand) AS lc, len(ref) AS lr FROM pairs
+), scored AS (
+  SELECT c.source,
+         (c.matched + 0.5) * 1.0 / (c.total + 0.5) AS p1,
+         CASE WHEN l.lc >= l.lr THEN 1.0
+              ELSE exp(1 - l.lr * 1.0 / l.lc) END AS bp
+  FROM clip c JOIN lens l ON l.doc_id = c.doc_id
+)
+SELECT source, count(*) AS n_pairs,
+       round(avg(bp * p1), 6) AS mean_bleu1,
+       round(max(bp * p1), 6) AS max_bleu1,
+       sum(CASE WHEN bp * p1 > 0.5 THEN 1 ELSE 0 END)
+         AS n_suspicious_pairs
+FROM scored GROUP BY source ORDER BY source
+""",
+)
+def text_bleu_proxy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators import textstats as ts
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        ts.tokens(F.col("text")).alias("toks"),
+    ).withColumn(
+        "ref_id",
+        F.lead("doc_id").over(Window.partitionBy("source").orderBy("doc_id")),
+    )
+    c = t.select("doc_id", "source", F.col("toks").alias("cand"), "ref_id")
+    r = t.select(F.col("doc_id").alias("rid"), F.col("toks").alias("ref"))
+    pairs = c.join(r, c.ref_id == r.rid).select(
+        "doc_id", "source", "cand", "ref"
+    )
+    uni = (
+        pairs.select("doc_id", "source", F.explode("cand").alias("w"))
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    runi = (
+        pairs.select("doc_id", F.explode("ref").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("r_cnt"))
+    )
+    clip = (
+        uni.join(runi, ["doc_id", "w"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.least(
+                    F.col("c_cnt"), F.coalesce(F.col("r_cnt"), F.lit(0))
+                )
+            ).alias("matched"),
+            F.sum("c_cnt").alias("total"),
+        )
+    )
+    lens = pairs.select(
+        "doc_id", F.size("cand").alias("lc"), F.size("ref").alias("lr")
+    )
+    scored = clip.join(lens, "doc_id").select(
+        "source",
+        ((F.col("matched") + 0.5) / (F.col("total") + 0.5)).alias("p1"),
+        F.when(F.col("lc") >= F.col("lr"), F.lit(1.0))
+        .otherwise(F.exp(1 - F.col("lr") / F.col("lc")))
+        .alias("bp"),
+    )
+    bleu = F.col("bp") * F.col("p1")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(bleu), 6).alias("mean_bleu1"),
+            F.round(F.max(bleu), 6).alias("max_bleu1"),
+            F.sum(F.when(bleu > 0.5, 1).otherwise(0)).alias(
+                "n_suspicious_pairs"
+            ),
+        )
+        .orderBy("source")
+    )
