@@ -14273,3 +14273,101 @@ def text_bleu_proxy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 ext: adjusted Rand index between two partitions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_adjusted_rand_index",
+    doc="Adjusted Rand index between two partitions of the customer base "
+    "— market segment vs home region — from nothing but the "
+    "contingency table: Σ C(n_ij,2) against its expectation under "
+    "independent partitions, the chance-corrected pair-counting "
+    "agreement clustering evaluations standardize on (and the metric "
+    "an IVF/k-means assignment would be scored with against labels).  "
+    "One joint-cell aggregate, closed form after; ARI ≈ 0 here "
+    "certifies segment and geography are independent structures.",
+    tags=("agg", "clustering", "ext"),
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS a, r.r_name AS b, count(*) AS n
+  FROM customer c
+  JOIN nation na ON na.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = na.n_regionkey
+  GROUP BY 1, 2
+), cells AS (
+  SELECT sum(n * (n - 1) / 2.0) AS sum_nij2, sum(n) AS n_total FROM j
+), marg_a AS (
+  SELECT sum(sa * (sa - 1) / 2.0) AS sum_a2 FROM (
+    SELECT sum(n) AS sa FROM j GROUP BY a
+  )
+), marg_b AS (
+  SELECT sum(sb * (sb - 1) / 2.0) AS sum_b2 FROM (
+    SELECT sum(n) AS sb FROM j GROUP BY b
+  )
+), calc AS (
+  SELECT c.sum_nij2, a.sum_a2, b.sum_b2,
+         c.n_total * (c.n_total - 1) / 2.0 AS n2,
+         a.sum_a2 * b.sum_b2 / (c.n_total * (c.n_total - 1) / 2.0)
+           AS expected
+  FROM cells c, marg_a a, marg_b b
+)
+SELECT CAST(n2 AS BIGINT) AS n_pairs,
+       round(sum_nij2, 1) AS observed_agreement,
+       round(expected, 1) AS expected_agreement,
+       round((sum_nij2 - expected)
+             / ((sum_a2 + sum_b2) / 2 - expected), 6) AS adjusted_rand
+FROM calc
+""",
+)
+def agg_adjusted_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        cust.join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
+        .join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("a"), F.col("r_name").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = j.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2.0).alias("sum_nij2"),
+        F.sum("n").alias("n_total"),
+    )
+    marg_a = (
+        j.groupBy("a")
+        .agg(F.sum("n").alias("sa"))
+        .agg(F.sum(F.col("sa") * (F.col("sa") - 1) / 2.0).alias("sum_a2"))
+    )
+    marg_b = (
+        j.groupBy("b")
+        .agg(F.sum("n").alias("sb"))
+        .agg(F.sum(F.col("sb") * (F.col("sb") - 1) / 2.0).alias("sum_b2"))
+    )
+    calc = (
+        cells.crossJoin(F.broadcast(marg_a))
+        .crossJoin(F.broadcast(marg_b))
+        .withColumn(
+            "n2", F.col("n_total") * (F.col("n_total") - 1) / 2.0
+        )
+        .withColumn(
+            "expected", F.col("sum_a2") * F.col("sum_b2") / F.col("n2")
+        )
+    )
+    return calc.select(
+        F.col("n2").cast("bigint").alias("n_pairs"),
+        F.round("sum_nij2", 1).alias("observed_agreement"),
+        F.round("expected", 1).alias("expected_agreement"),
+        F.round(
+            (F.col("sum_nij2") - F.col("expected"))
+            / ((F.col("sum_a2") + F.col("sum_b2")) / 2 - F.col("expected")),
+            6,
+        ).alias("adjusted_rand"),
+    )
