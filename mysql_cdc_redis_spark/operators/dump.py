@@ -57,6 +57,53 @@ def read_dump(spark: SparkSession, out_dir: str, schema: StructType) -> DataFram
     )
 
 
+QUARANTINE_SUBDIR = ".drifted"
+
+
+def dump_to_csv_with_quarantine(
+    df: DataFrame,
+    out_dir: str,
+    date_col: str,
+    fingerprint_col: str = "fingerprint",
+    table_col: str = "tbl",
+    fmt: str = "yyyyMMdd",
+    max_rows_per_file: int = 1_000_000,
+) -> None:
+    """K1 + drift routing (dump2csv.py:77-81): a table observed with more
+    than one schema fingerprint is "maybe altered" and ALL of its groups
+    are written with the quarantine suffix (`.tmp` in the reference,
+    dump2csv.py:80-81) instead of the clean `.csv` path.  Spark spelling:
+    drifted tables land under ``<out_dir>/.drifted/`` with the same
+    date-partitioned layout, clean tables under ``<out_dir>/``.
+
+    Scale shape: the drift decision needs only the per-table distinct-
+    fingerprint count — a tiny aggregate (|tables| rows) broadcast back
+    onto the stream, so the only full-data cost is the two filtered
+    writes; no wide shuffle of the payload."""
+    drift_dim = (
+        df.groupBy(table_col)
+        .agg((F.countDistinct(fingerprint_col) > 1).alias("_drifted"))
+    )
+    flagged = df.join(F.broadcast(drift_dim), on=table_col, how="left").withColumn(
+        "dt", F.date_format(F.col(date_col), fmt)
+    )
+    writer_opts = {
+        "header": True,
+        "maxRecordsPerFile": max_rows_per_file,
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    }
+    clean = flagged.filter(~F.col("_drifted")).drop("_drifted")
+    quarantined = flagged.filter(F.col("_drifted")).drop("_drifted")
+    w = clean.write.mode("overwrite").partitionBy("dt")
+    for k, v in writer_opts.items():
+        w = w.option(k, v)
+    w.csv(out_dir)
+    wq = quarantined.write.mode("overwrite").partitionBy("dt")
+    for k, v in writer_opts.items():
+        wq = wq.option(k, v)
+    wq.csv(f"{out_dir}/{QUARANTINE_SUBDIR}")
+
+
 def dump_state_parquet(df: DataFrame, path: str, table_col: str = "tbl") -> None:
     """K4/K6: durable compacted-state sink, partitioned by table so a
     per-table clear (rcache.py:76-81) is a partition overwrite and table

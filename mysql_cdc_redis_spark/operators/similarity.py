@@ -72,6 +72,16 @@ def cosine_topk_bruteforce(
     )
     from pyspark.sql.window import Window
 
+    # Two-phase top-k, Catalyst-native.  The rank-≤-k filter over this
+    # window triggers Spark's WindowGroupLimit rewrite (Spark ≥ 3.5):
+    # physically a PARTIAL WindowGroupLimit prunes each map partition to its
+    # local top-k per q_id BEFORE the exchange, so the shuffle carries at
+    # most |q|·k rows per scan partition — never the full |q|×|corpus|
+    # scored product — and the FINAL WindowGroupLimit + Window after the
+    # exchange rank only ≤ P·k survivors per query.  Writing the
+    # pre-reduction by hand (row_number over (q_id, spark_partition_id()))
+    # would ADD an exchange; the declarative form gets the pruned plan for
+    # free.  test_plan_quality.py pins the partial-before-exchange shape.
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

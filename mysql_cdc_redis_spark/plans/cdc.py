@@ -364,9 +364,13 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.compaction import merge_state
 
     ch = orders_changelog(spark, sf_dir)
-    cut = ch.selectExpr("percentile_approx(seq, 0.5, 10000) AS m").collect()[0]["m"]
-    first = compact(ch.filter(F.col("seq") <= cut), ORDERS_PK, ORDERS_PAYLOAD)
-    second = ch.filter(F.col("seq") > cut)
+    # collect-free split point: the 1-row percentile aggregate rides a
+    # broadcast cross-join instead of a driver round-trip, so the whole
+    # recipe stays one distributed plan (round-1 VERDICT "What's wrong #3")
+    cut = F.broadcast(ch.selectExpr("percentile_approx(seq, 0.5, 10000) AS _cut"))
+    ch2 = ch.crossJoin(cut)
+    first = compact(ch2.filter(F.col("seq") <= F.col("_cut")).drop("_cut"), ORDERS_PK, ORDERS_PAYLOAD)
+    second = ch2.filter(F.col("seq") > F.col("_cut")).drop("_cut")
     return merge_state(first, second, ORDERS_PK, ORDERS_PAYLOAD)
 
 
@@ -861,12 +865,17 @@ def cdc_ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.compaction import merge_state, rid_expr
 
     ch = orders_changelog(spark, sf_dir)
-    cut = ch.selectExpr("percentile_approx(seq, 0.6, 10000) AS m").collect()[0]["m"]
+    # collect-free split point (see cdc_incremental_merge): broadcast the
+    # 1-row percentile aggregate instead of collecting it to the driver
+    cut = F.broadcast(ch.selectExpr("percentile_approx(seq, 0.6, 10000) AS _cut"))
+    ch2 = ch.crossJoin(cut)
     # three branches read state0 (base agg, touched semi-join, merge) —
     # persist the ≤1-row-per-key state instead of recompacting per branch
     # (in production this is the already-materialized state parquet)
-    state0 = compact(ch.filter(F.col("seq") <= cut), ORDERS_PK, ORDERS_PAYLOAD).persist()
-    batch = ch.filter(F.col("seq") > cut)
+    state0 = compact(
+        ch2.filter(F.col("seq") <= F.col("_cut")).drop("_cut"), ORDERS_PK, ORDERS_PAYLOAD
+    ).persist()
+    batch = ch2.filter(F.col("seq") > F.col("_cut")).drop("_cut")
 
     price = F.col("o_totalprice").cast("decimal(18,2)")
     live = F.col("cdc_action") != "delete"
@@ -2018,3 +2027,115 @@ def cdc_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("route")
     )
+
+
+# ---------------------------------------------------------------------------
+# K1 + A4: drift-quarantine CSV sink (dump2csv.py:77-87)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_dump_drift_quarantine",
+    doc="K1 sink with drift routing (dump2csv.py:77-81): a table observed "
+    "with >1 schema fingerprint is 'maybe altered' and ALL its rows are "
+    "written under the quarantine path (reference: `.tmp` suffix; here "
+    "`<out_dir>/.drifted/`), clean tables under `<out_dir>/`.  Because "
+    "the quarantine dir is dot-prefixed, Spark's file listing hides it "
+    "from normal scans of the dump — the same load-protection the "
+    "reference gets from loadcsv only globbing `*.csv`.  The query dumps "
+    "a clean lineitem feed plus an orders feed where 1-in-11 rows carry "
+    "a drifted fingerprint, reads both paths back and proves the split.",
+    tags=("cdc", "sink", "ref:K1", "ref:A4"),
+    oracle="""
+SELECT * FROM (
+  SELECT 'lineitem' AS tbl, FALSE AS quarantined,
+         count(*) AS n_rows, CAST(1 AS BIGINT) AS n_fingerprints
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', TRUE, count(*), CAST(2 AS BIGINT) FROM orders
+) ORDER BY tbl
+""",
+)
+def cdc_dump_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    from ..operators.dump import QUARANTINE_SUBDIR, dump_to_csv_with_quarantine
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("tbl"),
+        F.concat_ws("&", "l_orderkey", "l_linenumber").alias("rid"),
+        F.lit("l_linenumber,l_orderkey,l_quantity").alias("fingerprint"),
+        F.col("l_shipdate").alias("evt_ts"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("tbl"),
+        F.col("o_orderkey").cast("string").alias("rid"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            F.lit("o_comment,o_orderkey,o_totalprice"),
+        ).otherwise(F.lit("o_orderkey,o_totalprice")).alias("fingerprint"),
+        F.col("o_orderdate").alias("evt_ts"),
+    )
+    feed = li.unionByName(od)
+    out_dir = os.path.join(tempfile.gettempdir(), "cdc_drift_quarantine")
+    dump_to_csv_with_quarantine(feed, out_dir, date_col="evt_ts", fmt="yyyyMM")
+
+    schema = (
+        StructType()
+        .add("tbl", "string")
+        .add("rid", "string")
+        .add("fingerprint", "string")
+        .add("dt", "string")
+    )
+    clean = spark.read.option("header", True).schema(schema).csv(out_dir)
+    quar = spark.read.option("header", True).schema(schema).csv(
+        f"{out_dir}/{QUARANTINE_SUBDIR}"
+    )
+    back = clean.withColumn("quarantined", F.lit(False)).unionByName(
+        quar.withColumn("quarantined", F.lit(True))
+    )
+    return (
+        back.groupBy("tbl", "quarantined")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fingerprint").alias("n_fingerprints"),
+        )
+        .orderBy("tbl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/T2: throttled latency alert feed (mwlogger.py:176-218, cdc.py:101-103)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_latency_alert_feed",
+    doc="P5/T2 alert sink: the reference warns per late binlog event "
+    "(cdc.py:101-103) through a throttled syslog/UDP event logger "
+    "(mwlogger.py:176-218).  Declarative spelling: one structured alert "
+    "row per (table, day) bucket over the late slice of the changelog — "
+    "alert name, severity, bucket, late count, worst lag.  'now' is "
+    "pinned to 1998-08-02 and the threshold to 2 years so the late set "
+    "is deterministic.",
+    tags=("cdc", "alerting", "ref:P5", "ref:T2"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+late AS (
+  SELECT tbl, cdc_ts,
+         CAST(epoch(TIMESTAMP '1998-08-02 00:00:00') - epoch(cdc_ts) AS BIGINT) AS lag_s
+  FROM ch
+  WHERE CAST(epoch(TIMESTAMP '1998-08-02 00:00:00') - epoch(cdc_ts) AS BIGINT) > 63072000
+)
+SELECT 'binlog_max_latency' AS alert, 'warn' AS severity, tbl,
+       CAST(date_trunc('day', cdc_ts) AS TIMESTAMP) AS bucket,
+       count(*) AS n_late, max(lag_s) AS max_lag_s
+FROM late GROUP BY tbl, bucket ORDER BY bucket
+""",
+)
+def cdc_latency_alert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.policies import latency_alert_feed
+
+    ch = orders_changelog(spark, sf_dir)
+    now = F.lit("1998-08-02 00:00:00").cast("timestamp")
+    return latency_alert_feed(ch, now, max_latency_s=63_072_000).orderBy("bucket")

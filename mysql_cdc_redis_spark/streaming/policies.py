@@ -38,6 +38,48 @@ def with_progress_metrics(
     )
 
 
+def latency_alert_feed(
+    changelog: DataFrame,
+    now,
+    max_latency_s: int = 60_000,
+    ts_col: str = "cdc_ts",
+    table_col: str = "tbl",
+) -> DataFrame:
+    """P5/T2 alert SINK analog of the reference's operational alerting
+    (mwlogger.py:176-218 structured syslog/UDP events; cdc.py:101-103
+    fires one per late binlog event).  A per-event alert stream would be
+    noise at scale, and the reference's logger throttles delivery at the
+    transport; the declarative spelling of that throttle is one
+    structured alert row per (table, day bucket): name, severity, first
+    bucket instant, late count and worst observed lag.  Works identically
+    on the batch changelog and inside foreachBatch on micro-batches
+    (observe() metrics in with_progress_metrics carry the same counts for
+    the monitoring side-channel).
+
+    ``now`` is a Column so replays are deterministic (pin a literal) and
+    streaming callers can pass the batch's processing time."""
+    lag_s = F.unix_timestamp(now) - F.unix_timestamp(F.col(ts_col))
+    late = changelog.filter(lag_s > max_latency_s)
+    return (
+        late.groupBy(
+            F.col(table_col).alias("tbl"),
+            F.date_trunc("day", F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.max(lag_s).alias("max_lag_s"),
+        )
+        .select(
+            F.lit("binlog_max_latency").alias("alert"),
+            F.lit("warn").alias("severity"),
+            "tbl",
+            "bucket",
+            "n_late",
+            "max_lag_s",
+        )
+    )
+
+
 class FlushPolicy:
     """T3: dump-when-big.  Tracks the live key count across micro-batches
     (driver-side, O(1) memory) and snapshots the compacted state to the

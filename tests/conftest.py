@@ -49,7 +49,17 @@ def _normalize(v):
         # collapse float noise below the driver's hash granularity
         return round(v, 9)
     if hasattr(v, "isoformat"):  # datetime/date
+        # arrow hands back tz-aware datetimes for Spark's TIMESTAMP (tz=UTC)
+        # where DuckDB's TIMESTAMP is naive; session tz is pinned UTC, so
+        # normalize to the naive UTC wall-clock before comparing
+        tzinfo = getattr(v, "tzinfo", None)
+        if tzinfo is not None:
+            import datetime as _dt
+
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
+    if isinstance(v, dict):  # struct / map cells from arrow to_pylist
+        return tuple(sorted((k, _normalize(x)) for k, x in v.items()))
     if isinstance(v, (list, tuple)):
         return tuple(_normalize(x) for x in v)
     if isinstance(v, bytes):
@@ -65,17 +75,56 @@ def rows_to_multiset(columns, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+def _canon_arrow_type(t):
+    """Canonical form for cross-engine arrow type equality.
+
+    Only cosmetic encoding differences are collapsed (large_string vs
+    string, list vs large_list, timestamp unit, naive-vs-UTC timestamps —
+    the session timezone is pinned to UTC so they name the same instant).
+    int64-vs-decimal128(38,0) (DuckDB HUGEINT) and float64-vs-decimal are
+    REAL mismatches and stay distinct — that asymmetry is precisely the
+    driver's round-1 failure class (VERDICT.md "What's wrong #1/#2")."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # unit/tz collapse; session tz pinned UTC
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return ("list", _canon_arrow_type(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((t.field(i).name, _canon_arrow_type(t.field(i).type)) for i in range(t.num_fields)))
+    if pa.types.is_map(t):
+        return ("map", _canon_arrow_type(t.key_type), _canon_arrow_type(t.item_type))
+    return str(t)
+
+
 def compare_with_oracle(spark_df, duck_con, oracle: str):
-    """Returns (ok, message) comparing a Spark result against DuckDB."""
-    s_cols = [c.lower() for c in spark_df.columns]
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    """Returns (ok, message) comparing a Spark result against DuckDB.
+
+    Mirrors the driver's type-SENSITIVE value hash: both sides are pulled
+    as Arrow tables and the per-column arrow types must agree (so DuckDB
+    HUGEINT=decimal128(38,0) vs Spark bigint=int64 fails here exactly as
+    it fails the driver), then values are compared as an order-insensitive
+    multiset with float noise collapsed below hash granularity."""
+    s_tbl = spark_df.toArrow()
     rel = duck_con.sql(oracle)
-    d_cols = [c.lower() for c in rel.columns]
-    d_rows = rel.fetchall()
+    d_tbl = rel.arrow()
+    s_cols = [c.lower() for c in s_tbl.column_names]
+    d_cols = [c.lower() for c in d_tbl.column_names]
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    if s_tbl.num_rows != d_tbl.num_rows:
+        return False, f"row count mismatch: spark={s_tbl.num_rows} duck={d_tbl.num_rows}"
+    s_types = {c: _canon_arrow_type(f.type) for c, f in zip(s_cols, s_tbl.schema)}
+    d_types = {c: _canon_arrow_type(f.type) for c, f in zip(d_cols, d_tbl.schema)}
+    type_diffs = {c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types[c]}
+    if type_diffs:
+        return False, f"arrow type mismatch (spark vs duck): {type_diffs}"
+    s_rows = [tuple(r[c] for c in s_tbl.column_names) for r in s_tbl.to_pylist()]
+    d_rows = [tuple(r[c] for c in d_tbl.column_names) for r in d_tbl.to_pylist()]
     sm = rows_to_multiset(s_cols, s_rows)
     dm = rows_to_multiset(d_cols, d_rows)
     if sm != dm:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from mysql_cdc_redis_spark.operators.compaction import (
     compact,
     reject_null_keys,
+    rid_expr,
     with_rid,
 )
 
@@ -245,3 +246,39 @@ def test_state_diff_feed_roundtrip(spark):
         for r in df.filter(F.col("cdc_action") != "delete").collect()
     }
     assert live(merged) == live(new)
+
+
+def test_rid_null_divergence_from_reference(spark):
+    """Deliberate divergence, pinned (round-1 VERDICT "minor #3"):
+    the reference's _gen_rid (rcache.py:186-193) stringifies a NULL
+    composite-key component — `'&'.join([str(row[key]) ...])` turns
+    (None, 7) into the literal key 'None&7', silently ALIASING every row
+    whose key component is NULL-at-the-same-position onto one cache slot.
+    SURVEY §7 classifies reference quirks of this kind as bugs; this
+    engine instead NULL-propagates the rid (rid_expr) and routes such
+    rows to the M3 SaveIgnore reject stream (reject_null_keys).
+
+    The test encodes BOTH behaviors so the difference is executable
+    documentation: under reference semantics the two NULL-keyed rows
+    collide on 'None&7'; under ours they are rejected and never aliased."""
+    rows = [
+        (None, 7, "a"),
+        (None, 7, "b"),  # reference: same key 'None&7' as the row above
+        (1, 7, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k1 int, k2 int, v string")
+    pk = ("k1", "k2")
+
+    # reference spelling: str() every component, join on '&'
+    ref_rid = F.concat_ws(
+        "&", *[F.coalesce(F.col(c).cast("string"), F.lit("None")) for c in pk]
+    )
+    ref_keys = [r["rid"] for r in df.select(ref_rid.alias("rid")).collect()]
+    assert ref_keys.count("None&7") == 2  # two distinct rows alias one key
+
+    # this engine: NULL rid -> M3 reject stream; no aliasing possible
+    ours = df.select(rid_expr(pk).alias("rid"))
+    assert ours.filter(F.col("rid").isNull()).count() == 2
+    rejected = reject_null_keys(df, pk)
+    assert rejected.count() == 2
+    assert ours.filter(F.col("rid") == "None&7").count() == 0

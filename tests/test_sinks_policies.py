@@ -142,3 +142,53 @@ def test_flush_policy_disabled_at_zero(spark, sf_dir):
     )
     policy.observe(batch)
     assert not flushes
+
+
+def test_drift_quarantine_split_layout(spark, sf_dir):
+    """K1 drift routing (dump2csv.py:77-81): a table with >1 fingerprint is
+    quarantined WHOLESALE under `<out>/.drifted/` (the reference flips the
+    suffix for every group of an altered table, not just the minority
+    groups); clean tables land under `<out>/`.  The dot-prefixed dir is
+    invisible to a normal Spark scan of the dump root — the analog of
+    loadcsv.py only globbing `*.csv` and skipping `.tmp`."""
+    from mysql_cdc_redis_spark.operators.dump import (
+        QUARANTINE_SUBDIR,
+        dump_to_csv_with_quarantine,
+    )
+
+    clean = spark.range(10).select(
+        F.lit("t_clean").alias("tbl"),
+        F.col("id").cast("string").alias("rid"),
+        F.lit("a,b").alias("fingerprint"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("evt_ts"),
+    )
+    drifted = spark.range(10).select(
+        F.lit("t_drift").alias("tbl"),
+        F.col("id").cast("string").alias("rid"),
+        F.when(F.col("id") % 2 == 0, F.lit("a,b,c")).otherwise(F.lit("a,b")).alias(
+            "fingerprint"
+        ),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("evt_ts"),
+    )
+    out = _tmp("drift_quarantine")
+    dump_to_csv_with_quarantine(
+        clean.unionByName(drifted), out, date_col="evt_ts"
+    )
+    # clean path: only the clean table, date-partitioned
+    main_files = glob.glob(f"{out}/dt=20240301/*.csv")
+    assert main_files, "clean table must land in the main dump path"
+    main_rows = [
+        line for p in main_files for line in open(p).read().splitlines()[1:]
+    ]
+    assert len(main_rows) == 10
+    assert all("t_clean" in r for r in main_rows)
+    # quarantine path: ALL rows of the drifted table (both fingerprints)
+    q_files = glob.glob(f"{out}/{QUARANTINE_SUBDIR}/dt=20240301/*.csv")
+    assert q_files, "drifted table must land under the quarantine path"
+    q_rows = [line for p in q_files for line in open(p).read().splitlines()[1:]]
+    assert len(q_rows) == 10
+    assert all("t_drift" in r for r in q_rows)
+    assert sum("a,b,c" in r for r in q_rows) == 5  # majority group too
+    # a normal scan of the dump root must NOT see the quarantined rows
+    seen = spark.read.option("header", True).csv(out)
+    assert seen.filter(F.col("tbl") == "t_drift").count() == 0
