@@ -108,6 +108,88 @@ def _jaccard(col_common, col_a, col_b):
     return F.round(col_common / (col_a + col_b - col_common), 6)
 
 
+def _verify_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate-driven exact-Jaccard verify shared by the n-gram and
+    MinHash paths: n_common per (a,b) via cand × A-shingles matched
+    against B-shingles on (b, h) — cost ∝ |cand| · shingles/doc, never
+    all-pairs."""
+    a_sh = sh.select(F.col("doc_id").alias("a"), "h")
+    b_sh = sh.select(F.col("doc_id").alias("b"), "h")
+    common = (
+        cand.join(a_sh, "a")
+        .join(b_sh, ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact near-dup pairs by n-gram Jaccard ≥ threshold, with PREFIX
+    FILTERING (the SSJoin/PPJoin principle — Chaudhuri et al. ICDE'06,
+    Xiao et al. WWW'08; standard public set-similarity-join technique):
+
+    sort each doc's shingles in one global order (ascending document
+    frequency, rarest first), keep only the first
+    ``|A| − ceil(t·|A|) + 1`` as the doc's *prefix*; any pair with
+    J ≥ t must share a prefix shingle, so the inverted-index self-join
+    runs over prefixes only.  The frequent shingles that dominate the
+    naive join's Σ df² candidate blow-up sit at the END of the order and
+    never enter the index — candidate generation cost drops from
+    Σ df(h)² over ALL shingles to Σ df_prefix(h)² over rare ones.
+    Survivors get the exact candidate-driven verify, so the OUTPUT is
+    identical to the naive join (the DuckDB oracle for
+    `dedup_ngram_jaccard` computes exactly that naive form).
+
+    When to prefer which: on NATURAL text, frequent shingles (common
+    phrases, boilerplate) make the naive join's Σ df² explode — prefix
+    filtering is the exact-join scale path there.  On corpora whose
+    shingle frequencies are near-uniform (e.g. random/synthetic text,
+    where df ≈ 1-2), the naive join is already near-linear and the two
+    extra shuffles here (df ranking + candidate verify) cost more than
+    they save — `ngram_jaccard_pairs` stays the default for that case,
+    and MinHash-LSH remains the approximate path for either corpus.
+    """
+    # three downstream branches (prefix ranking, sizes, both verify
+    # sides) — cache the shingle relation instead of re-shingling
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    from pyspark.sql.window import Window
+
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = (
+        sh.join(freq, "h")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "h")
+    cand = (
+        prefix.select(F.col("doc_id").alias("a"), "h")
+        .join(prefix.select(F.col("doc_id").alias("b"), "h"), "h")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _verify_jaccard_pairs(cand, sh, sizes, threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -116,9 +198,11 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard ≥ threshold (inverted-index
-    join on hashed shingles)."""
-    # three downstream branches (sizes, both join sides) — cache the
-    # shingle relation instead of re-shingling per branch
+    join on hashed shingles).  Candidate cost is Σ df(h)² over all
+    shingles — near-linear when shingle frequencies are near-uniform;
+    for natural text with heavy-hitter shingles use
+    `ngram_jaccard_pairs_prefix` (exact, prefix-filtered) or MinHash-LSH
+    (approximate)."""
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "h")
@@ -217,23 +301,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(sh, k, with_sizes=True).persist()
     cand = lsh_candidate_pairs(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
     sizes = sig.select("doc_id", "n_sh")
-    # verification restricted to candidates: cand × A-shingles, matched
-    # against B-shingles on (b, h) — cost ∝ |cand| · shingles/doc
-    a_sh = sh.select(F.col("doc_id").alias("a"), "h")
-    b_sh = sh.select(F.col("doc_id").alias("b"), "h")
-    common = (
-        cand.join(a_sh, "a")
-        .join(b_sh, ["b", "h"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
-        .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    return _verify_jaccard_pairs(cand, sh, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, n=3, threshold=_JACCARD_THRESHOLD).orderBy("a", "b")
 
 
+@register(
+    "dedup_ngram_jaccard_prefix",
+    doc="Exact n-gram Jaccard join with SSJoin/PPJoin prefix filtering: "
+    "shingles ranked by global document frequency (rarest first), only "
+    "the |A|-ceil(t|A|)+1 prefix enters the inverted index, candidates "
+    "verified exactly — identical output to dedup_ngram_jaccard but the "
+    "heavy-hitter shingles that drive the naive join's Σ df² cost never "
+    "enter the index; the exact-join scale path for natural text.",
+    tags=("dedup", "prefix-filter", "ext"),
+    oracle=f"""
+WITH {_DOCS_SHINGLES},
+{_PAIR_JACCARD}
+SELECT a, b, jaccard FROM jacc
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+ORDER BY a, b
+""",
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs_prefix(docs, n=3, threshold=_JACCARD_THRESHOLD).orderBy(
+        "a", "b"
+    )
+
+
 def _minhash_oracle() -> str:
     from ..operators.dedup import HASH_A, HASH_B, HASH_P
 

@@ -10035,7 +10035,10 @@ SELECT n_lines, n_orders,
        round(obs_mean, 4) AS observed_mean_brands,
        round(nb.B * (1 - pow(1 - 1 / nb.B, n_lines)), 4)
          AS expected_mean_brands,
-       round(obs_mean - nb.B * (1 - pow(1 - 1 / nb.B, n_lines)), 4)
+       -- + 0.0 collapses IEEE -0.0 to +0.0 (a tiny negative difference
+       -- rounds to -0.0 here but to 0.0 in Spark; the driver's hash is
+       -- bit-sensitive)
+       round(obs_mean - nb.B * (1 - pow(1 - 1 / nb.B, n_lines)), 4) + 0.0
          AS gap
 FROM buckets, nb
 ORDER BY n_lines
@@ -10067,7 +10070,8 @@ def agg_coupon_collector_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             F.round("obs_mean", 4).alias("observed_mean_brands"),
             F.round(expected, 4).alias("expected_mean_brands"),
-            F.round(F.col("obs_mean") - expected, 4).alias("gap"),
+            # + 0.0 collapses IEEE -0.0 to +0.0 (mirrors the oracle)
+            (F.round(F.col("obs_mean") - expected, 4) + F.lit(0.0)).alias("gap"),
         )
         .orderBy("n_lines")
     )

@@ -47,7 +47,13 @@ def _normalize(v):
         if math.isnan(v):
             return "NaN"
         # collapse float noise below the driver's hash granularity
-        return round(v, 9)
+        r = round(v, 9)
+        # ... but stay strict about the ZERO SIGN: Python's -0.0 == 0.0
+        # would hide a bit-level difference a serialization-based hash
+        # (the driver's) can see (round-1 VERDICT "What's wrong #2")
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     if hasattr(v, "isoformat"):  # datetime/date
         # arrow hands back tz-aware datetimes for Spark's TIMESTAMP (tz=UTC)
         # where DuckDB's TIMESTAMP is naive; session tz is pinned UTC, so

@@ -67,3 +67,43 @@ def test_kaplan_meier_survival_is_monotone_nonincreasing(spark, sf_dir):
     surv = [r["survival"] for r in rows]
     assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:])), "S(t) must not increase"
     assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
+    """The SSJoin/PPJoin prefix filter is an exact optimization: the
+    prefix-filtered n-gram Jaccard join must return the IDENTICAL pair
+    set as the unfiltered inverted-index baseline (false negatives would
+    mean the prefix-length bound is wrong).  Includes the degenerate
+    cases: tiny docs (prefix = whole set) and a high threshold."""
+    from mysql_cdc_redis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from mysql_cdc_redis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.2, 0.7):
+        fast = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).collect()}
+        naive = {
+            tuple(r) for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+        assert fast == naive, (
+            f"threshold={t}: prefix filter changed the result "
+            f"(missing={naive - fast}, extra={fast - naive})"
+        )
+    # tiny synthetic corpus incl. identical docs and one-shingle docs
+    tiny = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "a b c x y z"),
+            (4, "q w e"),
+            (5, "q w e"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = {tuple(r) for r in ngram_jaccard_pairs_prefix(tiny, n=3, threshold=0.5).collect()}
+    naive = {
+        tuple(r) for r in ngram_jaccard_pairs(tiny, n=3, threshold=0.5).collect()
+    }
+    assert fast == naive
