@@ -177,9 +177,11 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("pos", F.row_number().over(w_doc))
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
+    # persist: both sides of the candidate self-join read the prefix
+    # relation — without this the df-join + double window run twice
     prefix = ranked.filter(
         F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "h")
+    ).select("doc_id", "h").persist()
     cand = (
         prefix.select(F.col("doc_id").alias("a"), "h")
         .join(prefix.select(F.col("doc_id").alias("b"), "h"), "h")
