@@ -109,14 +109,24 @@ def _jaccard(col_common, col_a, col_b):
 
 
 def _verify_jaccard_pairs(
-    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+    cand: DataFrame,
+    sh: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    sh_b: DataFrame | None = None,
+    sizes_b: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-driven exact-Jaccard verify shared by the n-gram and
     MinHash paths: n_common per (a,b) via cand × A-shingles matched
     against B-shingles on (b, h) — cost ∝ |cand| · shingles/doc, never
-    all-pairs."""
+    all-pairs.  Pass sh_b/sizes_b when the two pair sides come from
+    DIFFERENT relations (incremental new-vs-corpus joins)."""
+    if sh_b is None:
+        sh_b = sh
+    if sizes_b is None:
+        sizes_b = sizes
     a_sh = sh.select(F.col("doc_id").alias("a"), "h")
-    b_sh = sh.select(F.col("doc_id").alias("b"), "h")
+    b_sh = sh_b.select(F.col("doc_id").alias("b"), "h")
     common = (
         cand.join(a_sh, "a")
         .join(b_sh, ["b", "h"])
@@ -125,7 +135,7 @@ def _verify_jaccard_pairs(
     )
     return (
         common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .join(sizes_b.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
         .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -224,6 +234,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_new_vs_corpus(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL dedup: near-dup pairs between a NEW ingest batch and
+    the EXISTING corpus only.  A continuously-fed corpus must not re-pair
+    itself on every ingest — a full `ngram_jaccard_pairs` re-run over
+    corpus ∪ batch costs Σ df² over the WHOLE corpus each time, while
+    this restricted join costs Σ_h df_new(h)·df_corpus(h): proportional
+    to the batch, regardless of corpus size.  (In production the corpus
+    shingle relation is the already-materialized inverted index, bucketed
+    by h so the probe co-locates — see operators/scale.py.)  Within-batch
+    duplicates are the ordinary pairwise op over the small batch.
+
+    Output (a = corpus doc, b = new doc, jaccard ≥ threshold)."""
+    sh_c = shingle_hashes(corpus, n, id_col, text_col).persist()
+    sh_n = shingle_hashes(new_docs, n, id_col, text_col).persist()
+    sizes_c = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes_n = sh_n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh_c.select(F.col("doc_id").alias("a"), "h")
+        .join(sh_n.select(F.col("doc_id").alias("b"), "h"), "h")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes_c.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes_n.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -251,11 +299,11 @@ def minhash_signatures(sh_hashed: DataFrame, k: int = 16, with_sizes: bool = Fal
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
-    """Band the signature (r = k/bands rows per band) and equi-join on the
-    band digest: candidates = pairs agreeing on ≥1 full band."""
+def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, bkey): band digests of a MinHash signature —
+    r = k/bands signature rows hashed per band."""
     r = k // bands
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -273,6 +321,12 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFram
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """Band the signature (r = k/bands rows per band) and equi-join on the
+    band digest: candidates = pairs agreeing on ≥1 full band."""
+    banded = _banded(sig, k, bands)
     left = banded.select(F.col("doc_id").alias("a"), "band", "bkey")
     right = banded.select(F.col("doc_id").alias("b"), "band", "bkey")
     return (
@@ -304,6 +358,47 @@ def minhash_lsh_pairs(
     cand = lsh_candidate_pairs(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
     sizes = sig.select("doc_id", "n_sh")
     return _verify_jaccard_pairs(cand, sh, sizes, threshold)
+
+
+def minhash_lsh_new_vs_corpus(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash-LSH: probe only the NEW batch's band digests
+    against the corpus's band table — the approximate sibling of
+    `ngram_jaccard_new_vs_corpus`.  In production the corpus's
+    signatures/bands are a materialized index maintained at ingest;
+    per-batch cost is then sign(batch) + an equi-join whose probe side
+    is the batch, independent of corpus size.  Output
+    (a = corpus doc, b = new doc, jaccard ≥ threshold), verified
+    exactly on the shingle sets."""
+    sh_c = shingle_hashes(corpus, n, id_col, text_col).persist()
+    sh_n = shingle_hashes(new_docs, n, id_col, text_col).persist()
+    sig_c = minhash_signatures(sh_c, k, with_sizes=True).persist()
+    sig_n = minhash_signatures(sh_n, k, with_sizes=True).persist()
+    mh_cols = [f"mh{i}" for i in range(k)]
+    banded_c = _banded(sig_c.select("doc_id", *mh_cols), k, bands)
+    banded_n = _banded(sig_n.select("doc_id", *mh_cols), k, bands)
+    cand = (
+        banded_c.select(F.col("doc_id").alias("a"), "band", "bkey")
+        .join(banded_n.select(F.col("doc_id").alias("b"), "band", "bkey"), ["band", "bkey"])
+        .select("a", "b")
+        .distinct()
+    )
+    return _verify_jaccard_pairs(
+        cand,
+        sh_c,
+        sig_c.select("doc_id", "n_sh"),
+        threshold,
+        sh_b=sh_n,
+        sizes_b=sig_n.select("doc_id", "n_sh"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,45 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_new_vs_corpus",
+    doc="Incremental ingest dedup: near-dup pairs between a new batch "
+    "(doc_id % 10 = 0 stands in for today's ingest) and the existing "
+    "corpus ONLY — the restricted inverted-index join costs "
+    "Σ df_new·df_corpus per shingle, proportional to the batch, never "
+    "re-pairing the corpus with itself the way a full pairwise re-run "
+    "would on every ingest.",
+    tags=("dedup", "incremental", "ext"),
+    oracle=f"""
+WITH {_DOCS_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM shh x JOIN shh y ON x.h = y.h
+  WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT a, b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+)
+SELECT a, b, jaccard FROM jacc
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+ORDER BY a, b
+""",
+)
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return dd.ngram_jaccard_new_vs_corpus(
+        corpus, new_batch, n=3, threshold=_JACCARD_THRESHOLD
+    ).orderBy("a", "b")
+
+
 def _minhash_oracle() -> str:
     from ..operators.dedup import HASH_A, HASH_B, HASH_P
 
@@ -167,6 +206,40 @@ JOIN sizes sb ON sb.doc_id = b
 WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= {_JACCARD_THRESHOLD}
 ORDER BY a, b
 """
+
+
+def _minhash_incremental_oracle() -> str:
+    """The new-vs-corpus restriction of _minhash_oracle: identical sig /
+    band / verify construction (per-doc computations are unaffected by
+    the corpus/batch split), candidates restricted to corpus×new."""
+    base = _minhash_oracle()
+    pair_cond = "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"
+    assert pair_cond in base  # keep in sync with _minhash_oracle
+    return base.replace(
+        pair_cond,
+        "ON x.band = y.band AND x.bkey = y.bkey "
+        "AND x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0",
+    )
+
+
+@register(
+    "dedup_incremental_minhash_lsh",
+    doc="Incremental MinHash-LSH ingest dedup: only the new batch "
+    "(doc_id % 10 = 0) is signed and its band digests probed against "
+    "the corpus band table — per-batch cost independent of corpus size "
+    "(the corpus index is materialized once at ingest); candidates "
+    "verified exactly on shingle sets.",
+    tags=("dedup", "lsh", "incremental", "ext"),
+    oracle=_minhash_incremental_oracle(),
+)
+def dedup_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return dd.minhash_lsh_new_vs_corpus(
+        corpus, new_batch, n=3, k=_MINHASH_K, bands=_MINHASH_BANDS,
+        threshold=_JACCARD_THRESHOLD,
+    ).orderBy("a", "b")
 
 
 @register(
