@@ -2275,9 +2275,17 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"), F.avg("o_totalprice").alias("avg_price")
     )
     w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
-    rc = daily.select(
-        "day", F.corr("n_orders", "avg_price").over(w).alias("roll_corr")
-    ).filter(F.col("roll_corr").isNotNull())
+    # Pearson spelled as covar/(sx·sy) with try_divide: a 30-row frame of
+    # constant n_orders (zero variance — happens at tiny SF) must yield
+    # NULL like DuckDB's corr(), not the ANSI DIVIDE_BY_ZERO that
+    # F.corr().over(w) raises
+    roll_corr = F.try_divide(
+        F.covar_samp("n_orders", "avg_price").over(w),
+        F.stddev_samp("n_orders").over(w) * F.stddev_samp("avg_price").over(w),
+    )
+    rc = daily.select("day", roll_corr.alias("roll_corr")).filter(
+        F.col("roll_corr").isNotNull()
+    )
     return (
         rc.groupBy(F.year("day").alias("yr"))
         .agg(

@@ -1064,7 +1064,9 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "embedding", "ext"),
     oracle="""
 SELECT label, CAST(i AS BIGINT) AS pos,
-       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_v,
+       -- + 0.0 collapses IEEE -0.0 (tiny negative means round to -0.0 in
+       -- DuckDB but 0.0 in Spark; the driver hash is bit-sensitive)
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid_v,
        count(*) AS n_vecs
 FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
 GROUP BY 1, 2 ORDER BY label, pos
@@ -1076,7 +1078,8 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex.groupBy("label", (F.col("p") + 1).cast("bigint").alias("pos"))
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_v"),
+            # + 0.0 collapses IEEE -0.0 to +0.0 (mirrors the oracle)
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias("centroid_v"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
         .orderBy("label", "pos")

@@ -8728,27 +8728,32 @@ def agg_meta_analysis_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("c_nationkey").alias("nat"))
         .agg(
             (F.avg(in_b) - F.avg(in_m)).alias("eff"),
+            # try_divide: a zero-count segment (possible at tiny SF) must
+            # yield NULL like DuckDB's x/0, not the ANSI DIVIDE_BY_ZERO
             (
-                F.var_samp(in_b) / F.count(in_b)
-                + F.var_samp(in_m) / F.count(in_m)
+                F.try_divide(F.var_samp(in_b), F.count(in_b))
+                + F.try_divide(F.var_samp(in_m), F.count(in_m))
             ).alias("se2"),
             F.count(in_b).alias("nb"),
             F.count(in_m).alias("nm"),
         )
         .filter((F.col("nb") >= 2) & (F.col("nm") >= 2))
     )
+    inv_se2 = F.try_divide(F.lit(1.0), F.col("se2"))
     pool = study.agg(
         F.count(F.lit(1)).alias("k"),
-        (F.sum(F.col("eff") / F.col("se2")) / F.sum(1 / F.col("se2"))).alias(
-            "pooled"
-        ),
-        F.sqrt(1 / F.sum(1 / F.col("se2"))).alias("pooled_se"),
+        F.try_divide(
+            F.sum(F.try_divide(F.col("eff"), F.col("se2"))), F.sum(inv_se2)
+        ).alias("pooled"),
+        F.sqrt(F.try_divide(F.lit(1.0), F.sum(inv_se2))).alias("pooled_se"),
     )
     q = (
         study.crossJoin(F.broadcast(pool.select("pooled")))
         .agg(
             F.sum(
-                F.pow(F.col("eff") - F.col("pooled"), F.lit(2)) / F.col("se2")
+                F.try_divide(
+                    F.pow(F.col("eff") - F.col("pooled"), F.lit(2)), F.col("se2")
+                )
             ).alias("q_stat")
         )
     )
@@ -8762,7 +8767,7 @@ def agg_meta_analysis_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(
                 F.greatest(
                     F.lit(0.0),
-                    (F.col("q_stat") - (F.col("k") - 1)) / F.col("q_stat"),
+                    F.try_divide(F.col("q_stat") - (F.col("k") - 1), F.col("q_stat")),
                 ),
                 6,
             ).alias("i_squared"),

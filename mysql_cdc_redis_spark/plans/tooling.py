@@ -54,19 +54,17 @@ def schema_infer_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "path_table_derivation",
     doc="P6: derive 'db.table' from the scanned file's basename "
-    "(loadcsv.py:83-89) via input_file_name + regexp; oracle uses "
-    "DuckDB read_parquet(filename=true).  Paths are pinned to the "
-    "driver's sf0.01 fixture dir on the oracle side.",
+    "(loadcsv.py:83-89) via input_file_name + regexp on the Spark side; "
+    "the oracle states the expected derivation over the registered views "
+    "(SF-agnostic — the fixture layout guarantees <table>.parquet names).",
     tags=("scalar", "ref:P6"),
     oracle="""
-SELECT tbl, count(*) AS n_rows FROM (
-  SELECT 'tpch.' || regexp_extract(filename, '([^/]+)[.]parquet$', 1) AS tbl
-  FROM read_parquet('/root/testdata/sf0.01/orders.parquet', filename=true)
+SELECT tbl, n_rows FROM (
+  SELECT 'tpch.orders' AS tbl, count(*) AS n_rows FROM orders
   UNION ALL
-  SELECT 'tpch.' || regexp_extract(filename, '([^/]+)[.]parquet$', 1) AS tbl
-  FROM read_parquet('/root/testdata/sf0.01/nation.parquet', filename=true)
+  SELECT 'tpch.nation', count(*) FROM nation
 )
-GROUP BY tbl ORDER BY tbl
+ORDER BY tbl
 """,
 )
 def path_table_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
