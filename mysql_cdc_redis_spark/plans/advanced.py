@@ -1770,10 +1770,15 @@ def join_right_outer_never_sold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "events", "feat", "ext"),
     oracle="""
 WITH v AS (
+  -- floor(epoch) = whole seconds: Spark's ts.cast(long) truncates to
+  -- seconds, while bare epoch(ts) carries fractional microseconds and
+  -- admits a different event set at sub-second frame boundaries
   SELECT event_type,
-         count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+         count(*) OVER (PARTITION BY user_id
+                        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS v1h,
-         count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+         count(*) OVER (PARTITION BY user_id
+                        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS v24h
   FROM events
 )

@@ -3621,10 +3621,18 @@ def join_range_bucketed_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.explode(F.array(cell(F.col("p_ts")) - 1, cell(F.col("p_ts"))))
     )
     e2 = errors.withColumn("cell", cell(F.col("e_ts")))
+    # residual band filter at FULL timestamp precision: events carry
+    # microseconds, and a floor-second gap test admits pairs where e_ts
+    # exceeds p_ts (or trails it by >300s) at sub-second offsets — the
+    # oracle's exact `e.ts BETWEEN p.ts - 5min AND p.ts` rejects those.
+    # gap_s stays the whole-second boundary count (= date_diff('second')).
     gap = F.unix_timestamp("p_ts") - F.unix_timestamp("e_ts")
+    in_band = (F.col("e_ts") <= F.col("p_ts")) & (
+        F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 300 SECONDS")
+    )
     return (
         p2.join(e2, "cell")
-        .filter((gap >= 0) & (gap <= band))
+        .filter(in_band)
         .select("purchase_id", "error_id", gap.cast("long").alias("gap_s"))
         .orderBy("purchase_id", "error_id")
     )
@@ -4305,10 +4313,15 @@ nb AS (
   FROM s
 )
 SELECT o_custkey, o_orderkey,
-       round(CASE WHEN v IS NOT NULL THEN v
+       -- floor(x*1e4+0.5)/1e4 instead of round(): Spark rounds doubles
+       -- through exact BigDecimal while DuckDB rounds in floating point,
+       -- and interpolated values can land exactly on the .00005 cliff —
+       -- spelling the rounding as identical IEEE ops on both sides makes
+       -- the boundary deterministic
+       floor(CASE WHEN v IS NOT NULL THEN v
                   WHEN pv IS NOT NULL AND nv IS NOT NULL
                     THEN pv + (nv - pv) * (i - pi) / (ni - pi)
-             END, 4) AS v_filled,
+             END * 10000 + 0.5) / 10000 AS v_filled,
        (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
 FROM nb ORDER BY o_custkey, o_orderkey
 """,
@@ -4344,11 +4357,16 @@ def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
-                F.when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
-            ),
-            4,
+        # floor(x*1e4+0.5)/1e4 mirrors the oracle exactly (see SQL note)
+        (
+            F.floor(
+                F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                    F.when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+                )
+                * 10000
+                + 0.5
+            )
+            / 10000
         ).alias("v_filled"),
         (
             F.col("v").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()

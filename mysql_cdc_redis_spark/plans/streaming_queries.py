@@ -28,7 +28,7 @@ from ..sources.changelog import (
     orders_changelog,
 )
 from ..streaming import run_compaction_stream
-from ..streaming.changelog_files import stage_changelog_files
+from ..streaming.changelog_files import stage_changelog_files, stage_event_files
 from .catalog import register
 from .cdc import _FOLD_LAMBDA, _oracle_compact_sql
 
@@ -81,7 +81,7 @@ ORDER BY window_start, event_type
 def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("evstream_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     emissions_dir = _tmp("evstream_emit")
 
     stream = (
@@ -142,9 +142,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("dedupstream_src")
     # duplicate the stream on purpose: two copies of every event
-    events.unionByName(events).orderBy("ts").coalesce(2).write.mode("overwrite").parquet(
-        source_dir
-    )
+    stage_event_files(events.unionByName(events), source_dir, n_chunks=2)
     emissions_dir = _tmp("dedupstream_emit")
 
     stream = (
@@ -194,7 +192,7 @@ ORDER BY window_start
 def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("slidestream_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     emissions_dir = _tmp("slidestream_emit")
 
     stream = (
@@ -281,7 +279,7 @@ def stream_static_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     source_dir = _tmp("enrichstream_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     emissions_dir = _tmp("enrichstream_emit")
 
     stream = (
@@ -354,7 +352,7 @@ ORDER BY 1
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("ssj_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     emissions_dir = _tmp("ssj_emit")
 
     def _side(etype: str, prefix: str):
@@ -457,9 +455,7 @@ def stream_session_event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel rides in the final data batch: the watermark only advances
     # AFTER a batch completes, so same-batch real events are never late;
     # the trailing no-data micro-batch then closes every real session.
-    events.unionByName(sentinel).orderBy("ts").coalesce(2).write.mode(
-        "overwrite"
-    ).parquet(source_dir)
+    stage_event_files(events.unionByName(sentinel), source_dir, n_chunks=2)
     emissions_dir = _tmp("sessstream_emit")
 
     stream = (
@@ -527,10 +523,14 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("wmdedup_src")
     # redelivery simulation: the whole stream arrives twice, interleaved
-    # at file granularity — every duplicate lands within the delay window
-    events.unionByName(events).orderBy("ts").coalesce(4).write.mode(
-        "overwrite"
-    ).parquet(source_dir)
+    # at file granularity — every duplicate lands within the delay window.
+    # repartitionByRange (NOT orderBy+coalesce): the file source replays
+    # part files in path order, and coalesce merges arbitrary partition
+    # groups, so a later-listed file could hold earlier events that the
+    # advanced watermark would drop as late; range partitioning makes
+    # path order = time order, and identical-ts duplicates can never
+    # straddle a range boundary
+    stage_event_files(events.unionByName(events), source_dir, n_chunks=4)
     emissions_dir = _tmp("wmdedup_emit")
 
     stream = (
@@ -594,7 +594,7 @@ ORDER BY v.user_id
 def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("sslo_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     # two sentinel files dated after every real event: file 1 advances the
     # max event time, file 2 runs under the advanced watermark so evicted
     # unmatched views actually emit before the availableNow query stops.
@@ -701,7 +701,7 @@ ORDER BY event_type
 def stream_global_counts_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("cmpl_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     table = f"cmpl_{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.schema(events.schema)
@@ -873,7 +873,7 @@ def stream_topk_event_types_hourly(spark: SparkSession, sf_dir: str) -> DataFram
 
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("topk_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     emissions_dir = _tmp("topk_emit")
 
     stream = (
@@ -1021,7 +1021,7 @@ ORDER BY a.user_id
 def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("sssemi_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     emissions_dir = _tmp("sssemi_emit")
 
     def _side(etype: str, prefix: str):
@@ -1111,7 +1111,7 @@ FROM scored ORDER BY window_start
 def stream_distribution_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     source_dir = _tmp("driftmon_src")
-    events.orderBy("ts").coalesce(2).write.mode("overwrite").parquet(source_dir)
+    stage_event_files(events, source_dir, n_chunks=2)
     emissions_dir = _tmp("driftmon_emit")
 
     stream = (
