@@ -347,3 +347,116 @@ def audio_zero_crossing(
             yield pd.DataFrame(out)
 
     return with_payload.select(id_col, "payload").mapInPandas(_zcr, schema=ZCR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL container format: RIFF/WAVE (8-bit PCM) — writer is pure JVM
+# expressions, decoder is an actual chunk-walking RIFF parser (needs only
+# struct-level byte math, no media libraries), so this pair upgrades the
+# multimodal story from "deterministic stub" to "real decode" for one
+# genuine on-disk format.  Python's stdlib `wave` module reads the
+# writer's output (pinned in tests/test_multimodal_wav.py).
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+WAV_DECODE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bits_per_sample int, "
+    "n_samples bigint, sum_sq_dev bigint"
+)
+
+
+def _u32le(x):
+    """Little-endian u32 as binary, from JVM expressions: hex -> pad to 8
+    nibbles -> byte-swap -> unhex."""
+    h = F.lpad(F.hex(x.cast("bigint")), 8, "0")
+    swapped = F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2), F.substring(h, 3, 2), F.substring(h, 1, 2)
+    )
+    return F.to_binary(swapped, F.lit("hex"))
+
+
+def _u16le(x):
+    h = F.lpad(F.hex(x.cast("bigint")), 4, "0")
+    return F.to_binary(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)), F.lit("hex"))
+
+
+def build_wav_pcm8(
+    docs: DataFrame, text_col: str = "text", sample_rate: int = WAV_SAMPLE_RATE
+) -> DataFrame:
+    """Writer half, entirely JVM-side: a spec-compliant RIFF/WAVE file per
+    document — 44-byte canonical header (PCM format chunk) + the utf-8
+    text bytes as unsigned 8-bit samples.  Every little-endian field is
+    built with hex/lpad/substring byte swaps; no Python in the loop."""
+    data = F.encode(F.col(text_col), "UTF-8")
+    dsz = F.octet_length(data)
+    lit = lambda s: F.encode(F.lit(s), "UTF-8")  # noqa: E731
+    wav = F.concat(
+        lit("RIFF"), _u32le(dsz + 36), lit("WAVE"),
+        lit("fmt "), _u32le(F.lit(16)),
+        _u16le(F.lit(1)),                 # audio_format = 1 (PCM)
+        _u16le(F.lit(1)),                 # channels
+        _u32le(F.lit(sample_rate)),
+        _u32le(F.lit(sample_rate)),       # byte_rate = rate * 1ch * 1B
+        _u16le(F.lit(1)),                 # block_align
+        _u16le(F.lit(8)),                 # bits_per_sample
+        lit("data"), _u32le(dsz), data,
+    )
+    return docs.withColumn("wav", wav)
+
+
+def decode_wav(with_wav: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reader half, a REAL RIFF parser (not a stub): validates the RIFF/
+    WAVE magics, walks the chunk list (honoring the odd-size pad byte the
+    spec requires), pulls format fields out of `fmt ` and the sample
+    bytes out of `data`, and computes integer sample statistics —
+    byte-exact so the DuckDB oracle verifies the whole Python path.
+    Unknown chunks are skipped exactly as a spec-conforming reader must
+    (that is what makes this a parser rather than an offset table)."""
+    import struct
+
+    def _parse_one(b: bytes):
+        if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        riff_size = struct.unpack("<I", b[4:8])[0]
+        end = min(len(b), 8 + riff_size)
+        fmt = None
+        data = None
+        off = 12
+        while off + 8 <= end:
+            cid = b[off : off + 4]
+            csz = struct.unpack("<I", b[off + 4 : off + 8])[0]
+            body = b[off + 8 : off + 8 + csz]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            off += 8 + csz + (csz & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
+        if audio_format != 1 or bits != 8:
+            return None
+        dev_sq = sum((s - 128) * (s - 128) for s in data)
+        return rate, n_ch, bits, len(data), dev_sq
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "bits_per_sample": [], "n_samples": [], "sum_sq_dev": [],
+            }
+            for did, blob in zip(pdf[id_col], pdf["wav"]):
+                parsed = _parse_one(bytes(blob))
+                if parsed is None:
+                    continue
+                rate, n_ch, bits, n_samples, dev_sq = parsed
+                out["doc_id"].append(did)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["bits_per_sample"].append(bits)
+                out["n_samples"].append(n_samples)
+                out["sum_sq_dev"].append(dev_sq)
+            yield pd.DataFrame(out)
+
+    return with_wav.select(id_col, "wav").mapInPandas(_decode, schema=WAV_DECODE_SCHEMA)
