@@ -460,3 +460,107 @@ def decode_wav(with_wav: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_wav.select(id_col, "wav").mapInPandas(_decode, schema=WAV_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL container format #2: BMP (24-bit uncompressed, BITMAPINFOHEADER).
+# Writer is pure JVM expressions; decoder is an actual header parser that
+# honors the pixel-array OFFSET field (proven by a crafted file with a
+# gap between header and pixels in tests/test_multimodal_wav.py).  Width
+# is fixed at 16 px so the 48-byte row stride is already 4-byte aligned
+# and the JVM writer needs no per-row padding.
+# ---------------------------------------------------------------------------
+
+BMP_WIDTH = 16
+_BMP_ROW_BYTES = BMP_WIDTH * 3  # 48, already a multiple of 4
+
+BMP_DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, bits_per_pixel int, "
+    "n_pixels bigint, sum_b bigint, sum_g bigint, sum_r bigint"
+)
+
+
+def _i32le(x):
+    return _u32le(x)  # fixture dims are always positive
+
+
+def build_bmp24(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Writer half, entirely JVM-side: a spec-compliant 24-bit BMP per
+    document — 14-byte file header + 40-byte BITMAPINFOHEADER + the
+    first height·48 utf-8 text bytes as the (bottom-up, BGR) pixel
+    array.  height = ⌊bytes/48⌋; documents shorter than one row yield
+    height 0 and a pixel-less (still valid) file."""
+    data = F.encode(F.col(text_col), "UTF-8")
+    height = (F.octet_length(data) / _BMP_ROW_BYTES).cast("int")
+    px_bytes = height * _BMP_ROW_BYTES
+    pixels = F.expr(f"substring(encode({text_col}, 'UTF-8'), 1, "
+                    f"int(octet_length(encode({text_col}, 'UTF-8')) / {_BMP_ROW_BYTES}) * {_BMP_ROW_BYTES})")
+    lit = lambda s: F.encode(F.lit(s), "UTF-8")  # noqa: E731
+    bmp = F.concat(
+        lit("BM"), _u32le(px_bytes + 54),  # file size
+        _u16le(F.lit(0)), _u16le(F.lit(0)),  # reserved
+        _u32le(F.lit(54)),                   # pixel-array offset
+        _u32le(F.lit(40)),                   # BITMAPINFOHEADER size
+        _i32le(F.lit(BMP_WIDTH)), _i32le(height),
+        _u16le(F.lit(1)),                    # planes
+        _u16le(F.lit(24)),                   # bits per pixel
+        _u32le(F.lit(0)),                    # BI_RGB (uncompressed)
+        _u32le(px_bytes),                    # image size
+        _i32le(F.lit(2835)), _i32le(F.lit(2835)),  # 72 dpi
+        _u32le(F.lit(0)), _u32le(F.lit(0)),  # palette colors
+        pixels,
+    )
+    return docs.withColumn("bmp", bmp)
+
+
+def decode_bmp(with_bmp: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reader half, a REAL BMP parser: validates the 'BM' magic, reads the
+    pixel-array offset from the FILE header (not assumed 54 — files with
+    palettes or v4/v5 headers put pixels elsewhere), dimensions/bpp/
+    compression from the info header, rejects non-BI_RGB or non-24bpp,
+    and reduces the pixel array to per-channel integer sums with
+    vectorized numpy — byte-exact for the DuckDB oracle."""
+    import struct
+
+    import numpy as np
+
+    def _parse_one(b: bytes):
+        if len(b) < 54 or b[0:2] != b"BM":
+            return None
+        px_off = struct.unpack("<I", b[10:14])[0]
+        hdr_sz, width, height = struct.unpack("<Iii", b[14:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        compression = struct.unpack("<I", b[30:34])[0]
+        if hdr_sz < 40 or planes != 1 or bpp != 24 or compression != 0:
+            return None
+        row = (width * 3 + 3) // 4 * 4
+        n = abs(height) * row
+        px = np.frombuffer(b[px_off : px_off + n], dtype=np.uint8)
+        if px.size != n:
+            return None
+        px = px.reshape(abs(height), row)[:, : width * 3].reshape(-1, 3)
+        sums = px.astype(np.int64).sum(axis=0) if px.size else np.zeros(3, np.int64)
+        return width, abs(height), bpp, px.shape[0], int(sums[0]), int(sums[1]), int(sums[2])
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "bits_per_pixel": [],
+                "n_pixels": [], "sum_b": [], "sum_g": [], "sum_r": [],
+            }
+            for did, blob in zip(pdf[id_col], pdf["bmp"]):
+                parsed = _parse_one(bytes(blob))
+                if parsed is None:
+                    continue
+                w, h, bpp, n_px, sb, sg, sr = parsed
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bits_per_pixel"].append(bpp)
+                out["n_pixels"].append(n_px)
+                out["sum_b"].append(sb)
+                out["sum_g"].append(sg)
+                out["sum_r"].append(sr)
+            yield pd.DataFrame(out)
+
+    return with_bmp.select(id_col, "bmp").mapInPandas(_decode, schema=BMP_DECODE_SCHEMA)

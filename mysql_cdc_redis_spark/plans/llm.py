@@ -3758,3 +3758,41 @@ FROM documents ORDER BY doc_id
 def mm_wav_pcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return mm.decode_wav(mm.build_wav_pcm8(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_bmp_decode",
+    doc="REAL image container decode (no stub): each document's text "
+    "bytes become the pixel array of a spec-compliant 24-bit BMP "
+    "(BITMAPINFOHEADER, bottom-up BGR rows, width 16 so the 48-byte "
+    "stride needs no padding) built from JVM expressions; a real BMP "
+    "parser — honoring the pixel-array offset field rather than "
+    "assuming 54 (pinned by a crafted gap-file test) — recovers "
+    "dimensions and per-channel integer sums in one mapInPandas "
+    "crossing.  Oracle recomputes the channel sums from the text with "
+    "ascii()+range unnesting (byte i of each BGR triple: B at i%3=1, "
+    "G at i%3=2, R at i%3=0).",
+    tags=("multimodal", "image", "bmp", "pandas-udf", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, (len(text) // 48) AS h FROM documents
+), px AS (
+  SELECT doc_id, i, ascii(substr(text, i, 1)) AS v
+  FROM d, LATERAL unnest(range(1, h * 48 + 1)) t(i)
+)
+SELECT d.doc_id,
+       16 AS width,
+       CAST(d.h AS INT) AS height,
+       24 AS bits_per_pixel,
+       CAST(d.h * 16 AS BIGINT) AS n_pixels,
+       CAST(coalesce(sum(CASE WHEN px.i % 3 = 1 THEN px.v END), 0) AS BIGINT) AS sum_b,
+       CAST(coalesce(sum(CASE WHEN px.i % 3 = 2 THEN px.v END), 0) AS BIGINT) AS sum_g,
+       CAST(coalesce(sum(CASE WHEN px.i % 3 = 0 THEN px.v END), 0) AS BIGINT) AS sum_r
+FROM d LEFT JOIN px USING (doc_id)
+GROUP BY d.doc_id, d.h
+ORDER BY d.doc_id
+""",
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return mm.decode_bmp(mm.build_bmp24(docs)).orderBy("doc_id")

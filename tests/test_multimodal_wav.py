@@ -53,3 +53,39 @@ def test_parser_rejects_malformed(spark):
     bad = [(1, b"RIFX" + b"\x00" * 40), (2, b"RIFF\x04\x00\x00\x00WAVE")]
     df = spark.createDataFrame(bad, "doc_id long, wav binary")
     assert mm.decode_wav(df).count() == 0
+
+
+def test_bmp_parser_honors_pixel_offset(spark):
+    """A BMP whose pixel array does NOT start at byte 54 (palette/v5
+    headers put it elsewhere): the parser must follow the offset field;
+    an offset-54 assumption reads the gap bytes as pixels."""
+    import numpy as np  # noqa: F401
+
+    width, height = 16, 1
+    pixels = bytes(range(48))
+    gap = b"\xff" * 10  # junk between headers and pixels
+    px_off = 54 + len(gap)
+    hdr = b"BM" + struct.pack("<IHHI", px_off + len(pixels), 0, 0, px_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    blob = hdr + info + gap + pixels
+    df = spark.createDataFrame([(1, blob)], "doc_id long, bmp binary")
+    out = mm.decode_bmp(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"], r["n_pixels"]) == (16, 1, 16)
+    assert r["sum_b"] == sum(range(0, 48, 3))
+    assert r["sum_g"] == sum(range(1, 48, 3))
+    assert r["sum_r"] == sum(range(2, 48, 3))
+
+
+def test_bmp_parser_rejects_unsupported(spark):
+    # 8-bpp and RLE-compressed files must be rejected, not mis-decoded
+    def mk(bpp, compression):
+        hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 16, 1, 1, bpp, compression, 0, 0, 0, 0, 0)
+        return hdr + info + b"\x00" * 48
+
+    df = spark.createDataFrame(
+        [(1, mk(8, 0)), (2, mk(24, 1))], "doc_id long, bmp binary"
+    )
+    assert mm.decode_bmp(df).count() == 0
