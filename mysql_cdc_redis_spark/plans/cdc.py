@@ -2139,3 +2139,94 @@ def cdc_latency_alert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = orders_changelog(spark, sf_dir)
     now = F.lit("1998-08-02 00:00:00").cast("timestamp")
     return latency_alert_feed(ch, now, max_latency_s=63_072_000).orderBy("bucket")
+
+
+@register(
+    "cdc_parse_debezium_robust",
+    doc="S1 production path, hardened: a synthesized Kafka feed mixing "
+    "valid Debezium envelopes with the three message classes a real "
+    "consumer must survive — Kafka tombstones (NULL value after a "
+    "delete on log-compacted topics), heartbeat envelopes (payload "
+    "without op), and corrupt JSON (dead-lettered, never a job "
+    "failure).  classify_debezium dispositions every message with JVM "
+    "expressions; the census plus an event-seq checksum prove exactly "
+    "the right messages survive to the parser.",
+    tags=("cdc", "debezium", "robust", "ref:S1"),
+    oracle="""
+SELECT * FROM (
+  SELECT 'corrupt' AS disposition, count(*) AS n,
+         CAST(NULL AS BIGINT) AS event_seq_checksum
+  FROM orders WHERE o_orderkey % 10 = 9
+  UNION ALL
+  SELECT 'event', count(*), CAST(sum(o_orderkey) AS BIGINT)
+  FROM orders WHERE o_orderkey % 10 NOT IN (7, 8, 9)
+  UNION ALL
+  SELECT 'heartbeat', count(*), NULL
+  FROM orders WHERE o_orderkey % 10 = 8
+  UNION ALL
+  SELECT 'kafka_tombstone', count(*), NULL
+  FROM orders WHERE o_orderkey % 10 = 7
+) ORDER BY disposition
+""",
+)
+def cdc_parse_debezium_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    from ..sources.debezium import classify_debezium
+
+    orders = load_table(spark, sf_dir, "orders")
+    row = F.struct(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    op = F.element_at(
+        F.array(F.lit("c"), F.lit("u"), F.lit("d"), F.lit("r")),
+        (F.col("o_orderkey") % 4).cast("int") + 1,
+    )
+    valid = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op == "d", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+                op.alias("op"),
+                (F.unix_timestamp("o_orderdate") * 1000).alias("ts_ms"),
+                F.struct(
+                    F.lit("tpch").alias("db"),
+                    F.lit("orders").alias("table"),
+                    F.col("o_orderkey").alias("pos"),
+                ).alias("source"),
+            ).alias("payload")
+        )
+    )
+    heartbeat = F.to_json(
+        F.struct(
+            F.struct((F.unix_timestamp("o_orderdate") * 1000).alias("ts_ms")).alias(
+                "payload"
+            )
+        )
+    )
+    klass = F.col("o_orderkey") % 10
+    value = (
+        F.when(klass == 7, F.lit(None).cast("string"))  # kafka tombstone
+        .when(klass == 8, heartbeat)
+        .when(klass == 9, F.concat(F.lit("{broken"), F.col("o_orderkey").cast("string")))
+        .otherwise(valid)
+    )
+    raw = orders.select(value.alias("value"))
+    row_schema = (
+        StructType()
+        .add("o_orderkey", "long")
+        .add("o_custkey", "long")
+        .add("o_totalprice", "double")
+    )
+    classified = classify_debezium(raw, row_schema)
+    return (
+        classified.groupBy("disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.when(
+                F.max(F.col("disposition") == "event"),
+                F.sum(F.col("envelope.payload.source.pos")),
+            ).alias("event_seq_checksum"),
+        )
+        .orderBy("disposition")
+    )

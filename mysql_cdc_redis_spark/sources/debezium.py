@@ -32,6 +32,54 @@ def action_from_op(op: Column) -> Column:
     return expr.when(op == "d", F.lit("delete")).otherwise(F.lit(None))
 
 
+def _envelope_schema(row_schema: StructType) -> StructType:
+    payload = (
+        StructType()
+        .add("before", row_schema)
+        .add("after", row_schema)
+        .add("op", "string")
+        .add("ts_ms", "long")
+        .add(
+            "source",
+            StructType().add("db", "string").add("table", "string").add("pos", "long"),
+        )
+    )
+    return StructType().add("payload", payload)
+
+
+def classify_debezium(
+    raw: DataFrame,
+    row_schema: StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """Production hardening around parse_debezium — the message classes a
+    real Kafka consumer of a Debezium topic must handle without poisoning
+    the stream:
+
+    * ``kafka_tombstone`` — a NULL message value.  Debezium publishes one
+      after each delete so log-compacted topics drop the key; it carries
+      no row data and must be skipped (the delete itself was the
+      preceding message).
+    * ``heartbeat`` — an envelope whose payload has no ``op`` (Debezium
+      heartbeat/transaction-metadata messages): liveness signals, not row
+      events.
+    * ``corrupt`` — unparseable JSON; ``from_json`` yields NULL.  Routed
+      to a dead-letter disposition instead of failing the job (the batch
+      analog is cdc_dead_letter_routing).
+    * ``event`` — a well-formed row envelope for parse_debezium.
+
+    Returns the input with ``disposition`` plus the parsed envelope
+    struct (NULL except for events/heartbeats); all JVM expressions."""
+    parsed = F.from_json(F.col(value_col), _envelope_schema(row_schema))
+    disposition = (
+        F.when(F.col(value_col).isNull(), F.lit("kafka_tombstone"))
+        .when(parsed.isNull() | parsed["payload"].isNull(), F.lit("corrupt"))
+        .when(parsed["payload"]["op"].isNull(), F.lit("heartbeat"))
+        .otherwise(F.lit("event"))
+    )
+    return raw.withColumn("envelope", parsed).withColumn("disposition", disposition)
+
+
 def parse_debezium(
     raw: DataFrame,
     row_schema: StructType,
