@@ -3796,3 +3796,45 @@ ORDER BY d.doc_id
 def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return mm.decode_bmp(mm.build_bmp24(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_avi_decode",
+    doc="REAL video container decode (no stub), completing the WAV/BMP/"
+    "AVI triad: each document's text bytes are cut into 48-byte "
+    "uncompressed 4x4x24bpp DIB frames and muxed into a spec-shaped "
+    "AVI — nested RIFF LIST tree (hdrl{avih, strl{strh,strf}}, "
+    "movi{00db...}) built entirely from JVM expressions, per-frame "
+    "chunk headers interleaved by an aggregate fold over a binary "
+    "array.  A recursive RIFF parser recovers dimensions/fps/frame "
+    "count and computes integer shot-cut statistics (|Δ frame-sum| > "
+    "384 = mean-luma jump > 8).  Oracle recomputes frame sums and cuts "
+    "from the text with a lag window.",
+    tags=("multimodal", "video", "avi", "pandas-udf", "ext"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, (len(text) // 48) AS nf FROM documents
+), fs AS (
+  SELECT doc_id, i,
+         list_aggregate(list_transform(range(1, 49),
+                        j -> CAST(ascii(substr(text, i * 48 + j, 1)) AS BIGINT)),
+                        'sum') AS s
+  FROM d, LATERAL unnest(range(0, nf)) t(i)
+), cu AS (
+  SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps FROM fs
+)
+SELECT d.doc_id,
+       4 AS width, 4 AS height, 40000 AS us_per_frame,
+       CAST(d.nf AS INT) AS n_frames_declared,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(coalesce(sum(cu.s), 0) AS BIGINT) AS luma_sum,
+       CAST(coalesce(sum(CASE WHEN cu.ps IS NOT NULL AND abs(cu.s - cu.ps) > 384
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts
+FROM d LEFT JOIN cu USING (doc_id)
+GROUP BY d.doc_id, d.nf
+ORDER BY d.doc_id
+""",
+)
+def mm_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return mm.decode_avi(mm.build_avi_dib(docs)).orderBy("doc_id")

@@ -89,3 +89,43 @@ def test_bmp_parser_rejects_unsupported(spark):
         [(1, mk(8, 0)), (2, mk(24, 1))], "doc_id long, bmp binary"
     )
     assert mm.decode_bmp(df).count() == 0
+
+
+def test_avi_parser_handles_junk_chunks_and_00dc(spark):
+    """Real muxers emit JUNK padding chunks and compressed '00dc' frame
+    fourccs; the parser must skip the former and accept the latter."""
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack("<10I", 40000, 0, 0, 0, 2, 0, 1, 48, 4, 4) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    f1, f2 = bytes([10] * 48), bytes([200] * 48)
+    movi = chunk(
+        b"LIST",
+        b"movi"
+        + chunk(b"JUNK", b"\xee" * 7)   # odd-size padding chunk, must skip
+        + chunk(b"00db", f1)
+        + chunk(b"00dc", f2),           # compressed fourcc, must accept
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"\x00" * 16)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(1, blob)], "doc_id long, avi binary")
+    out = mm.decode_avi(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"], r["n_frames_declared"], r["n_frames"]) == (4, 4, 2, 2)
+    assert r["luma_sum"] == 10 * 48 + 200 * 48
+    assert r["n_cuts"] == 1  # |480 - 9600| > 384
+
+
+def test_avi_writer_roundtrips_through_parser(spark):
+    from mysql_cdc_redis_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    out = mm.decode_avi(mm.build_avi_dib(docs)).collect()
+    rows = {r["doc_id"]: r for r in out}
+    src = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    for did, r in rows.items():
+        n = len(src[did]) // 48
+        assert r["n_frames"] == r["n_frames_declared"] == n
+        assert r["luma_sum"] == sum(src[did][: n * 48])
