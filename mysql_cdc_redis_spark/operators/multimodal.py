@@ -735,3 +735,94 @@ def decode_avi(with_avi: DataFrame, cut_threshold_sum: int = 384, id_col: str = 
             yield pd.DataFrame(out)
 
     return with_avi.select(id_col, "avi").mapInPandas(_decode, schema=AVI_DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_width int, src_height int, out_width int, out_height int, "
+    "out_n_pixels bigint, out_sum_b bigint, out_sum_g bigint, out_sum_r bigint, "
+    "out_is_valid_bmp boolean"
+)
+
+
+def resize_bmp_nearest(
+    with_bmp: DataFrame, factor: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL pixel resize (upgrades resize_metadata's planning stub):
+    decode the BMP, nearest-neighbor downsample by ``factor`` (numpy
+    stride slicing ``px[::f, ::f]`` — rows/cols at indices 0, f, 2f…),
+    re-encode a VALID smaller BMP, and re-decode it through the same
+    parser as a self-check.  All three steps share one Arrow crossing.
+    Output: source/target dims, target per-channel sums (byte-exact for
+    the DuckDB oracle) and the re-decode validity flag."""
+    import struct
+
+    import numpy as np
+
+    def _px_array(b: bytes):
+        if len(b) < 54 or b[0:2] != b"BM":
+            return None
+        px_off = struct.unpack("<I", b[10:14])[0]
+        hdr_sz, width, height = struct.unpack("<Iii", b[14:26])
+        planes, bpp = struct.unpack("<HH", b[26:30])
+        compression = struct.unpack("<I", b[30:34])[0]
+        if hdr_sz < 40 or planes != 1 or bpp != 24 or compression != 0:
+            return None
+        row = (width * 3 + 3) // 4 * 4
+        n = abs(height) * row
+        px = np.frombuffer(b[px_off : px_off + n], dtype=np.uint8)
+        if px.size != n:
+            return None
+        return width, abs(height), px.reshape(abs(height), row)[:, : width * 3].reshape(
+            abs(height), width, 3
+        )
+
+    def _encode_bmp(px: "np.ndarray") -> bytes:
+        h, w, _ = px.shape
+        row = (w * 3 + 3) // 4 * 4
+        rows = np.zeros((h, row), dtype=np.uint8)
+        rows[:, : w * 3] = px.reshape(h, w * 3)
+        data = rows.tobytes()
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        return hdr + info + data
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "src_width": [], "src_height": [], "out_width": [],
+                "out_height": [], "out_n_pixels": [], "out_sum_b": [],
+                "out_sum_g": [], "out_sum_r": [], "out_is_valid_bmp": [],
+            }
+            for did, blob in zip(pdf[id_col], pdf["bmp"]):
+                parsed = _px_array(bytes(blob))
+                if parsed is None:
+                    continue
+                w, h, px = parsed
+                small = px[::factor, ::factor]
+                oh, ow = small.shape[0], small.shape[1]
+                rebuilt = _encode_bmp(small)
+                reparsed = _px_array(rebuilt)
+                valid = (
+                    reparsed is not None
+                    and reparsed[0] == ow
+                    and reparsed[1] == oh
+                    and np.array_equal(reparsed[2], small)
+                )
+                sums = (
+                    small.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    if small.size
+                    else np.zeros(3, np.int64)
+                )
+                out["doc_id"].append(did)
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["out_n_pixels"].append(oh * ow)
+                out["out_sum_b"].append(int(sums[0]))
+                out["out_sum_g"].append(int(sums[1]))
+                out["out_sum_r"].append(int(sums[2]))
+                out["out_is_valid_bmp"].append(bool(valid))
+            yield pd.DataFrame(out)
+
+    return with_bmp.select(id_col, "bmp").mapInPandas(_resize, schema=RESIZE_SCHEMA)

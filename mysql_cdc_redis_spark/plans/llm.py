@@ -3838,3 +3838,41 @@ ORDER BY d.doc_id
 def mm_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return mm.decode_avi(mm.build_avi_dib(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_bmp_resize_roundtrip",
+    doc="REAL pixel resize (not a planning stub): decode each 16px BMP, "
+    "nearest-neighbor downsample 2x with numpy stride slicing "
+    "(px[::2, ::2]), re-encode a VALID 8px BMP and re-decode it as a "
+    "self-check — decode, resample and encode share one Arrow "
+    "crossing.  The oracle recomputes the sampled pixels' per-channel "
+    "sums straight from the text bytes (pixel (2r, 2c) channel k = "
+    "byte r*96 + c*6 + k), so the whole pixel path is hash-verified.",
+    tags=("multimodal", "image", "resize", "pandas-udf", "ext"),
+    oracle="""
+WITH d AS (SELECT doc_id, text, (len(text) // 48) AS h FROM documents),
+sel AS (
+  SELECT doc_id, k,
+         ascii(substr(text, r * 96 + c * 6 + k + 1, 1)) AS v
+  FROM d,
+       LATERAL unnest(range(0, (h + 1) // 2)) tr(r),
+       LATERAL unnest(range(0, 8)) tc(c),
+       LATERAL unnest(range(0, 3)) tk(k)
+)
+SELECT d.doc_id,
+       16 AS src_width, CAST(d.h AS INT) AS src_height,
+       8 AS out_width, CAST((d.h + 1) // 2 AS INT) AS out_height,
+       CAST(((d.h + 1) // 2) * 8 AS BIGINT) AS out_n_pixels,
+       CAST(coalesce(sum(CASE WHEN k = 0 THEN v END), 0) AS BIGINT) AS out_sum_b,
+       CAST(coalesce(sum(CASE WHEN k = 1 THEN v END), 0) AS BIGINT) AS out_sum_g,
+       CAST(coalesce(sum(CASE WHEN k = 2 THEN v END), 0) AS BIGINT) AS out_sum_r,
+       TRUE AS out_is_valid_bmp
+FROM d LEFT JOIN sel USING (doc_id)
+GROUP BY d.doc_id, d.h
+ORDER BY d.doc_id
+""",
+)
+def mm_bmp_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return mm.resize_bmp_nearest(mm.build_bmp24(docs)).orderBy("doc_id")
