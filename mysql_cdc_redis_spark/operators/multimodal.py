@@ -826,3 +826,91 @@ def resize_bmp_nearest(
             yield pd.DataFrame(out)
 
     return with_bmp.select(id_col, "bmp").mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id bigint, src_frames bigint, kept_frames bigint, "
+    "kept_luma_sum bigint, out_declared int, out_is_valid_avi boolean"
+)
+
+
+def sample_avi_frames(
+    with_avi: DataFrame, every_nth: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL frame sampling (upgrades sample_frames' metadata-only plan):
+    demux the AVI, keep frames 0, n, 2n…, re-mux a VALID smaller AVI
+    (headers rebuilt with the new frame count) and re-demux it as a
+    self-check — one Arrow crossing for the whole demux→sample→mux
+    path.  Output is integer-exact for the DuckDB oracle."""
+    import struct
+
+    def _demux(b: bytes):
+        if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+            return None
+        end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+        avih = None
+        frames = []
+
+        def walk(off, stop):
+            while off + 8 <= stop:
+                cid = b[off : off + 4]
+                csz = struct.unpack("<I", b[off + 4 : off + 8])[0]
+                yield cid, off + 8, csz
+                off += 8 + csz + (csz & 1)
+
+        for cid, boff, bsz in walk(12, end):
+            if cid != b"LIST":
+                continue
+            form = b[boff : boff + 4]
+            if form == b"hdrl":
+                for cid2, boff2, bsz2 in walk(boff + 4, boff + bsz):
+                    if cid2 == b"avih" and bsz2 >= 40:
+                        avih = struct.unpack("<10I", b[boff2 : boff2 + 40])
+            elif form == b"movi":
+                for cid2, boff2, bsz2 in walk(boff + 4, boff + bsz):
+                    if cid2 in (b"00db", b"00dc"):
+                        frames.append(b[boff2 : boff2 + bsz2])
+        return (avih, frames) if avih is not None else None
+
+    def _mux(avih, frames) -> bytes:
+        def chunk(cid, body):
+            return cid + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        hdr = list(avih)
+        hdr[4] = len(frames)  # dwTotalFrames
+        avih_b = struct.pack("<10I", *hdr) + b"\x00" * 16
+        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih_b))
+        movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", f) for f in frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "src_frames": [], "kept_frames": [],
+                "kept_luma_sum": [], "out_declared": [], "out_is_valid_avi": [],
+            }
+            for did, blob in zip(pdf[id_col], pdf["avi"]):
+                parsed = _demux(bytes(blob))
+                if parsed is None:
+                    continue
+                avih, frames = parsed
+                kept = frames[::every_nth]
+                rebuilt = _mux(avih, kept)
+                reparsed = _demux(rebuilt)
+                valid = (
+                    reparsed is not None
+                    and reparsed[0][4] == len(kept)
+                    and reparsed[1] == kept
+                )
+                out["doc_id"].append(did)
+                out["src_frames"].append(len(frames))
+                out["kept_frames"].append(len(kept))
+                out["kept_luma_sum"].append(sum(sum(f) for f in kept))
+                out["out_declared"].append(reparsed[0][4] if reparsed else -1)
+                out["out_is_valid_avi"].append(bool(valid))
+            yield pd.DataFrame(out)
+
+    return with_avi.select(id_col, "avi").mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)

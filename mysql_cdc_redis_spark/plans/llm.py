@@ -3876,3 +3876,37 @@ ORDER BY d.doc_id
 def mm_bmp_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return mm.resize_bmp_nearest(mm.build_bmp24(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_avi_frame_sample",
+    doc="REAL frame sampling (not a metadata plan): demux each AVI, keep "
+    "every 2nd frame, re-mux a VALID smaller AVI with rebuilt headers "
+    "(dwTotalFrames updated) and re-demux it as a self-check — the "
+    "demux→sample→mux path shares one Arrow crossing.  The oracle "
+    "recomputes the kept frames' byte sums from the text (frames at "
+    "even indices = bytes [2i*48, 2i*48+48)).",
+    tags=("multimodal", "video", "frame-sample", "pandas-udf", "ext"),
+    oracle="""
+WITH d AS (SELECT doc_id, text, (len(text) // 48) AS nf FROM documents),
+kept AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(range(1, 49),
+                        j -> CAST(ascii(substr(text, i * 96 + j, 1)) AS BIGINT)),
+                        'sum') AS s
+  FROM d, LATERAL unnest(range(0, (nf + 1) // 2)) t(i)
+)
+SELECT d.doc_id,
+       CAST(d.nf AS BIGINT) AS src_frames,
+       CAST((d.nf + 1) // 2 AS BIGINT) AS kept_frames,
+       CAST(coalesce(sum(kept.s), 0) AS BIGINT) AS kept_luma_sum,
+       CAST((d.nf + 1) // 2 AS INT) AS out_declared,
+       TRUE AS out_is_valid_avi
+FROM d LEFT JOIN kept USING (doc_id)
+GROUP BY d.doc_id, d.nf
+ORDER BY d.doc_id
+""",
+)
+def mm_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return mm.sample_avi_frames(mm.build_avi_dib(docs)).orderBy("doc_id")
