@@ -31,6 +31,16 @@ def write_bucketed(
     )
 
 
+def salt_from_hash(h: F.Column, n_salts: int) -> F.Column:
+    """Map a 32-bit hash column to a salt in [0, n_salts).
+
+    Must be pmod: ``abs(h) % n`` overflows on Integer.MIN_VALUE —
+    ANSI-mode job abort (Spark 4 default) or a negative salt that
+    silently drops the row non-ANSI.  Pinned by
+    tests/test_scale_strategies.py::test_salt_survives_min_value_hash."""
+    return F.pmod(h, F.lit(n_salts))
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -45,8 +55,14 @@ def salted_join(
 
     Salt is derived from a hash of the full left row (deterministic for
     a deterministic input, unlike rand()) so retried tasks produce the
-    same assignment — exactly-once sinks stay correct."""
-    salt = (F.abs(F.hash(*left.columns)) % n_salts).alias("_salt")
+    same assignment — exactly-once sinks stay correct.
+
+    pmod (not abs(hash) % n) because hash() is a 32-bit int: on the
+    value Integer.MIN_VALUE, abs() overflows — an ARITHMETIC_OVERFLOW
+    abort under ANSI mode (Spark 4 default), or a negative salt that
+    silently drops the row non-ANSI (the right side only carries salts
+    0..n-1).  ~2^-32 per row is certain at 100 TB row counts."""
+    salt = salt_from_hash(F.hash(*left.columns), n_salts).alias("_salt")
     salted_left = left.withColumn("_salt", salt)
     exploded_right = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -819,6 +819,21 @@ def test_bruteforce_topk_prunes_before_shuffle(spark, sf_dir):
     )
 
 
+def test_knn_eval_broadcasts_bounded_queries(spark, sf_dir):
+    """Round-2 verdict fix: sim_knn_label_eval's query side is a
+    fixed-size sample (<=64 probes), so the query x train scoring must
+    plan as a BroadcastNestedLoopJoin over ONE pass of the training
+    vectors — never a shuffled CartesianProduct whose cost grows
+    quadratically with the corpus."""
+    plan = _plan(_QUERIES["sim_knn_label_eval"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, (
+        "knn eval regressed to a cartesian:\n" + plan
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "bounded query side must broadcast:\n" + plan
+    )
+
+
 def test_no_collect_in_plan_builders():
     """Every plans/ query builder must stay a distributed recipe: a
     .collect() in a builder is a driver-side loop in disguise (round-1

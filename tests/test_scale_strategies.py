@@ -10,7 +10,11 @@ import re
 
 from pyspark.sql import functions as F
 
-from mysql_cdc_redis_spark.operators.scale import salted_join, write_bucketed
+from mysql_cdc_redis_spark.operators.scale import (
+    salt_from_hash,
+    salted_join,
+    write_bucketed,
+)
 from mysql_cdc_redis_spark.sources import load_table
 
 
@@ -62,3 +66,33 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = sorted(tuple(str(r[c]) for c in cols) for r in plain.collect())
     b = sorted(tuple(str(r[c]) for c in cols) for r in salted.collect())
     assert a == b
+
+
+def test_salt_survives_min_value_hash(spark):
+    """Round-2 verdict fix: F.hash is a 32-bit murmur3, so ~1 row in
+    2^32 hashes to Integer.MIN_VALUE, where abs() overflows — an
+    ARITHMETIC_OVERFLOW abort under ANSI mode (Spark 4 default), or a
+    silent row drop non-ANSI (negative salt has no right-side match).
+    An input hashing to exactly MIN_VALUE is infeasible to construct,
+    so the pin drives the extracted salt derivation with the literal."""
+    min_int = -2147483648
+    df = spark.range(1).select(
+        salt_from_hash(F.lit(min_int), 8).alias("s_edge"),
+        *[salt_from_hash(F.lit(v), 8).alias(f"s_{i}") for i, v in enumerate([-1, 0, 7, -9])],
+    )
+    row = df.collect()[0]
+    for name in df.columns:
+        assert 0 <= row[name] < 8, f"{name}={row[name]} out of [0,8)"
+
+
+def test_salted_join_retains_negative_hash_rows(spark):
+    """End-to-end guard: rows whose full-row hash is negative (about
+    half of all rows) must appear in the salted join output."""
+    left = spark.range(0, 200).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    neg = left.filter(F.hash("k", "v") < 0)
+    n_neg = neg.count()
+    assert n_neg > 0, "fixture should contain negative-hash rows"
+    right = spark.range(0, 200).select(F.col("id").alias("k"), F.lit("r").alias("tag"))
+    out = salted_join(left, right, "k", n_salts=8)
+    assert out.count() == 200
+    assert out.join(neg.select("k"), "k", "left_semi").count() == n_neg
