@@ -427,7 +427,10 @@ def decode_wav(with_wav: DataFrame, id_col: str = "doc_id") -> DataFrame:
             cid = b[off : off + 4]
             csz = struct.unpack("<I", b[off + 4 : off + 8])[0]
             body = b[off + 8 : off + 8 + csz]
-            if cid == b"fmt ":
+            # declared sizes are untrusted: a truncated 'fmt ' chunk
+            # (declared 16, fewer present) must reject the ROW, not
+            # raise struct.error and abort the whole job
+            if cid == b"fmt " and len(body) >= 16:
                 fmt = struct.unpack("<HHIIHH", body[:16])
             elif cid == b"data":
                 data = body
@@ -639,23 +642,35 @@ def build_avi_dib(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _u32le(F.lit(0)), _u32le(F.lit(0)),
     )
     # LIST sizes: body = 4 (form) + chunks
-    strl = F.concat(lit("LIST"), _u32le(F.lit(4 + 8 + 56 + 8 + 40)), lit("strl"), strh, strf)
-    hdrl_body_sz = 4 + (8 + 56) + (12 + 56 + 48)  # avih + LIST strl
+    strl_body_sz = 4 + (8 + 56) + (8 + 40)  # 'strl' + strh chunk + strf chunk
+    strl = F.concat(lit("LIST"), _u32le(F.lit(strl_body_sz)), lit("strl"), strh, strf)
+    # hdrl body = 'hdrl' + avih chunk (8+56) + the WHOLE strl chunk
+    # including its own 8-byte LIST header (8 + strl_body_sz) — counting
+    # only the strl body under-declared every file by 8 bytes
+    hdrl_body_sz = 4 + (8 + 56) + (8 + strl_body_sz)
     hdrl = F.concat(lit("LIST"), _u32le(F.lit(hdrl_body_sz)), lit("hdrl"), avih, strl)
 
     # --- movi: per-frame '00db' chunks via transform + fold ---
-    frames_concat = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), n_frames - 1),
-            lambda i: F.concat(
-                lit("00db"),
-                _u32le(F.lit(AVI_FRAME_BYTES)),
-                F.substring(data, F.lit(1) + i * AVI_FRAME_BYTES, F.lit(AVI_FRAME_BYTES)),
+    # sequence(0, n-1) with n == 0 is sequence(0, -1) = [0, -1]
+    # (descending!), which would fold two bogus chunks past the declared
+    # RIFF/movi sizes for docs under one frame (48 bytes) — guard to an
+    # empty binary so zero-frame files end exactly at their declared size.
+    empty_bin = F.to_binary(F.lit(""), F.lit("hex"))
+    frames_concat = F.when(
+        n_frames > 0,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda i: F.concat(
+                    lit("00db"),
+                    _u32le(F.lit(AVI_FRAME_BYTES)),
+                    F.substring(data, F.lit(1) + i * AVI_FRAME_BYTES, F.lit(AVI_FRAME_BYTES)),
+                ),
             ),
+            empty_bin,
+            lambda acc, x: F.concat(acc, x),
         ),
-        F.to_binary(F.lit(""), F.lit("hex")),
-        lambda acc, x: F.concat(acc, x),
-    )
+    ).otherwise(empty_bin)
     movi_sz = 4 + n_frames * (8 + AVI_FRAME_BYTES)
     movi = F.concat(lit("LIST"), _u32le(movi_sz), lit("movi"), frames_concat)
 
@@ -697,7 +712,9 @@ def decode_avi(with_avi: DataFrame, cut_threshold_sum: int = 384, id_col: str = 
             form = b[boff : boff + 4]
             if form == b"hdrl":
                 for cid2, boff2, bsz2 in _walk(b, boff + 4, boff + bsz):
-                    if cid2 == b"avih" and bsz2 >= 40:
+                    # check PRESENT bytes, not the declared bsz2 — a
+                    # truncated avih must reject the row, not struct.error
+                    if cid2 == b"avih" and len(b[boff2 : boff2 + 40]) == 40:
                         avih = struct.unpack("<10I", b[boff2 : boff2 + 40])
             elif form == b"movi":
                 for cid2, boff2, bsz2 in _walk(b, boff + 4, boff + bsz):
@@ -834,6 +851,73 @@ FRAME_SAMPLE_SCHEMA = (
 )
 
 
+def demux_avi(b: bytes):
+    """Parse an AVI blob into (avih 10-tuple, [frame bytes]); None when
+    malformed.  Truncated avih chunks reject the blob (present-bytes
+    check, not the declared size) rather than raising struct.error."""
+    import struct
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+    avih = None
+    frames = []
+
+    def walk(off, stop):
+        while off + 8 <= stop:
+            cid = b[off : off + 4]
+            csz = struct.unpack("<I", b[off + 4 : off + 8])[0]
+            yield cid, off + 8, csz
+            off += 8 + csz + (csz & 1)
+
+    for cid, boff, bsz in walk(12, end):
+        if cid != b"LIST":
+            continue
+        form = b[boff : boff + 4]
+        if form == b"hdrl":
+            for cid2, boff2, bsz2 in walk(boff + 4, boff + bsz):
+                if cid2 == b"avih" and len(b[boff2 : boff2 + 40]) == 40:
+                    avih = struct.unpack("<10I", b[boff2 : boff2 + 40])
+        elif form == b"movi":
+            for cid2, boff2, bsz2 in walk(boff + 4, boff + bsz):
+                if cid2 in (b"00db", b"00dc"):
+                    frames.append(b[boff2 : boff2 + bsz2])
+    return (avih, frames) if avih is not None else None
+
+
+def remux_avi(avih, frames) -> bytes:
+    """Rebuild a spec-valid AVI from an avih 10-tuple and frame list.
+
+    avih declares dwStreams=1, so the rebuilt hdrl must carry the
+    matching LIST('strl'){strh,strf} — strh/strf are constants for the
+    4x4x24bpp DIB stream except strh.dwLength, which is the NEW frame
+    count (mirrors build_avi_dib's writer tree)."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    hdr = list(avih)
+    hdr[4] = len(frames)  # dwTotalFrames
+    avih_b = struct.pack("<10I", *hdr) + b"\x00" * 16
+    strh_b = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIII", 0, 0, 0, 0, 1, 25, 0, len(frames))
+        + struct.pack("<III", AVI_FRAME_BYTES, 0, 0)
+        + struct.pack("<4H", 0, 0, AVI_FRAME_W, AVI_FRAME_H)
+    )
+    strf_b = struct.pack(
+        "<IiiHHIIiiII", 40, AVI_FRAME_W, AVI_FRAME_H, 1, 24, 0,
+        AVI_FRAME_BYTES, 2835, 2835, 0, 0,
+    )
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh_b) + chunk(b"strf", strf_b))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih_b) + strl)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def sample_avi_frames(
     with_avi: DataFrame, every_nth: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -842,49 +926,7 @@ def sample_avi_frames(
     (headers rebuilt with the new frame count) and re-demux it as a
     self-check — one Arrow crossing for the whole demux→sample→mux
     path.  Output is integer-exact for the DuckDB oracle."""
-    import struct
-
-    def _demux(b: bytes):
-        if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
-            return None
-        end = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
-        avih = None
-        frames = []
-
-        def walk(off, stop):
-            while off + 8 <= stop:
-                cid = b[off : off + 4]
-                csz = struct.unpack("<I", b[off + 4 : off + 8])[0]
-                yield cid, off + 8, csz
-                off += 8 + csz + (csz & 1)
-
-        for cid, boff, bsz in walk(12, end):
-            if cid != b"LIST":
-                continue
-            form = b[boff : boff + 4]
-            if form == b"hdrl":
-                for cid2, boff2, bsz2 in walk(boff + 4, boff + bsz):
-                    if cid2 == b"avih" and bsz2 >= 40:
-                        avih = struct.unpack("<10I", b[boff2 : boff2 + 40])
-            elif form == b"movi":
-                for cid2, boff2, bsz2 in walk(boff + 4, boff + bsz):
-                    if cid2 in (b"00db", b"00dc"):
-                        frames.append(b[boff2 : boff2 + bsz2])
-        return (avih, frames) if avih is not None else None
-
-    def _mux(avih, frames) -> bytes:
-        def chunk(cid, body):
-            return cid + struct.pack("<I", len(body)) + body + (
-                b"\x00" if len(body) & 1 else b""
-            )
-
-        hdr = list(avih)
-        hdr[4] = len(frames)  # dwTotalFrames
-        avih_b = struct.pack("<10I", *hdr) + b"\x00" * 16
-        hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih_b))
-        movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", f) for f in frames))
-        body = b"AVI " + hdrl + movi
-        return b"RIFF" + struct.pack("<I", len(body)) + body
+    _demux, _mux = demux_avi, remux_avi
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

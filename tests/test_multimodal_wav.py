@@ -118,10 +118,8 @@ def test_avi_parser_handles_junk_chunks_and_00dc(spark):
     assert r["n_cuts"] == 1  # |480 - 9600| > 384
 
 
-def test_avi_writer_roundtrips_through_parser(spark):
-    from mysql_cdc_redis_spark.sources import load_table
-
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(10)
+def test_avi_writer_roundtrips_through_parser(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
     out = mm.decode_avi(mm.build_avi_dib(docs)).collect()
     rows = {r["doc_id"]: r for r in out}
     src = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
@@ -129,3 +127,94 @@ def test_avi_writer_roundtrips_through_parser(spark):
         n = len(src[did]) // 48
         assert r["n_frames"] == r["n_frames_declared"] == n
         assert r["luma_sum"] == sum(src[did][: n * 48])
+
+
+def test_avi_writer_zero_frame_doc_ends_at_declared_size(spark):
+    """A document under one frame (48 bytes) must yield a zero-frame AVI
+    that ends EXACTLY at its declared RIFF size — the unguarded
+    sequence(0, -1) fold used to append two bogus '00db' chunks of
+    trailing garbage past the declared file end."""
+    docs = spark.createDataFrame(
+        [(1, "x" * 47), (2, ""), (3, "y" * 48)], "doc_id long, text string"
+    )
+    built = {r["doc_id"]: bytes(r["avi"]) for r in mm.build_avi_dib(docs).collect()}
+    for did, blob in built.items():
+        declared_end = 8 + struct.unpack("<I", blob[4:8])[0]
+        assert len(blob) == declared_end, (
+            f"doc {did}: {len(blob) - declared_end} bytes past declared RIFF end"
+        )
+    df = mm.build_avi_dib(docs)
+    out = {r["doc_id"]: r for r in mm.decode_avi(df).collect()}
+    assert out[1]["n_frames"] == out[1]["n_frames_declared"] == 0
+    assert out[2]["n_frames"] == 0
+    assert out[3]["n_frames"] == 1
+
+
+def test_wav_parser_skips_truncated_fmt_chunk(spark):
+    """A 'fmt ' chunk declaring 16 bytes with fewer present must reject
+    the ROW (dead-letter philosophy), not raise struct.error inside
+    mapInPandas and abort the job."""
+    truncated = b"RIFF" + struct.pack("<I", 4 + 8 + 6) + b"WAVE" + (
+        b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00\x40\x1f"  # 6 of 16 bytes
+    )
+    good = _wav_bytes(b"ok")
+    df = spark.createDataFrame(
+        [(1, truncated), (2, good)], "doc_id long, wav binary"
+    )
+    out = mm.decode_wav(df).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_avi_parser_skips_truncated_avih(spark):
+    """An avih chunk declaring 56 bytes but truncated by the blob end
+    must reject the row, not struct.error."""
+    avih_partial = b"avih" + struct.pack("<I", 56) + b"\x00" * 10  # 10 of 56
+    body = b"AVI " + (
+        b"LIST" + struct.pack("<I", 4 + len(avih_partial)) + b"hdrl" + avih_partial
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body) + 100) + body  # declared > present
+    df = spark.createDataFrame([(1, blob)], "doc_id long, avi binary")
+    assert mm.decode_avi(df).count() == 0
+    assert mm.sample_avi_frames(df).count() == 0
+
+
+def test_sampled_avi_remux_is_spec_valid(spark):
+    """The re-muxed AVI must carry LIST('strl'){strh,strf} matching the
+    avih's dwStreams=1 declaration — a spec-conforming reader walks the
+    stream list, so dropping it makes the 'valid smaller AVI' invalid."""
+    docs = spark.createDataFrame([(1, "z" * 48 * 5)], "doc_id long, text string")
+    avi = mm.build_avi_dib(docs)
+    out = mm.sample_avi_frames(avi, every_nth=2).collect()[0]
+    assert out["kept_frames"] == 3 and out["out_is_valid_avi"]
+
+    def walk(b, off, stop):
+        while off + 8 <= stop:
+            cid = b[off : off + 4]
+            csz = struct.unpack("<I", b[off + 4 : off + 8])[0]
+            yield cid, off + 8, csz
+            off += 8 + csz + (csz & 1)
+
+    def strl_frames_declared(b):
+        """Return strh.dwLength from LIST('hdrl')/LIST('strl')/strh."""
+        end = 8 + struct.unpack("<I", b[4:8])[0]
+        for cid, boff, bsz in walk(b, 12, end):
+            if cid == b"LIST" and b[boff : boff + 4] == b"hdrl":
+                for cid2, boff2, bsz2 in walk(b, boff + 4, boff + bsz):
+                    if cid2 == b"LIST" and b[boff2 : boff2 + 4] == b"strl":
+                        for cid3, boff3, bsz3 in walk(b, boff2 + 4, boff2 + bsz2):
+                            if cid3 == b"strh" and bsz3 == 56:
+                                assert b[boff3 : boff3 + 4] == b"vids"
+                                return struct.unpack("<I", b[boff3 + 32 : boff3 + 36])[0]
+        return None
+
+    blob = bytes(avi.collect()[0]["avi"])
+    assert strl_frames_declared(blob) == 5  # writer half carries strl
+    avih, frames = mm.demux_avi(blob)
+    rebuilt = mm.remux_avi(avih, frames[::2])
+    # the remuxed file re-demuxes identically AND its stream list exists
+    # with the new frame count — the prior _mux dropped strl entirely
+    r_avih, r_frames = mm.demux_avi(rebuilt)
+    assert r_avih[4] == 3 and r_frames == frames[::2]
+    assert strl_frames_declared(rebuilt) == 3
+    # declared sizes are exact: file ends at the declared RIFF boundary
+    assert len(rebuilt) == 8 + struct.unpack("<I", rebuilt[4:8])[0]
