@@ -375,6 +375,57 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_merge_4x",
+    doc="The reference's true operating shape at bench scale: the BIG "
+    "(lineitem) changelog split into 4 seq-ordered batches and ingested "
+    "batch-at-a-time through merge_state (state := merge(state, batch)) "
+    "— the continuous form of rcache.py:224-259, where the cache is "
+    "folded forward on every flush rather than rebuilt.  The oracle is "
+    "one-shot compaction of the full changelog, so every differential "
+    "run IS the incremental==batch equivalence proof at that scale "
+    "factor.  Splitting stays collect-free: quantile cuts ride a "
+    "broadcast 1-row aggregate; each merge is one shuffle over "
+    "|state| + |batch|.",
+    tags=("cdc", "incremental", "ref:M1", "ref:M2"),
+    bench=True,
+    oracle=_oracle_compact_sql(LINEITEM_CHANGELOG_SQL, LINEITEM_PK, LINEITEM_PAYLOAD),
+)
+def cdc_incremental_merge_4x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import merge_state
+
+    n_batches = 4
+    ch = lineitem_changelog(spark, sf_dir)
+    fracs = F.array(*[F.lit(i / n_batches) for i in range(1, n_batches)])
+    cuts = F.broadcast(
+        ch.select(F.percentile_approx("seq", fracs, F.lit(10000)).alias("_cuts"))
+    )
+    ch2 = ch.crossJoin(cuts).withColumn(
+        "_b",
+        F.aggregate(
+            F.transform(F.col("_cuts"), lambda c: (F.col("seq") > c).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # the 4 batch branches all scan the split changelog: cache it so the
+    # md5-keyed event synthesis runs once, not once per branch — the
+    # entry times the merge cascade, not 4x fixture synthesis (a real
+    # ingest reads a materialized changelog anyway)
+    ch2 = ch2.cache()
+    state = compact(
+        ch2.filter(F.col("_b") == 0).drop("_cuts", "_b"), LINEITEM_PK, LINEITEM_PAYLOAD
+    )
+    for i in range(1, n_batches):
+        state = merge_state(
+            state,
+            ch2.filter(F.col("_b") == i).drop("_cuts", "_b"),
+            LINEITEM_PK,
+            LINEITEM_PAYLOAD,
+        )
+    return state
+
+
+@register(
     "cdc_parse_debezium",
     doc="S1 production path: Debezium JSON envelopes (synthesized from "
     "orders) parsed JVM-side (from_json) into the changelog schema — "
