@@ -128,6 +128,29 @@ def main() -> None:
     ).save()
     pure_rate = round(n_staged / (time.perf_counter() - t0))
 
+    # sf1 sweep (round-2 verdict #3): when a local sf1 fixture set exists
+    # (tools/gen_sf1.py writes .localdata/sf1), run ONE pass of the
+    # headliners there so the recorded bench carries decade-up evidence.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1"),
+    )
+    sf1_section = None
+    if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        spark.catalog.clearCache()
+        sf1_timings: dict[str, float] = {}
+        for name, q in headline.items():
+            t0 = time.perf_counter()
+            q.fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+        m1 = re.search(r"sf([0-9.]+)", sf1_dir)
+        sf1_section = {
+            "sf": float(m1.group(1).rstrip(".")) if m1 else -1.0,
+            "n_runs": 1,
+            "total_wall": round(sum(sf1_timings.values()), 3),
+            "queries": sf1_timings,
+        }
+
     print(
         json.dumps(
             {
@@ -142,6 +165,7 @@ def main() -> None:
                 "compaction_events": n_events,
                 "compaction_events_per_sec": events_per_sec,
                 "compaction_pure_events_per_sec": pure_rate,
+                **({"sf1": sf1_section} if sf1_section else {}),
             }
         )
     )
