@@ -1166,13 +1166,24 @@ def window_range_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     "one aggregate pass, no self-join.",
     tags=("agg", "argmax", "ext"),
     oracle="""
+-- tie-break must mirror the Spark side's struct(acctbal, custkey)
+-- ordering EXACTLY: with replicated fixtures (sf1) many customers share
+-- an acctbal, and arg_min/arg_max pick an arbitrary tied key.  DuckDB's
+-- arg_min can't take a struct ordering value, so (acctbal, custkey) is
+-- packed into one BIGINT: exact cents (+offset to stay positive) in the
+-- high digits, custkey in the low 10.
+WITH c AS (
+  SELECT n_name, c_custkey, c_acctbal,
+         (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 1000000)
+           * 10000000000 + c_custkey AS packed
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
 SELECT n_name,
-       arg_min(c_custkey, c_acctbal ORDER BY c_custkey) AS poorest_cust,
-       arg_max(c_custkey, c_acctbal ORDER BY c_custkey) AS richest_cust,
+       min(packed) % 10000000000 AS poorest_cust,
+       max(packed) % 10000000000 AS richest_cust,
        round(min(c_acctbal), 2) AS min_bal,
        round(max(c_acctbal), 2) AS max_bal
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name ORDER BY n_name
+FROM c GROUP BY n_name ORDER BY n_name
 """,
 )
 def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:

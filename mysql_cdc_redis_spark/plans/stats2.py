@@ -6444,9 +6444,16 @@ def join_notin_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparisons.  Top-5 strengths, normalized to mean 1.",
     tags=("agg", "ranking", "ext"),
     oracle="""
-WITH li2 AS (
+-- unit_price is quantized to exact cents (floor(avg*100+0.5), same IEEE
+-- ops both sides): duels compare COMPUTED doubles, and at sf1 group
+-- counts the engine's vs oracle's summation order flips a >-comparison
+-- on ulp-close averages, changing a duel outcome and the 6th strength
+-- decimal.  li2/pairs are MATERIALIZED so DuckDB doesn't re-execute the
+-- 6M-row join per iteration CTE reference.
+WITH li2 AS MATERIALIZED (
   SELECT l_orderkey, p_brand,
-         avg(l_extendedprice / l_quantity) AS unit_price
+         CAST(floor(avg(l_extendedprice / l_quantity) * 100 + 0.5)
+              AS BIGINT) AS unit_price
   FROM lineitem JOIN part ON p_partkey = l_partkey
   GROUP BY l_orderkey, p_brand
 ), duel AS (
@@ -6457,7 +6464,7 @@ WITH li2 AS (
   FROM li2 a JOIN li2 b
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   WHERE a.unit_price <> b.unit_price
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT least(winner, loser) AS x, greatest(winner, loser) AS y,
          count(*) AS n_xy,
          sum(CASE WHEN winner = least(winner, loser) THEN 1 ELSE 0 END)
@@ -6504,7 +6511,13 @@ def agg_bradley_terry_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     li2 = (
         li.join(part, part.p_partkey == li.l_partkey)
         .groupBy("l_orderkey", "p_brand")
-        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("up"))
+        # exact-cents quantization — duel outcomes must not hinge on the
+        # ulp of a double average (see oracle comment)
+        .agg(
+            F.floor(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")) * 100 + 0.5
+            ).alias("up")
+        )
     )
     a, b = li2.alias("a"), li2.alias("b")
     duel = (
@@ -7071,7 +7084,12 @@ WITH ob AS (
          lead(o_orderkey) OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS next_key
   FROM orders
-), pairs AS (
+), pairs AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: without it DuckDB inlines the CTE
+  -- twice and pushes the outer brand_prev <> brand_next filter below
+  -- the aggregation, where the join-order optimizer turns it into a
+  -- NESTED_LOOP_JOIN between the two multi-million-row pre-agg inputs
+  -- (>10 min at sf1 vs 0.7 s materialized; surfaced by the sf1 sweep)
   SELECT a.p_brand AS brand_prev, b.p_brand AS brand_next,
          count(*) AS n_transitions
   FROM seq

@@ -298,10 +298,17 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prunes the broadcast part dim before the fact join.",
     tags=("agg", "join", "tpch", "ext"),
     oracle="""
+-- per-term quantization to exact 1e-4 units, summed as BIGINT: a plain
+-- sum(double) is summation-order-dependent, and at sf1 row counts the
+-- accumulated ulp drift crosses the cent-rounding cliff (engine .43 vs
+-- oracle .42).  floor(x*1e4+0.5) / the final floor(x*100+0.5)/100 are
+-- the same IEEE ops on both sides (SCALING.md round-2 rounding idiom).
 SELECT n.n_name AS nation,
        CAST(year(l.l_shipdate) AS INT) AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.5 * p.p_retailprice * l.l_quantity / 100.0), 2) AS sum_profit
+       floor(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                 - 0.5 * p.p_retailprice * l.l_quantity / 100.0)
+                 * 10000 + 0.5) AS BIGINT)) / 10000.0 * 100 + 0.5) / 100
+         AS sum_profit
 FROM lineitem l
 JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -322,6 +329,9 @@ def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
         "p_retailprice"
     ) * F.col("l_quantity") / 100.0
+    # exact 1e-4-unit integer summation: sum(double) is summation-order-
+    # dependent and crosses the cent cliff at sf1 row counts (see oracle)
+    profit_u4 = F.floor(profit * 10000 + 0.5).cast("long")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -330,7 +340,11 @@ def agg_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            (
+                F.floor(F.sum(profit_u4) / 10000.0 * 100 + 0.5) / 100
+            ).alias("sum_profit")
+        )
         .orderBy("nation", "o_year")
     )
 
