@@ -8192,7 +8192,10 @@ def agg_robustness_sensitivity_ttest(spark: SparkSession, sf_dir: str) -> DataFr
     "against the basket count; top-10 triples.",
     tags=("join", "mining", "ext"),
     oracle="""
-WITH ob AS (
+WITH ob AS MATERIALIZED (
+  -- MATERIALIZED: referenced 3x below; inlined, DuckDB pushes the brand
+  -- inequalities into a NESTED_LOOP_JOIN between multi-million-row scans
+  -- at sf1 (same class as basket_sequential_pairs, see SCALING.md)
   SELECT DISTINCT l_orderkey, p_brand
   FROM lineitem JOIN part ON p_partkey = l_partkey
 ), nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM ob),

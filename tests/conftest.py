@@ -107,6 +107,92 @@ def _canon_arrow_type(t):
     return str(t)
 
 
+# Above this row count the per-cell Python normalize/sort path is
+# replaced by a vectorized DuckDB EXCEPT-ALL comparison (a cdc state
+# result at sf1 is ~3.6M rows x 13 cols; to_pylist + per-cell normalize
+# on both sides is tens of minutes of single-core Python, while the
+# symmetric-difference form is seconds and multi-threaded).  Kept well
+# above anything the sf0.01 driver gate produces, so the driver-mirror
+# slow path still exercises every sampled query shape.
+_FAST_PATH_MIN_ROWS = 200_000
+
+
+def _fast_path_sql_exprs(tbl, cols):
+    """Per-column normalization expressions for the vectorized compare,
+    or None if some column's type needs the slow path (nested types).
+
+    ``cols`` is the sorted lowercase column list; each expression is
+    aliased back to that lowercase name, so the two sides' select lists
+    are union-compatible regardless of original identifier case.
+
+    Must mirror _normalize: float64 -> round 9 with the zero SIGN kept
+    distinct (rendered through VARCHAR so -0.0 != 0.0 and NaN == NaN the
+    same way the slow path's string sentinel behaves); timestamps ->
+    naive UTC wall-clock (session tz pinned UTC on both engines); every
+    other flat type compared exactly."""
+    import pyarrow as pa
+
+    lower_to_orig = {x.lower(): x for x in tbl.column_names}
+    exprs = []
+    for c in cols:
+        orig = lower_to_orig[c]
+        t = tbl.schema.field(orig).type
+        q = '"' + orig.replace('"', '""') + '"'
+        a = '"' + c.replace('"', '""') + '"'
+        if pa.types.is_floating(t):
+            exprs.append(
+                f"CASE WHEN {q} = 0 AND signbit({q}) THEN '-0.0' "
+                f"ELSE round({q}::DOUBLE, 9)::VARCHAR END AS {a}"
+            )
+        elif pa.types.is_timestamp(t):
+            # TIMESTAMPTZ (spark arrow, tz=UTC) and naive TIMESTAMP both
+            # land on the same naive UTC wall-clock under TimeZone=UTC
+            exprs.append(f"{q}::TIMESTAMP AS {a}")
+        elif (
+            pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+            or pa.types.is_struct(t)
+            or pa.types.is_map(t)
+        ):
+            return None  # nested: slow path (no big result uses these)
+        else:
+            exprs.append(f"{q} AS {a}")
+    return exprs
+
+
+def _fast_multiset_equal(s_tbl, d_tbl, cols):
+    """Vectorized multiset equality via symmetric EXCEPT ALL in DuckDB.
+
+    Equivalence with the slow path is pinned by
+    tests/test_harness_selfcheck.py::test_fast_path_agrees_with_slow_path.
+    Returns (handled, ok, message)."""
+    s_exprs = _fast_path_sql_exprs(s_tbl, cols)
+    d_exprs = _fast_path_sql_exprs(d_tbl, cols)
+    if s_exprs is None or d_exprs is None:
+        return False, False, ""
+    s_sel = ", ".join(s_exprs)
+    d_sel = ", ".join(d_exprs)
+    con = duckdb.connect()
+    try:
+        con.sql("SET TimeZone='UTC'")
+        con.register("_cmp_spark", s_tbl)
+        con.register("_cmp_duck", d_tbl)
+        n = con.sql(
+            f"SELECT count(*) FROM ("
+            f"(SELECT {s_sel} FROM _cmp_spark EXCEPT ALL SELECT {d_sel} FROM _cmp_duck)"
+            f" UNION ALL "
+            f"(SELECT {d_sel} FROM _cmp_duck EXCEPT ALL SELECT {s_sel} FROM _cmp_spark))"
+        ).fetchone()[0]
+        if n:
+            sample = con.sql(
+                f"SELECT {s_sel} FROM _cmp_spark EXCEPT ALL SELECT {d_sel} FROM _cmp_duck LIMIT 3"
+            ).fetchall()
+            return True, False, f"value mismatch ({n} rows in symmetric difference); spark-only sample: {sample}"
+        return True, True, "ok"
+    finally:
+        con.close()
+
+
 def compare_with_oracle(spark_df, duck_con, oracle: str):
     """Returns (ok, message) comparing a Spark result against DuckDB.
 
@@ -129,6 +215,10 @@ def compare_with_oracle(spark_df, duck_con, oracle: str):
     type_diffs = {c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types[c]}
     if type_diffs:
         return False, f"arrow type mismatch (spark vs duck): {type_diffs}"
+    if s_tbl.num_rows >= _FAST_PATH_MIN_ROWS:
+        handled, ok, msg = _fast_multiset_equal(s_tbl, d_tbl, sorted(s_cols))
+        if handled:
+            return ok, msg
     s_rows = [tuple(r[c] for c in s_tbl.column_names) for r in s_tbl.to_pylist()]
     d_rows = [tuple(r[c] for c in d_tbl.column_names) for r in d_tbl.to_pylist()]
     sm = rows_to_multiset(s_cols, s_rows)
