@@ -6,11 +6,15 @@ one row per binlog row event with system columns ``cdc_action`` /
 position (cdc.py:134), and the full after-image of the row (the
 reference drops before-images, cdc.py:66-67).
 
-The changelog is *derived deterministically from the fixture tables* via
-dialect-neutral SQL that parses identically in Spark SQL and DuckDB —
-that way the driver's oracle harness reconstructs the exact same event
-stream on its side and the comparison exercises only the operator under
-test (compaction), not the fixture generator.
+The changelog is *derived deterministically from the fixture tables*:
+the SQL templates below reconstruct the event stream on the DuckDB
+oracle side, and the Spark builders at the bottom of this module build
+the exact same rows as a single-pass explode plan — so the comparison
+exercises only the operator under test (compaction), not the fixture
+generator.  (The templates are DuckDB-only: they carry AS MATERIALIZED
+planner hints — without them DuckDB inlines ``base`` into each UNION
+branch and re-executes the multi-million-row dedup 4x per oracle at
+sf1.  Spark never parses them.)
 
 Scenario per key, chosen by ``pk mod 10`` — drawn so every cell of the
 reference's 3x3 action-pair merge table (rcache.py:196-222) is hit:
@@ -48,7 +52,11 @@ _ACTION2 = "CASE WHEN k = 2 THEN 'insert' ELSE 'delete' END"
 
 
 ORDERS_CHANGELOG_SQL = f"""
-WITH base AS (
+WITH base AS MATERIALIZED (
+  -- MATERIALIZED (DuckDB-only planner hint; this template is never run
+  -- through Spark SQL — the Spark side builds the same rows with the
+  -- explode plan below): base is referenced by all three ev branches
+  -- plus the null-pk branch, and inlining re-scans orders 4x per oracle
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
          CAST(o_orderkey % 10 AS INT) AS k
   FROM orders
@@ -95,7 +103,9 @@ WITH base0 AS (
   FROM lineitem
   GROUP BY l_orderkey, l_linenumber
 ),
-base AS (
+base AS MATERIALIZED (
+  -- MATERIALIZED: inlined, DuckDB re-executes base0's 6M-row dedup
+  -- GROUP BY once per referencing branch (4x per oracle) at sf1
   SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
          l_extendedprice, l_returnflag, l_shipdate,
          CAST((l_orderkey * 7 + l_linenumber) % 10 AS INT) AS k
