@@ -3042,14 +3042,17 @@ def dedup_survivorship_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Matryoshka-representation check: top-10 cosine neighbor overlap "
     "between full 64-dim embeddings and their first-16-dim prefixes, "
     "averaged over a probe query set — the measurement that licenses "
-    "serving truncated vectors (4x cheaper ANN) at corpus scale.  Both "
-    "cosines come out of ONE broadcast cross join; scores round to 6 dp "
-    "before ranking so ranks are engine-portable.",
+    "serving truncated vectors (4x cheaper ANN) at corpus scale.  The "
+    "probe set is FIXED (vec_id % 100 = 0 and < 6400, i.e. <= 64 probes "
+    "no matter how large the corpus grows) so the broadcast side stays "
+    "O(1) — same bounding idiom as sim_knn_label_eval.  Both cosines "
+    "come out of ONE broadcast cross join; scores round to 6 dp before "
+    "ranking so ranks are engine-portable.",
     tags=("similarity", "ext"),
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS qv, embedding[1:16] AS qt
-  FROM embeddings WHERE vec_id % 100 = 0
+  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 6400
 ),
 c AS (SELECT vec_id AS n_id, embedding AS nv, embedding[1:16] AS nt FROM embeddings),
 scored AS (
@@ -3101,7 +3104,7 @@ def sim_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    q = emb.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 6400)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
         F.slice("embedding", 1, 16).alias("qt"),
