@@ -834,6 +834,20 @@ def test_knn_eval_broadcasts_bounded_queries(spark, sf_dir):
     )
 
 
+def test_matryoshka_broadcasts_bounded_probes(spark, sf_dir):
+    """Round-3 companion to the knn-eval fix: sim_matryoshka_truncation's
+    probe set is capped (vec_id % 100 = 0 AND vec_id < 6400, <=64 rows),
+    so the probe x corpus scoring must plan as a BroadcastNestedLoopJoin
+    — never a shuffled CartesianProduct that grows with the corpus."""
+    plan = _plan(_QUERIES["sim_matryoshka_truncation"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, (
+        "matryoshka probe join regressed to a cartesian:\n" + plan
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "bounded probe side must broadcast:\n" + plan
+    )
+
+
 def test_no_collect_in_plan_builders():
     """Every plans/ query builder must stay a distributed recipe: a
     .collect() in a builder is a driver-side loop in disguise (round-1
