@@ -89,7 +89,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
         # quiet the local harness
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # in local mode the driver JVM is also every executor: size the heap
+        # for 32 concurrent tasks, not for a thin cluster driver.  8g was
+        # enough for sf<=0.1 but an hour-long sf1 differential sweep OOM'd
+        # the JVM mid-run; 24g holds comfortably on the 128 GiB harness and
+        # is overridden by spark-submit settings on a real cluster anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
