@@ -144,11 +144,25 @@ def main() -> None:
             q.fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
             sf1_timings[name] = round(time.perf_counter() - t0, 3)
         m1 = re.search(r"sf([0-9.]+)", sf1_dir)
+        # same throughput convention as the sf0.1 headline: changelog
+        # events compacted per second of compact_orders+compact_lineitem
+        # wall — the number that scales against the reference's serial
+        # ~4-RTTs-per-row ingest loop
+        sf1_events = orders_changelog(spark, sf1_dir).count() + lineitem_changelog(
+            spark, sf1_dir
+        ).count()
+        sf1_compact_wall = sf1_timings.get("cdc_compact_orders", 0) + sf1_timings.get(
+            "cdc_compact_lineitem", 0
+        )
         sf1_section = {
             "sf": float(m1.group(1).rstrip(".")) if m1 else -1.0,
             "n_runs": 1,
             "total_wall": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,
+            "compaction_events": sf1_events,
+            "compaction_events_per_sec": (
+                round(sf1_events / sf1_compact_wall) if sf1_compact_wall else None
+            ),
         }
 
     print(

@@ -1983,54 +1983,83 @@ def agg_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dice_bigram_similarity",
     doc="Set-based fuzzy matching, the complement of the edit-distance "
     "profile (scalar_levenshtein_brand_names): distinct character "
-    "bigrams of each part name via one HOF projection (no UDF), pairs "
-    "blocked by brand (bounded fan-out, never a global cross join), "
-    "Dice = 2|A∩B|/(|A|+|B|) from array_intersect.  Deterministic "
-    "top-10 most-similar name pairs.",
+    "bigrams of each part name via one HOF projection (no UDF), "
+    "Dice = 2|A∩B|/(|A|+|B|) from array_intersect.  Pairs form at the "
+    "NAME-VOCABULARY level — rows collapse to distinct (brand, name) "
+    "groups first, and each name pair carries its row-pair multiplicity "
+    "— so the join cost is O(vocab²/brand) regardless of corpus row "
+    "count.  (The row-keyed formulation this replaces was 'blocked by "
+    "brand', but brand cardinality is constant, so block size grew with "
+    "N and the sf1 sweep caught the O(N²/25) pair blow-up: ~800M "
+    "array-intersects for 64 actual distinct names.)  When the "
+    "vocabulary itself is web-scale, the threshold form routes through "
+    "the df-ordered prefix filter (operators/dedup.py "
+    "ngram_jaccard_pairs_prefix; Dice≥t ⟺ Jaccard≥t/(2−t)).  "
+    "Deterministic top-10 most-similar name pairs.",
     tags=("text", "similarity", "ext"),
     oracle="""
-WITH bg AS (
-  SELECT p_partkey, p_brand, p_name,
+WITH names AS (
+  SELECT p_brand, p_name, count(*) AS n_keys,
          list_distinct(list_transform(range(1, length(p_name)),
                                       i -> substring(p_name, i, 2))) AS grams
-  FROM part
+  FROM part GROUP BY p_brand, p_name
 ), pairs AS (
-  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+  SELECT a.p_brand AS brand, a.p_name AS name_a, b.p_name AS name_b,
          round(2.0 * len(list_intersect(a.grams, b.grams))
-               / (len(a.grams) + len(b.grams)), 6) AS dice
-  FROM bg a JOIN bg b
-    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+               / (len(a.grams) + len(b.grams)), 6) AS dice,
+         CASE WHEN a.p_name = b.p_name
+              THEN a.n_keys * (a.n_keys - 1) // 2
+              ELSE a.n_keys * b.n_keys END AS n_pairs
+  FROM names a JOIN names b
+    ON a.p_brand = b.p_brand AND a.p_name <= b.p_name
+  WHERE NOT (a.p_name = b.p_name AND a.n_keys < 2)
 )
-SELECT key_a, key_b, dice
-FROM pairs ORDER BY dice DESC, key_a, key_b LIMIT 10
+SELECT brand, name_a, name_b, dice, n_pairs
+FROM pairs ORDER BY dice DESC, brand, name_a, name_b LIMIT 10
 """,
 )
 def text_dice_bigram_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    bg = part.select(
-        "p_partkey",
-        "p_brand",
-        F.expr(
-            "array_distinct(transform(sequence(1, length(p_name) - 1),"
-            " i -> substring(p_name, i, 2)))"
-        ).alias("grams"),
+    names = (
+        part.groupBy("p_brand", "p_name")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .withColumn(
+            "grams",
+            F.expr(
+                "array_distinct(transform(sequence(1, length(p_name) - 1),"
+                " i -> substring(p_name, i, 2)))"
+            ),
+        )
     )
-    a, b = bg.alias("a"), bg.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).select(
-        F.col("a.p_partkey").alias("key_a"),
-        F.col("b.p_partkey").alias("key_b"),
-        F.round(
-            2.0
-            * F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-            / (F.size(F.col("a.grams")) + F.size(F.col("b.grams"))),
-            6,
-        ).alias("dice"),
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_name") <= F.col("b.p_name")),
+        )
+        .filter(
+            ~((F.col("a.p_name") == F.col("b.p_name")) & (F.col("a.n_keys") < 2))
+        )
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.round(
+                2.0
+                * F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+                / (F.size(F.col("a.grams")) + F.size(F.col("b.grams"))),
+                6,
+            ).alias("dice"),
+            F.when(
+                F.col("a.p_name") == F.col("b.p_name"),
+                (F.col("a.n_keys") * (F.col("a.n_keys") - 1) / F.lit(2)).cast("long"),
+            )
+            .otherwise(F.col("a.n_keys") * F.col("b.n_keys"))
+            .alias("n_pairs"),
+        )
     )
-    return pairs.orderBy(F.desc("dice"), "key_a", "key_b").limit(10)
+    return pairs.orderBy(F.desc("dice"), "brand", "name_a", "name_b").limit(10)
 
 
 # ---------------------------------------------------------------------------

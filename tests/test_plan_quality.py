@@ -708,11 +708,15 @@ def test_elasticity_regression_single_shuffle_per_brand(spark, sf_dir):
 
 
 def test_dice_pairs_never_cartesian(spark, sf_dir):
-    # brand blocking must reach the join condition: equi join on p_brand,
-    # not a cartesian product filtered after the fact
+    # the pair join must (a) be an equi join on p_brand, not a cartesian
+    # filtered after the fact, and (b) sit ABOVE the vocabulary collapse:
+    # a distinct (brand, name) aggregate on each side, so pair count is
+    # O(vocab²/brand) no matter how many rows the part table has (the
+    # sf1 sweep caught the row-keyed form's O(N²/brands) blow-up)
     plan = _plan(_QUERIES["text_dice_bigram_similarity"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "p_brand" in plan
+    assert "HashAggregate" in plan  # the (brand, name) collapse feeds the join
 
 
 def test_gpd_threshold_broadcasts_back(spark, sf_dir):
