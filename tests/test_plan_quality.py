@@ -189,9 +189,21 @@ def test_sole_late_supplier_scans_lineitem_once(spark, sf_dir):
 
 
 def test_returned_items_topk_take_ordered(spark, sf_dir):
+    import os
+
     plan = _plan(_QUERIES["join_returned_items_topk"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "top-20 must not global-sort"
-    assert _n_exchanges(plan) == 1, "per-customer agg should be the only shuffle"
+    # when the customer dim fits the 64 MB broadcast threshold the
+    # per-customer agg must be the ONLY shuffle; past it (sf10's 1.5M-row
+    # dim) the RIGHT plan is a shuffle join — still never a nested loop,
+    # and never more than dim-dist + fact-dist + agg
+    # disk bytes are snappy-parquet; Spark's broadcast decision sees the
+    # ~8-10x larger in-memory estimate, so 6 MB on disk ~ the 64 MB limit
+    if os.path.getsize(os.path.join(sf_dir, "customer.parquet")) < 6 * 1024 * 1024:
+        assert _n_exchanges(plan) == 1, "per-customer agg should be the only shuffle"
+    else:
+        assert _n_exchanges(plan) <= 3, f"too many shuffles:\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_large_volume_orders_reuses_aggregate(spark, sf_dir):
@@ -324,6 +336,7 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
         )
     }
     try:
@@ -331,6 +344,13 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        # the guardrail checks the MECHANISM, not Spark's 10 MB cost-model
+        # cutoff: at sf10 the filtered creation side outgrows the default
+        # threshold and Spark (rightly) declines — raise it so injection
+        # is asserted at every fixture scale
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB"
         )
         li = load_table(spark, sf_dir, "lineitem")
         orders = load_table(spark, sf_dir, "orders").where(
