@@ -710,14 +710,22 @@ def decode_avi(with_avi: DataFrame, cut_threshold_sum: int = 384, id_col: str = 
             if cid != b"LIST":
                 continue
             form = b[boff : boff + 4]
+            # nested stop bound is clamped to the (already len-clamped)
+            # outer end: a LIST whose declared size overruns the blob
+            # must reject/stop cleanly, not struct.error past the buffer
             if form == b"hdrl":
-                for cid2, boff2, bsz2 in _walk(b, boff + 4, boff + bsz):
-                    # check PRESENT bytes, not the declared bsz2 — a
-                    # truncated avih must reject the row, not struct.error
-                    if cid2 == b"avih" and len(b[boff2 : boff2 + 40]) == 40:
+                for cid2, boff2, bsz2 in _walk(b, boff + 4, min(boff + bsz, end)):
+                    # declared size AND present bytes must both cover the
+                    # header — a short declared size padded by the NEXT
+                    # chunk's bytes must not parse as a valid avih
+                    if (
+                        cid2 == b"avih"
+                        and bsz2 >= 40
+                        and len(b[boff2 : boff2 + 40]) == 40
+                    ):
                         avih = struct.unpack("<10I", b[boff2 : boff2 + 40])
             elif form == b"movi":
-                for cid2, boff2, bsz2 in _walk(b, boff + 4, boff + bsz):
+                for cid2, boff2, bsz2 in _walk(b, boff + 4, min(boff + bsz, end)):
                     if cid2 in (b"00db", b"00dc"):
                         frames.append(b[boff2 : boff2 + bsz2])
         if avih is None:
@@ -874,12 +882,19 @@ def demux_avi(b: bytes):
         if cid != b"LIST":
             continue
         form = b[boff : boff + 4]
+        # clamp the nested stop: an over-declared LIST size must not walk
+        # past the buffer (struct.error); a short-declared avih must not
+        # borrow the next chunk's bytes and parse as a valid header
         if form == b"hdrl":
-            for cid2, boff2, bsz2 in walk(boff + 4, boff + bsz):
-                if cid2 == b"avih" and len(b[boff2 : boff2 + 40]) == 40:
+            for cid2, boff2, bsz2 in walk(boff + 4, min(boff + bsz, end)):
+                if (
+                    cid2 == b"avih"
+                    and bsz2 >= 40
+                    and len(b[boff2 : boff2 + 40]) == 40
+                ):
                     avih = struct.unpack("<10I", b[boff2 : boff2 + 40])
         elif form == b"movi":
-            for cid2, boff2, bsz2 in walk(boff + 4, boff + bsz):
+            for cid2, boff2, bsz2 in walk(boff + 4, min(boff + bsz, end)):
                 if cid2 in (b"00db", b"00dc"):
                     frames.append(b[boff2 : boff2 + bsz2])
     return (avih, frames) if avih is not None else None

@@ -407,18 +407,29 @@ def cdc_incremental_merge_4x(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
-    # the 4 batch branches all scan the split changelog: cache it so the
-    # md5-keyed event synthesis runs once, not once per branch — the
-    # entry times the merge cascade, not 4x fixture synthesis (a real
-    # ingest reads a materialized changelog anyway)
-    ch2 = ch2.cache()
+    # the 4 batch branches all scan the split changelog: STAGE it once as
+    # a _b-partitioned parquet (a real ingest reads a materialized
+    # changelog anyway) so the md5-keyed event synthesis runs once, each
+    # batch filter is pure partition pruning, and — unlike .cache(),
+    # which this replaced — nothing stays pinned in executor storage for
+    # the rest of the session after the query's action completes
+    import hashlib
+    import os
+    import tempfile
+
+    staged_dir = os.path.join(
+        tempfile.gettempdir(),
+        "cdc_merge4x_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    ch2.drop("_cuts").write.mode("overwrite").partitionBy("_b").parquet(staged_dir)
+    staged = spark.read.parquet(staged_dir)
     state = compact(
-        ch2.filter(F.col("_b") == 0).drop("_cuts", "_b"), LINEITEM_PK, LINEITEM_PAYLOAD
+        staged.filter(F.col("_b") == 0).drop("_b"), LINEITEM_PK, LINEITEM_PAYLOAD
     )
     for i in range(1, n_batches):
         state = merge_state(
             state,
-            ch2.filter(F.col("_b") == i).drop("_cuts", "_b"),
+            staged.filter(F.col("_b") == i).drop("_b"),
             LINEITEM_PK,
             LINEITEM_PAYLOAD,
         )

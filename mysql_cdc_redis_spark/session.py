@@ -21,6 +21,17 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """~40% of physical RAM, clamped to [2g, 24g] (see get_spark)."""
+    try:
+        total_gb = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / (1 << 30)
+        )
+    except (ValueError, OSError, AttributeError):
+        total_gb = 16.0
+    return f"{max(2, min(24, int(total_gb * 0.4)))}g"
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Force the correctness-critical runtime confs onto ANY session —
     the driver harness passes its own SparkSession, which may not have
@@ -92,9 +103,11 @@ def get_spark(
         # in local mode the driver JVM is also every executor: size the heap
         # for 32 concurrent tasks, not for a thin cluster driver.  8g was
         # enough for sf<=0.1 but an hour-long sf1 differential sweep OOM'd
-        # the JVM mid-run; 24g holds comfortably on the 128 GiB harness and
-        # is overridden by spark-submit settings on a real cluster anyway.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # the JVM mid-run.  Scale the default to the HOST (~40% of RAM,
+        # clamped to [2g, 24g]): 24g on the 128 GiB harness, 6g on a 16 GiB
+        # contributor box — never an Xmx the machine can't back.  Real
+        # clusters override via spark-submit / SPARK_DRIVER_MEMORY.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_mem()))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

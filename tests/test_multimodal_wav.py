@@ -178,6 +178,36 @@ def test_avi_parser_skips_truncated_avih(spark):
     assert mm.sample_avi_frames(df).count() == 0
 
 
+def test_avi_parser_clamps_overdeclared_list_size(spark):
+    """A LIST whose DECLARED size overruns the blob (RIFF size also
+    over-declared, so the outer clamp doesn't save it) must reject the
+    row — the nested chunk walk must not run past the buffer into
+    struct.error."""
+    avih_partial = b"avih" + struct.pack("<I", 56) + b"\x00" * 10  # 10 of 56
+    body = b"AVI " + (
+        b"LIST" + struct.pack("<I", 200) + b"hdrl" + avih_partial  # LIST size lies
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body) + 400) + body
+    assert mm.demux_avi(blob) is None
+    df = spark.createDataFrame([(1, blob)], "doc_id long, avi binary")
+    assert mm.decode_avi(df).count() == 0
+    assert mm.sample_avi_frames(df).count() == 0
+
+
+def test_avi_parser_rejects_short_declared_avih(spark):
+    """An avih DECLARING fewer than 40 bytes must not parse: the
+    40-byte slice would otherwise be padded from the NEXT chunk's bytes
+    and yield a garbage-but-accepted header (bogus width/height)."""
+    avih_short = b"avih" + struct.pack("<I", 8) + b"\x00" * 8  # declares 8 bytes
+    junk = b"JUNK" + struct.pack("<I", 44) + b"\x01" * 44  # fills the 40-slice
+    hdrl_body = b"hdrl" + avih_short + junk
+    body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert mm.demux_avi(blob) is None
+    df = spark.createDataFrame([(1, blob)], "doc_id long, avi binary")
+    assert mm.decode_avi(df).count() == 0
+
+
 def test_sampled_avi_remux_is_spec_valid(spark):
     """The re-muxed AVI must carry LIST('strl'){strh,strf} matching the
     avih's dwStreams=1 declaration — a spec-conforming reader walks the
