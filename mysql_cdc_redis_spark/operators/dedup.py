@@ -3,10 +3,13 @@ Phase 4): exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
 Scale design (the 100 TB story):
 * exact dedup — one hash-shuffle on a 16-byte digest, never on raw text.
-* n-gram Jaccard — the *exact* baseline: inverted-index join on 60-bit
-  shingle hashes (explode → equi-join on longs → count), never an
-  all-pairs cross join.  Cost is O(Σ_sh df(sh)²) — inherently quadratic
-  in shingle document-frequency, which is why the scale path is MinHash.
+* n-gram Jaccard — the *exact* path: DEFAULT is the df-ordered
+  prefix-filtered join (SSJoin/PPJoin), because the naive inverted-index
+  join's O(Σ_sh df(sh)²) candidate cost has a MEASURED single-box abort
+  at sf10 (SCALING.md round-3: every shingle df≈100 spilled past ~69 GB
+  of disk) and Zipfian natural text is strictly worse than that fixture.
+  The naive join survives as `ngram_jaccard_pairs_naive` for corpora
+  with near-uniform shingle frequencies, where it is genuinely cheaper.
 * MinHash+LSH — k=16 signature from a universal integer hash family
   h_i(x) = (a_i·x + b_i) mod p over the 32-bit-reduced shingle hash
   (pure JVM integer arithmetic, no per-hash md5), b=4 bands × r=4 rows;
@@ -167,12 +170,13 @@ def ngram_jaccard_pairs_prefix(
 
     When to prefer which: on NATURAL text, frequent shingles (common
     phrases, boilerplate) make the naive join's Σ df² explode — prefix
-    filtering is the exact-join scale path there.  On corpora whose
+    filtering is the exact-join scale path there, and THIS form is what
+    `ngram_jaccard_pairs` (the default) routes to.  On corpora whose
     shingle frequencies are near-uniform (e.g. random/synthetic text,
     where df ≈ 1-2), the naive join is already near-linear and the two
     extra shuffles here (df ranking + candidate verify) cost more than
-    they save — `ngram_jaccard_pairs` stays the default for that case,
-    and MinHash-LSH remains the approximate path for either corpus.
+    they save — `ngram_jaccard_pairs_naive` exists for that case, and
+    MinHash-LSH remains the approximate path for either corpus.
     """
     # three downstream branches (prefix ranking, sizes, both verify
     # sides) — cache the shingle relation instead of re-shingling
@@ -209,11 +213,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact near-dup pairs by n-gram Jaccard ≥ threshold (inverted-index
-    join on hashed shingles).  Candidate cost is Σ df(h)² over all
-    shingles — near-linear when shingle frequencies are near-uniform;
-    for natural text with heavy-hitter shingles use
-    `ngram_jaccard_pairs_prefix` (exact, prefix-filtered) or MinHash-LSH
+    """Exact near-dup pairs by n-gram Jaccard ≥ threshold — the DEFAULT
+    entry point, routing through the df-ordered prefix-filtered join
+    (`ngram_jaccard_pairs_prefix`).  The routing is unconditional: the
+    prefix form is output-identical, its worst case (near-uniform df,
+    where the ranking shuffles buy nothing) costs only ~2 extra shuffles,
+    while the naive form's worst case (Zipfian df — i.e. every natural
+    corpus) is a measured out-of-disk abort at sf10.  An engine default
+    must be safe on the adversarial input, not fastest on the benign
+    one.  `ngram_jaccard_pairs_naive` remains available when shingle df
+    is known to be near-uniform."""
+    return ngram_jaccard_pairs_prefix(docs, n, threshold, id_col, text_col)
+
+
+def ngram_jaccard_pairs_naive(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact near-dup pairs by n-gram Jaccard ≥ threshold (NAIVE
+    inverted-index join on hashed shingles).  Candidate cost is Σ df(h)²
+    over all shingles — near-linear ONLY when shingle frequencies are
+    near-uniform; on natural text the heavy-hitter shingles make this
+    blow up (measured sf10 abort, SCALING.md round-3).  Prefer
+    `ngram_jaccard_pairs` (prefix-filtered, same output) or MinHash-LSH
     (approximate)."""
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

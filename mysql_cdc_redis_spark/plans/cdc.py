@@ -411,29 +411,39 @@ def cdc_incremental_merge_4x(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a _b-partitioned parquet (a real ingest reads a materialized
     # changelog anyway) so the md5-keyed event synthesis runs once, each
     # batch filter is pure partition pruning, and — unlike .cache(),
-    # which this replaced — nothing stays pinned in executor storage for
-    # the rest of the session after the query's action completes
-    import hashlib
-    import os
+    # which this replaced — nothing stays pinned in executor storage.
+    # Staging hygiene (round-3 ADVICE): mkdtemp gives a per-invocation
+    # unique 0700 directory (no cross-session overwrite race, not
+    # squattable), the merge cascade is driven to completion by writing
+    # the FINAL compacted state, and the large staged changelog tree is
+    # removed immediately after that action — only the (much smaller)
+    # final-state parquet lives on, reaped at process exit.  On a real
+    # cluster these paths would be object-store URIs managed through the
+    # Hadoop FileSystem API; local tempfile/shutil is the local[] analog.
+    import atexit
+    import shutil
     import tempfile
 
-    staged_dir = os.path.join(
-        tempfile.gettempdir(),
-        "cdc_merge4x_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    ch2.drop("_cuts").write.mode("overwrite").partitionBy("_b").parquet(staged_dir)
-    staged = spark.read.parquet(staged_dir)
-    state = compact(
-        staged.filter(F.col("_b") == 0).drop("_b"), LINEITEM_PK, LINEITEM_PAYLOAD
-    )
-    for i in range(1, n_batches):
-        state = merge_state(
-            state,
-            staged.filter(F.col("_b") == i).drop("_b"),
-            LINEITEM_PK,
-            LINEITEM_PAYLOAD,
+    staged_dir = tempfile.mkdtemp(prefix="cdc_merge4x_stage_")
+    final_dir = tempfile.mkdtemp(prefix="cdc_merge4x_state_")
+    try:
+        ch2.drop("_cuts").write.mode("overwrite").partitionBy("_b").parquet(staged_dir)
+        staged = spark.read.parquet(staged_dir)
+        state = compact(
+            staged.filter(F.col("_b") == 0).drop("_b"), LINEITEM_PK, LINEITEM_PAYLOAD
         )
-    return state
+        for i in range(1, n_batches):
+            state = merge_state(
+                state,
+                staged.filter(F.col("_b") == i).drop("_b"),
+                LINEITEM_PK,
+                LINEITEM_PAYLOAD,
+            )
+        state.write.mode("overwrite").parquet(final_dir)
+    finally:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+    atexit.register(shutil.rmtree, final_dir, ignore_errors=True)
+    return spark.read.parquet(final_dir)
 
 
 @register(

@@ -78,10 +78,16 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    doc="Near-dup pairs by word-3-gram Jaccard via inverted-index self-join "
-    "(explode shingles → equi-join → count), never an all-pairs cross "
-    "join.",
-    tags=("dedup", "ext"),
+    doc="Near-dup pairs by word-3-gram Jaccard — exact, DEFAULT-routed "
+    "through the SSJoin/PPJoin df-ordered prefix-filtered join: only the "
+    "|A|-ceil(t|A|)+1 rarest shingles per doc enter the inverted index, "
+    "survivors verified exactly.  Replaces the naive inverted-index "
+    "self-join as the registered default after its measured sf10 "
+    "out-of-disk abort (Σ df² candidate blow-up; SCALING.md round-3) — "
+    "Zipfian natural text is strictly worse than that fixture.  The "
+    "oracle computes the naive form, so every run re-proves the filter "
+    "is lossless.",
+    tags=("dedup", "prefix-filter", "ext"),
     bench=True,
     oracle=f"""
 WITH {_DOCS_SHINGLES},
@@ -97,13 +103,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_jaccard_naive",
+    doc="The NAIVE inverted-index n-gram Jaccard self-join (explode "
+    "shingles → equi-join on 60-bit hashes → count) — kept as an "
+    "explicit entry for corpora with near-uniform shingle frequencies, "
+    "where Σ df² is near-linear and the prefix filter's two ranking "
+    "shuffles cost more than they save.  NOT the default: measured "
+    "sf10 abort on duplicated text (SCALING.md round-3).",
+    tags=("dedup", "naive", "ext"),
+    oracle=f"""
+WITH {_DOCS_SHINGLES},
+{_PAIR_JACCARD}
+SELECT a, b, jaccard FROM jacc
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+ORDER BY a, b
+""",
+)
+def dedup_ngram_jaccard_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs_naive(docs, n=3, threshold=_JACCARD_THRESHOLD).orderBy(
+        "a", "b"
+    )
+
+
+@register(
     "dedup_ngram_jaccard_prefix",
     doc="Exact n-gram Jaccard join with SSJoin/PPJoin prefix filtering: "
     "shingles ranked by global document frequency (rarest first), only "
     "the |A|-ceil(t|A|)+1 prefix enters the inverted index, candidates "
-    "verified exactly — identical output to dedup_ngram_jaccard but the "
-    "heavy-hitter shingles that drive the naive join's Σ df² cost never "
-    "enter the index; the exact-join scale path for natural text.",
+    "verified exactly — since round 4 this IS the plan behind the "
+    "default dedup_ngram_jaccard entry (kept under its explicit name "
+    "for continuity); the heavy-hitter shingles that drive the naive "
+    "join's Σ df² cost never enter the index.",
     tags=("dedup", "prefix-filter", "ext"),
     oracle=f"""
 WITH {_DOCS_SHINGLES},

@@ -77,6 +77,7 @@ def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
     cases: tiny docs (prefix = whole set) and a high threshold."""
     from mysql_cdc_redis_spark.operators.dedup import (
         ngram_jaccard_pairs,
+        ngram_jaccard_pairs_naive,
         ngram_jaccard_pairs_prefix,
     )
     from mysql_cdc_redis_spark.sources import load_table
@@ -85,7 +86,7 @@ def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
     for t in (0.2, 0.7):
         fast = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).collect()}
         naive = {
-            tuple(r) for r in ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+            tuple(r) for r in ngram_jaccard_pairs_naive(docs, n=3, threshold=t).collect()
         }
         assert fast == naive, (
             f"threshold={t}: prefix filter changed the result "
@@ -104,6 +105,9 @@ def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
     )
     fast = {tuple(r) for r in ngram_jaccard_pairs_prefix(tiny, n=3, threshold=0.5).collect()}
     naive = {
-        tuple(r) for r in ngram_jaccard_pairs(tiny, n=3, threshold=0.5).collect()
+        tuple(r) for r in ngram_jaccard_pairs_naive(tiny, n=3, threshold=0.5).collect()
     }
     assert fast == naive
+    # the DEFAULT entry point must route to the prefix-filtered form
+    routed = {tuple(r) for r in ngram_jaccard_pairs(tiny, n=3, threshold=0.5).collect()}
+    assert routed == fast
