@@ -385,6 +385,61 @@ def minhash_lsh_pairs(
     return _verify_jaccard_pairs(cand, sh, sizes, threshold)
 
 
+def minhash_lsh_dedup_edges(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup DEDUP EDGES with BOUNDED output: per LSH
+    bucket, each member is candidate-paired only with the bucket's
+    REPRESENTATIVE (min doc_id) — a star, m−1 candidates per m-member
+    bucket — instead of all C(m,2) pairs.  Survivors get the same exact
+    candidate-driven Jaccard verify ≥ threshold.
+
+    Why: a real crawl has million-copy boilerplate groups.  All such
+    copies land in the same LSH buckets, so the all-pairs form
+    (`minhash_lsh_pairs`) emits C(m,2) TRUE pairs per group — quadratic
+    output even though candidate generation is bucketed (measured: the
+    sf10 fixture's factor-100 near-dup groups produced ~25M verified
+    pairs, 310s; a million-copy group would be ~5·10¹¹ pairs).  For
+    deduplication the pair list is only consumed by connected
+    components, and a star on each bucket already connects everything
+    the bucket connects — per-group cost drops to m−1.
+
+    Semantics (documented contract): the output is a sparse EDGE SET for
+    cluster assignment, not the full ≥-threshold pair enumeration —
+    a pair (x, y) with J(x,y) ≥ t is represented transitively through
+    bucket representatives rather than emitted directly.  Clusters from
+    `connected_components` over these edges equal the all-pairs clusters
+    whenever member↔representative edges verify — in particular for the
+    pathological near-identical groups this operator exists to bound;
+    a cluster can split only when connectivity depends on a non-star
+    pair whose star edges fail the threshold (LSH banding already
+    accepts analogous false-negative risk).  Pinned empirically by
+    tests/test_advanced_properties.py::test_lsh_dedup_edges_same_clusters.
+    `minhash_lsh_pairs` remains the exhaustive-pairs form.
+    """
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sig = minhash_signatures(sh, k, with_sizes=True).persist()
+    banded = _banded(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
+    from pyspark.sql.window import Window
+
+    # star candidates: one window min per (band, bkey) bucket — shuffle
+    # volume O(docs × bands) in AND out, never C(m,2)
+    w_bucket = Window.partitionBy("band", "bkey")
+    cand = (
+        banded.withColumn("a", F.min("doc_id").over(w_bucket))
+        .filter(F.col("doc_id") > F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+        .distinct()
+    )
+    return _verify_jaccard_pairs(cand, sh, sig.select("doc_id", "n_sh"), threshold)
+
+
 def minhash_lsh_new_vs_corpus(
     corpus: DataFrame,
     new_docs: DataFrame,

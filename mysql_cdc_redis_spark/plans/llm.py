@@ -239,6 +239,28 @@ ORDER BY a, b
 """
 
 
+def _minhash_dedup_edges_oracle() -> str:
+    """The star-per-bucket restriction of _minhash_oracle: identical
+    sig / band / verify construction, but candidates are (bucket min,
+    member) per (band, bkey) bucket instead of all C(m,2) pairs."""
+    base = _minhash_oracle()
+    all_pairs_cand = """cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),"""
+    assert all_pairs_cand in base  # keep in sync with _minhash_oracle
+    return base.replace(
+        all_pairs_cand,
+        """bmin AS (SELECT band, bkey, min(doc_id) AS a FROM bands GROUP BY band, bkey),
+cand AS (
+  SELECT DISTINCT m.a, x.doc_id AS b
+  FROM bands x JOIN bmin m
+    ON x.band = m.band AND x.bkey = m.bkey AND x.doc_id > m.a
+),""",
+    )
+
+
 def _minhash_incremental_oracle() -> str:
     """The new-vs-corpus restriction of _minhash_oracle: identical sig /
     band / verify construction (per-doc computations are unaffected by
@@ -275,15 +297,41 @@ def dedup_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "dedup_minhash_lsh",
-    doc="MinHash(k=16) + LSH(4 bands × 4 rows): shingle → sign → band "
-    "digest equi-join → candidates → exact-Jaccard verify.  Shuffle "
-    "volume O(docs × bands), independent of pair count — the 100 TB "
-    "near-dup path.",
+    doc="MinHash(k=16) + LSH(4 bands × 4 rows) dedup edges with BOUNDED "
+    "output: shingle → sign → band digest → per-bucket STAR candidates "
+    "(each member vs the bucket's min doc_id, m−1 per bucket instead of "
+    "C(m,2)) → exact-Jaccard verify.  Candidate AND output volume are "
+    "O(docs × bands), so a million-copy boilerplate group costs m−1 "
+    "edges, not ~m²/2 (the all-pairs form measured ~25M true pairs / "
+    "310s on sf10's factor-100 near-dup groups).  Output is a sparse "
+    "edge set for connected-components cluster assignment — the "
+    "exhaustive ≥-threshold pair enumeration remains available as "
+    "dedup_minhash_lsh_allpairs.  Oracle reproduces the same star "
+    "semantics independently in DuckDB.",
     tags=("dedup", "lsh", "ext"),
     bench=True,
-    oracle=_minhash_oracle(),
+    oracle=_minhash_dedup_edges_oracle(),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup_edges(
+        docs, n=3, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD
+    ).orderBy("a", "b")
+
+
+@register(
+    "dedup_minhash_lsh_allpairs",
+    doc="MinHash(k=16) + LSH(4 bands × 4 rows), EXHAUSTIVE pair "
+    "enumeration: all C(m,2) candidate pairs per bucket, exact-Jaccard "
+    "verified.  Candidate generation is bucketed (never a corpus cross "
+    "join) but OUTPUT is quadratic in near-dup group size — correct "
+    "when the full pair list is the deliverable, pathological on "
+    "boilerplate-heavy corpora; dedup_minhash_lsh (star edges) is the "
+    "default for cluster assignment.",
+    tags=("dedup", "lsh", "ext"),
+    oracle=_minhash_oracle(),
+)
+def dedup_minhash_lsh_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
         docs, n=3, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=_JACCARD_THRESHOLD
@@ -476,18 +524,57 @@ FROM m ORDER BY doc_id
 """,
 )
 def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FUSED extraction (round-3 sf10 finding: per-byte throughput fell
+    # 16→11 MB/s because composing the ts.* helpers re-evaluated the
+    # normalize regex ~12× and the tokenizer ~8× per row).  Staged
+    # projections materialize `norm` then `toks`/counts exactly once —
+    # Catalyst's CollapseProject keeps a projection whose alias is
+    # multiply-referenced and non-cheap, so each heavy expression runs
+    # once per row: ONE regexp_replace, ONE split, ONE regexp_extract_all,
+    # ONE md5, ONE aggregate, ONE filter.  Output is expression-identical
+    # to the composed form (same rounding, same raw-vs-rounded usage).
     docs = load_table(spark, sf_dir, "documents")
-    txt = F.col("text")
-    return docs.select(
+    normed = docs.select("doc_id", ts.norm_text(F.col("text")).alias("norm"))
+    staged = normed.select(
         "doc_id",
-        F.length(ts.norm_text(txt)).alias("n_chars"),
-        ts.token_count(txt).alias("n_tokens"),
-        ts.bpe_token_count(txt).alias("n_bpe_tokens"),
-        F.round(ts.avg_token_len(txt), 4).alias("avg_token_len"),
-        F.round(ts.stopword_ratio(txt), 4).alias("stopword_ratio"),
-        ts.lang_id(txt).alias("lang_pred"),
-        F.round(ts.quality_score(txt), 2).alias("quality"),
-        ts.fingerprint(txt).alias("fingerprint"),
+        F.length("norm").alias("n_chars"),
+        F.split(F.col("norm"), " ").alias("toks"),
+        F.size(F.regexp_extract_all(F.col("norm"), F.lit(ts.BPE_TOKEN_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.md5(F.col("norm")).alias("fingerprint"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in ts.STOPWORDS])
+    metrics = staged.select(
+        "doc_id",
+        "n_chars",
+        "n_bpe_tokens",
+        "fingerprint",
+        F.size("toks").alias("n_tokens"),
+        F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t)).alias(
+            "total_len"
+        ),
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stop"
+        ),
+    )
+    sr = F.col("n_stop") / F.col("n_tokens")
+    atl = F.col("total_len") / F.col("n_tokens")
+    quality = (
+        ((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)).cast("double") * 0.4
+        + (sr >= 0.03).cast("double") * 0.3
+        + ((atl >= 3.0) & (atl <= 10.0)).cast("double") * 0.3
+    )
+    return metrics.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round(atl, 4).alias("avg_token_len"),
+        F.round(sr, 4).alias("stopword_ratio"),
+        F.when(sr >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+        F.round(quality, 2).alias("quality"),
+        "fingerprint",
     ).orderBy("doc_id")
 
 
@@ -2889,6 +2976,123 @@ def sim_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     w_v = Window.partitionBy("qid").orderBy(F.col("n").desc(), "nb_label")
+    pred = votes.withColumn("rn", F.row_number().over(w_v)).where(F.col("rn") == 1)
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                (F.col("nb_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .orderBy("label")
+    )
+
+
+def _knn_ivf_oracle() -> str:
+    cos_nc = _COS_EXPR.format(a="nv", b="cv")
+    cos_qc = _COS_EXPR.format(a="qv", b="cv")
+    cos_qn = _COS_EXPR.format(a="qv", b="nv")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS true_label, embedding AS qv
+  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 640
+),
+t AS (
+  SELECT vec_id AS n_id, label AS nb_label, embedding AS nv
+  FROM embeddings WHERE vec_id % 10 <> 0
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id % 10 = 1 AND vec_id < 320
+),
+corpus_cells AS (
+  SELECT n_id, cid FROM (
+    SELECT n_id, cid,
+           row_number() OVER (PARTITION BY n_id ORDER BY {cos_nc} DESC, cid) AS rankc
+    FROM t, cent
+  ) WHERE rankc = 1
+),
+query_cells AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid,
+           row_number() OVER (PARTITION BY q_id ORDER BY {cos_qc} DESC, cid) AS rankc
+    FROM q, cent
+  ) WHERE rankc <= 4
+),
+scored AS (
+  SELECT DISTINCT q.q_id, t.n_id, {cos_qn} AS cos
+  FROM q
+  JOIN query_cells qc ON qc.q_id = q.q_id
+  JOIN corpus_cells cc ON cc.cid = qc.cid
+  JOIN t ON t.n_id = cc.n_id
+),
+top5 AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+lab AS (
+  SELECT top5.q_id, q.true_label, t.nb_label
+  FROM top5 JOIN q ON q.q_id = top5.q_id JOIN t ON t.n_id = top5.n_id
+),
+votes AS (
+  SELECT q_id, true_label, nb_label, count(*) AS n FROM lab GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT q_id, true_label, nb_label AS pred_label FROM (
+    SELECT q_id, true_label, nb_label,
+           row_number() OVER (PARTITION BY q_id ORDER BY n DESC, nb_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(count(*) FILTER (WHERE pred_label = true_label) AS BIGINT) AS n_correct
+FROM pred GROUP BY true_label ORDER BY label
+"""
+
+
+@register(
+    "sim_knn_label_eval_ivf",
+    doc="k-NN label evaluation whose CANDIDATES come from the IVF ANN "
+    "index (cosine_topk_ivf) instead of the brute-force broadcast — the "
+    "100 TB shape, end to end: 32 deterministic centroids partition the "
+    "training vectors into cells (one hash-join key), each of the ≤64 "
+    "held-out probes scores only its 4 probed cells' members, the top-5 "
+    "survivors majority-vote the label.  Proves the bounded eval "
+    "harness and the ANN index COMPOSE: query×train cost is "
+    "O(probes · cell), never O(probes · N), and the only "
+    "BroadcastNestedLoopJoins in the plan are the two centroid "
+    "assignments (corpus×32, probes×32 — both linear).  Accuracy drift "
+    "vs the brute-force eval is bounded by "
+    "tests/test_ann_recall.py::test_knn_eval_ivf_accuracy_close_to_bruteforce.",
+    tags=("similarity", "knn", "ivf", "eval", "ext"),
+    oracle=_knn_ivf_oracle(),
+)
+def sim_knn_label_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 640))
+    training = emb.where(F.col("vec_id") % 10 != 0)
+    centroids = emb.where((F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 320)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    cand = sim.cosine_topk_ivf(queries, training, centroids, k=5, n_probe=4)
+    q_lab = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    t_lab = training.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("nb_label")
+    )
+    top5 = cand.join(F.broadcast(q_lab), "q_id").join(t_lab, "n_id")
+    votes = top5.groupBy("q_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_v = Window.partitionBy("q_id").orderBy(F.col("n").desc(), "nb_label")
     pred = votes.withColumn("rn", F.row_number().over(w_v)).where(F.col("rn") == 1)
     return (
         pred.groupBy(F.col("true_label").alias("label"))

@@ -111,3 +111,52 @@ def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
     # the DEFAULT entry point must route to the prefix-filtered form
     routed = {tuple(r) for r in ngram_jaccard_pairs(tiny, n=3, threshold=0.5).collect()}
     assert routed == fast
+
+
+def test_lsh_dedup_edges_same_clusters(spark, sf_dir):
+    """The bounded star-per-bucket LSH edge set must induce the SAME
+    connected components as the exhaustive all-pairs LSH output — the
+    documented contract of minhash_lsh_dedup_edges: for dedup purposes
+    (pairs feed connected_components) the m−1 star edges per bucket
+    carry the same cluster structure as the C(m,2) enumeration.  Also
+    pins boundedness itself: the star edge count never exceeds the
+    all-pairs count, and every star edge is a true ≥-threshold pair."""
+    from mysql_cdc_redis_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dedup_edges,
+        minhash_lsh_pairs,
+    )
+    from mysql_cdc_redis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # add a pathological 12-copy near-identical group (first char varies,
+    # the sf10 replication shape) on top of the natural fixture
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    extra = spark.createDataFrame(
+        [(10_000_000 + i, chr(ord("a") + i) + base[1:]) for i in range(12)],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+
+    star = minhash_lsh_dedup_edges(corpus, n=3, threshold=0.2)
+    full = minhash_lsh_pairs(corpus, n=3, threshold=0.2)
+    star_rows = {(r["a"], r["b"]) for r in star.collect()}
+    full_rows = {(r["a"], r["b"]) for r in full.collect()}
+    assert star_rows <= full_rows, "star edges must be true >=threshold pairs"
+    # boundedness on the synthetic group: all-pairs emits C(12,2)=66;
+    # the star form emits ≤ (m−1) edges PER BUCKET the group spans —
+    # ≤ m·bands = 48 worst case, linear in m, never quadratic
+    grp_star = {p for p in star_rows if p[0] >= 10_000_000}
+    grp_full = {p for p in full_rows if p[0] >= 10_000_000}
+    assert len(grp_full) == 66
+    assert len(grp_star) <= 12 * 4 and len(grp_star) < len(grp_full)
+
+    comp_star = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(corpus, star).collect()
+    }
+    comp_full = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(corpus, full).collect()
+    }
+    assert comp_star == comp_full, "star edges changed the dedup clusters"

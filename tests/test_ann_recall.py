@@ -48,3 +48,25 @@ def test_pq_seed_vectors_self_encode(spark, sf_dir):
         assert r["recon_err"] == 0.0
     for r in codes:
         assert all(0 <= r[f"c{m}"] < 16 for m in range(4))
+
+
+def test_knn_eval_ivf_accuracy_close_to_bruteforce(spark, sf_dir):
+    """The IVF-candidate k-NN eval must track the brute-force eval: same
+    probe set (so n_eval equal), and aggregate accuracy within 0.1 —
+    generous for isotropic-random fixture embeddings (IVF recall ~0.33
+    is the hardest case; on clustered real embeddings the neighbor sets
+    agree far more), tight enough to catch a broken candidate join
+    (empty cells / wrong labels push accuracy to 0 or chance**2).
+    Measured deltas: 0.02 at sf0.01, 0.00 at sf0.1."""
+    qs = all_queries()
+    accs = {}
+    for name in ("sim_knn_label_eval", "sim_knn_label_eval_ivf"):
+        rows = qs[name].fn(spark, sf_dir).collect()
+        n_eval = sum(r["n_eval"] for r in rows)
+        n_correct = sum(r["n_correct"] for r in rows)
+        accs[name] = (n_eval, n_correct / n_eval)
+    assert accs["sim_knn_label_eval"][0] == accs["sim_knn_label_eval_ivf"][0], (
+        "probe sets diverged"
+    )
+    delta = abs(accs["sim_knn_label_eval"][1] - accs["sim_knn_label_eval_ivf"][1])
+    assert delta <= 0.1, f"IVF eval accuracy drifted {delta} from brute force"

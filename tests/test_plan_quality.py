@@ -889,3 +889,24 @@ def test_no_collect_in_plan_builders():
             if ".collect(" in line and not line.lstrip().startswith("#"):
                 offenders.append(f"{os.path.basename(path)}:{i}: {line.strip()}")
     assert not offenders, "driver-side collect in plans/: " + "; ".join(offenders)
+
+
+def test_knn_eval_ivf_no_corpus_nested_loop(spark, sf_dir):
+    """Round-3 verdict #5: the knn eval composed with the IVF index must
+    carry NO probe×corpus nested loop at all — the query↔training join
+    is an equi-join on the probed cell id.  The only nested loops
+    allowed are the two centroid ASSIGNMENTS (corpus×32 and probes×32
+    broadcast centroids — linear scans, cost O(N·|centroids|))."""
+    plan = _plan(_QUERIES["sim_knn_label_eval_ivf"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, (
+        "IVF knn eval planned a cartesian:\n" + plan
+    )
+    import re
+
+    # explain("formatted") prints each node twice (tree + numbered
+    # details); count the numbered detail headers only
+    n_bnlj = len(re.findall(r"\(\d+\)\s+BroadcastNestedLoopJoin", plan))
+    assert n_bnlj <= 2, (
+        f"expected at most the 2 centroid-assignment nested loops, got "
+        f"{n_bnlj}:\n" + plan
+    )
