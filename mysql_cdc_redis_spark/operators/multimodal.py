@@ -727,7 +727,14 @@ def decode_avi(with_avi: DataFrame, cut_threshold_sum: int = 384, id_col: str = 
             elif form == b"movi":
                 for cid2, boff2, bsz2 in _walk(b, boff + 4, min(boff + bsz, end)):
                     if cid2 in (b"00db", b"00dc"):
-                        frames.append(b[boff2 : boff2 + bsz2])
+                        frame = b[boff2 : boff2 + bsz2]
+                        # present bytes must cover the declared size —
+                        # an over-declared frame whose slice is silently
+                        # truncated by the blob end must be SKIPPED (not
+                        # accepted with partial luma/cut stats), mirroring
+                        # the avih present-bytes rejection above
+                        if len(frame) == bsz2:
+                            frames.append(frame)
         if avih is None:
             return None
         us_per_frame, _mbps, _pad, _flags, declared, _init, _streams, _buf, w, h = avih
@@ -896,7 +903,12 @@ def demux_avi(b: bytes):
         elif form == b"movi":
             for cid2, boff2, bsz2 in walk(boff + 4, min(boff + bsz, end)):
                 if cid2 in (b"00db", b"00dc"):
-                    frames.append(b[boff2 : boff2 + bsz2])
+                    frame = b[boff2 : boff2 + bsz2]
+                    # skip frames whose present bytes fall short of the
+                    # declared size (over-declared chunk truncated by the
+                    # blob end) — mirrors the avih present-bytes check
+                    if len(frame) == bsz2:
+                        frames.append(frame)
     return (avih, frames) if avih is not None else None
 
 

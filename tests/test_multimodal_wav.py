@@ -248,3 +248,36 @@ def test_sampled_avi_remux_is_spec_valid(spark):
     assert strl_frames_declared(rebuilt) == 3
     # declared sizes are exact: file ends at the declared RIFF boundary
     assert len(rebuilt) == 8 + struct.unpack("<I", rebuilt[4:8])[0]
+
+
+def test_avi_parser_skips_overdeclared_truncated_frame(spark):
+    """Round-3 ADVICE: a '00db'/'00dc' frame chunk declaring more bytes
+    than the blob holds must be SKIPPED (its truncated slice would
+    otherwise feed partial luma/cut stats), exactly like the avih
+    present-bytes rejection — while intact sibling frames still parse."""
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    avih = struct.pack("<10I", 40000, 0, 0, 0, 2, 0, 1, 48, 4, 4) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    good = bytes([10] * 48)
+    # frame declares 48 bytes but only 20 are present (blob truncated);
+    # both the movi LIST size and the RIFF size over-declare accordingly
+    lying = b"00db" + struct.pack("<I", 48) + b"\x55" * 20
+    movi_body = b"movi" + chunk(b"00db", good) + lying
+    movi = b"LIST" + struct.pack("<I", len(movi_body) + 36) + movi_body
+    body = b"AVI " + hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", len(body) + 36) + body
+
+    parsed = mm.demux_avi(blob)
+    assert parsed is not None
+    _avih, frames = parsed
+    assert frames == [good], "truncated frame must be skipped, intact kept"
+
+    df = spark.createDataFrame([(1, blob)], "doc_id long, avi binary")
+    out = mm.decode_avi(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_frames"] == 1
+    assert out[0]["luma_sum"] == 10 * 48
