@@ -3,20 +3,26 @@ Phase 4): exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
 Scale design (the 100 TB story):
 * exact dedup — one hash-shuffle on a 16-byte digest, never on raw text.
-* n-gram Jaccard — the *exact* path: DEFAULT is the df-ordered
-  prefix-filtered join (SSJoin/PPJoin), because the naive inverted-index
-  join's O(Σ_sh df(sh)²) candidate cost has a MEASURED single-box abort
-  at sf10 (SCALING.md round-3: every shingle df≈100 spilled past ~69 GB
-  of disk) and Zipfian natural text is strictly worse than that fixture.
-  The naive join survives as `ngram_jaccard_pairs_naive` for corpora
-  with near-uniform shingle frequencies, where it is genuinely cheaper.
+* n-gram Jaccard — the *exact* path: DEFAULT is the SSJoin/PPJoin join
+  (df-ordered prefix + size + positional filters, array-intersection
+  verify, pair-space slicing when a Σ df_prefix² statistic predicts the
+  candidate join would out-spill the disk), because the naive
+  inverted-index join's O(Σ_sh df(sh)²) candidate cost has a MEASURED
+  single-box abort at sf10 (SCALING.md rounds 3-4) and Zipfian natural
+  text is strictly worse than near-uniform fixtures.  The naive join
+  survives as `ngram_jaccard_pairs_naive` for corpora with small df,
+  where it is genuinely cheaper.
 * MinHash+LSH — k=16 signature from a universal integer hash family
   h_i(x) = (a_i·x + b_i) mod p over the 32-bit-reduced shingle hash
   (pure JVM integer arithmetic, no per-hash md5), b=4 bands × r=4 rows;
   candidates share a band digest (equi-join), then exact Jaccard is
   verified *candidate-driven* — common-shingle counts are computed only
   for candidate pairs, so verification cost is O(candidates · shingles
-  per doc), independent of corpus pair count.
+  per doc), independent of corpus pair count.  For DEDUP consumption
+  prefer `minhash_lsh_dedup_edges` (star-per-bucket candidates —
+  output linear in near-dup group size, same connected components);
+  `minhash_lsh_pairs` enumerates ALL ≥-threshold bucket pairs, which
+  is quadratic in group size on boilerplate-heavy corpora.
 * SimHash — 16-bit signature from token-frequency-weighted bit votes;
   all bit arithmetic in JVM expressions.
 
@@ -145,12 +151,57 @@ def _verify_jaccard_pairs(
     )
 
 
+def _verify_jaccard_pairs_arrays(
+    cand: DataFrame,
+    arrs: DataFrame,
+    threshold: float,
+    arrs_b: DataFrame | None = None,
+) -> DataFrame:
+    """Array-intersection exact-Jaccard verify: candidate pairs join the
+    per-doc SORTED shingle-hash arrays (one row per doc), and
+    ``n_common = size(array_intersect(hs_a, hs_b))`` — all JVM.  Ships
+    each pair's two arrays through the join exactly once, ~(n_a+n_b)
+    longs per pair, with NO exploded per-shingle intermediates: the
+    explode-join verify (`_verify_jaccard_pairs`) writes Σ_pairs n_a
+    rows into TWO exchanges, measured at sf10 as ~30 GB of transient
+    shuffle per slice — the disk driver of the round-4 abort.  Output
+    identical (arrays are distinct per doc, so array_intersect counts
+    exactly the common shingles)."""
+    if arrs_b is None:
+        arrs_b = arrs
+    a = arrs.select(
+        F.col("doc_id").alias("a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a")
+    )
+    b = arrs_b.select(
+        F.col("doc_id").alias("b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        cand.join(a, "a")
+        .join(b, "b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def shingle_arrays(sh: DataFrame) -> DataFrame:
+    """(doc_id, hs, n_sh): per-doc sorted distinct shingle-hash array +
+    size — the verify-friendly representation (one row per doc)."""
+    return sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_slices: int | None = None,
+    max_join_rows: int = 300_000_000,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard ≥ threshold, with PREFIX
     FILTERING (the SSJoin/PPJoin principle — Chaudhuri et al. ICDE'06,
@@ -177,11 +228,29 @@ def ngram_jaccard_pairs_prefix(
     extra shuffles here (df ranking + candidate verify) cost more than
     they save — `ngram_jaccard_pairs_naive` exists for that case, and
     MinHash-LSH remains the approximate path for either corpus.
+
+    SLICED execution (the out-of-disk guard): even prefix-filtered, a
+    corpus where every shingle's df is uniformly high (e.g. factor-k
+    replication: df≈k everywhere, so the rarest-first order buys
+    nothing) still writes Σ df_prefix² join rows before the dedup —
+    measured to exceed a single box's disk at sf10.  When the exact
+    pre-dedup row count Σ df_prefix² (one cheap 1-row aggregate over
+    the already-persisted prefix relation — the same bounded driver-
+    side-statistic license as the PQ codebook) exceeds
+    ``max_join_rows``, the PAIR SPACE is partitioned by
+    ``pmod(a, n_slices)``: slice i joins only prefixes of docs with
+    a%K==i against the full prefix index, verifies its candidates, and
+    appends its verified pairs to a per-invocation parquet.  Every
+    (a,b) pair lands in exactly one slice (a is unique per pair), so
+    the union needs no dedup and equals the single-pass output; peak
+    spill drops by K.  On a cluster the same slicing bounds per-stage
+    shuffle volume; K=1 (the common Zipfian case) keeps the original
+    single-plan form with zero staging.  ``n_slices`` forces a count
+    (tests); None = auto from the statistic.
     """
-    # three downstream branches (prefix ranking, sizes, both verify
-    # sides) — cache the shingle relation instead of re-shingling
+    # three downstream branches (prefix ranking, verify arrays, the
+    # candidate join) — cache the shingle relation instead of re-shingling
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     from pyspark.sql.window import Window
 
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -192,18 +261,133 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
     # persist: both sides of the candidate self-join read the prefix
-    # relation — without this the df-join + double window run twice
+    # relation — without this the df-join + double window run twice.
+    # pos (rank in the doc's full df-sorted shingle list) and n_sh ride
+    # along for the PPJoin size/positional filters below.
     prefix = ranked.filter(
         F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "h").persist()
-    cand = (
-        prefix.select(F.col("doc_id").alias("a"), "h")
-        .join(prefix.select(F.col("doc_id").alias("b"), "h"), "h")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    ).select("doc_id", "h", "pos", "n_sh").persist()
+
+    if n_slices is None:
+        # exact pre-dedup row count of the prefix self-join; materializes
+        # the persisted prefix relation as a side effect, so the main
+        # job(s) reuse it instead of re-ranking
+        stat = (
+            prefix.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("dfp"))
+            .agg(F.sum(F.col("dfp") * F.col("dfp")).alias("s"))
+            .first()["s"]
+        ) or 0
+        n_slices = min(64, max(1, -(-int(stat) // max_join_rows)))
+
+    arrs = shingle_arrays(sh)
+
+    def _candidates(pa: DataFrame, pb: DataFrame) -> DataFrame:
+        """Prefix equi-join on h with the PPJoin SIZE and POSITIONAL
+        filters applied MAP-SIDE, before any shuffle/sort touches the
+        joined rows (Xiao et al. WWW'08):
+
+        * size: J ≥ t forces t·n_a ≤ n_b ≤ n_a/t;
+        * positional: a match at ranks (pos_a, pos_b) bounds the total
+          overlap by 1 + min(n_a − pos_a, n_b − pos_b), which must reach
+          α = ⌈t/(1+t)·(n_a+n_b)⌉.  The pair's FIRST common shingle in
+          the global order has the minimal positions, so its bound ≥ the
+          true overlap — a true pair always survives through that row
+          (exactness), while late-position matches of false pairs are
+          dropped before the expensive distinct.
+        """
+        alpha = F.ceil(
+            F.lit(threshold) / (1 + threshold) * (F.col("n_a") + F.col("n_b"))
+        )
+        return (
+            pa.join(pb, "h")
+            .where(
+                (F.col("a") < F.col("b"))
+                & (F.col("n_b") * F.lit(1.0) >= F.lit(threshold) * F.col("n_a"))
+                & (F.col("n_a") * F.lit(1.0) >= F.lit(threshold) * F.col("n_b"))
+                & (
+                    1
+                    + F.least(
+                        F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
+                    )
+                    >= alpha
+                )
+            )
+            .select("a", "b")
+            .distinct()
+        )
+
+    pa_all = prefix.select(
+        F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    return _verify_jaccard_pairs(cand, sh, sizes, threshold)
+    pb_all = prefix.select(
+        F.col("doc_id").alias("b"), "h", F.col("pos").alias("pos_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+
+    if n_slices <= 1:
+        return _verify_jaccard_pairs_arrays(_candidates(pa_all, pb_all), arrs, threshold)
+
+    # sliced: each pass covers exactly the pairs whose smaller id a has
+    # a % n_slices == i — a partition of the pair space, so the slice
+    # outputs concatenate to the single-pass result with no dedup.
+    # The prefix and array relations are STAGED as parquet first
+    # (prefix partitioned by the slice id, so each pass's pa side is a
+    # pruned scan): relying on .persist() here is a trap — every slice's
+    # sort pressure evicts the cached blocks and re-derives the whole
+    # df-ranking window chain per slice (measured ~3-4× wall
+    # amplification at sf10).  Plain parquet scans are eviction-proof.
+    import atexit
+    import gc
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    spark = docs.sparkSession
+    stage_base = tempfile.mkdtemp(prefix="ngram_prefix_stage_")
+    final_dir = tempfile.mkdtemp(prefix="ngram_prefix_pairs_")
+    try:
+        (
+            prefix.withColumn("_s", F.pmod("doc_id", F.lit(n_slices)))
+            .write.partitionBy("_s")
+            .mode("overwrite")
+            .parquet(os.path.join(stage_base, "prefix"))
+        )
+        arrs.write.mode("overwrite").parquet(os.path.join(stage_base, "arrs"))
+        sh.unpersist()
+        prefix.unpersist()
+        prefix_s = spark.read.parquet(os.path.join(stage_base, "prefix"))
+        arrs_s = spark.read.parquet(os.path.join(stage_base, "arrs"))
+        pa_st = prefix_s.select(
+            F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
+            F.col("n_sh").alias("n_a"), "_s",
+        )
+        pb_st = prefix_s.select(
+            F.col("doc_id").alias("b"), "h", F.col("pos").alias("pos_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        for i in range(n_slices):
+            cand_i = _candidates(pa_st.filter(F.col("_s") == i).drop("_s"), pb_st)
+            _verify_jaccard_pairs_arrays(cand_i, arrs_s, threshold).write.mode(
+                "append"
+            ).parquet(final_dir)
+            # nudge shuffle-file cleanup between slice jobs: drop the
+            # python refs to this slice's DAG, let py4j release the JVM
+            # objects, then ask the ContextCleaner (via JVM GC) to delete
+            # their shuffle files before the next slice stacks its own
+            del cand_i
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            _time.sleep(0.5)
+    finally:
+        shutil.rmtree(stage_base, ignore_errors=True)
+    atexit.register(shutil.rmtree, final_dir, ignore_errors=True)
+    return spark.read.parquet(final_dir)
 
 
 def ngram_jaccard_pairs(

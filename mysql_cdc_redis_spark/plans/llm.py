@@ -79,14 +79,17 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     doc="Near-dup pairs by word-3-gram Jaccard — exact, DEFAULT-routed "
-    "through the SSJoin/PPJoin df-ordered prefix-filtered join: only the "
-    "|A|-ceil(t|A|)+1 rarest shingles per doc enter the inverted index, "
-    "survivors verified exactly.  Replaces the naive inverted-index "
-    "self-join as the registered default after its measured sf10 "
-    "out-of-disk abort (Σ df² candidate blow-up; SCALING.md round-3) — "
-    "Zipfian natural text is strictly worse than that fixture.  The "
-    "oracle computes the naive form, so every run re-proves the filter "
-    "is lossless.",
+    "through the SSJoin/PPJoin join: df-ordered prefix filter + size + "
+    "positional filters (all map-side), candidates verified exactly via "
+    "per-doc sorted-array intersection (no exploded per-shingle "
+    "intermediates).  When the Σ df_prefix² statistic says the candidate "
+    "join would out-spill a box (measured at sf10: tiny shingle vocab, "
+    "18.4B pre-dedup rows), the PAIR SPACE is auto-sliced by pmod(a,K) "
+    "into K bounded sequential passes — an exact partition, outputs "
+    "concatenate.  Replaces the naive self-join as the registered "
+    "default after its measured sf10 out-of-disk abort (SCALING.md "
+    "round-3).  The oracle computes the naive form, so every run "
+    "re-proves the filters+slicing are lossless.",
     tags=("dedup", "prefix-filter", "ext"),
     bench=True,
     oracle=f"""

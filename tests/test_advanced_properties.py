@@ -111,6 +111,27 @@ def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
     # the DEFAULT entry point must route to the prefix-filtered form
     routed = {tuple(r) for r in ngram_jaccard_pairs(tiny, n=3, threshold=0.5).collect()}
     assert routed == fast
+    # SLICED execution (the sf10 out-of-disk guard) must be a pure
+    # partition of the pair space: forced 3-slice output == single-pass
+    sliced = {
+        tuple(r)
+        for r in ngram_jaccard_pairs_prefix(
+            docs, n=3, threshold=0.2, n_slices=3
+        ).collect()
+    }
+    single = {
+        tuple(r) for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.2).collect()
+    }
+    assert sliced == single, "pair-space slicing changed the result"
+    # auto-slicing statistic: a tiny max_join_rows must force >1 slice
+    # and still produce the identical pair set
+    forced_auto = {
+        tuple(r)
+        for r in ngram_jaccard_pairs_prefix(
+            docs, n=3, threshold=0.2, max_join_rows=10
+        ).collect()
+    }
+    assert forced_auto == single
 
 
 def test_lsh_dedup_edges_same_clusters(spark, sf_dir):
