@@ -3,15 +3,21 @@ Phase 4): exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
 Scale design (the 100 TB story):
 * exact dedup — one hash-shuffle on a 16-byte digest, never on raw text.
-* n-gram Jaccard — the *exact* path: DEFAULT is the SSJoin/PPJoin join
-  (df-ordered prefix + size + positional filters, array-intersection
-  verify, pair-space slicing when a Σ df_prefix² statistic predicts the
-  candidate join would out-spill the disk), because the naive
-  inverted-index join's O(Σ_sh df(sh)²) candidate cost has a MEASURED
-  single-box abort at sf10 (SCALING.md rounds 3-4) and Zipfian natural
-  text is strictly worse than near-uniform fixtures.  The naive join
-  survives as `ngram_jaccard_pairs_naive` for corpora with small df,
-  where it is genuinely cheaper.
+* n-gram Jaccard — the *exact* path: the DEFAULT routes ADAPTIVELY on
+  the exact Σ df² candidate-volume statistic (one cheap 1-row
+  aggregate): when the naive inverted-index join's candidate volume
+  fits the per-pass disk budget it runs the naive join (near-linear on
+  near-uniform-df corpora, and ~2.7× cheaper there than the ranking
+  shuffles of the filtered form — measured round 4); otherwise it runs
+  the SSJoin/PPJoin join (df-ordered prefix + size + positional
+  filters, array-intersection verify, pair-space slicing when a
+  Σ df_prefix² statistic predicts even the filtered join would
+  out-spill the disk).  The naive join's unconditional form has a
+  MEASURED single-box abort at sf10 (SCALING.md round 3); the
+  unconditionally-filtered form costs 2.5-2.7× on benign corpora
+  (round 4) — the statistic buys both safety and the benign-case wall.
+  `ngram_jaccard_pairs_naive` / `ngram_jaccard_pairs_prefix` remain
+  the explicit single-route forms.
 * MinHash+LSH — k=16 signature from a universal integer hash family
   h_i(x) = (a_i·x + b_i) mod p over the 32-bit-reduced shingle hash
   (pure JVM integer arithmetic, no per-hash md5), b=4 bands × r=4 rows;
@@ -32,13 +38,44 @@ identical hash constants."""
 
 from __future__ import annotations
 
+import atexit
+import logging
+import os
 import random
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5long, norm_text
 from .textstats import fingerprint
+
+_LOG = logging.getLogger(__name__)
+
+
+def _stage_parquet(df: DataFrame, name: str) -> DataFrame:
+    """Materialize an intermediate relation to a per-invocation tmp
+    parquet directory and return an eviction-proof scan over it — the
+    replacement for ``.persist()`` everywhere in this module.
+
+    Why not persist: (a) cached blocks are EVICTED under the sort/shuffle
+    pressure of exactly the joins that reuse them — measured 3-4× wall
+    amplification at sf10 when the sliced dedup loop re-derived the
+    ranking chain per slice (SCALING.md round 4); (b) persisted relations
+    returned inside lazy plans are never unpersisted, so a long-lived
+    session (the production-driver shape) accumulates cached RDDs until
+    memory pressure (round-4 verdict residual #3).  A plain parquet scan
+    has neither problem, keeps `getPersistentRDDs()` empty (pinned by
+    tests/test_dedup_hygiene.py), and is the same mechanism a cluster
+    would use for a materialized inverted index.  The directory is
+    reaped at process exit (idempotent `rmtree`; per-invocation unique
+    path, so concurrent sessions never race — the merge_4x staging rule).
+    """
+    d = tempfile.mkdtemp(prefix=f"dedup_stage_{name}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    df.write.mode("overwrite").parquet(d)
+    return df.sparkSession.read.parquet(d)
 
 # Universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod HASH_P
 # over x < 2^32; constants < 2^30 so a_i*x stays below 2^62 (no int64
@@ -194,6 +231,30 @@ def shingle_arrays(sh: DataFrame) -> DataFrame:
     )
 
 
+_SLICE_CAP = 256
+
+
+def _auto_slice_count(stat: int, max_join_rows: int, slice_concurrency: int) -> int:
+    """Slice count for the pair-space-sliced prefix join: enough slices
+    that the CONCURRENT set's total pre-dedup join rows stay within
+    ``max_join_rows`` (concurrency multiplies the in-flight volume, so
+    it divides the per-slice budget).  Capped at ``_SLICE_CAP`` with an
+    explicit warning when the cap binds — the repo's no-silent-caps
+    convention (round-4 advice): a silently-bound cap would mean each
+    slice still exceeds the very disk budget the guard exists for."""
+    conc = max(1, int(slice_concurrency))
+    want = -(-int(stat) * conc // max_join_rows)
+    if want > _SLICE_CAP:
+        _LOG.warning(
+            "ngram_jaccard_pairs_prefix: slice cap binds (want %d slices for "
+            "sigma_df_prefix^2=%d, running %d) — per-slice join volume "
+            "exceeds max_join_rows=%d by ~%.1fx; expect heavier spill per "
+            "pass",
+            want, int(stat), _SLICE_CAP, max_join_rows, want / _SLICE_CAP,
+        )
+    return min(_SLICE_CAP, max(1, want))
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     n: int = 3,
@@ -202,6 +263,8 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     n_slices: int | None = None,
     max_join_rows: int = 300_000_000,
+    slice_concurrency: int = 2,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard ≥ threshold, with PREFIX
     FILTERING (the SSJoin/PPJoin principle — Chaudhuri et al. ICDE'06,
@@ -235,23 +298,51 @@ def ngram_jaccard_pairs_prefix(
     nothing) still writes Σ df_prefix² join rows before the dedup —
     measured to exceed a single box's disk at sf10.  When the exact
     pre-dedup row count Σ df_prefix² (one cheap 1-row aggregate over
-    the already-persisted prefix relation — the same bounded driver-
-    side-statistic license as the PQ codebook) exceeds
-    ``max_join_rows``, the PAIR SPACE is partitioned by
-    ``pmod(a, n_slices)``: slice i joins only prefixes of docs with
-    a%K==i against the full prefix index, verifies its candidates, and
-    appends its verified pairs to a per-invocation parquet.  Every
-    (a,b) pair lands in exactly one slice (a is unique per pair), so
-    the union needs no dedup and equals the single-pass output; peak
-    spill drops by K.  On a cluster the same slicing bounds per-stage
-    shuffle volume; K=1 (the common Zipfian case) keeps the original
-    single-plan form with zero staging.  ``n_slices`` forces a count
+    the staged prefix relation — the same bounded driver-side-statistic
+    license as the PQ codebook) exceeds ``max_join_rows``, the PAIR
+    SPACE is partitioned by ``pmod(hash(a), n_slices)``: slice i joins
+    only prefixes of docs whose slice key is i against the full prefix
+    index, verifies its candidates, and writes its verified pairs to a
+    per-slice parquet subdirectory.  Every (a,b) pair lands in exactly
+    one slice (the key is a pure function of a, which is unique per
+    pair), so the union needs no dedup and equals the single-pass
+    output; peak spill drops by K.  The key hashes the id rather than
+    using ``pmod(a, K)`` directly so NON-NUMERIC id columns slice
+    correctly — pmod on a string id is NULL, which would silently drop
+    every such doc's pairs (round-4 advice; pinned by the string-id
+    case in tests/test_advanced_properties.py).
+
+    Up to ``slice_concurrency`` slices run CONCURRENTLY through a small
+    thread pool: Spark's scheduler interleaves the slice jobs, so the
+    shuffle-cleanup / stage tail of slice i overlaps the compute of
+    slice i+1 instead of serializing (round-4 verdict item 6 — the 62
+    sequential sf10 slices left measurable idle gaps).  The per-slice
+    row budget is divided by the concurrency so the PEAK transient
+    spill of the concurrent set stays ≤ max_join_rows — the bound the
+    guard exists for.  On a cluster the same slicing bounds per-stage
+    shuffle volume; K=1 (the common Zipfian case) runs one single-pass
+    plan over the staged relations.  ``n_slices`` forces a count
     (tests); None = auto from the statistic.
+
+    The prefix and array relations are STAGED as per-invocation parquet
+    (`_stage_parquet`), not persisted: cache eviction under the slice
+    joins' sort pressure was measured at 3-4× wall amplification at
+    sf10, and staging also leaves no cached RDDs behind in a long-lived
+    session.  The staging cost is paid only on the heavy route — the
+    adaptive default sends benign corpora to the naive join, which
+    stages only the shingle relation.
     """
-    # three downstream branches (prefix ranking, verify arrays, the
-    # candidate join) — cache the shingle relation instead of re-shingling
-    sh = shingle_hashes(docs, n, id_col, text_col).persist()
     from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    # _sh: an already-staged shingle relation handed down by the
+    # adaptive router; standalone calls stage their own — the relation
+    # feeds the df ranking (twice: freq + the join back) and the verify
+    # arrays, so an unstaged plan would redo the shingle distinct-shuffle
+    # three times
+    sh = _sh if _sh is not None else _stage_parquet(
+        shingle_hashes(docs, n, id_col, text_col), "ngram_prefix_sh"
+    )
 
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
@@ -260,27 +351,28 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("pos", F.row_number().over(w_doc))
         .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    # persist: both sides of the candidate self-join read the prefix
-    # relation — without this the df-join + double window run twice.
     # pos (rank in the doc's full df-sorted shingle list) and n_sh ride
-    # along for the PPJoin size/positional filters below.
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "h", "pos", "n_sh").persist()
+    # along for the PPJoin size/positional filters below.  Staged: both
+    # sides of the candidate self-join (and the slicing statistic) read
+    # the prefix relation.
+    prefix = _stage_parquet(
+        ranked.filter(
+            F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).select("doc_id", "h", "pos", "n_sh"),
+        "ngram_prefix",
+    )
+    arrs = _stage_parquet(shingle_arrays(sh), "ngram_arrs")
 
     if n_slices is None:
-        # exact pre-dedup row count of the prefix self-join; materializes
-        # the persisted prefix relation as a side effect, so the main
-        # job(s) reuse it instead of re-ranking
+        # exact pre-dedup row count of the prefix self-join — one cheap
+        # 1-row aggregate over the staged prefix scan
         stat = (
             prefix.groupBy("h")
             .agg(F.count(F.lit(1)).alias("dfp"))
             .agg(F.sum(F.col("dfp") * F.col("dfp")).alias("s"))
             .first()["s"]
         ) or 0
-        n_slices = min(64, max(1, -(-int(stat) // max_join_rows)))
-
-    arrs = shingle_arrays(sh)
+        n_slices = _auto_slice_count(int(stat), max_join_rows, slice_concurrency)
 
     def _candidates(pa: DataFrame, pb: DataFrame) -> DataFrame:
         """Prefix equi-join on h with the PPJoin SIZE and POSITIONAL
@@ -327,39 +419,34 @@ def ngram_jaccard_pairs_prefix(
     )
 
     if n_slices <= 1:
+        # single-pass plan over the staged (eviction-proof) relations;
+        # staging dirs are reaped at process exit by _stage_parquet
         return _verify_jaccard_pairs_arrays(_candidates(pa_all, pb_all), arrs, threshold)
 
     # sliced: each pass covers exactly the pairs whose smaller id a has
-    # a % n_slices == i — a partition of the pair space, so the slice
-    # outputs concatenate to the single-pass result with no dedup.
-    # The prefix and array relations are STAGED as parquet first
-    # (prefix partitioned by the slice id, so each pass's pa side is a
-    # pruned scan): relying on .persist() here is a trap — every slice's
-    # sort pressure evicts the cached blocks and re-derives the whole
-    # df-ranking window chain per slice (measured ~3-4× wall
-    # amplification at sf10).  Plain parquet scans are eviction-proof.
-    import atexit
+    # pmod(hash(a), n_slices) == i — a partition of the pair space, so
+    # the slice outputs concatenate to the single-pass result with no
+    # dedup.  The prefix relation is re-staged PARTITIONED by the slice
+    # key so each pass's pa side is a pruned scan (one cheap extra pass
+    # over the small prefix relation).
     import gc
-    import os
-    import shutil
-    import tempfile
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
-    spark = docs.sparkSession
-    stage_base = tempfile.mkdtemp(prefix="ngram_prefix_stage_")
+    # registered BEFORE any slice work so an exception mid-loop cannot
+    # leak a large partial pairs directory (round-4 advice); rmtree is
+    # idempotent, so the per-invocation registration is harmless
     final_dir = tempfile.mkdtemp(prefix="ngram_prefix_pairs_")
+    atexit.register(shutil.rmtree, final_dir, ignore_errors=True)
+    sliced_dir = tempfile.mkdtemp(prefix="ngram_prefix_sliced_")
     try:
         (
-            prefix.withColumn("_s", F.pmod("doc_id", F.lit(n_slices)))
+            prefix.withColumn("_s", F.pmod(F.hash(F.col("doc_id")), F.lit(n_slices)))
             .write.partitionBy("_s")
             .mode("overwrite")
-            .parquet(os.path.join(stage_base, "prefix"))
+            .parquet(sliced_dir)
         )
-        arrs.write.mode("overwrite").parquet(os.path.join(stage_base, "arrs"))
-        sh.unpersist()
-        prefix.unpersist()
-        prefix_s = spark.read.parquet(os.path.join(stage_base, "prefix"))
-        arrs_s = spark.read.parquet(os.path.join(stage_base, "arrs"))
+        prefix_s = spark.read.parquet(sliced_dir)
         pa_st = prefix_s.select(
             F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
             F.col("n_sh").alias("n_a"), "_s",
@@ -368,26 +455,33 @@ def ngram_jaccard_pairs_prefix(
             F.col("doc_id").alias("b"), "h", F.col("pos").alias("pos_b"),
             F.col("n_sh").alias("n_b"),
         )
-        for i in range(n_slices):
+
+        def _run_slice(i: int) -> None:
             cand_i = _candidates(pa_st.filter(F.col("_s") == i).drop("_s"), pb_st)
-            _verify_jaccard_pairs_arrays(cand_i, arrs_s, threshold).write.mode(
-                "append"
-            ).parquet(final_dir)
-            # nudge shuffle-file cleanup between slice jobs: drop the
-            # python refs to this slice's DAG, let py4j release the JVM
-            # objects, then ask the ContextCleaner (via JVM GC) to delete
-            # their shuffle files before the next slice stacks its own
-            del cand_i
+            # per-slice subdirectory: concurrent writers must not share
+            # one output path (the FileOutputCommitter's _temporary dir
+            # is per-path); the final read globs the subdirs
+            _verify_jaccard_pairs_arrays(cand_i, arrs, threshold).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(final_dir, f"s{i:05d}"))
+            # nudge shuffle-file cleanup as each slice job retires: drop
+            # the python refs to this slice's DAG, let py4j release the
+            # JVM objects, then ask the ContextCleaner (via JVM GC) to
+            # delete their shuffle files while other slices compute
             gc.collect()
             try:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-            _time.sleep(0.5)
+            _time.sleep(0.2)
+
+        workers = max(1, min(int(slice_concurrency), n_slices))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            # list() drains the iterator so any slice exception propagates
+            list(pool.map(_run_slice, range(n_slices)))
     finally:
-        shutil.rmtree(stage_base, ignore_errors=True)
-    atexit.register(shutil.rmtree, final_dir, ignore_errors=True)
-    return spark.read.parquet(final_dir)
+        shutil.rmtree(sliced_dir, ignore_errors=True)
+    return spark.read.parquet(os.path.join(final_dir, "s*"))
 
 
 def ngram_jaccard_pairs(
@@ -396,18 +490,56 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_join_rows: int = 300_000_000,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard ≥ threshold — the DEFAULT
-    entry point, routing through the df-ordered prefix-filtered join
-    (`ngram_jaccard_pairs_prefix`).  The routing is unconditional: the
-    prefix form is output-identical, its worst case (near-uniform df,
-    where the ranking shuffles buy nothing) costs only ~2 extra shuffles,
-    while the naive form's worst case (Zipfian df — i.e. every natural
-    corpus) is a measured out-of-disk abort at sf10.  An engine default
-    must be safe on the adversarial input, not fastest on the benign
-    one.  `ngram_jaccard_pairs_naive` remains available when shingle df
-    is known to be near-uniform."""
-    return ngram_jaccard_pairs_prefix(docs, n, threshold, id_col, text_col)
+    entry point, routing ADAPTIVELY on the exact candidate-volume
+    statistic Σ_h df(h)² (the naive inverted-index join's pre-dedup row
+    count — one shingling pass + one 1-row aggregate):
+
+    * Σ df² ≤ ``max_join_rows`` → the NAIVE join.  Its candidate volume
+      provably fits the same per-pass disk budget the prefix path
+      enforces per slice, and on near-uniform-df corpora it skips the
+      prefix form's df-ranking windows and relation staging — measured
+      2.5-2.7× cheaper at sf0.1/sf1 (round 4, SCALING.md).
+    * Σ df² > ``max_join_rows`` → the df-ordered PREFIX-FILTERED join
+      (`ngram_jaccard_pairs_prefix`), whose own Σ df_prefix² statistic
+      then decides pair-space slicing.  This is the route every Zipfian
+      natural corpus takes — the naive form's worst case there is a
+      measured out-of-disk abort at sf10 (SCALING.md round 3).
+
+    Both routes are output-identical (pinned by
+    tests/test_advanced_properties.py::test_prefix_filter_equals_naive_jaccard,
+    which also forces the adversarial route on a benign corpus), so the
+    statistic trades only cost, never correctness: safe on the
+    adversarial input AND fast on the benign one.  The routing
+    threshold reuses the one disk-budget knob rather than introducing a
+    second tunable; the chosen route is logged.
+
+    The shingle relation is staged ONCE here (parquet, per-invocation)
+    and shared with whichever route wins — the statistic pass costs one
+    shingling + one small (h)-keyed aggregate, never a second pass over
+    the documents."""
+    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "ngram_route_sh")
+    sigma_df2 = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
+        .first()["s"]
+    ) or 0
+    if sigma_df2 <= max_join_rows:
+        _LOG.info(
+            "ngram_jaccard_pairs: route=naive sigma_df2=%d budget=%d",
+            sigma_df2, max_join_rows,
+        )
+        return ngram_jaccard_pairs_naive(docs, n, threshold, id_col, text_col, _sh=sh)
+    _LOG.info(
+        "ngram_jaccard_pairs: route=prefix sigma_df2=%d budget=%d",
+        sigma_df2, max_join_rows,
+    )
+    return ngram_jaccard_pairs_prefix(
+        docs, n, threshold, id_col, text_col, max_join_rows=max_join_rows, _sh=sh
+    )
 
 
 def ngram_jaccard_pairs_naive(
@@ -416,15 +548,21 @@ def ngram_jaccard_pairs_naive(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard ≥ threshold (NAIVE
     inverted-index join on hashed shingles).  Candidate cost is Σ df(h)²
     over all shingles — near-linear ONLY when shingle frequencies are
     near-uniform; on natural text the heavy-hitter shingles make this
     blow up (measured sf10 abort, SCALING.md round-3).  Prefer
-    `ngram_jaccard_pairs` (prefix-filtered, same output) or MinHash-LSH
+    `ngram_jaccard_pairs` (adaptive routing, same output) or MinHash-LSH
     (approximate)."""
-    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    # three branches (sizes + both join sides) read the shingle relation
+    # — staged once so the distinct-shuffle isn't recomputed per branch
+    # (_sh = already-staged relation from the adaptive router)
+    sh = _sh if _sh is not None else _stage_parquet(
+        shingle_hashes(docs, n, id_col, text_col), "ngram_naive_sh"
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "h")
     b = sh.select(F.col("doc_id").alias("b"), "h")
@@ -462,8 +600,8 @@ def ngram_jaccard_new_vs_corpus(
     duplicates are the ordinary pairwise op over the small batch.
 
     Output (a = corpus doc, b = new doc, jaccard ≥ threshold)."""
-    sh_c = shingle_hashes(corpus, n, id_col, text_col).persist()
-    sh_n = shingle_hashes(new_docs, n, id_col, text_col).persist()
+    sh_c = _stage_parquet(shingle_hashes(corpus, n, id_col, text_col), "inc_sh_corpus")
+    sh_n = _stage_parquet(shingle_hashes(new_docs, n, id_col, text_col), "inc_sh_new")
     sizes_c = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sizes_n = sh_n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
@@ -559,11 +697,11 @@ def minhash_lsh_pairs(
     equi-join → candidate-driven exact-Jaccard verify ≥ threshold.
     Output (a, b, jaccard)."""
     # four downstream branches (signature, sizes, both verify sides) —
-    # cache the shingle relation instead of re-shingling per branch
-    sh = shingle_hashes(docs, n, id_col, text_col).persist()
-    # one aggregate over sh yields both the signature and n_sh; persist
-    # the (tiny, one-row-per-doc) result so the sizes branch costs nothing
-    sig = minhash_signatures(sh, k, with_sizes=True).persist()
+    # stage the shingle relation instead of re-shingling per branch
+    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "mh_sh")
+    # one aggregate over sh yields both the signature and n_sh; staged
+    # (tiny, one row per doc) so the sizes branch costs nothing
+    sig = _stage_parquet(minhash_signatures(sh, k, with_sizes=True), "mh_sig")
     cand = lsh_candidate_pairs(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
     sizes = sig.select("doc_id", "n_sh")
     return _verify_jaccard_pairs(cand, sh, sizes, threshold)
@@ -607,8 +745,8 @@ def minhash_lsh_dedup_edges(
     tests/test_advanced_properties.py::test_lsh_dedup_edges_same_clusters.
     `minhash_lsh_pairs` remains the exhaustive-pairs form.
     """
-    sh = shingle_hashes(docs, n, id_col, text_col).persist()
-    sig = minhash_signatures(sh, k, with_sizes=True).persist()
+    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "mh_star_sh")
+    sig = _stage_parquet(minhash_signatures(sh, k, with_sizes=True), "mh_star_sig")
     banded = _banded(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
     from pyspark.sql.window import Window
 
@@ -642,10 +780,10 @@ def minhash_lsh_new_vs_corpus(
     is the batch, independent of corpus size.  Output
     (a = corpus doc, b = new doc, jaccard ≥ threshold), verified
     exactly on the shingle sets."""
-    sh_c = shingle_hashes(corpus, n, id_col, text_col).persist()
-    sh_n = shingle_hashes(new_docs, n, id_col, text_col).persist()
-    sig_c = minhash_signatures(sh_c, k, with_sizes=True).persist()
-    sig_n = minhash_signatures(sh_n, k, with_sizes=True).persist()
+    sh_c = _stage_parquet(shingle_hashes(corpus, n, id_col, text_col), "mh_inc_sh_c")
+    sh_n = _stage_parquet(shingle_hashes(new_docs, n, id_col, text_col), "mh_inc_sh_n")
+    sig_c = _stage_parquet(minhash_signatures(sh_c, k, with_sizes=True), "mh_inc_sig_c")
+    sig_n = _stage_parquet(minhash_signatures(sh_n, k, with_sizes=True), "mh_inc_sig_n")
     mh_cols = [f"mh{i}" for i in range(k)]
     banded_c = _banded(sig_c.select("doc_id", *mh_cols), k, bands)
     banded_n = _banded(sig_n.select("doc_id", *mh_cols), k, bands)
@@ -730,8 +868,15 @@ def connected_components(
     Scale design: iteration count is bounded by the component diameter,
     and near-dup clusters are shallow (dozens of docs, diameter ~2-4), so
     3-5 rounds close at any corpus size.  Each round shuffles only
-    (node, label) longs — never text.  ``localCheckpoint`` truncates the
-    lineage each round so plan depth stays O(1) instead of O(iterations).
+    (node, label) longs — never text.  Each round's labels are STAGED to
+    a per-invocation parquet (lineage truncation — plan depth stays O(1)
+    instead of O(iterations)); staging replaced ``localCheckpoint``
+    because checkpoint blocks are persisted outside the CacheManager and
+    are NOT released when the caller drops the result (measured: the
+    ContextCleaner never collects them even after explicit GC), so a
+    long-lived driver would accumulate one pinned snapshot per call.
+    Superseded iteration dirs are deleted as the loop advances; the
+    final one is reaped at process exit (tests/test_dedup_hygiene.py).
     Analog of the reference's keyed-state reachability — there is none;
     this is pure EXT (BASELINE.json north-star dedup).
 
@@ -742,11 +887,21 @@ def connected_components(
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    spark = nodes.sparkSession
+
+    def _stage_round(df: DataFrame, tag: str) -> tuple[DataFrame, str]:
+        d = tempfile.mkdtemp(prefix=f"dedup_stage_cc_{tag}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        df.write.mode("overwrite").parquet(d)
+        return spark.read.parquet(d), d
+
+    labels, prev_dir = _stage_round(
+        nodes.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node")),
+        "init",
     )
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -764,8 +919,12 @@ def connected_components(
                 ),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated, new_dir = _stage_round(updated, f"it{it}")
         n_changed = updated.filter(F.col("_chg")).count()
+        # the new round's staging fully supersedes the old one — free
+        # the old directory now instead of accumulating one per round
+        shutil.rmtree(prev_dir, ignore_errors=True)
+        prev_dir = new_dir
         labels = updated.drop("_chg")
         if n_changed == 0:
             break
@@ -783,11 +942,11 @@ def containment_pairs(
     document embedded inside a larger one, which symmetric Jaccard
     misses (a 100-word doc fully inside a 10k-word doc has Jaccard
     ≈ 0.01 but containment 1.0).  Same inverted-index join as
-    ngram_jaccard_pairs; the undirected common counts are computed once
+    ngram_jaccard_pairs_naive; the undirected common counts are computed once
     (a<b) and emitted in both directions, so the quadratic part is not
     paid twice.  Returns (a, b, containment): fraction of a's shingles
     inside b."""
-    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "contain_sh")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     x = sh.select(F.col("doc_id").alias("a"), "h")
     y = sh.select(F.col("doc_id").alias("b"), "h")

@@ -108,7 +108,8 @@ def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
         tuple(r) for r in ngram_jaccard_pairs_naive(tiny, n=3, threshold=0.5).collect()
     }
     assert fast == naive
-    # the DEFAULT entry point must route to the prefix-filtered form
+    # the DEFAULT entry point must match both single-route forms
+    # (adaptive routing trades only cost, never output)
     routed = {tuple(r) for r in ngram_jaccard_pairs(tiny, n=3, threshold=0.5).collect()}
     assert routed == fast
     # SLICED execution (the sf10 out-of-disk guard) must be a pure
@@ -123,15 +124,111 @@ def test_prefix_filter_equals_naive_jaccard(spark, sf_dir):
         tuple(r) for r in ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.2).collect()
     }
     assert sliced == single, "pair-space slicing changed the result"
-    # auto-slicing statistic: a tiny max_join_rows must force >1 slice
-    # and still produce the identical pair set
+    # auto-slicing statistic: a small max_join_rows must force >1 slice
+    # and still produce the identical pair set (5_000 forces ~10-15
+    # slices at this fixture's sigma_df_prefix^2 — enough to exercise
+    # the auto path without running hundreds of micro-jobs)
     forced_auto = {
         tuple(r)
         for r in ngram_jaccard_pairs_prefix(
-            docs, n=3, threshold=0.2, max_join_rows=10
+            docs, n=3, threshold=0.2, max_join_rows=5_000
         ).collect()
     }
     assert forced_auto == single
+
+
+def test_sliced_jaccard_string_ids(spark):
+    """Pair-space slicing must partition on a TYPE-AGNOSTIC key: the
+    round-4 slice key pmod(doc_id, K) is NULL for a string id column,
+    silently dropping every such doc's pairs — and only when
+    auto-slicing triggers at scale (round-4 advice, medium).  The key is
+    now pmod(hash(doc_id), K); this pins the string-id case under forced
+    slicing against the naive join."""
+    from mysql_cdc_redis_spark.operators.dedup import (
+        ngram_jaccard_pairs_naive,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-a", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("doc-b", "alpha beta gamma delta epsilon zeta eta iota"),
+            ("doc-c", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("doc-d", "one two three four five six seven eight nine"),
+            ("doc-e", "one two three four five six seven eight ten"),
+            ("doc-f", "unrelated words entirely different from others here"),
+        ],
+        "doc_id string, text string",
+    )
+    naive = {tuple(r) for r in ngram_jaccard_pairs_naive(docs, n=3, threshold=0.3).collect()}
+    assert naive, "fixture must produce at least one pair"
+    sliced = {
+        tuple(r)
+        for r in ngram_jaccard_pairs_prefix(
+            docs, n=3, threshold=0.3, n_slices=3
+        ).collect()
+    }
+    assert sliced == naive, (
+        f"string-id slicing dropped pairs (missing={naive - sliced}, "
+        f"extra={sliced - naive})"
+    )
+
+
+def test_ngram_adaptive_routing(spark, caplog):
+    """The DEFAULT n-gram entry must pick the naive join when the exact
+    sigma_df^2 candidate volume fits the disk budget, the prefix+sliced
+    join when it does not — and both routes must emit the identical pair
+    set (round-4 verdict item 1)."""
+    import logging
+
+    from mysql_cdc_redis_spark.operators.dedup import (
+        _auto_slice_count,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_naive,
+    )
+
+    tiny = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g i"),
+            (3, "a b c x y z w v"),
+            (4, "q w e r t y u o"),
+            (5, "q w e r t y u p"),
+        ],
+        "doc_id long, text string",
+    )
+    naive = {tuple(r) for r in ngram_jaccard_pairs_naive(tiny, n=3, threshold=0.3).collect()}
+    with caplog.at_level(logging.INFO, logger="mysql_cdc_redis_spark.operators.dedup"):
+        benign = {tuple(r) for r in ngram_jaccard_pairs(tiny, n=3, threshold=0.3).collect()}
+    assert benign == naive
+    assert any("route=naive" in r.message for r in caplog.records), (
+        "benign corpus must take the naive route"
+    )
+    caplog.clear()
+    # forced-adversarial: a tiny budget pushes the SAME corpus down the
+    # prefix+auto-sliced route; output must not change
+    with caplog.at_level(logging.INFO, logger="mysql_cdc_redis_spark.operators.dedup"):
+        adversarial = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                tiny, n=3, threshold=0.3, max_join_rows=10
+            ).collect()
+        }
+    assert adversarial == naive
+    assert any("route=prefix" in r.message for r in caplog.records), (
+        "over-budget corpus must take the prefix route"
+    )
+    # the slice-count decision (pure function): cap binds loudly
+    with caplog.at_level(logging.WARNING, logger="mysql_cdc_redis_spark.operators.dedup"):
+        caplog.clear()
+        assert _auto_slice_count(10, 300_000_000, 2) == 1
+        assert _auto_slice_count(900_000_000, 300_000_000, 1) == 3
+        assert _auto_slice_count(900_000_000, 300_000_000, 2) == 6
+        assert not caplog.records
+        assert _auto_slice_count(10**15, 300_000_000, 2) == 256
+        assert any("slice cap binds" in r.message for r in caplog.records), (
+            "binding cap must warn (no-silent-caps)"
+        )
 
 
 def test_lsh_dedup_edges_same_clusters(spark, sf_dir):
@@ -157,7 +254,31 @@ def test_lsh_dedup_edges_same_clusters(spark, sf_dir):
         [(10_000_000 + i, chr(ord("a") + i) + base[1:]) for i in range(12)],
         "doc_id long, text string",
     )
-    corpus = docs.select("doc_id", "text").unionByName(extra)
+    # BORDERLINE-threshold group (round-4 advice): members share a core
+    # but diverge by per-doc tails of growing length, so pairwise (and
+    # member<->representative) Jaccard spans ~0.25-0.75 — straddling the
+    # verify threshold region instead of the near-identical shape above.
+    # This exercises the star form's split-risk zone: edges that bucket
+    # together but verify near t.  (A deterministic sub-threshold band
+    # collision would need P = J^r luck per band — the minhash property —
+    # so the pinned contract here is the empirical cluster equality.)
+    core = (
+        "zebra yak xylophone wombat vulture toucan salamander raccoon "
+        "quail porcupine ocelot newt meerkat lemur koala jaguar"
+    )
+    tails = [
+        "",
+        "alpha bravo",
+        "charlie delta echo foxtrot",
+        "golf hotel india juliett kilo lima",
+        "mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu one two three four",
+    ]
+    borderline = spark.createDataFrame(
+        [(20_000_000 + i, (core + " " + t).strip()) for i, t in enumerate(tails)],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra).unionByName(borderline)
 
     star = minhash_lsh_dedup_edges(corpus, n=3, threshold=0.2)
     full = minhash_lsh_pairs(corpus, n=3, threshold=0.2)
@@ -167,8 +288,8 @@ def test_lsh_dedup_edges_same_clusters(spark, sf_dir):
     # boundedness on the synthetic group: all-pairs emits C(12,2)=66;
     # the star form emits ≤ (m−1) edges PER BUCKET the group spans —
     # ≤ m·bands = 48 worst case, linear in m, never quadratic
-    grp_star = {p for p in star_rows if p[0] >= 10_000_000}
-    grp_full = {p for p in full_rows if p[0] >= 10_000_000}
+    grp_star = {p for p in star_rows if 10_000_000 <= p[0] < 20_000_000}
+    grp_full = {p for p in full_rows if 10_000_000 <= p[0] < 20_000_000}
     assert len(grp_full) == 66
     assert len(grp_star) <= 12 * 4 and len(grp_star) < len(grp_full)
 
