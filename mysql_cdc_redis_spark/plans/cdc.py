@@ -341,7 +341,14 @@ def cdc_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = compact(orders_changelog(spark, sf_dir), ORDERS_PK, ORDERS_PAYLOAD).select(
         "tbl", "rid", "cdc_action", "cdc_ts", "o_totalprice"
     )
-    out_dir = os.path.join(tempfile.gettempdir(), "cdc_csv_roundtrip")
+    # per-invocation unique staging + exit-time cleanup: a FIXED shared
+    # path here races two concurrent sessions (one overwrites while the
+    # other reads back) — same class merge_4x fixed in round 4
+    import atexit
+    import shutil
+
+    out_dir = tempfile.mkdtemp(prefix="cdc_csv_roundtrip_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     dump_to_csv(compacted, out_dir, date_col="cdc_ts", fmt="yyyyMM")
     back = read_dump(spark, out_dir, schema=compacted.schema)
     return (
@@ -743,6 +750,10 @@ def cdc_csv_quoted_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     out_dir = os.path.join(tempfile.gettempdir(), f"csv_quoted_{uuid.uuid4().hex[:8]}")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     (
         messy.write.mode("overwrite")
         .option("header", True)
@@ -2149,7 +2160,13 @@ def cdc_dump_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("evt_ts"),
     )
     feed = li.unionByName(od)
-    out_dir = os.path.join(tempfile.gettempdir(), "cdc_drift_quarantine")
+    # per-invocation unique staging + exit-time cleanup (no fixed shared
+    # /tmp path — cross-session overwrite race, round-4 verdict item 2)
+    import atexit
+    import shutil
+
+    out_dir = tempfile.mkdtemp(prefix="cdc_drift_quarantine_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     dump_to_csv_with_quarantine(feed, out_dir, date_col="evt_ts", fmt="yyyyMM")
 
     schema = (
