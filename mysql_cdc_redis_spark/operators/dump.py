@@ -29,15 +29,19 @@ def dump_to_csv(
     date_col: str,
     fmt: str = "yyyyMMdd",
     max_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
 ) -> None:
     """K1: date-partitioned, header'd, chunked CSV dump.
 
     max_rows_per_file defaults to the reference's --max_rows=1,000,000
     (dump2csv.py:23, dump.conf:4).  Timestamps are ISO-formatted so the
-    read side round-trips exactly."""
+    read side round-trips exactly.  ``mode='append'`` is the streaming
+    fan-out spelling: each micro-batch adds its files under the same
+    date partitions (the reference's per-poll dump accretion,
+    dump2csv.py:62-103), instead of clobbering earlier batches."""
     (
         df.withColumn("dt", F.date_format(F.col(date_col), fmt))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("dt")
         .option("header", True)
         .option("maxRecordsPerFile", max_rows_per_file)

@@ -204,6 +204,92 @@ def run_compaction_stream(
     return finalize_stream_output(spark.read.parquet(emissions_dir), payload_schema)
 
 
+def run_compaction_pipeline_dual_sink(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    emissions_dir: str,
+    csv_dir: str,
+    state_dir: str,
+    date_col: str = "cdc_ts",
+    fmt: str = "yyyyMM",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The reference's COMPOSED loop — cdc.py (binlog tail) → rcache.py
+    (keyed cache merge) → dump2csv.py (date-partitioned CSV dump) — as
+    ONE streaming query with a T7 foreachBatch fan-out:
+
+    * sink 1 (K5): append-only emissions parquet — the checkpointed
+      offset/commit log a restarted query resumes against;
+    * sink 2 (K1): per-micro-batch date-partitioned CSV dump of the
+      batch's emissions (typed payload restored from JSON, ``last_seq``
+      riding along so the read side can finalize) — mode='append', so
+      each poll ACCRETES files under its date partitions exactly like
+      the reference's periodic dumps;
+    * sink 3 (K4): after the availableNow run terminates, the finalized
+      compacted state is written to a table-partitioned parquet — the
+      durable state snapshot rcache.py holds in Redis.
+
+    ``date_col`` must be one of ``payload_cols`` (the reference dumps by
+    the row's event date; compaction keeps the tail event's value, the
+    same arg_max-by-seq the batch compactor uses).
+
+    Returns the finalized compacted state (read from sink 3).  Delivery:
+    the CSV sink is idempotent-at-the-read (finalize = max last_seq per
+    key), so even the foreachBatch at-least-once corner (a batch retried
+    after a partial sink write) cannot change the finalized answer —
+    the same replay-safety argument as the reference's idempotent cache
+    merge (M5).  Parity with the batch compactor AND checkpoint-resume
+    midway are pinned by tests/test_streaming_parity.py::
+    test_composed_pipeline_dual_sink_equals_batch."""
+    if date_col not in payload_cols:
+        raise ValueError(f"date_col {date_col!r} must be in payload_cols")
+    from ..operators.dump import dump_state_parquet, dump_to_csv
+
+    payload_schema = StructType([source_schema[c] for c in payload_cols])
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    emissions = compact_stream(stream, pk_cols, payload_cols)
+
+    def _fan_out(batch_df: DataFrame, _batch_id: int) -> None:
+        # one pass over the micro-batch feeds both per-batch sinks; the
+        # batch is tiny relative to state, so persist-free double reads
+        # would also be fine — but foreachBatch re-executes the batch
+        # plan per action, so cache it for the two writes
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(emissions_dir)
+            typed = batch_df.select(
+                "tbl",
+                "rid",
+                "cdc_action",
+                "last_seq",
+                F.from_json("payload_json", payload_schema).alias("p"),
+            ).select("tbl", "rid", "cdc_action", "last_seq", "p.*")
+            dump_to_csv(typed, csv_dir, date_col=date_col, fmt=fmt, mode="append")
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        emissions.writeStream.foreachBatch(_fan_out)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = finalize_stream_output(spark.read.parquet(emissions_dir), payload_schema)
+    dump_state_parquet(final, state_dir)
+    return spark.read.parquet(state_dir)
+
+
 # ---------------------------------------------------------------------------
 # Retraction stream: the Flink-style changelog-of-the-aggregate
 # ---------------------------------------------------------------------------
