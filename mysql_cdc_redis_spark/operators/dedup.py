@@ -937,16 +937,59 @@ def containment_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_join_rows: int = 300_000_000,
 ) -> DataFrame:
     """Directed shingle containment |A∩B| / |A| ≥ threshold — catches a
     document embedded inside a larger one, which symmetric Jaccard
     misses (a 100-word doc fully inside a 10k-word doc has Jaccard
-    ≈ 0.01 but containment 1.0).  Same inverted-index join as
-    ngram_jaccard_pairs_naive; the undirected common counts are computed once
-    (a<b) and emitted in both directions, so the quadratic part is not
-    paid twice.  Returns (a, b, containment): fraction of a's shingles
-    inside b."""
-    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "contain_sh")
+    ≈ 0.01 but containment 1.0).  Returns (a, b, containment): fraction
+    of a's shingles inside b; both directions are evaluated.
+
+    DEFAULT, routing ADAPTIVELY on the same exact Σ df² statistic as
+    `ngram_jaccard_pairs` — the naive inverted-index join here shares
+    the n-gram join's candidate-volume blow-up (and would share its
+    measured sf10 out-of-disk abort) on heavy-df corpora: within the
+    disk budget → `containment_pairs_naive`; over it →
+    `containment_pairs_prefix`.  Both routes are output-identical
+    (tests/test_advanced_properties.py::test_containment_prefix_equals_naive)."""
+    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "contain_route_sh")
+    sigma_df2 = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
+        .first()["s"]
+    ) or 0
+    if sigma_df2 <= max_join_rows:
+        _LOG.info(
+            "containment_pairs: route=naive sigma_df2=%d budget=%d",
+            sigma_df2, max_join_rows,
+        )
+        return containment_pairs_naive(docs, n, threshold, id_col, text_col, _sh=sh)
+    _LOG.info(
+        "containment_pairs: route=prefix sigma_df2=%d budget=%d",
+        sigma_df2, max_join_rows,
+    )
+    return containment_pairs_prefix(
+        docs, n, threshold, id_col, text_col, max_join_rows=max_join_rows, _sh=sh
+    )
+
+
+def containment_pairs_naive(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    _sh: DataFrame | None = None,
+) -> DataFrame:
+    """NAIVE inverted-index containment join: candidate cost Σ df(h)²
+    over all shingles — near-linear ONLY when df is near-uniform.  The
+    undirected common counts are computed once (a<b) and emitted in both
+    directions, so the quadratic part is not paid twice.  Prefer
+    `containment_pairs` (adaptive) on corpora of unknown shape."""
+    sh = _sh if _sh is not None else _stage_parquet(
+        shingle_hashes(docs, n, id_col, text_col), "contain_sh"
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     x = sh.select(F.col("doc_id").alias("a"), "h")
     y = sh.select(F.col("doc_id").alias("b"), "h")
@@ -965,3 +1008,160 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", "containment")
     )
+
+
+def containment_pairs_prefix(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_slices: int | None = None,
+    max_join_rows: int = 300_000_000,
+    slice_concurrency: int = 2,
+    _sh: DataFrame | None = None,
+) -> DataFrame:
+    """Containment join with DIRECTED prefix filtering — the scale path
+    for heavy-df corpora (the containment analog of
+    `ngram_jaccard_pairs_prefix`; prefix principle per Chaudhuri et al.
+    ICDE'06 / Xiao et al. WWW'08, overlap form):
+
+    a directed candidate (x → y) needs overlap ≥ α(x) = ⌈t·|X|⌉, so in
+    ANY fixed global shingle order, Y must share one of X's first
+    |X| − α(x) + 1 shingles (were every common shingle among X's last
+    α(x) − 1, the overlap would be < α(x)).  The PROBE side is therefore
+    each doc's df-ordered prefix; the INDEX side must stay the FULL
+    shingle relation (containment puts no upper bound on |Y|, and a
+    probe-side-only prefix would miss big containers).  Candidate cost
+    drops from Σ df² to Σ df_prefix(h)·df(h) — the rarest-first order
+    keeps heavy-hitter shingles out of the probe.  A positional filter
+    prunes map-side: the first common shingle at ranks (pos_x, pos_y)
+    bounds the overlap by 1 + min(|X|−pos_x, |Y|−pos_y) ≥ α(x).
+
+    Every DIRECTED pair is generated exactly once (from its probe doc),
+    so the pair space slices cleanly by pmod(hash(x), K) when the exact
+    Σ df_prefix·df statistic exceeds the disk budget — same overlap /
+    concurrency / cap rules as the Jaccard form.  The verify joins each
+    candidate's two sorted hash arrays once; the directed verify costs
+    ~2× the naive form's shared undirected count, a trade that only the
+    heavy route (where the filters cut orders of magnitude) pays.
+
+    Output identical to `containment_pairs_naive`."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    sh = _sh if _sh is not None else _stage_parquet(
+        shingle_hashes(docs, n, id_col, text_col), "contain_prefix_sh"
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
+    ranked = _stage_parquet(
+        sh.join(freq, "h")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "h", "pos", "n_sh"),
+        "contain_ranked",
+    )
+    probe = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    )
+    arrs = _stage_parquet(shingle_arrays(sh), "contain_arrs")
+
+    if n_slices is None:
+        # exact pre-dedup candidate count Σ_h df_prefix(h)·df(h): one
+        # bounded 1-row aggregate joining the probe's per-h counts with
+        # the full df
+        stat = (
+            probe.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("dfp"))
+            .join(freq, "h")
+            .agg(F.sum(F.col("dfp") * F.col("df")).alias("s"))
+            .first()["s"]
+        ) or 0
+        n_slices = _auto_slice_count(int(stat), max_join_rows, slice_concurrency)
+
+    def _directed_candidates(px: DataFrame, iy: DataFrame) -> DataFrame:
+        alpha = F.ceil(F.lit(threshold) * F.col("n_a"))
+        return (
+            px.join(iy, "h")
+            .where(
+                (F.col("a") != F.col("b"))
+                & (
+                    1
+                    + F.least(
+                        F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
+                    )
+                    >= alpha
+                )
+            )
+            .select("a", "b")
+            .distinct()
+        )
+
+    def _verify_containment(cand: DataFrame) -> DataFrame:
+        x = arrs.select(
+            F.col("doc_id").alias("a"), F.col("hs").alias("hs_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        y = arrs.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b"))
+        return (
+            cand.join(x, "a")
+            .join(y, "b")
+            .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+            .withColumn("containment", F.round(F.col("n_common") / F.col("n_a"), 6))
+            .filter(F.col("containment") >= threshold)
+            .select("a", "b", "containment")
+        )
+
+    px_all = probe.select(
+        F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    iy_all = ranked.select(
+        F.col("doc_id").alias("b"), "h", F.col("pos").alias("pos_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+
+    if n_slices <= 1:
+        return _verify_containment(_directed_candidates(px_all, iy_all))
+
+    import gc
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    final_dir = tempfile.mkdtemp(prefix="contain_prefix_pairs_")
+    atexit.register(shutil.rmtree, final_dir, ignore_errors=True)
+    sliced_dir = tempfile.mkdtemp(prefix="contain_prefix_sliced_")
+    try:
+        (
+            probe.withColumn("_s", F.pmod(F.hash(F.col("doc_id")), F.lit(n_slices)))
+            .write.partitionBy("_s")
+            .mode("overwrite")
+            .parquet(sliced_dir)
+        )
+        probe_s = spark.read.parquet(sliced_dir)
+        px_st = probe_s.select(
+            F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
+            F.col("n_sh").alias("n_a"), "_s",
+        )
+
+        def _run_slice(i: int) -> None:
+            cand_i = _directed_candidates(
+                px_st.filter(F.col("_s") == i).drop("_s"), iy_all
+            )
+            _verify_containment(cand_i).write.mode("overwrite").parquet(
+                os.path.join(final_dir, f"s{i:05d}")
+            )
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            _time.sleep(0.2)
+
+        workers = max(1, min(int(slice_concurrency), n_slices))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_run_slice, range(n_slices)))
+    finally:
+        shutil.rmtree(sliced_dir, ignore_errors=True)
+    return spark.read.parquet(os.path.join(final_dir, "s*"))

@@ -2340,9 +2340,12 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Directed shingle-containment near-dup pairs (|A∩B|/|A| ≥ 0.5): "
     "the asymmetric complement of Jaccard — a short document wholly "
     "embedded in a long one scores containment ~1.0 while its Jaccard "
-    "is ~|A|/|B| (invisible at any sane threshold).  Undirected common "
-    "counts computed once (a<b) then emitted both ways; shuffle "
-    "payload is 60-bit shingle hashes, never text.",
+    "is ~|A|/|B| (invisible at any sane threshold).  ADAPTIVELY routed "
+    "like dedup_ngram_jaccard: naive inverted-index join (undirected "
+    "counts once, emitted both ways) within the Σ df² disk budget, "
+    "directed prefix-filtered join with pair-space slicing over it — "
+    "the naive form shares the n-gram join's measured sf10 abort "
+    "class.  Shuffle payload is 60-bit shingle hashes, never text.",
     tags=("dedup", "containment", "ext"),
     oracle=f"""
 WITH {_DOCS_SHINGLES},
@@ -2368,6 +2371,44 @@ ORDER BY a, b
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.containment_pairs(docs, n=3, threshold=0.5).orderBy("a", "b")
+
+
+@register(
+    "dedup_containment_pairs_prefix",
+    doc="The containment join's explicit SCALE route (what "
+    "dedup_containment_pairs routes to over-budget): DIRECTED prefix "
+    "filtering — probe = each doc's df-ordered t-prefix, index = the "
+    "FULL shingle relation (containment has no size upper bound on the "
+    "container), candidate cost Σ df_prefix·df instead of Σ df², "
+    "positional filter map-side, sorted-array-intersection verify, "
+    "pair-space slicing by pmod(hash(probe_doc),K) when the exact "
+    "statistic predicts out-spill.  Oracle computes the naive form — "
+    "every run re-proves the directed filters are lossless.",
+    tags=("dedup", "containment", "prefix-filter", "ext"),
+    oracle=f"""
+WITH {_DOCS_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+  FROM shh x JOIN shh y ON x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT a, b, n_common FROM common
+  UNION ALL
+  SELECT b AS a, a AS b, n_common FROM common
+)
+SELECT a, b, containment FROM (
+  SELECT d.a, d.b, round(d.n_common / s.n_sh, 6) AS containment
+  FROM directed d JOIN sizes s ON s.doc_id = d.a
+)
+WHERE containment >= 0.5
+ORDER BY a, b
+""",
+)
+def dedup_containment_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs_prefix(docs, n=3, threshold=0.5).orderBy("a", "b")
 
 
 @register(

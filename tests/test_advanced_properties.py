@@ -231,6 +231,60 @@ def test_ngram_adaptive_routing(spark, caplog):
         )
 
 
+def test_containment_prefix_equals_naive(spark, sf_dir):
+    """The DIRECTED prefix filter for the containment join is an exact
+    optimization: probe = each doc's df-ordered t-prefix, index = full
+    shingle relation; with the positional filter applied, the candidate
+    set must retain every true (x→y) pair — output identical to the
+    naive inverted-index join, under single-pass AND forced slicing
+    (including string ids through the hash-based slice key)."""
+    from mysql_cdc_redis_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_naive,
+        containment_pairs_prefix,
+    )
+    from mysql_cdc_redis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.3, 0.5, 0.9):
+        naive = {
+            tuple(r) for r in containment_pairs_naive(docs, n=3, threshold=t).collect()
+        }
+        fast = {
+            tuple(r) for r in containment_pairs_prefix(docs, n=3, threshold=t).collect()
+        }
+        assert fast == naive, (
+            f"threshold={t}: containment prefix filter changed the result "
+            f"(missing={naive - fast}, extra={fast - naive})"
+        )
+    # embedded-document shape: short doc fully inside a long one (the
+    # asymmetric case the operator exists for), plus forced slicing
+    tiny = spark.createDataFrame(
+        [
+            ("s1", "alpha beta gamma delta"),
+            ("l1", "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                   "lam mu nu xi omicron pi rho sigma tau upsilon"),
+            ("s2", "rho sigma tau upsilon"),
+            ("u1", "one two three four five six seven"),
+        ],
+        "doc_id string, text string",
+    )
+    naive = {tuple(r) for r in containment_pairs_naive(tiny, n=3, threshold=0.5).collect()}
+    assert ("s1", "l1") in {(a, b) for a, b, _ in naive}, "fixture sanity"
+    sliced = {
+        tuple(r)
+        for r in containment_pairs_prefix(tiny, n=3, threshold=0.5, n_slices=3).collect()
+    }
+    assert sliced == naive
+    # adaptive default equals both routes; forced-adversarial budget
+    # pushes it down the prefix path with auto slicing
+    assert {tuple(r) for r in containment_pairs(tiny, n=3, threshold=0.5).collect()} == naive
+    assert {
+        tuple(r)
+        for r in containment_pairs(tiny, n=3, threshold=0.5, max_join_rows=5).collect()
+    } == naive
+
+
 def test_lsh_dedup_edges_same_clusters(spark, sf_dir):
     """The bounded star-per-bucket LSH edge set must induce the SAME
     connected components as the exhaustive all-pairs LSH output — the
