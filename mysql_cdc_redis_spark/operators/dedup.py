@@ -49,33 +49,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5long, norm_text
+from .staging import stage_parquet
 from .textstats import fingerprint
 
 _LOG = logging.getLogger(__name__)
 
 
-def _stage_parquet(df: DataFrame, name: str) -> DataFrame:
-    """Materialize an intermediate relation to a per-invocation tmp
-    parquet directory and return an eviction-proof scan over it — the
-    replacement for ``.persist()`` everywhere in this module.
-
-    Why not persist: (a) cached blocks are EVICTED under the sort/shuffle
-    pressure of exactly the joins that reuse them — measured 3-4× wall
-    amplification at sf10 when the sliced dedup loop re-derived the
-    ranking chain per slice (SCALING.md round 4); (b) persisted relations
-    returned inside lazy plans are never unpersisted, so a long-lived
-    session (the production-driver shape) accumulates cached RDDs until
-    memory pressure (round-4 verdict residual #3).  A plain parquet scan
-    has neither problem, keeps `getPersistentRDDs()` empty (pinned by
-    tests/test_dedup_hygiene.py), and is the same mechanism a cluster
-    would use for a materialized inverted index.  The directory is
-    reaped at process exit (idempotent `rmtree`; per-invocation unique
-    path, so concurrent sessions never race — the merge_4x staging rule).
-    """
-    d = tempfile.mkdtemp(prefix=f"dedup_stage_{name}_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    df.write.mode("overwrite").parquet(d)
-    return df.sparkSession.read.parquet(d)
+# the module's staging/caching discipline is documented in
+# operators/staging.py: stage RETURNED relations, scope-persist
+# TRANSIENT ones around an eager result materialization
+_stage_parquet = stage_parquet
 
 # Universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod HASH_P
 # over x < 2^32; constants < 2^30 so a_i*x stays below 2^62 (no int64
@@ -229,6 +212,66 @@ def shingle_arrays(sh: DataFrame) -> DataFrame:
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count(F.lit(1)).alias("n_sh"),
     )
+
+
+def _route_on_sigma_df2(
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    max_join_rows: int,
+    op_name: str,
+    naive_fn,
+    prefix_fn,
+) -> DataFrame:
+    """Shared adaptive-routing core for the exact set-similarity joins
+    (`ngram_jaccard_pairs`, `containment_pairs`): compute the exact
+    candidate-volume statistic Σ_h df(h)² with ONE pass over the shingle
+    relation, then hand the relation to whichever route wins.
+
+    The shingle relation's lifecycle differs by route, on purpose:
+
+    * The stat pass PERSISTs it (MEMORY_AND_DISK — eviction spills to
+      local disk, never recomputes), so the statistic aggregate doubles
+      as cache population.  Parquet-staging it here instead costs a full
+      encode+write of the corpus's shingle set BEFORE the route is even
+      known — measured at sf1 as 13.9s of a 35s total on the benign
+      route (round 5), most of the regression vs the round-3 persist
+      form.
+    * NAIVE route (benign corpora): the small verified-pairs RESULT is
+      materialized eagerly via `_stage_parquet` while the relation is
+      cached (the join reads it three times — sizes + both sides), then
+      the cache is released in the ``finally``.  Nothing stays persisted
+      after the call (pinned by tests/test_dedup_hygiene.py), and the
+      returned scan is eviction-proof by construction.
+    * PREFIX route (heavy corpora): the cached relation is COPIED to
+      parquet staging — a sequential write from cache — because the
+      prefix path's slice-sort pressure is exactly the regime where
+      relying on executor storage memory was measured at 3-4× wall
+      amplification at sf10 (round 4); then the cache is released before
+      any heavy join runs.
+    """
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    try:
+        sigma_df2 = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
+            .first()["s"]
+        ) or 0
+        if sigma_df2 <= max_join_rows:
+            _LOG.info(
+                "%s: route=naive sigma_df2=%d budget=%d",
+                op_name, sigma_df2, max_join_rows,
+            )
+            return _stage_parquet(naive_fn(sh), f"{op_name}_pairs")
+        _LOG.info(
+            "%s: route=prefix sigma_df2=%d budget=%d",
+            op_name, sigma_df2, max_join_rows,
+        )
+        return prefix_fn(_stage_parquet(sh, f"{op_name}_sh"))
+    finally:
+        sh.unpersist()
 
 
 _SLICE_CAP = 256
@@ -516,29 +559,19 @@ def ngram_jaccard_pairs(
     threshold reuses the one disk-budget knob rather than introducing a
     second tunable; the chosen route is logged.
 
-    The shingle relation is staged ONCE here (parquet, per-invocation)
-    and shared with whichever route wins — the statistic pass costs one
-    shingling + one small (h)-keyed aggregate, never a second pass over
-    the documents."""
-    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "ngram_route_sh")
-    sigma_df2 = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
-        .first()["s"]
-    ) or 0
-    if sigma_df2 <= max_join_rows:
-        _LOG.info(
-            "ngram_jaccard_pairs: route=naive sigma_df2=%d budget=%d",
-            sigma_df2, max_join_rows,
-        )
-        return ngram_jaccard_pairs_naive(docs, n, threshold, id_col, text_col, _sh=sh)
-    _LOG.info(
-        "ngram_jaccard_pairs: route=prefix sigma_df2=%d budget=%d",
-        sigma_df2, max_join_rows,
-    )
-    return ngram_jaccard_pairs_prefix(
-        docs, n, threshold, id_col, text_col, max_join_rows=max_join_rows, _sh=sh
+    The shingle relation is computed ONCE here (persisted for the stat
+    pass, handed to whichever route wins — see `_route_on_sigma_df2` for
+    the per-route lifecycle) — the statistic costs one shingling + one
+    small (h)-keyed aggregate, never a second pass over the documents."""
+    return _route_on_sigma_df2(
+        docs, n, id_col, text_col, max_join_rows, "ngram_jaccard_pairs",
+        lambda sh: ngram_jaccard_pairs_naive(
+            docs, n, threshold, id_col, text_col, _sh=sh
+        ),
+        lambda sh: ngram_jaccard_pairs_prefix(
+            docs, n, threshold, id_col, text_col,
+            max_join_rows=max_join_rows, _sh=sh,
+        ),
     )
 
 
@@ -557,28 +590,40 @@ def ngram_jaccard_pairs_naive(
     blow up (measured sf10 abort, SCALING.md round-3).  Prefer
     `ngram_jaccard_pairs` (adaptive routing, same output) or MinHash-LSH
     (approximate)."""
+
     # three branches (sizes + both join sides) read the shingle relation
-    # — staged once so the distinct-shuffle isn't recomputed per branch
-    # (_sh = already-staged relation from the adaptive router)
-    sh = _sh if _sh is not None else _stage_parquet(
-        shingle_hashes(docs, n, id_col, text_col), "ngram_naive_sh"
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a"), "h")
-    b = sh.select(F.col("doc_id").alias("b"), "h")
-    common = (
-        a.join(b, "h")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
-        .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    def _plan(sh: DataFrame) -> DataFrame:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col("doc_id").alias("a"), "h")
+        b = sh.select(F.col("doc_id").alias("b"), "h")
+        common = (
+            a.join(b, "h")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return (
+            common.join(
+                sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a"
+            )
+            .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+            .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+
+    if _sh is not None:
+        # relation handed down by the adaptive router, which owns its
+        # lifecycle (persisted) and eagerly stages this lazy plan
+        return _plan(_sh)
+    # standalone: persist for the three reads, materialize the small
+    # pairs result, release the cache — same lifecycle as the router's
+    # naive branch (see _route_on_sigma_df2)
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    try:
+        return _stage_parquet(_plan(sh), "ngram_naive_pairs")
+    finally:
+        sh.unpersist()
 
 
 def ngram_jaccard_new_vs_corpus(
@@ -600,23 +645,33 @@ def ngram_jaccard_new_vs_corpus(
     duplicates are the ordinary pairwise op over the small batch.
 
     Output (a = corpus doc, b = new doc, jaccard ≥ threshold)."""
-    sh_c = _stage_parquet(shingle_hashes(corpus, n, id_col, text_col), "inc_sh_corpus")
-    sh_n = _stage_parquet(shingle_hashes(new_docs, n, id_col, text_col), "inc_sh_new")
-    sizes_c = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sizes_n = sh_n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        sh_c.select(F.col("doc_id").alias("a"), "h")
-        .join(sh_n.select(F.col("doc_id").alias("b"), "h"), "h")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(sizes_c.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
-        .join(sizes_n.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
-        .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    # both shingle relations are read twice (sizes + join side): persist
+    # for the duration of the eager result materialization, then release
+    # — the naive-route lifecycle of _route_on_sigma_df2
+    sh_c = shingle_hashes(corpus, n, id_col, text_col).persist()
+    sh_n = shingle_hashes(new_docs, n, id_col, text_col).persist()
+    try:
+        sizes_c = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sizes_n = sh_n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        common = (
+            sh_c.select(F.col("doc_id").alias("a"), "h")
+            .join(sh_n.select(F.col("doc_id").alias("b"), "h"), "h")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        out = (
+            common.join(
+                sizes_c.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a"
+            )
+            .join(sizes_n.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+            .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+        return _stage_parquet(out, "inc_pairs")
+    finally:
+        sh_c.unpersist()
+        sh_n.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -696,15 +751,25 @@ def minhash_lsh_pairs(
     """Full MinHash-LSH pipeline: shingle-hash → sign → band → candidate
     equi-join → candidate-driven exact-Jaccard verify ≥ threshold.
     Output (a, b, jaccard)."""
-    # four downstream branches (signature, sizes, both verify sides) —
-    # stage the shingle relation instead of re-shingling per branch
-    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "mh_sh")
-    # one aggregate over sh yields both the signature and n_sh; staged
-    # (tiny, one row per doc) so the sizes branch costs nothing
-    sig = _stage_parquet(minhash_signatures(sh, k, with_sizes=True), "mh_sig")
-    cand = lsh_candidate_pairs(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
-    sizes = sig.select("doc_id", "n_sh")
-    return _verify_jaccard_pairs(cand, sh, sizes, threshold)
+    # four downstream branches (signature, sizes, both verify sides)
+    # read the shingle relation; the signature (one row per doc) feeds
+    # both the banding and the sizes.  Persist both for the duration of
+    # the eager result materialization, then release — the
+    # naive-route lifecycle of _route_on_sigma_df2 (nothing stays
+    # cached; MEMORY_AND_DISK spills under pressure, never recomputes)
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sig = minhash_signatures(sh, k, with_sizes=True).persist()
+    try:
+        cand = lsh_candidate_pairs(
+            sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands
+        )
+        sizes = sig.select("doc_id", "n_sh")
+        return _stage_parquet(
+            _verify_jaccard_pairs(cand, sh, sizes, threshold), "mh_pairs"
+        )
+    finally:
+        sig.unpersist()
+        sh.unpersist()
 
 
 def minhash_lsh_dedup_edges(
@@ -745,21 +810,28 @@ def minhash_lsh_dedup_edges(
     tests/test_advanced_properties.py::test_lsh_dedup_edges_same_clusters.
     `minhash_lsh_pairs` remains the exhaustive-pairs form.
     """
-    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "mh_star_sh")
-    sig = _stage_parquet(minhash_signatures(sh, k, with_sizes=True), "mh_star_sig")
-    banded = _banded(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
-    from pyspark.sql.window import Window
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    sig = minhash_signatures(sh, k, with_sizes=True).persist()
+    try:
+        banded = _banded(sig.select("doc_id", *[f"mh{i}" for i in range(k)]), k, bands)
+        from pyspark.sql.window import Window
 
-    # star candidates: one window min per (band, bkey) bucket — shuffle
-    # volume O(docs × bands) in AND out, never C(m,2)
-    w_bucket = Window.partitionBy("band", "bkey")
-    cand = (
-        banded.withColumn("a", F.min("doc_id").over(w_bucket))
-        .filter(F.col("doc_id") > F.col("a"))
-        .select("a", F.col("doc_id").alias("b"))
-        .distinct()
-    )
-    return _verify_jaccard_pairs(cand, sh, sig.select("doc_id", "n_sh"), threshold)
+        # star candidates: one window min per (band, bkey) bucket —
+        # shuffle volume O(docs × bands) in AND out, never C(m,2)
+        w_bucket = Window.partitionBy("band", "bkey")
+        cand = (
+            banded.withColumn("a", F.min("doc_id").over(w_bucket))
+            .filter(F.col("doc_id") > F.col("a"))
+            .select("a", F.col("doc_id").alias("b"))
+            .distinct()
+        )
+        return _stage_parquet(
+            _verify_jaccard_pairs(cand, sh, sig.select("doc_id", "n_sh"), threshold),
+            "mh_star_pairs",
+        )
+    finally:
+        sig.unpersist()
+        sh.unpersist()
 
 
 def minhash_lsh_new_vs_corpus(
@@ -780,27 +852,35 @@ def minhash_lsh_new_vs_corpus(
     is the batch, independent of corpus size.  Output
     (a = corpus doc, b = new doc, jaccard ≥ threshold), verified
     exactly on the shingle sets."""
-    sh_c = _stage_parquet(shingle_hashes(corpus, n, id_col, text_col), "mh_inc_sh_c")
-    sh_n = _stage_parquet(shingle_hashes(new_docs, n, id_col, text_col), "mh_inc_sh_n")
-    sig_c = _stage_parquet(minhash_signatures(sh_c, k, with_sizes=True), "mh_inc_sig_c")
-    sig_n = _stage_parquet(minhash_signatures(sh_n, k, with_sizes=True), "mh_inc_sig_n")
-    mh_cols = [f"mh{i}" for i in range(k)]
-    banded_c = _banded(sig_c.select("doc_id", *mh_cols), k, bands)
-    banded_n = _banded(sig_n.select("doc_id", *mh_cols), k, bands)
-    cand = (
-        banded_c.select(F.col("doc_id").alias("a"), "band", "bkey")
-        .join(banded_n.select(F.col("doc_id").alias("b"), "band", "bkey"), ["band", "bkey"])
-        .select("a", "b")
-        .distinct()
-    )
-    return _verify_jaccard_pairs(
-        cand,
-        sh_c,
-        sig_c.select("doc_id", "n_sh"),
-        threshold,
-        sh_b=sh_n,
-        sizes_b=sig_n.select("doc_id", "n_sh"),
-    )
+    sh_c = shingle_hashes(corpus, n, id_col, text_col).persist()
+    sh_n = shingle_hashes(new_docs, n, id_col, text_col).persist()
+    sig_c = minhash_signatures(sh_c, k, with_sizes=True).persist()
+    sig_n = minhash_signatures(sh_n, k, with_sizes=True).persist()
+    try:
+        mh_cols = [f"mh{i}" for i in range(k)]
+        banded_c = _banded(sig_c.select("doc_id", *mh_cols), k, bands)
+        banded_n = _banded(sig_n.select("doc_id", *mh_cols), k, bands)
+        cand = (
+            banded_c.select(F.col("doc_id").alias("a"), "band", "bkey")
+            .join(
+                banded_n.select(F.col("doc_id").alias("b"), "band", "bkey"),
+                ["band", "bkey"],
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        out = _verify_jaccard_pairs(
+            cand,
+            sh_c,
+            sig_c.select("doc_id", "n_sh"),
+            threshold,
+            sh_b=sh_n,
+            sizes_b=sig_n.select("doc_id", "n_sh"),
+        )
+        return _stage_parquet(out, "mh_inc_pairs")
+    finally:
+        for df in (sig_c, sig_n, sh_c, sh_n):
+            df.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -952,25 +1032,15 @@ def containment_pairs(
     disk budget → `containment_pairs_naive`; over it →
     `containment_pairs_prefix`.  Both routes are output-identical
     (tests/test_advanced_properties.py::test_containment_prefix_equals_naive)."""
-    sh = _stage_parquet(shingle_hashes(docs, n, id_col, text_col), "contain_route_sh")
-    sigma_df2 = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
-        .first()["s"]
-    ) or 0
-    if sigma_df2 <= max_join_rows:
-        _LOG.info(
-            "containment_pairs: route=naive sigma_df2=%d budget=%d",
-            sigma_df2, max_join_rows,
-        )
-        return containment_pairs_naive(docs, n, threshold, id_col, text_col, _sh=sh)
-    _LOG.info(
-        "containment_pairs: route=prefix sigma_df2=%d budget=%d",
-        sigma_df2, max_join_rows,
-    )
-    return containment_pairs_prefix(
-        docs, n, threshold, id_col, text_col, max_join_rows=max_join_rows, _sh=sh
+    return _route_on_sigma_df2(
+        docs, n, id_col, text_col, max_join_rows, "containment_pairs",
+        lambda sh: containment_pairs_naive(
+            docs, n, threshold, id_col, text_col, _sh=sh
+        ),
+        lambda sh: containment_pairs_prefix(
+            docs, n, threshold, id_col, text_col,
+            max_join_rows=max_join_rows, _sh=sh,
+        ),
     )
 
 
@@ -987,27 +1057,34 @@ def containment_pairs_naive(
     undirected common counts are computed once (a<b) and emitted in both
     directions, so the quadratic part is not paid twice.  Prefer
     `containment_pairs` (adaptive) on corpora of unknown shape."""
-    sh = _sh if _sh is not None else _stage_parquet(
-        shingle_hashes(docs, n, id_col, text_col), "contain_sh"
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    x = sh.select(F.col("doc_id").alias("a"), "h")
-    y = sh.select(F.col("doc_id").alias("b"), "h")
-    common = (
-        x.join(y, "h")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    directed = common.unionByName(
-        common.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_common")
-    )
-    return (
-        directed.join(sizes.select(F.col("doc_id").alias("a"), "n_sh"), "a")
-        .withColumn("containment", F.round(F.col("n_common") / F.col("n_sh"), 6))
-        .filter(F.col("containment") >= threshold)
-        .select("a", "b", "containment")
-    )
+
+    def _plan(sh: DataFrame) -> DataFrame:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        x = sh.select(F.col("doc_id").alias("a"), "h")
+        y = sh.select(F.col("doc_id").alias("b"), "h")
+        common = (
+            x.join(y, "h")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        directed = common.unionByName(
+            common.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_common")
+        )
+        return (
+            directed.join(sizes.select(F.col("doc_id").alias("a"), "n_sh"), "a")
+            .withColumn("containment", F.round(F.col("n_common") / F.col("n_sh"), 6))
+            .filter(F.col("containment") >= threshold)
+            .select("a", "b", "containment")
+        )
+
+    if _sh is not None:
+        return _plan(_sh)
+    sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    try:
+        return _stage_parquet(_plan(sh), "contain_naive_pairs")
+    finally:
+        sh.unpersist()
 
 
 def containment_pairs_prefix(

@@ -25,6 +25,7 @@ from ..operators.compaction import (
     latency_flag,
     reject_null_keys,
 )
+from ..operators.staging import stage_parquet
 from ..sources import load_table
 from ..sources.changelog import (
     LINEITEM_CHANGELOG_SQL,
@@ -954,48 +955,53 @@ def cdc_ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch2 = ch.crossJoin(cut)
     # three branches read state0 (base agg, touched semi-join, merge) —
     # persist the ≤1-row-per-key state instead of recompacting per branch
-    # (in production this is the already-materialized state parquet)
+    # (in production this is the already-materialized state parquet);
+    # scoped by try/finally around an eager materialization of the tiny
+    # per-status result, so nothing stays cached after the call
     state0 = compact(
         ch2.filter(F.col("seq") <= F.col("_cut")).drop("_cut"), ORDERS_PK, ORDERS_PAYLOAD
     ).persist()
-    batch = ch2.filter(F.col("seq") > F.col("_cut")).drop("_cut")
+    try:
+        batch = ch2.filter(F.col("seq") > F.col("_cut")).drop("_cut")
 
-    price = F.col("o_totalprice").cast("decimal(18,2)")
-    live = F.col("cdc_action") != "delete"
+        price = F.col("o_totalprice").cast("decimal(18,2)")
+        live = F.col("cdc_action") != "delete"
 
-    # base aggregate over the pre-batch state (this is the maintained view)
-    agg0 = (
-        state0.filter(live)
-        .groupBy("o_orderstatus")
-        .agg(F.sum(price).alias("v"), F.count(F.lit(1)).alias("n"))
-    )
-
-    # keys the batch touches: old contribution retracts, new contribution adds
-    touched = batch.select(rid_expr(ORDERS_PK).alias("rid")).where(
-        F.col("rid").isNotNull()
-    ).distinct()
-    old_touched = state0.join(touched, "rid", "semi")
-    new_touched = merge_state(old_touched, batch, ORDERS_PK, ORDERS_PAYLOAD)
-
-    retract = old_touched.filter(live).select(
-        "o_orderstatus", (-price).alias("v"), F.lit(-1).cast("long").alias("n")
-    )
-    add = new_touched.filter(live).select(
-        "o_orderstatus", price.alias("v"), F.lit(1).cast("long").alias("n")
-    )
-    return (
-        agg0.unionByName(retract)
-        .unionByName(add)
-        .groupBy("o_orderstatus")
-        .agg(F.sum("v").alias("total_price"), F.sum("n").alias("n_live"))
-        .filter(F.col("n_live") > 0)
-        .select(
-            "o_orderstatus",
-            "n_live",
-            F.col("total_price").cast("decimal(18,2)").alias("total_price"),
+        # base aggregate over the pre-batch state (the maintained view)
+        agg0 = (
+            state0.filter(live)
+            .groupBy("o_orderstatus")
+            .agg(F.sum(price).alias("v"), F.count(F.lit(1)).alias("n"))
         )
-        .orderBy("o_orderstatus")
-    )
+
+        # keys the batch touches: old contribution retracts, new adds
+        touched = batch.select(rid_expr(ORDERS_PK).alias("rid")).where(
+            F.col("rid").isNotNull()
+        ).distinct()
+        old_touched = state0.join(touched, "rid", "semi")
+        new_touched = merge_state(old_touched, batch, ORDERS_PK, ORDERS_PAYLOAD)
+
+        retract = old_touched.filter(live).select(
+            "o_orderstatus", (-price).alias("v"), F.lit(-1).cast("long").alias("n")
+        )
+        add = new_touched.filter(live).select(
+            "o_orderstatus", price.alias("v"), F.lit(1).cast("long").alias("n")
+        )
+        out = (
+            agg0.unionByName(retract)
+            .unionByName(add)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("v").alias("total_price"), F.sum("n").alias("n_live"))
+            .filter(F.col("n_live") > 0)
+            .select(
+                "o_orderstatus",
+                "n_live",
+                F.col("total_price").cast("decimal(18,2)").alias("total_price"),
+            )
+        )
+        return stage_parquet(out, "ivm_agg").orderBy("o_orderstatus")
+    finally:
+        state0.unpersist()
 
 
 _TT_CUTOFF = "1995-06-30"

@@ -2772,28 +2772,37 @@ GROUP BY d.source ORDER BY d.source
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # persist scoped by try/finally around an eager materialization of
+    # the tiny per-source result — nothing stays cached after the call
+    # (the dedup module's transient-relation lifecycle)
     sh = dd.shingle_hashes(docs, n=3).persist()
-    first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("d0"))
-    per_doc = (
-        sh.join(first_seen, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum((F.col("d0") == F.col("doc_id")).cast("long")).alias("n_novel"),
+    try:
+        first_seen = sh.groupBy("h").agg(F.min("doc_id").alias("d0"))
+        per_doc = (
+            sh.join(first_seen, "h")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sh"),
+                F.sum((F.col("d0") == F.col("doc_id")).cast("long")).alias("n_novel"),
+            )
         )
-    )
-    return (
-        per_doc.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(F.col("n_novel") / F.col("n_sh")), 6).alias("mean_novelty"),
-            F.sum((F.col("n_novel") == F.col("n_sh")).cast("long")).alias(
-                "n_fully_novel"
-            ),
+        out = (
+            per_doc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg(F.col("n_novel") / F.col("n_sh")), 6).alias(
+                    "mean_novelty"
+                ),
+                F.sum((F.col("n_novel") == F.col("n_sh")).cast("long")).alias(
+                    "n_fully_novel"
+                ),
+            )
+            .orderBy("source")
         )
-        .orderBy("source")
-    )
+        return dd._stage_parquet(out, "ngram_novelty").orderBy("source")
+    finally:
+        sh.unpersist()
 
 
 @register(
