@@ -278,15 +278,24 @@ _SLICE_CAP = 256
 
 
 def _auto_slice_count(stat: int, max_join_rows: int, slice_concurrency: int) -> int:
-    """Slice count for the pair-space-sliced prefix join: enough slices
-    that the CONCURRENT set's total pre-dedup join rows stay within
-    ``max_join_rows`` (concurrency multiplies the in-flight volume, so
-    it divides the per-slice budget).  Capped at ``_SLICE_CAP`` with an
-    explicit warning when the cap binds — the repo's no-silent-caps
-    convention (round-4 advice): a silently-bound cap would mean each
-    slice still exceeds the very disk budget the guard exists for."""
-    conc = max(1, int(slice_concurrency))
-    want = -(-int(stat) * conc // max_join_rows)
+    """Slice count for the pair-space-sliced prefix join:
+    ``ceil(stat / max_join_rows)`` — the budget bounds each slice's
+    pre-dedup join rows, INDEPENDENT of how many slices run
+    concurrently.  Peak in-flight volume is ``conc × max_join_rows``
+    pre-dedup rows, a deliberate trade: the measured spill footprint is
+    ~1 GB per 300 M pre-dedup rows (the r3 single-pass abort spilled
+    ~60 GB for 18.4 B rows), so 2-3 full-size slices in flight cost a
+    few GB of transient disk, while DIVIDING the budget by the
+    concurrency (the round-5 first attempt) doubles the slice count and
+    with it the dominant per-slice fixed cost — the full prefix-index
+    shuffle every slice repays — measured at sf10 as eating all but
+    5.6% of the overlap gain (SCALING.md round 5).  Capped at
+    ``_SLICE_CAP`` with an explicit warning when the cap binds — the
+    repo's no-silent-caps convention (round-4 advice): a silently-bound
+    cap would mean each slice still exceeds the very disk budget the
+    guard exists for."""
+    del slice_concurrency  # kept in the signature for call-site clarity
+    want = -(-int(stat) // max_join_rows)
     if want > _SLICE_CAP:
         _LOG.warning(
             "ngram_jaccard_pairs_prefix: slice cap binds (want %d slices for "
@@ -359,11 +368,17 @@ def ngram_jaccard_pairs_prefix(
     thread pool: Spark's scheduler interleaves the slice jobs, so the
     shuffle-cleanup / stage tail of slice i overlaps the compute of
     slice i+1 instead of serializing (round-4 verdict item 6 — the 62
-    sequential sf10 slices left measurable idle gaps).  The per-slice
-    row budget is divided by the concurrency so the PEAK transient
-    spill of the concurrent set stays ≤ max_join_rows — the bound the
-    guard exists for.  On a cluster the same slicing bounds per-stage
-    shuffle volume; K=1 (the common Zipfian case) runs one single-pass
+    sequential sf10 slices left measurable idle gaps).  The row budget
+    is PER SLICE — peak in-flight volume is conc × max_join_rows
+    pre-dedup rows, a measured ~1 GB of transient spill per 300 M rows,
+    i.e. a few GB for 2-3 slices — NOT divided by the concurrency:
+    halving the per-slice budget doubles the slice count and repays the
+    dominant per-slice fixed cost (the full prefix-index shuffle) once
+    per extra slice, measured at sf10 to eat all but 5.6% of the
+    overlap gain (SCALING.md round 5).  On a single CPU-saturated box
+    the overlap buys only the inter-stage gaps; on a cluster the same
+    slicing bounds per-stage shuffle volume and slices pipeline across
+    executors.  K=1 (the common Zipfian case) runs one single-pass
     plan over the staged relations.  ``n_slices`` forces a count
     (tests); None = auto from the statistic.
 
