@@ -946,6 +946,21 @@ FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
 )
 def cdc_ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, state0 = _ivm_agg_lazy(spark, sf_dir)
+    try:
+        # eager materialization of the tiny per-status result scoped
+        # around the state0 persist (see _ivm_agg_lazy) — nothing stays
+        # cached after the call
+        return stage_parquet(out, "ivm_agg").orderBy("o_orderstatus")
+    finally:
+        state0.unpersist()
+
+
+def _ivm_agg_lazy(spark: SparkSession, sf_dir: str):
+    """Build the IVM maintenance plan LAZILY; returns (out, state0) with
+    ``state0`` persisted — the caller owns releasing it (the registered
+    entry materializes eagerly then unpersists; the plan-quality test
+    inspects the lazy plan for the LeftSemi evidence then unpersists)."""
     from ..operators.compaction import merge_state, rid_expr
 
     ch = orders_changelog(spark, sf_dir)
@@ -955,53 +970,48 @@ def cdc_ivm_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch2 = ch.crossJoin(cut)
     # three branches read state0 (base agg, touched semi-join, merge) —
     # persist the ≤1-row-per-key state instead of recompacting per branch
-    # (in production this is the already-materialized state parquet);
-    # scoped by try/finally around an eager materialization of the tiny
-    # per-status result, so nothing stays cached after the call
+    # (in production this is the already-materialized state parquet)
     state0 = compact(
         ch2.filter(F.col("seq") <= F.col("_cut")).drop("_cut"), ORDERS_PK, ORDERS_PAYLOAD
     ).persist()
-    try:
-        batch = ch2.filter(F.col("seq") > F.col("_cut")).drop("_cut")
+    batch = ch2.filter(F.col("seq") > F.col("_cut")).drop("_cut")
 
-        price = F.col("o_totalprice").cast("decimal(18,2)")
-        live = F.col("cdc_action") != "delete"
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    live = F.col("cdc_action") != "delete"
 
-        # base aggregate over the pre-batch state (the maintained view)
-        agg0 = (
-            state0.filter(live)
-            .groupBy("o_orderstatus")
-            .agg(F.sum(price).alias("v"), F.count(F.lit(1)).alias("n"))
-        )
+    # base aggregate over the pre-batch state (the maintained view)
+    agg0 = (
+        state0.filter(live)
+        .groupBy("o_orderstatus")
+        .agg(F.sum(price).alias("v"), F.count(F.lit(1)).alias("n"))
+    )
 
-        # keys the batch touches: old contribution retracts, new adds
-        touched = batch.select(rid_expr(ORDERS_PK).alias("rid")).where(
-            F.col("rid").isNotNull()
-        ).distinct()
-        old_touched = state0.join(touched, "rid", "semi")
-        new_touched = merge_state(old_touched, batch, ORDERS_PK, ORDERS_PAYLOAD)
+    # keys the batch touches: old contribution retracts, new adds
+    touched = batch.select(rid_expr(ORDERS_PK).alias("rid")).where(
+        F.col("rid").isNotNull()
+    ).distinct()
+    old_touched = state0.join(touched, "rid", "semi")
+    new_touched = merge_state(old_touched, batch, ORDERS_PK, ORDERS_PAYLOAD)
 
-        retract = old_touched.filter(live).select(
-            "o_orderstatus", (-price).alias("v"), F.lit(-1).cast("long").alias("n")
+    retract = old_touched.filter(live).select(
+        "o_orderstatus", (-price).alias("v"), F.lit(-1).cast("long").alias("n")
+    )
+    add = new_touched.filter(live).select(
+        "o_orderstatus", price.alias("v"), F.lit(1).cast("long").alias("n")
+    )
+    out = (
+        agg0.unionByName(retract)
+        .unionByName(add)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("v").alias("total_price"), F.sum("n").alias("n_live"))
+        .filter(F.col("n_live") > 0)
+        .select(
+            "o_orderstatus",
+            "n_live",
+            F.col("total_price").cast("decimal(18,2)").alias("total_price"),
         )
-        add = new_touched.filter(live).select(
-            "o_orderstatus", price.alias("v"), F.lit(1).cast("long").alias("n")
-        )
-        out = (
-            agg0.unionByName(retract)
-            .unionByName(add)
-            .groupBy("o_orderstatus")
-            .agg(F.sum("v").alias("total_price"), F.sum("n").alias("n_live"))
-            .filter(F.col("n_live") > 0)
-            .select(
-                "o_orderstatus",
-                "n_live",
-                F.col("total_price").cast("decimal(18,2)").alias("total_price"),
-            )
-        )
-        return stage_parquet(out, "ivm_agg").orderBy("o_orderstatus")
-    finally:
-        state0.unpersist()
+    )
+    return out, state0
 
 
 _TT_CUTOFF = "1995-06-30"

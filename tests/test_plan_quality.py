@@ -568,9 +568,16 @@ def test_ewma_aggregates_before_fold(spark, sf_dir):
 
 def test_ivm_touches_only_batch_keys(spark, sf_dir):
     # the IVM plan must semi-join state down to touched rids before the
-    # merge fold — LeftSemi is the "only changed keys re-enter" evidence
-    plan = _plan(_QUERIES["cdc_ivm_agg_maintenance"].fn(spark, sf_dir))
-    assert "LeftSemi" in plan
+    # merge fold — LeftSemi is the "only changed keys re-enter" evidence.
+    # The registered entry materializes eagerly (scoped persist), so the
+    # LAZY inner plan is inspected via the shared builder.
+    from mysql_cdc_redis_spark.plans.cdc import _ivm_agg_lazy
+
+    out, state0 = _ivm_agg_lazy(spark, sf_dir)
+    try:
+        assert "LeftSemi" in _plan(out)
+    finally:
+        state0.unpersist()
 
 
 def test_sweepline_single_shuffle_per_branch(spark, sf_dir):
