@@ -484,11 +484,18 @@ def ngram_jaccard_pairs_prefix(
     # sliced: each pass covers exactly the pairs whose smaller id a has
     # pmod(hash(a), n_slices) == i — a partition of the pair space, so
     # the slice outputs concatenate to the single-pass result with no
-    # dedup.  The prefix relation is re-staged PARTITIONED by the slice
-    # key so each pass's pa side is a pruned scan (one cheap extra pass
-    # over the small prefix relation).
+    # dedup.  The prefix relation is re-staged as a BUCKETED-BY-h table
+    # (one hash-shuffle, paid once): both sides of every slice's
+    # candidate join then scan bucket-aligned data, so the K slice jobs
+    # run EXCHANGE-FREE SortMergeJoins — previously the full prefix
+    # index was hash-exchanged once per slice, the dominant per-slice
+    # fixed cost (measured round 5: halving slices to "save" exchanges
+    # beat doubling them by 3.3%).  The pa slice filter rides the scan
+    # (predicate on pmod(hash(doc_id))); the full-relation re-scan per
+    # slice is a cheap columnar read, the EXCHANGE was the cost.
     import gc
     import time as _time
+    import uuid
     from concurrent.futures import ThreadPoolExecutor
 
     # registered BEFORE any slice work so an exception mid-loop cannot
@@ -496,26 +503,31 @@ def ngram_jaccard_pairs_prefix(
     # idempotent, so the per-invocation registration is harmless
     final_dir = tempfile.mkdtemp(prefix="ngram_prefix_pairs_")
     atexit.register(shutil.rmtree, final_dir, ignore_errors=True)
-    sliced_dir = tempfile.mkdtemp(prefix="ngram_prefix_sliced_")
+    # per-invocation unique name: concurrent sessions share the
+    # warehouse directory but never a table
+    tbl = f"ngram_prefix_bkt_{uuid.uuid4().hex[:12]}"
     try:
+        # repartition by h aligned to the bucket count so each write
+        # task emits ~1 bucket file (not tasks × buckets small files)
         (
-            prefix.withColumn("_s", F.pmod(F.hash(F.col("doc_id")), F.lit(n_slices)))
-            .write.partitionBy("_s")
+            prefix.repartition(64, "h")
+            .write.bucketBy(64, "h")
             .mode("overwrite")
-            .parquet(sliced_dir)
+            .saveAsTable(tbl)
         )
-        prefix_s = spark.read.parquet(sliced_dir)
-        pa_st = prefix_s.select(
-            F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
-            F.col("n_sh").alias("n_a"), "_s",
-        )
-        pb_st = prefix_s.select(
+        prefix_b = spark.table(tbl)
+        slice_key = F.pmod(F.hash(F.col("doc_id")), F.lit(n_slices))
+        pb_st = prefix_b.select(
             F.col("doc_id").alias("b"), "h", F.col("pos").alias("pos_b"),
             F.col("n_sh").alias("n_b"),
         )
 
         def _run_slice(i: int) -> None:
-            cand_i = _candidates(pa_st.filter(F.col("_s") == i).drop("_s"), pb_st)
+            pa_i = prefix_b.filter(slice_key == i).select(
+                F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
+                F.col("n_sh").alias("n_a"),
+            )
+            cand_i = _candidates(pa_i, pb_st)
             # per-slice subdirectory: concurrent writers must not share
             # one output path (the FileOutputCommitter's _temporary dir
             # is per-path); the final read globs the subdirs
@@ -538,7 +550,7 @@ def ngram_jaccard_pairs_prefix(
             # list() drains the iterator so any slice exception propagates
             list(pool.map(_run_slice, range(n_slices)))
     finally:
-        shutil.rmtree(sliced_dir, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
     return spark.read.parquet(os.path.join(final_dir, "s*"))
 
 
@@ -1219,28 +1231,41 @@ def containment_pairs_prefix(
 
     import gc
     import time as _time
+    import uuid
     from concurrent.futures import ThreadPoolExecutor
 
     final_dir = tempfile.mkdtemp(prefix="contain_prefix_pairs_")
     atexit.register(shutil.rmtree, final_dir, ignore_errors=True)
-    sliced_dir = tempfile.mkdtemp(prefix="contain_prefix_sliced_")
+    # bucket the FULL ranked relation by h (one hash-shuffle, paid
+    # once): every slice's probe (a pos-filtered scan of it) and index
+    # (the full scan) are bucket-aligned, so the K directed candidate
+    # joins run exchange-free — the n-gram sliced branch's optimization,
+    # directed form
+    tbl = f"contain_ranked_bkt_{uuid.uuid4().hex[:12]}"
     try:
         (
-            probe.withColumn("_s", F.pmod(F.hash(F.col("doc_id")), F.lit(n_slices)))
-            .write.partitionBy("_s")
+            ranked.repartition(64, "h")
+            .write.bucketBy(64, "h")
             .mode("overwrite")
-            .parquet(sliced_dir)
+            .saveAsTable(tbl)
         )
-        probe_s = spark.read.parquet(sliced_dir)
-        px_st = probe_s.select(
-            F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
-            F.col("n_sh").alias("n_a"), "_s",
+        ranked_b = spark.table(tbl)
+        slice_key = F.pmod(F.hash(F.col("doc_id")), F.lit(n_slices))
+        probe_b = ranked_b.filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        iy_b = ranked_b.select(
+            F.col("doc_id").alias("b"), "h", F.col("pos").alias("pos_b"),
+            F.col("n_sh").alias("n_b"),
         )
 
         def _run_slice(i: int) -> None:
-            cand_i = _directed_candidates(
-                px_st.filter(F.col("_s") == i).drop("_s"), iy_all
+            px_i = probe_b.filter(slice_key == i).select(
+                F.col("doc_id").alias("a"), "h", F.col("pos").alias("pos_a"),
+                F.col("n_sh").alias("n_a"),
             )
+            cand_i = _directed_candidates(px_i, iy_b)
             _verify_containment(cand_i).write.mode("overwrite").parquet(
                 os.path.join(final_dir, f"s{i:05d}")
             )
@@ -1255,5 +1280,5 @@ def containment_pairs_prefix(
         with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(_run_slice, range(n_slices)))
     finally:
-        shutil.rmtree(sliced_dir, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
     return spark.read.parquet(os.path.join(final_dir, "s*"))
