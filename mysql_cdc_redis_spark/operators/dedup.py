@@ -49,7 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5long, norm_text
-from .staging import stage_parquet
+from .scale import auto_bucket_count
+from .staging import reap_staged, stage_parquet, staged_bytes
 from .textstats import fingerprint
 
 _LOG = logging.getLogger(__name__)
@@ -135,6 +136,27 @@ def shingle_hashes(
 
 def _jaccard(col_common, col_a, col_b):
     return F.round(col_common / (col_a + col_b - col_common), 6)
+
+
+# Broadcast the per-doc sizes relation into the naive joins' pair-size
+# lookups when the corpus has at most this many docs (~30 MB of
+# (id, long) rows at the cap — comfortably under executor broadcast
+# memory on any sizing, and never shipped to more executors than the
+# corpus itself occupies).  Beyond it the joins fall back to shuffles —
+# at 100-TB doc counts a broadcast would be a driver/network abort.
+_SIZES_BROADCAST_MAX_DOCS = 4_000_000
+
+
+def _attach_pair_sizes(pairs: DataFrame, sizes: DataFrame, n_docs: int) -> DataFrame:
+    """Join a (a, b, ...) pairs relation to per-doc sizes as n_a/n_b.
+    Broadcast-small corpora take map-side hash joins (no re-shuffle of
+    the pairs relation — measured as the naive route's residual vs the
+    round-3 form); big ones take the plain shuffled joins."""
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    if n_docs <= _SIZES_BROADCAST_MAX_DOCS:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return pairs.join(sa, "a").join(sb, "b")
 
 
 def _verify_jaccard_pairs(
@@ -238,46 +260,66 @@ def _route_on_sigma_df2(
       known — measured at sf1 as 13.9s of a 35s total on the benign
       route (round 5), most of the regression vs the round-3 persist
       form.
-    * NAIVE route (benign corpora): the small verified-pairs RESULT is
-      materialized eagerly via `_stage_parquet` while the relation is
-      cached (the join reads it three times — sizes + both sides), then
-      the cache is released in the ``finally``.  Nothing stays persisted
-      after the call (pinned by tests/test_dedup_hygiene.py), and the
-      returned scan is eviction-proof by construction.
+    * The stat's intermediate — the per-h document-frequency relation
+      ``freq`` — is persisted too and HANDED to whichever route wins
+      instead of being recomputed: the prefix route's df ranking starts
+      from exactly this aggregate (one full groupBy(h) shuffle over the
+      corpus's shingle set, the round-5 form paid it twice on the heavy
+      route).  ``freq``'s lineage runs through the persisted ``sh``, so
+      after the early unpersist below an executor-loss recompute would
+      re-shingle — correct, just slow; MEMORY_AND_DISK evicts to disk,
+      never recomputes, so the slow path needs an actual task failure.
+    * NAIVE route (benign corpora): ``freq`` is dropped (the naive join
+      never ranks by df) and the naive fn materializes its own verified
+      pairs eagerly while the relation is cached (the join reads it
+      three times — sizes + both sides); the cache is released in the
+      ``finally``.  Nothing stays persisted after the call (pinned by
+      tests/test_dedup_hygiene.py), and the returned scan is
+      eviction-proof by construction.
     * PREFIX route (heavy corpora): the cached relation is COPIED to
       parquet staging — a sequential write from cache — because the
       prefix path's slice-sort pressure is exactly the regime where
       relying on executor storage memory was measured at 3-4× wall
-      amplification at sf10 (round 4); then the cache is released before
-      any heavy join runs.
+      amplification at sf10 (round 4); the cache is then released
+      IMMEDIATELY (the staged scan is the only thing the prefix fn
+      reads), before any heavy join runs, and the prefix fn unpersists
+      ``freq`` as soon as its ranking is staged.  The ``finally``
+      unpersists are the idempotent exception backstop.
     """
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).persist()
     try:
         sigma_df2 = (
-            sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
-            .first()["s"]
+            freq.agg(F.sum(F.col("df") * F.col("df")).alias("s")).first()["s"]
         ) or 0
         if sigma_df2 <= max_join_rows:
             _LOG.info(
                 "%s: route=naive sigma_df2=%d budget=%d",
                 op_name, sigma_df2, max_join_rows,
             )
-            return _stage_parquet(naive_fn(sh), f"{op_name}_pairs")
+            freq.unpersist()
+            return naive_fn(sh)
         _LOG.info(
             "%s: route=prefix sigma_df2=%d budget=%d",
             op_name, sigma_df2, max_join_rows,
         )
-        return prefix_fn(_stage_parquet(sh, f"{op_name}_sh"))
+        staged_sh = _stage_parquet(sh, f"{op_name}_sh")
+        sh.unpersist()
+        return prefix_fn(staged_sh, freq)
     finally:
         sh.unpersist()
+        freq.unpersist()
 
 
 _SLICE_CAP = 256
 
 
-def _auto_slice_count(stat: int, max_join_rows: int, slice_concurrency: int) -> int:
+def _auto_slice_count(
+    stat: int,
+    max_join_rows: int,
+    slice_concurrency: int,
+    op_name: str = "ngram_jaccard_pairs_prefix",
+) -> int:
     """Slice count for the pair-space-sliced prefix join:
     ``ceil(stat / max_join_rows)`` — the budget bounds each slice's
     pre-dedup join rows, INDEPENDENT of how many slices run
@@ -298,11 +340,12 @@ def _auto_slice_count(stat: int, max_join_rows: int, slice_concurrency: int) -> 
     want = -(-int(stat) // max_join_rows)
     if want > _SLICE_CAP:
         _LOG.warning(
-            "ngram_jaccard_pairs_prefix: slice cap binds (want %d slices for "
-            "sigma_df_prefix^2=%d, running %d) — per-slice join volume "
-            "exceeds max_join_rows=%d by ~%.1fx; expect heavier spill per "
-            "pass",
-            want, int(stat), _SLICE_CAP, max_join_rows, want / _SLICE_CAP,
+            "%s: slice cap binds (want %d slices for "
+            "pre-dedup candidate stat=%d, running %d) — per-slice join "
+            "volume exceeds max_join_rows=%d by ~%.1fx; expect heavier "
+            "spill per pass",
+            op_name, want, int(stat), _SLICE_CAP, max_join_rows,
+            want / _SLICE_CAP,
         )
     return min(_SLICE_CAP, max(1, want))
 
@@ -317,6 +360,7 @@ def ngram_jaccard_pairs_prefix(
     max_join_rows: int = 300_000_000,
     slice_concurrency: int = 2,
     _sh: DataFrame | None = None,
+    _freq: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard ≥ threshold, with PREFIX
     FILTERING (the SSJoin/PPJoin principle — Chaudhuri et al. ICDE'06,
@@ -402,7 +446,12 @@ def ngram_jaccard_pairs_prefix(
         shingle_hashes(docs, n, id_col, text_col), "ngram_prefix_sh"
     )
 
-    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # _freq: the adaptive router's already-materialized per-h df
+    # aggregate (persisted) — reuse it instead of re-shuffling the full
+    # shingle relation; unpersisted as soon as the ranking is staged
+    freq = _freq if _freq is not None else sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = (
         sh.join(freq, "h")
@@ -419,7 +468,13 @@ def ngram_jaccard_pairs_prefix(
         ).select("doc_id", "h", "pos", "n_sh"),
         "ngram_prefix",
     )
+    if _freq is not None:
+        _freq.unpersist()
     arrs = _stage_parquet(shingle_arrays(sh), "ngram_arrs")
+    # nothing below reads the shingle relation again (prefix + arrs are
+    # the working set) — reap its multi-GB staging dir now rather than
+    # at process exit (round-5 advice: long-lived drivers accumulate)
+    reap_staged(sh)
 
     if n_slices is None:
         # exact pre-dedup row count of the prefix self-join — one cheap
@@ -430,7 +485,10 @@ def ngram_jaccard_pairs_prefix(
             .agg(F.sum(F.col("dfp") * F.col("dfp")).alias("s"))
             .first()["s"]
         ) or 0
-        n_slices = _auto_slice_count(int(stat), max_join_rows, slice_concurrency)
+        n_slices = _auto_slice_count(
+            int(stat), max_join_rows, slice_concurrency,
+            op_name="ngram_jaccard_pairs_prefix",
+        )
 
     def _candidates(pa: DataFrame, pb: DataFrame) -> DataFrame:
         """Prefix equi-join on h with the PPJoin SIZE and POSITIONAL
@@ -507,14 +565,22 @@ def ngram_jaccard_pairs_prefix(
     # warehouse directory but never a table
     tbl = f"ngram_prefix_bkt_{uuid.uuid4().hex[:12]}"
     try:
-        # repartition by h aligned to the bucket count so each write
-        # task emits ~1 bucket file (not tasks × buckets small files)
+        # bucket count sized from the staged prefix relation's bytes
+        # (auto_bucket_count: ~256 MB/bucket, power of two, clamped) —
+        # a cluster-scale prefix index gets thousands of buckets, this
+        # box's gets the floor; repartition by h aligned to the bucket
+        # count so each write task emits ~1 bucket file (not tasks ×
+        # buckets small files)
+        n_buckets = auto_bucket_count(staged_bytes(prefix), default=64)
         (
-            prefix.repartition(64, "h")
-            .write.bucketBy(64, "h")
+            prefix.repartition(n_buckets, "h")
+            .write.bucketBy(n_buckets, "h")
             .mode("overwrite")
             .saveAsTable(tbl)
         )
+        # the bucketed table supersedes the staged prefix dir — free it
+        # before the slice loop instead of at process exit
+        reap_staged(prefix)
         prefix_b = spark.table(tbl)
         slice_key = F.pmod(F.hash(F.col("doc_id")), F.lit(n_slices))
         pb_st = prefix_b.select(
@@ -551,6 +617,9 @@ def ngram_jaccard_pairs_prefix(
             list(pool.map(_run_slice, range(n_slices)))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        # the slice jobs have all retired (pool shutdown waits) — only
+        # final_dir must outlive the call; reap the verify arrays now
+        reap_staged(arrs)
     return spark.read.parquet(os.path.join(final_dir, "s*"))
 
 
@@ -588,16 +657,18 @@ def ngram_jaccard_pairs(
 
     The shingle relation is computed ONCE here (persisted for the stat
     pass, handed to whichever route wins — see `_route_on_sigma_df2` for
-    the per-route lifecycle) — the statistic costs one shingling + one
-    small (h)-keyed aggregate, never a second pass over the documents."""
+    the per-route lifecycle), and the stat's per-h df aggregate is
+    handed to the prefix route so its ranking never re-shuffles the full
+    shingle set — the statistic costs one shingling + one small
+    (h)-keyed aggregate, never a second pass over the documents."""
     return _route_on_sigma_df2(
         docs, n, id_col, text_col, max_join_rows, "ngram_jaccard_pairs",
         lambda sh: ngram_jaccard_pairs_naive(
             docs, n, threshold, id_col, text_col, _sh=sh
         ),
-        lambda sh: ngram_jaccard_pairs_prefix(
+        lambda sh, freq: ngram_jaccard_pairs_prefix(
             docs, n, threshold, id_col, text_col,
-            max_join_rows=max_join_rows, _sh=sh,
+            max_join_rows=max_join_rows, _sh=sh, _freq=freq,
         ),
     )
 
@@ -618,37 +689,43 @@ def ngram_jaccard_pairs_naive(
     `ngram_jaccard_pairs` (adaptive routing, same output) or MinHash-LSH
     (approximate)."""
 
-    # three branches (sizes + both join sides) read the shingle relation
-    def _plan(sh: DataFrame) -> DataFrame:
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        a = sh.select(F.col("doc_id").alias("a"), "h")
-        b = sh.select(F.col("doc_id").alias("b"), "h")
-        common = (
-            a.join(b, "h")
-            .where(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        return (
-            common.join(
-                sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a"
+    def _finalize(sh: DataFrame) -> DataFrame:
+        # the pairs relation is joined back to per-doc sizes twice (a
+        # and b sides); when the corpus is broadcast-small those joins
+        # run map-side, fusing the whole post-candidate pipeline into
+        # the groupBy(a,b) reduce stage instead of re-shuffling the
+        # pairs relation twice — see _sized_pairs_plan
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
+        try:
+            n_docs = sizes.count()
+            a = sh.select(F.col("doc_id").alias("a"), "h")
+            b = sh.select(F.col("doc_id").alias("b"), "h")
+            common = (
+                a.join(b, "h")
+                .where(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("n_common"))
             )
-            .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
-            .withColumn("jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("a", "b", "jaccard")
-        )
+            plan = _attach_pair_sizes(common, sizes, n_docs).withColumn(
+                "jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b"))
+            ).filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+            # eager materialization while sh + sizes are cached; the
+            # returned scan is eviction-proof and cache-free
+            return _stage_parquet(plan, "ngram_naive_pairs")
+        finally:
+            sizes.unpersist()
 
     if _sh is not None:
         # relation handed down by the adaptive router, which owns its
-        # lifecycle (persisted) and eagerly stages this lazy plan
-        return _plan(_sh)
+        # (persisted) lifecycle; the result is staged HERE so the
+        # broadcast decision and the cache scope live together
+        return _finalize(_sh)
     # standalone: persist for the three reads, materialize the small
     # pairs result, release the cache — same lifecycle as the router's
     # naive branch (see _route_on_sigma_df2)
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
     try:
-        return _stage_parquet(_plan(sh), "ngram_naive_pairs")
+        return _finalize(sh)
     finally:
         sh.unpersist()
 
@@ -1064,9 +1141,9 @@ def containment_pairs(
         lambda sh: containment_pairs_naive(
             docs, n, threshold, id_col, text_col, _sh=sh
         ),
-        lambda sh: containment_pairs_prefix(
+        lambda sh, freq: containment_pairs_prefix(
             docs, n, threshold, id_col, text_col,
-            max_join_rows=max_join_rows, _sh=sh,
+            max_join_rows=max_join_rows, _sh=sh, _freq=freq,
         ),
     )
 
@@ -1085,31 +1162,39 @@ def containment_pairs_naive(
     directions, so the quadratic part is not paid twice.  Prefer
     `containment_pairs` (adaptive) on corpora of unknown shape."""
 
-    def _plan(sh: DataFrame) -> DataFrame:
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        x = sh.select(F.col("doc_id").alias("a"), "h")
-        y = sh.select(F.col("doc_id").alias("b"), "h")
-        common = (
-            x.join(y, "h")
-            .where(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        directed = common.unionByName(
-            common.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_common")
-        )
-        return (
-            directed.join(sizes.select(F.col("doc_id").alias("a"), "n_sh"), "a")
-            .withColumn("containment", F.round(F.col("n_common") / F.col("n_sh"), 6))
-            .filter(F.col("containment") >= threshold)
-            .select("a", "b", "containment")
-        )
+    def _finalize(sh: DataFrame) -> DataFrame:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
+        try:
+            n_docs = sizes.count()
+            x = sh.select(F.col("doc_id").alias("a"), "h")
+            y = sh.select(F.col("doc_id").alias("b"), "h")
+            common = (
+                x.join(y, "h")
+                .where(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+            )
+            directed = common.unionByName(
+                common.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_common")
+            )
+            sz = sizes.select(F.col("doc_id").alias("a"), "n_sh")
+            if n_docs <= _SIZES_BROADCAST_MAX_DOCS:
+                sz = F.broadcast(sz)
+            plan = (
+                directed.join(sz, "a")
+                .withColumn("containment", F.round(F.col("n_common") / F.col("n_sh"), 6))
+                .filter(F.col("containment") >= threshold)
+                .select("a", "b", "containment")
+            )
+            return _stage_parquet(plan, "contain_naive_pairs")
+        finally:
+            sizes.unpersist()
 
     if _sh is not None:
-        return _plan(_sh)
+        return _finalize(_sh)
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
     try:
-        return _stage_parquet(_plan(sh), "contain_naive_pairs")
+        return _finalize(sh)
     finally:
         sh.unpersist()
 
@@ -1124,6 +1209,7 @@ def containment_pairs_prefix(
     max_join_rows: int = 300_000_000,
     slice_concurrency: int = 2,
     _sh: DataFrame | None = None,
+    _freq: DataFrame | None = None,
 ) -> DataFrame:
     """Containment join with DIRECTED prefix filtering — the scale path
     for heavy-df corpora (the containment analog of
@@ -1157,7 +1243,11 @@ def containment_pairs_prefix(
     sh = _sh if _sh is not None else _stage_parquet(
         shingle_hashes(docs, n, id_col, text_col), "contain_prefix_sh"
     )
-    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # _freq: the router's persisted per-h df aggregate — reused by both
+    # the ranking join and the slicing statistic below, then unpersisted
+    freq = _freq if _freq is not None else sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = _stage_parquet(
         sh.join(freq, "h")
@@ -1182,7 +1272,17 @@ def containment_pairs_prefix(
             .agg(F.sum(F.col("dfp") * F.col("df")).alias("s"))
             .first()["s"]
         ) or 0
-        n_slices = _auto_slice_count(int(stat), max_join_rows, slice_concurrency)
+        n_slices = _auto_slice_count(
+            int(stat), max_join_rows, slice_concurrency,
+            op_name="containment_pairs_prefix",
+        )
+    if _freq is not None:
+        _freq.unpersist()
+    # the stat above was freq's (and transitively the shingle scan's)
+    # last read — everything below reads only ranked/arrs staging; free
+    # the shingle staging dir now (round-5 advice: no intra-call /tmp
+    # accumulation)
+    reap_staged(sh)
 
     def _directed_candidates(px: DataFrame, iy: DataFrame) -> DataFrame:
         alpha = F.ceil(F.lit(threshold) * F.col("n_a"))
@@ -1243,12 +1343,17 @@ def containment_pairs_prefix(
     # directed form
     tbl = f"contain_ranked_bkt_{uuid.uuid4().hex[:12]}"
     try:
+        # bucket count sized from the staged ranked relation's bytes —
+        # same rule as the Jaccard sliced branch
+        n_buckets = auto_bucket_count(staged_bytes(ranked), default=64)
         (
-            ranked.repartition(64, "h")
-            .write.bucketBy(64, "h")
+            ranked.repartition(n_buckets, "h")
+            .write.bucketBy(n_buckets, "h")
             .mode("overwrite")
             .saveAsTable(tbl)
         )
+        # the bucketed table supersedes the staged ranked dir
+        reap_staged(ranked)
         ranked_b = spark.table(tbl)
         slice_key = F.pmod(F.hash(F.col("doc_id")), F.lit(n_slices))
         probe_b = ranked_b.filter(
@@ -1281,4 +1386,6 @@ def containment_pairs_prefix(
             list(pool.map(_run_slice, range(n_slices)))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        # slice jobs all retired — only final_dir outlives the call
+        reap_staged(arrs)
     return spark.read.parquet(os.path.join(final_dir, "s*"))

@@ -17,6 +17,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def auto_bucket_count(
+    n_bytes: int | None,
+    target_bucket_bytes: int = 256 << 20,
+    lo: int = 32,
+    hi: int = 4096,
+    default: int = 64,
+) -> int:
+    """Bucket count for a bucketed-table write, sized from the
+    relation's on-disk bytes: the next power of two of
+    ``n_bytes / target_bucket_bytes`` clamped to ``[lo, hi]``.
+
+    Power of two keeps re-bucketing at a different scale co-partition-
+    compatible (a 2^k table's buckets split/merge evenly into a 2^m
+    one); the clamp floor keeps small relations parallel enough to
+    saturate a node, the ceiling bounds file-count blow-up.  At 100 TB
+    this replaces the constant-64 that was tuned to one box — a staged
+    multi-TB prefix relation sizes itself into thousands of buckets
+    instead of 64 multi-GB ones.  ``None`` bytes (relation not staged,
+    size unknown) falls back to ``default``."""
+    import math
+
+    if not n_bytes or n_bytes <= 0:
+        return default
+    want = max(1, math.ceil(n_bytes / target_bucket_bytes))
+    p = 1 << (want - 1).bit_length()  # next power of two >= want
+    return int(min(hi, max(lo, p)))
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32
 ) -> None:

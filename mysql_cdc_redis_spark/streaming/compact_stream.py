@@ -190,7 +190,12 @@ def run_compaction_stream(
     emissions = compact_stream(stream, pk_cols, payload_cols)
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(emissions_dir)
+        # _batch_id stamped so at-least-once replayed batches are
+        # identifiable by downstream exact-log consumers (round-5
+        # advice); the finalize itself is replay-immune (max last_seq)
+        batch_df.withColumn("_batch_id", F.lit(_batch_id)).write.mode(
+            "append"
+        ).parquet(emissions_dir)
 
     q = (
         emissions.writeStream.foreachBatch(_sink)
@@ -264,7 +269,15 @@ def run_compaction_pipeline_dual_sink(
         # plan per action, so cache it for the two writes
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(emissions_dir)
+            # foreachBatch appends are at-least-once: a batch retried
+            # after a partial write duplicates emission rows.  The
+            # finalize (max last_seq per key) is immune, but consumers
+            # treating emissions_dir as an exact K5 commit log (event
+            # counts, retraction feeds) need the batch id stamped so
+            # they can drop replayed batches (round-5 advice).
+            batch_df.withColumn("_batch_id", F.lit(_batch_id)).write.mode(
+                "append"
+            ).parquet(emissions_dir)
             typed = batch_df.select(
                 "tbl",
                 "rid",

@@ -1,14 +1,17 @@
-"""Cache hygiene for the dedup family (round-4 verdict item 4): the
-module replaced every ``.persist()`` with per-invocation parquet staging
-(`_stage_parquet`), so running any dedup operator — including collecting
-its lazily-returned result — must leave NO persisted RDDs behind.  A
-long-lived production driver invokes these operators repeatedly; cached
-relations that are never unpersisted accumulate until memory pressure.
+"""Cache hygiene for the dedup family (round-4 verdict item 4): every
+dedup operator follows the two-discipline lifecycle of
+operators/staging.py — RETURNED/long-lived relations are parquet-staged,
+TRANSIENT ones are scope-persisted around an eager materialization — so
+running any dedup operator, including collecting its result, must leave
+NO persisted RDDs behind.  A long-lived production driver invokes these
+operators repeatedly; cached relations that are never unpersisted
+accumulate until memory pressure.
 
-`connected_components` is exempt by design: its iterative min-label loop
-uses eager ``localCheckpoint`` (lineage truncation), whose blocks are
-released by the ContextCleaner when the python references die — checked
-separately with a GC nudge.
+`connected_components` follows the same staging discipline: its
+iterative min-label loop stages each round to parquet (it used
+``localCheckpoint`` before round 5; checkpoint blocks live outside the
+CacheManager and were measured to never be released) — the second test
+below pins both that rationale and the result.
 """
 
 from __future__ import annotations
