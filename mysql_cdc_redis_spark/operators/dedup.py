@@ -147,6 +147,31 @@ def _jaccard(col_common, col_a, col_b):
 _SIZES_BROADCAST_MAX_DOCS = 4_000_000
 
 
+def _certified_pairs_by_h(sh: DataFrame) -> DataFrame:
+    """Candidate (a, b, n_common) generation for the ROUTED naive join:
+    collect each shingle's doc-id list (one shuffle of the shingle
+    relation), then explode the ordered pairs MAP-SIDE — versus the
+    inverted-index self-join's TWO full shuffles plus a sort-merge join
+    producing the identical Σ df² pre-dedup rows.  The double explode
+    streams through whole-stage codegen straight into the partial
+    aggregate: candidate rows are never materialized.
+
+    SAFE ONLY under the adaptive router's certificate: Σ_h df(h)² ≤
+    budget bounds every single df by √budget (~17.3k at the default
+    300M), so no collect_list buffer exceeds ~140 KB — which is exactly
+    why the UNROUTED naive form must not use this plan (one
+    megafrequent shingle would build a corpus-sized array in a single
+    aggregation buffer)."""
+    byh = sh.groupBy("h").agg(F.collect_list("doc_id").alias("ids"))
+    return (
+        byh.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def _attach_pair_sizes(pairs: DataFrame, sizes: DataFrame, n_docs: int) -> DataFrame:
     """Join a (a, b, ...) pairs relation to per-doc sizes as n_a/n_b.
     Broadcast-small corpora take map-side hash joins (no re-shuffle of
@@ -260,20 +285,14 @@ def _route_on_sigma_df2(
       known — measured at sf1 as 13.9s of a 35s total on the benign
       route (round 5), most of the regression vs the round-3 persist
       form.
-    * The stat's intermediate — the per-h document-frequency relation
-      ``freq`` — is persisted too and HANDED to whichever route wins
-      instead of being recomputed: the prefix route's df ranking starts
-      from exactly this aggregate (one full groupBy(h) shuffle over the
-      corpus's shingle set, the round-5 form paid it twice on the heavy
-      route).  ``freq``'s lineage runs through the persisted ``sh``, so
-      after the early unpersist below an executor-loss recompute would
-      re-shingle — correct, just slow; MEMORY_AND_DISK evicts to disk,
-      never recomputes, so the slow path needs an actual task failure.
-    * NAIVE route (benign corpora): ``freq`` is dropped (the naive join
-      never ranks by df) and the naive fn materializes its own verified
-      pairs eagerly while the relation is cached (the join reads it
-      three times — sizes + both sides); the cache is released in the
-      ``finally``.  Nothing stays persisted after the call (pinned by
+    * NAIVE route (benign corpora): the routing decision doubles as a
+      SAFETY CERTIFICATE — Σ df² ≤ budget bounds every single df by
+      √budget (~17k at the default 300M), so the naive fn may collect
+      per-h doc-id lists and explode candidate pairs MAP-SIDE without
+      any unbounded-aggregation risk (see `_certified_pairs_by_h`).
+      The fn materializes its verified pairs eagerly while the relation
+      is cached; the cache is released in the ``finally``.  Nothing
+      stays persisted after the call (pinned by
       tests/test_dedup_hygiene.py), and the returned scan is
       eviction-proof by construction.
     * PREFIX route (heavy corpora): the cached relation is COPIED to
@@ -282,22 +301,22 @@ def _route_on_sigma_df2(
       relying on executor storage memory was measured at 3-4× wall
       amplification at sf10 (round 4); the cache is then released
       IMMEDIATELY (the staged scan is the only thing the prefix fn
-      reads), before any heavy join runs, and the prefix fn unpersists
-      ``freq`` as soon as its ranking is staged.  The ``finally``
-      unpersists are the idempotent exception backstop.
+      reads), before any heavy join runs.  The ``finally`` unpersist is
+      the idempotent exception backstop.
     """
     sh = shingle_hashes(docs, n, id_col, text_col).persist()
-    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).persist()
     try:
         sigma_df2 = (
-            freq.agg(F.sum(F.col("df") * F.col("df")).alias("s")).first()["s"]
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("s"))
+            .first()["s"]
         ) or 0
         if sigma_df2 <= max_join_rows:
             _LOG.info(
                 "%s: route=naive sigma_df2=%d budget=%d",
                 op_name, sigma_df2, max_join_rows,
             )
-            freq.unpersist()
             return naive_fn(sh)
         _LOG.info(
             "%s: route=prefix sigma_df2=%d budget=%d",
@@ -305,10 +324,9 @@ def _route_on_sigma_df2(
         )
         staged_sh = _stage_parquet(sh, f"{op_name}_sh")
         sh.unpersist()
-        return prefix_fn(staged_sh, freq)
+        return prefix_fn(staged_sh)
     finally:
         sh.unpersist()
-        freq.unpersist()
 
 
 _SLICE_CAP = 256
@@ -360,7 +378,6 @@ def ngram_jaccard_pairs_prefix(
     max_join_rows: int = 300_000_000,
     slice_concurrency: int = 2,
     _sh: DataFrame | None = None,
-    _freq: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard ≥ threshold, with PREFIX
     FILTERING (the SSJoin/PPJoin principle — Chaudhuri et al. ICDE'06,
@@ -446,12 +463,7 @@ def ngram_jaccard_pairs_prefix(
         shingle_hashes(docs, n, id_col, text_col), "ngram_prefix_sh"
     )
 
-    # _freq: the adaptive router's already-materialized per-h df
-    # aggregate (persisted) — reuse it instead of re-shuffling the full
-    # shingle relation; unpersisted as soon as the ranking is staged
-    freq = _freq if _freq is not None else sh.groupBy("h").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = (
         sh.join(freq, "h")
@@ -468,8 +480,6 @@ def ngram_jaccard_pairs_prefix(
         ).select("doc_id", "h", "pos", "n_sh"),
         "ngram_prefix",
     )
-    if _freq is not None:
-        _freq.unpersist()
     arrs = _stage_parquet(shingle_arrays(sh), "ngram_arrs")
     # nothing below reads the shingle relation again (prefix + arrs are
     # the working set) — reap its multi-GB staging dir now rather than
@@ -657,18 +667,19 @@ def ngram_jaccard_pairs(
 
     The shingle relation is computed ONCE here (persisted for the stat
     pass, handed to whichever route wins — see `_route_on_sigma_df2` for
-    the per-route lifecycle), and the stat's per-h df aggregate is
-    handed to the prefix route so its ranking never re-shuffles the full
-    shingle set — the statistic costs one shingling + one small
-    (h)-keyed aggregate, never a second pass over the documents."""
+    the per-route lifecycle) — the statistic costs one shingling + one
+    small (h)-keyed aggregate, never a second pass over the documents;
+    on the naive route the passing statistic doubles as the safety
+    certificate for the group-explode candidate plan
+    (`_certified_pairs_by_h`)."""
     return _route_on_sigma_df2(
         docs, n, id_col, text_col, max_join_rows, "ngram_jaccard_pairs",
         lambda sh: ngram_jaccard_pairs_naive(
-            docs, n, threshold, id_col, text_col, _sh=sh
+            docs, n, threshold, id_col, text_col, _sh=sh, _certified=True
         ),
-        lambda sh, freq: ngram_jaccard_pairs_prefix(
+        lambda sh: ngram_jaccard_pairs_prefix(
             docs, n, threshold, id_col, text_col,
-            max_join_rows=max_join_rows, _sh=sh, _freq=freq,
+            max_join_rows=max_join_rows, _sh=sh,
         ),
     )
 
@@ -680,6 +691,7 @@ def ngram_jaccard_pairs_naive(
     id_col: str = "doc_id",
     text_col: str = "text",
     _sh: DataFrame | None = None,
+    _certified: bool = False,
 ) -> DataFrame:
     """Exact near-dup pairs by n-gram Jaccard ≥ threshold (NAIVE
     inverted-index join on hashed shingles).  Candidate cost is Σ df(h)²
@@ -687,25 +699,35 @@ def ngram_jaccard_pairs_naive(
     near-uniform; on natural text the heavy-hitter shingles make this
     blow up (measured sf10 abort, SCALING.md round-3).  Prefer
     `ngram_jaccard_pairs` (adaptive routing, same output) or MinHash-LSH
-    (approximate)."""
+    (approximate).
+
+    ``_certified`` (router-only): the adaptive router's passing Σ df²
+    statistic licenses the cheaper group-explode candidate plan
+    (`_certified_pairs_by_h`, one shingle shuffle instead of two plus a
+    sort-merge join); the unrouted form keeps the self-join, whose
+    worst case degrades to disk instead of a single aggregation
+    buffer."""
 
     def _finalize(sh: DataFrame) -> DataFrame:
         # the pairs relation is joined back to per-doc sizes twice (a
         # and b sides); when the corpus is broadcast-small those joins
         # run map-side, fusing the whole post-candidate pipeline into
         # the groupBy(a,b) reduce stage instead of re-shuffling the
-        # pairs relation twice — see _sized_pairs_plan
+        # pairs relation twice — see _attach_pair_sizes
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
         try:
             n_docs = sizes.count()
-            a = sh.select(F.col("doc_id").alias("a"), "h")
-            b = sh.select(F.col("doc_id").alias("b"), "h")
-            common = (
-                a.join(b, "h")
-                .where(F.col("a") < F.col("b"))
-                .groupBy("a", "b")
-                .agg(F.count(F.lit(1)).alias("n_common"))
-            )
+            if _certified:
+                common = _certified_pairs_by_h(sh)
+            else:
+                a = sh.select(F.col("doc_id").alias("a"), "h")
+                b = sh.select(F.col("doc_id").alias("b"), "h")
+                common = (
+                    a.join(b, "h")
+                    .where(F.col("a") < F.col("b"))
+                    .groupBy("a", "b")
+                    .agg(F.count(F.lit(1)).alias("n_common"))
+                )
             plan = _attach_pair_sizes(common, sizes, n_docs).withColumn(
                 "jaccard", _jaccard(F.col("n_common"), F.col("n_a"), F.col("n_b"))
             ).filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
@@ -1139,11 +1161,11 @@ def containment_pairs(
     return _route_on_sigma_df2(
         docs, n, id_col, text_col, max_join_rows, "containment_pairs",
         lambda sh: containment_pairs_naive(
-            docs, n, threshold, id_col, text_col, _sh=sh
+            docs, n, threshold, id_col, text_col, _sh=sh, _certified=True
         ),
-        lambda sh, freq: containment_pairs_prefix(
+        lambda sh: containment_pairs_prefix(
             docs, n, threshold, id_col, text_col,
-            max_join_rows=max_join_rows, _sh=sh, _freq=freq,
+            max_join_rows=max_join_rows, _sh=sh,
         ),
     )
 
@@ -1155,25 +1177,31 @@ def containment_pairs_naive(
     id_col: str = "doc_id",
     text_col: str = "text",
     _sh: DataFrame | None = None,
+    _certified: bool = False,
 ) -> DataFrame:
     """NAIVE inverted-index containment join: candidate cost Σ df(h)²
     over all shingles — near-linear ONLY when df is near-uniform.  The
     undirected common counts are computed once (a<b) and emitted in both
     directions, so the quadratic part is not paid twice.  Prefer
-    `containment_pairs` (adaptive) on corpora of unknown shape."""
+    `containment_pairs` (adaptive) on corpora of unknown shape.
+    ``_certified``: see `ngram_jaccard_pairs_naive` — router-licensed
+    group-explode candidate plan."""
 
     def _finalize(sh: DataFrame) -> DataFrame:
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
         try:
             n_docs = sizes.count()
-            x = sh.select(F.col("doc_id").alias("a"), "h")
-            y = sh.select(F.col("doc_id").alias("b"), "h")
-            common = (
-                x.join(y, "h")
-                .where(F.col("a") < F.col("b"))
-                .groupBy("a", "b")
-                .agg(F.count(F.lit(1)).alias("n_common"))
-            )
+            if _certified:
+                common = _certified_pairs_by_h(sh)
+            else:
+                x = sh.select(F.col("doc_id").alias("a"), "h")
+                y = sh.select(F.col("doc_id").alias("b"), "h")
+                common = (
+                    x.join(y, "h")
+                    .where(F.col("a") < F.col("b"))
+                    .groupBy("a", "b")
+                    .agg(F.count(F.lit(1)).alias("n_common"))
+                )
             directed = common.unionByName(
                 common.select(F.col("b").alias("a"), F.col("a").alias("b"), "n_common")
             )
@@ -1209,7 +1237,6 @@ def containment_pairs_prefix(
     max_join_rows: int = 300_000_000,
     slice_concurrency: int = 2,
     _sh: DataFrame | None = None,
-    _freq: DataFrame | None = None,
 ) -> DataFrame:
     """Containment join with DIRECTED prefix filtering — the scale path
     for heavy-df corpora (the containment analog of
@@ -1243,11 +1270,7 @@ def containment_pairs_prefix(
     sh = _sh if _sh is not None else _stage_parquet(
         shingle_hashes(docs, n, id_col, text_col), "contain_prefix_sh"
     )
-    # _freq: the router's persisted per-h df aggregate — reused by both
-    # the ranking join and the slicing statistic below, then unpersisted
-    freq = _freq if _freq is not None else sh.groupBy("h").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "h")
     ranked = _stage_parquet(
         sh.join(freq, "h")
@@ -1276,8 +1299,6 @@ def containment_pairs_prefix(
             int(stat), max_join_rows, slice_concurrency,
             op_name="containment_pairs_prefix",
         )
-    if _freq is not None:
-        _freq.unpersist()
     # the stat above was freq's (and transitively the shingle scan's)
     # last read — everything below reads only ranked/arrs staging; free
     # the shingle staging dir now (round-5 advice: no intra-call /tmp
