@@ -1,3 +1,7 @@
+from .compact_jvm import (
+    drop_state_jvm,
+    run_compaction_stream_jvm,
+)
 from .compact_stream import (
     compact_stream,
     finalize_stream_output,
@@ -7,7 +11,9 @@ from .compact_stream import (
 
 __all__ = [
     "compact_stream",
+    "drop_state_jvm",
     "finalize_stream_output",
     "run_compaction_pipeline_dual_sink",
     "run_compaction_stream",
+    "run_compaction_stream_jvm",
 ]

@@ -1,0 +1,350 @@
+"""Pure-JVM streaming compactor — the foreachBatch + merge twin of the
+applyInPandasWithState compactor (round-5 verdict item 1; SURVEY.md
+§2.8 T1/T4/K5; reference rcache.py:224-259 periodic merge, cdc.py:119-134
+at-least-once replay safety).
+
+The applyInPandasWithState twin (streaming/compact_stream.py) is
+CORRECT but pays a pandas crossing per key per micro-batch — measured
+at 21.3k ev/s against 542k ev/s for the pure-JVM batch compactor on the
+same staged changelog (BENCH_r05), the engine's one perf-weak component
+at 100×.  The transformWithStateInPandas twin needs google.protobuf,
+absent in this environment.  This twin needs NEITHER: it keeps the
+stream JVM-side end to end.
+
+Design — foreachBatch micro-batches, each JVM-compacted then merged
+into a durable state table:
+
+* Each micro-batch is first collapsed per key to its FULL fold
+  TRANSITION FUNCTION, not just its fold-from-empty outcome: four
+  ``F.aggregate`` folds over the seq-sorted action array, one per start
+  state {absent, insert, update, delete} (`compact_batch_transitions`).
+  The action algebra (rcache.py:196-222) is a deterministic finite
+  transducer on 4 states, so the tuple (f(absent), f(insert),
+  f(update), f(delete)) composes exactly: for ANY prior state s,
+  fold(s, batch_events) = tuple[s].  One shuffle of the (small) batch,
+  everything in whole-stage codegen.
+* The state table joins the delta FULL OUTER on a single bucket key
+  (``bkey`` = tbl ⊕ rid) and picks the new action by indexing the
+  transition tuple with the stored action (`merge_state_jvm`) —
+  payload = delta's max_by(seq) payload when the key saw events (last
+  event wins wholesale, rcache.py:222), else the stored payload.
+  Sentinel results (annihilation) drop the key — the same epoch-reset
+  the pandas twin implements with state.remove().
+* State persistence is a BUCKETED-BY-bkey warehouse table (sorted
+  within buckets), ping-ponged between two slots: batch b reads the
+  slot committed by the latest batch < b and overwrites the other.
+  The bucketed scan side of every merge join is Exchange-free (only
+  the small delta shuffles); at cluster scale the state table IS the
+  keyed store, and with Delta/Iceberg the whole merge becomes MERGE
+  INTO.  Bucket count from `auto_bucket_count` over the previous
+  state's bytes.
+* Exactly-once: Spark's checkpoint replays an uncommitted batch with
+  the SAME batch_id; the merge recomputes DETERMINISTICALLY from the
+  prior committed slot (never from the slot it is overwriting) and a
+  tiny ``_meta.json`` in ``state_dir`` — written atomically via
+  os.replace as the LAST step — records batch_id → slot.  A crash
+  anywhere before the meta commit leaves the prior slot intact; the
+  retry overwrites the partial slot.  This is the idempotent-replay
+  contract the reference relies on (M5), upgraded to exactly-once.
+
+Parity with the batch compactor under ANY micro-batch slicing is
+pinned by tests/test_streaming_parity_jvm.py (mirroring the pandas
+twin's tests), plus an exhaustive transition-composition test over all
+action sequences × split points.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..operators.compaction import ACTION_FOLD_SENTINEL, with_rid
+from ..operators.scale import auto_bucket_count
+
+_TRANSITION_STATES = ("insert", "update", "delete")
+
+
+def _fold_actions_from(sorted_actions: Column, init: str) -> Column:
+    """The rcache.py:196-222 merge algebra folded over a seq-sorted
+    action array from an arbitrary start state — the batch form of the
+    same fold in operators/compaction.py::_fold_actions, generalized so
+    the four folds below capture the batch's full transition table."""
+    sentinel = F.lit(ACTION_FOLD_SENTINEL)
+
+    def merge(state: Column, x: Column) -> Column:
+        return (
+            F.when(state == sentinel, x)
+            .when(
+                state == "insert",
+                F.when(x == "delete", sentinel).otherwise(F.lit("insert")),
+            )
+            .otherwise(F.when(x == "insert", F.lit("update")).otherwise(x))
+        )
+
+    return F.aggregate(sorted_actions, F.lit(init), merge)
+
+
+def _bkey(tbl: Column, rid: Column) -> Column:
+    # single-column join/bucket key; \x01 cannot appear in a table name,
+    # so distinct (tbl, rid) pairs stay distinct
+    return F.concat_ws("\x01", tbl, rid)
+
+
+def compact_batch_transitions(
+    batch: DataFrame,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    table_col: str = "tbl",
+    seq_col: str = "seq",
+    action_col: str = "cdc_action",
+) -> DataFrame:
+    """Collapse a micro-batch to one row per key carrying the batch's
+    fold TRANSITION TUPLE + last payload + max seq.
+
+    Columns: bkey, tbl, rid, f_absent, f_insert, f_update, f_delete,
+    last_seq, _last (payload struct).  ``f_s`` = the fold outcome had
+    the key's state been ``s`` when the batch arrived — composing
+    micro-batches through these tuples is exactly event-at-a-time
+    ingestion (exhaustively tested)."""
+    keyed = with_rid(batch, pk_cols).filter(F.col("rid").isNotNull())
+    grouped = keyed.groupBy(F.col(table_col).alias("tbl"), "rid").agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), F.col(seq_col)).alias(
+            "_last"
+        ),
+        F.max(F.col(seq_col)).alias("last_seq"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(seq_col).alias("s"), F.col(action_col).alias("a"))
+            )
+        ).alias("_evs"),
+    )
+    acts = F.transform(F.col("_evs"), lambda ev: ev["a"])
+    return grouped.select(
+        _bkey(F.col("tbl"), F.col("rid")).alias("bkey"),
+        "tbl",
+        "rid",
+        _fold_actions_from(acts, ACTION_FOLD_SENTINEL).alias("f_absent"),
+        *[_fold_actions_from(acts, s).alias(f"f_{s}") for s in _TRANSITION_STATES],
+        "last_seq",
+        "_last",
+    )
+
+
+def _delta_to_state(delta: DataFrame, payload_cols: tuple[str, ...]) -> DataFrame:
+    """First batch (no prior state): the from-empty fold IS the state;
+    annihilated keys vanish."""
+    return delta.filter(F.col("f_absent") != ACTION_FOLD_SENTINEL).select(
+        "bkey",
+        "tbl",
+        "rid",
+        F.col("f_absent").alias("cdc_action"),
+        "last_seq",
+        *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def merge_state_jvm(
+    state: DataFrame, delta: DataFrame, payload_cols: tuple[str, ...]
+) -> DataFrame:
+    """Merge a transition-tuple delta into a compacted state: full-outer
+    join on bkey, new action = the delta's transition tuple indexed by
+    the stored action (absent key → f_absent), payload/seq from the
+    delta when the key saw events.  Sentinel results drop the key
+    (annihilation epoch-reset).  All JVM expressions — zero Python
+    crossings; with the state side bucketed by bkey the join plans
+    without an Exchange above the state scan."""
+    s = state.alias("s")
+    d = delta.alias("d")
+    j = s.join(d, "bkey", "full_outer")
+    d_present = F.col("d.rid").isNotNull()
+    s_present = F.col("s.rid").isNotNull()
+    new_action = (
+        F.when(~d_present, F.col("s.cdc_action"))
+        .when(~s_present, F.col("d.f_absent"))
+        .when(F.col("s.cdc_action") == "insert", F.col("d.f_insert"))
+        .when(F.col("s.cdc_action") == "update", F.col("d.f_update"))
+        .otherwise(F.col("d.f_delete"))
+    )
+    return (
+        j.select(
+            F.col("bkey"),
+            F.coalesce(F.col("d.tbl"), F.col("s.tbl")).alias("tbl"),
+            F.coalesce(F.col("d.rid"), F.col("s.rid")).alias("rid"),
+            new_action.alias("cdc_action"),
+            F.when(d_present, F.col("d.last_seq"))
+            .otherwise(F.col("s.last_seq"))
+            .alias("last_seq"),
+            *[
+                F.when(d_present, F.col(f"d._last.{c}"))
+                .otherwise(F.col(f"s.{c}"))
+                .alias(c)
+                for c in payload_cols
+            ],
+        )
+        .filter(F.col("cdc_action") != ACTION_FOLD_SENTINEL)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durable ping-pong state slots with an atomic batch_id -> slot commit log
+# ---------------------------------------------------------------------------
+
+
+class _StateSlots:
+    """Two bucketed warehouse tables + a _meta.json commit log keyed by
+    foreachBatch batch_id.  Table names derive from state_dir, so a
+    checkpoint-resumed run (same dirs) finds its tables; distinct runs
+    (distinct dirs) never collide in the shared warehouse."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+        self.meta_path = os.path.join(state_dir, "_meta.json")
+        tag = uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(state_dir)).hex[:16]
+        self.tables = [f"cdc_jvm_state_{tag}_{i}" for i in (0, 1)]
+
+    def load_meta(self) -> dict[str, int]:
+        if not os.path.exists(self.meta_path):
+            return {}
+        with open(self.meta_path) as f:
+            return {str(k): int(v) for k, v in json.load(f).items()}
+
+    def commit(self, batch_id: int, slot: int) -> None:
+        meta = self.load_meta()
+        meta[str(batch_id)] = slot
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)  # atomic on POSIX
+
+    def latest_before(self, batch_id: int) -> tuple[int, int] | None:
+        """(batch_id, slot) of the newest committed batch < batch_id —
+        the deterministic merge source for batch_id (commits ≥ batch_id
+        are replays of the batch being retried and are ignored)."""
+        prior = [int(b) for b in self.load_meta() if int(b) < batch_id]
+        if not prior:
+            return None
+        b = max(prior)
+        return b, self.load_meta()[str(b)]
+
+    def read(self, slot: int) -> DataFrame:
+        return self.spark.table(self.tables[slot])
+
+    def write(self, df: DataFrame, slot: int, n_buckets: int) -> None:
+        (
+            df.repartition(n_buckets, "bkey")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "bkey")
+            .sortBy("bkey")
+            .format("parquet")
+            .saveAsTable(self.tables[slot])
+        )
+
+    def table_bytes(self, slot: int) -> int | None:
+        try:
+            loc = (
+                self.spark.sql(f"DESCRIBE DETAIL `{self.tables[slot]}`")
+                .select("location")
+                .first()[0]
+            )
+        except Exception:
+            # DESCRIBE DETAIL is Delta-only on some builds; fall back to
+            # the catalog's warehouse layout
+            loc = None
+        if loc is None:
+            wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), self.tables[slot])
+        path = loc.removeprefix("file:")
+        if not os.path.isdir(path):
+            return None
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+
+    def drop_all(self) -> None:
+        for t in self.tables:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+
+def run_compaction_stream_jvm(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    state_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """End-to-end availableNow run of the JVM streaming compactor
+    (blocking=False mode, cdc_config.py:36): tail the file changelog,
+    fold each micro-batch into the bucketed state table, return the
+    final compacted state with the batch compactor's exact columns
+    (tbl, rid, cdc_action, payload...).
+
+    Durability/restart: offsets live in ``checkpoint_dir`` (K5), state
+    in the two warehouse slots + ``state_dir/_meta.json``; a resumed
+    run continues from the committed slot (tested: resume-midway parity
+    and crash-retry determinism).  State tables persist across runs of
+    the same state_dir — call ``drop_state_jvm`` to dispose of them
+    when the pipeline is decommissioned."""
+    slots = _StateSlots(spark, state_dir)
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = compact_batch_transitions(batch_df, pk_cols, payload_cols)
+        prev = slots.latest_before(batch_id)
+        if prev is None:
+            new_state = _delta_to_state(delta, payload_cols)
+            dst, prev_bytes = 0, None
+        else:
+            _, src = prev
+            new_state = merge_state_jvm(slots.read(src), delta, payload_cols)
+            dst, prev_bytes = 1 - src, slots.table_bytes(src)
+        # floor 16: the merge join's parallelism IS the bucket count —
+        # a few-MB state would otherwise plan 4 tasks on a 32-core box;
+        # beyond ~4 GB the byte-based sizing takes over
+        slots.write(new_state, dst, auto_bucket_count(prev_bytes, lo=16, default=16))
+        slots.commit(batch_id, dst)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = slots.load_meta()
+    if not meta:  # empty source: no batch ever fired
+        return spark.createDataFrame(
+            [],
+            "tbl string, rid string, cdc_action string"
+            + "".join(f", {c} {source_schema[c].dataType.simpleString()}"
+                      for c in payload_cols),
+        )
+    last_slot = meta[str(max(int(b) for b in meta))]
+    return slots.read(last_slot).select("tbl", "rid", "cdc_action", *payload_cols)
+
+
+def drop_state_jvm(spark: SparkSession, state_dir: str) -> None:
+    """Dispose of a pipeline's state tables + commit log (the K6-style
+    destructive clear for this twin)."""
+    import shutil
+
+    slots = _StateSlots(spark, state_dir)
+    slots.drop_all()
+    shutil.rmtree(state_dir, ignore_errors=True)

@@ -1,0 +1,247 @@
+"""Parity + durability for the pure-JVM foreachBatch streaming compactor
+(streaming/compact_jvm.py; round-5 verdict item 1): it must equal the
+batch compactor under ANY micro-batch slicing, resume from its
+checkpoint + state commit log, recompute retried batches
+deterministically, and keep the merge join Exchange-free above the
+bucketed state scan."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from itertools import product
+
+from pyspark.sql import functions as F
+
+from mysql_cdc_redis_spark.operators.compaction import (
+    ACTION_FOLD_SENTINEL,
+    compact,
+)
+from mysql_cdc_redis_spark.sources.changelog import (
+    ORDERS_PAYLOAD,
+    ORDERS_PK,
+    orders_changelog,
+)
+from mysql_cdc_redis_spark.streaming import (
+    drop_state_jvm,
+    run_compaction_stream_jvm,
+)
+from mysql_cdc_redis_spark.streaming.changelog_files import stage_changelog_files
+
+
+def _rows(df, cols):
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def _tmp(name):
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uuid.uuid4().hex[:8]}")
+
+
+def test_jvm_stream_equals_batch(spark, sf_dir):
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("jvm_chglog")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    state_dir = _tmp("jvm_state")
+    batch = compact(ch, ORDERS_PK, ORDERS_PAYLOAD)
+    try:
+        streamed = run_compaction_stream_jvm(
+            spark,
+            source_dir,
+            ch.schema,
+            ORDERS_PK,
+            ORDERS_PAYLOAD,
+            checkpoint_dir=_tmp("jvm_ckpt"),
+            state_dir=state_dir,
+            max_files_per_trigger=1,  # one micro-batch per chunk
+        )
+        cols = ["tbl", "rid", "cdc_action", *ORDERS_PAYLOAD]
+        assert _rows(streamed, cols) == _rows(batch, cols)
+    finally:
+        drop_state_jvm(spark, state_dir)
+
+
+def test_jvm_checkpoint_resume_midway(spark, sf_dir):
+    """K5/T1: half the changelog, run; append the rest, run again on the
+    same checkpoint + state dir — per-key state must span the restart
+    (insert then update folds to insert)."""
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 3)
+    first = ch.filter(F.col("seq") % 4 == 0)   # the inserts
+    second = ch.filter(F.col("seq") % 4 == 1)  # the updates
+    d = _tmp("jvm_resume_src")
+    ckpt = _tmp("jvm_resume_ckpt")
+    state_dir = _tmp("jvm_resume_state")
+    stage_changelog_files(first, d, n_chunks=1)
+
+    try:
+        out1 = run_compaction_stream_jvm(
+            spark, d, ch.schema, ORDERS_PK, ORDERS_PAYLOAD, ckpt, state_dir
+        )
+        r1 = {r["rid"]: r["cdc_action"] for r in out1.collect()}
+        assert r1 and set(r1.values()) == {"insert"}
+
+        # append the update events as a new file, same checkpoint
+        tmp = f"{d}/_stage_x"
+        second.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{d}/chunk-9999.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (time.time(), time.time()))
+
+        out2 = run_compaction_stream_jvm(
+            spark, d, ch.schema, ORDERS_PK, ORDERS_PAYLOAD, ckpt, state_dir
+        )
+        r2 = {r["rid"]: r["cdc_action"] for r in out2.collect()}
+        # state carried over: insert+update folds to insert (M2), and
+        # the payload advanced to the update's values
+        assert set(r2.values()) == {"insert"}
+        assert set(r2) == set(r1)
+        full = compact(
+            first.unionByName(second), ORDERS_PK, ORDERS_PAYLOAD
+        )
+        cols = ["tbl", "rid", "cdc_action", *ORDERS_PAYLOAD]
+        assert _rows(out2, cols) == _rows(full, cols)
+    finally:
+        drop_state_jvm(spark, state_dir)
+
+
+def test_transition_tuple_composes_exhaustively(spark):
+    """The heart of the JVM merge: for EVERY action sequence up to
+    length 4 and EVERY split point, merging the two halves through the
+    transition tuples must equal the one-shot batch fold.  All
+    (sequence, split) scenarios ride in ONE DataFrame pair — key id
+    encodes the scenario — so the whole space is three Spark jobs."""
+    from mysql_cdc_redis_spark.streaming.compact_jvm import (
+        _delta_to_state,
+        compact_batch_transitions,
+        merge_state_jvm,
+    )
+
+    actions = ("insert", "update", "delete")
+    scenarios = []  # (key, events, split)
+    k = 0
+    for length in range(1, 5):
+        for seq in product(actions, repeat=length):
+            for split in range(0, length + 1):
+                scenarios.append((f"k{k}", list(seq), split))
+                k += 1
+
+    rows_all, rows_b1, rows_b2 = [], [], []
+    for key, evs, split in scenarios:
+        for i, a in enumerate(evs):
+            row = ("t", key, i, a, f"v{i}")
+            rows_all.append(row)
+            (rows_b1 if i < split else rows_b2).append(row)
+    schema = "tbl string, pk string, seq long, cdc_action string, val string"
+    all_df = spark.createDataFrame(rows_all, schema)
+    b1 = spark.createDataFrame(rows_b1, schema) if rows_b1 else all_df.limit(0)
+    b2 = spark.createDataFrame(rows_b2, schema) if rows_b2 else all_df.limit(0)
+
+    pk, payload = ("pk",), ("pk", "val")
+    expected = compact(all_df, pk, payload)
+
+    d1 = compact_batch_transitions(b1, pk, payload)
+    state1 = _delta_to_state(d1, payload)
+    d2 = compact_batch_transitions(b2, pk, payload)
+    merged = merge_state_jvm(state1, d2, payload)
+
+    cols = ["tbl", "rid", "cdc_action", "pk", "val"]
+    assert _rows(merged.select(*cols), cols) == _rows(
+        expected.select(*cols), cols
+    ), "two-batch transition merge diverged from the one-shot fold"
+    # sanity: annihilation epochs really drop keys in both forms
+    assert (
+        merged.filter(F.col("cdc_action") == ACTION_FOLD_SENTINEL).count() == 0
+    )
+
+
+def test_jvm_retry_is_deterministic(spark, sf_dir):
+    """Exactly-once: re-running an already-committed batch id (the
+    foreachBatch retry case) must reproduce the identical state — the
+    merge reads the latest slot committed BEFORE the batch, never the
+    slot it overwrites."""
+    from mysql_cdc_redis_spark.streaming.compact_jvm import (
+        _delta_to_state,
+        _StateSlots,
+        compact_batch_transitions,
+        merge_state_jvm,
+    )
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 20 == 7)
+    b1 = ch.filter(F.col("seq") % 2 == 0)
+    b2 = ch.filter(F.col("seq") % 2 == 1)
+    state_dir = _tmp("jvm_retry_state")
+    slots = _StateSlots(spark, state_dir)
+    pk, payload = ORDERS_PK, ORDERS_PAYLOAD
+    cols = ["tbl", "rid", "cdc_action", *payload]
+    try:
+        slots.write(
+            _delta_to_state(compact_batch_transitions(b1, pk, payload), payload),
+            0, 4,
+        )
+        slots.commit(0, 0)
+
+        def apply_batch_1():
+            prev_b, src = slots.latest_before(1)
+            assert (prev_b, src) == (0, 0)
+            new_state = merge_state_jvm(
+                slots.read(src), compact_batch_transitions(b2, pk, payload), payload
+            )
+            slots.write(new_state, 1 - src, 4)
+            slots.commit(1, 1 - src)
+
+        apply_batch_1()
+        first = _rows(slots.read(1).select(*cols), cols)
+        apply_batch_1()  # the retry: same batch id, meta already has it
+        second = _rows(slots.read(1).select(*cols), cols)
+        assert first == second
+        assert first == _rows(
+            compact(b1.unionByName(b2), pk, payload).select(*cols), cols
+        )
+    finally:
+        drop_state_jvm(spark, state_dir)
+
+
+def test_jvm_merge_join_is_exchange_free_on_state_side(spark, sf_dir):
+    """Plan guardrail: with the state table bucketed by bkey, the merge
+    join must not re-shuffle the state side — at 100× the state is the
+    big side and its per-batch re-shuffle would be the whole cost.  The
+    delta side (small) may shuffle."""
+    from mysql_cdc_redis_spark.streaming.compact_jvm import (
+        _delta_to_state,
+        _StateSlots,
+        compact_batch_transitions,
+        merge_state_jvm,
+    )
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 20 == 7)
+    state_dir = _tmp("jvm_plan_state")
+    slots = _StateSlots(spark, state_dir)
+    pk, payload = ORDERS_PK, ORDERS_PAYLOAD
+    try:
+        slots.write(
+            _delta_to_state(compact_batch_transitions(ch, pk, payload), payload),
+            0, 8,
+        )
+        merged = merge_state_jvm(
+            slots.read(0), compact_batch_transitions(ch, pk, payload), payload
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        # walk the plan: no Exchange may sit between the join and the
+        # state table's FileScan (the delta branch legitimately has one)
+        join_at = plan.find("SortMergeJoin")
+        assert join_at >= 0, plan
+        state_scan_at = plan.find(slots.tables[0])
+        assert state_scan_at > join_at, plan
+        exchanges_before_state = plan.count("Exchange", join_at, state_scan_at)
+        # exactly ONE exchange (the delta's hash repartition) may appear
+        # between the join and the state scan in the printed tree,
+        # because the delta branch prints first; the state branch itself
+        # must be exchange-free — verify via bucketed-scan marker
+        assert "SelectedBucketsCount" in plan, plan
+        assert exchanges_before_state <= 1, plan
+    finally:
+        drop_state_jvm(spark, state_dir)
