@@ -198,12 +198,20 @@ def main() -> None:
     )
     sf1_section = None
     if os.path.isdir(sf1_dir) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        spark.catalog.clearCache()
-        sf1_timings: dict[str, float] = {}
-        for name, q in headline.items():
-            t0 = time.perf_counter()
-            q.fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+        # TWO passes with min+spread (round-5 verdict item 3): the sf10
+        # probes proved single-pass numbers on this box swing tens of
+        # seconds on page-cache state alone; min-of-2 separates noise
+        # from regression the same way tools/bench_sf10_r5.py does.
+        sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
+        sf1_samples: dict[str, list[float]] = {n: [] for n in headline}
+        for _ in range(sf1_runs):
+            spark.catalog.clearCache()
+            for name, q in headline.items():
+                t0 = time.perf_counter()
+                q.fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                sf1_samples[name].append(round(time.perf_counter() - t0, 3))
+        sf1_timings = {n: min(v) for n, v in sf1_samples.items()}
+        sf1_spread = {n: round(max(v) - min(v), 3) for n, v in sf1_samples.items()}
         m1 = re.search(r"sf([0-9.]+)", sf1_dir)
         # same throughput convention as the sf0.1 headline: changelog
         # events compacted per second of compact_orders+compact_lineitem
@@ -217,9 +225,10 @@ def main() -> None:
         )
         sf1_section = {
             "sf": float(m1.group(1).rstrip(".")) if m1 else -1.0,
-            "n_runs": 1,
+            "n_runs": sf1_runs,
             "total_wall": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,
+            "spread": sf1_spread,
             "compaction_events": sf1_events,
             "compaction_events_per_sec": (
                 round(sf1_events / sf1_compact_wall) if sf1_compact_wall else None
