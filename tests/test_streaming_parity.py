@@ -190,6 +190,32 @@ def test_composed_pipeline_dual_sink_equals_batch(spark, sf_dir):
     assert any(d.startswith("dt=") for d in os.listdir(csv_dir)), "K1 layout"
 
 
+def test_emissions_carry_batch_id(spark, sf_dir):
+    """Round-5 advice: foreachBatch emission appends are at-least-once,
+    so the K5 log stamps _batch_id — an exact-log consumer can drop
+    replayed batches by keeping one copy per (key, last_seq, _batch_id)
+    or per max _batch_id.  The finalize path stays immune regardless."""
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 50 == 9)
+    src = _tmp("bid_src")
+    emit = _tmp("bid_emit")
+    stage_changelog_files(ch, src, n_chunks=2)
+    run_compaction_stream(
+        spark, src, ch.schema, ORDERS_PK, ORDERS_PAYLOAD,
+        checkpoint_dir=_tmp("bid_ckpt"), emissions_dir=emit,
+        max_files_per_trigger=1,
+    )
+    log = spark.read.parquet(emit)
+    assert "_batch_id" in log.columns
+    batch_ids = {r["_batch_id"] for r in log.select("_batch_id").distinct().collect()}
+    assert len(batch_ids) >= 2, "per-chunk micro-batches must stamp distinct ids"
+    # a simulated replay of batch 0 dedups away by (content, _batch_id)
+    b0 = log.filter(F.col("_batch_id") == 0)
+    replayed = log.unionByName(b0)
+    assert replayed.dropDuplicates(
+        ["tbl", "rid", "last_seq", "_batch_id"]
+    ).count() == log.dropDuplicates(["tbl", "rid", "last_seq", "_batch_id"]).count()
+
+
 def _protobuf_available() -> bool:
     # transformWithState's Python<->JVM state protocol rides on protobuf;
     # absent/broken protobuf crashes the streaming runner at init.
