@@ -435,6 +435,10 @@ ORACLE_CASTS: dict[str, tuple[tuple[str, ...], dict[str, str]]] = {
         ('o_orderstatus', 'n_live', 'total_price'),
         {'total_price': 'DECIMAL(18,2)'},
     ),
+    'stream_retraction_agg_jvm': (
+        ('o_orderstatus', 'n_live', 'total_price'),
+        {'total_price': 'DECIMAL(18,2)'},
+    ),
     'text_bleu_proxy_pairs': (
         ('source', 'n_pairs', 'mean_bleu1', 'max_bleu1', 'n_suspicious_pairs'),
         {'n_suspicious_pairs': 'BIGINT'},

@@ -827,6 +827,77 @@ def stream_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_retraction_agg_jvm",
+    doc="Retraction stream, pure-JVM form (round-6: the foreachBatch "
+    "twin of stream_retraction_agg): per micro-batch the -1/+1 delta "
+    "rows are two broadcast semi-joins against the bucketed ping-pong "
+    "state slots of the JVM compactor — zero per-key Python crossings, "
+    "and emissions are exactly-once (each batch overwrites its own "
+    "batch_id=N partition before the state commit, vs the pandas "
+    "twin's at-least-once append).  Same telescoping identity, same "
+    "batch oracle.",
+    tags=("cdc", "streaming", "ivm", "retraction", "jvm-state", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+state AS (
+  SELECT * FROM (
+    SELECT CAST(o_orderkey AS VARCHAR) AS rid,
+           {_FOLD_LAMBDA} AS cdc_action,
+           arg_max(o_orderstatus, seq) AS o_orderstatus,
+           arg_max(o_totalprice, seq) AS o_totalprice
+    FROM ch WHERE o_orderkey IS NOT NULL
+    GROUP BY 1
+  ) WHERE cdc_action NOT IN ('{ACTION_FOLD_SENTINEL}', 'delete')
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_live,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM state GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def stream_retraction_agg_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import drop_state_jvm, run_retraction_stream_jvm
+    from ..operators.staging import stage_parquet
+
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("retract_jvm_src")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    state_dir = _tmp("retract_jvm_state")
+    deltas = run_retraction_stream_jvm(
+        spark,
+        source_dir,
+        ch.schema,
+        ORDERS_PK,
+        ("o_orderstatus", "o_totalprice"),
+        checkpoint_dir=_tmp("retract_jvm_ckpt"),
+        state_dir=state_dir,
+        deltas_dir=_tmp("retract_jvm_deltas"),
+        max_files_per_trigger=1,
+    )
+    out = (
+        deltas.groupBy("o_orderstatus")
+        .agg(
+            F.sum("sign").alias("n_live"),
+            F.sum(
+                F.col("sign") * F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias("total_price"),
+        )
+        .filter(F.col("n_live") > 0)
+        .select(
+            "o_orderstatus",
+            "n_live",
+            F.col("total_price").cast("decimal(18,2)").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    # detach from the state tables so they can be dropped immediately
+    # (parquet staging loses order; re-sort for the ordered oracle)
+    staged = stage_parquet(out, "retract_jvm_result")
+    drop_state_jvm(spark, state_dir)
+    return staged.orderBy("o_orderstatus")
+
+
+@register(
     "stream_scd2_history",
     doc="Streaming SCD2: the version history built INCREMENTALLY by the "
     "stateful operator — each event emits its new open version and the "

@@ -1,6 +1,7 @@
 from .compact_jvm import (
     drop_state_jvm,
     run_compaction_stream_jvm,
+    run_retraction_stream_jvm,
 )
 from .compact_stream import (
     compact_stream,
@@ -16,4 +17,5 @@ __all__ = [
     "run_compaction_pipeline_dual_sink",
     "run_compaction_stream",
     "run_compaction_stream_jvm",
+    "run_retraction_stream_jvm",
 ]

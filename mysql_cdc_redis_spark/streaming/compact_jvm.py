@@ -247,20 +247,11 @@ class _StateSlots:
         )
 
     def table_bytes(self, slot: int) -> int | None:
-        try:
-            loc = (
-                self.spark.sql(f"DESCRIBE DETAIL `{self.tables[slot]}`")
-                .select("location")
-                .first()[0]
-            )
-        except Exception:
-            # DESCRIBE DETAIL is Delta-only on some builds; fall back to
-            # the catalog's warehouse layout
-            loc = None
-        if loc is None:
-            wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            loc = os.path.join(wh.removeprefix("file:"), self.tables[slot])
-        path = loc.removeprefix("file:")
+        # the slots are always parquet saveAsTable output, so the bytes
+        # live under the catalog warehouse dir (DESCRIBE DETAIL is
+        # Delta-only and would just log a per-batch analysis error)
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        path = os.path.join(wh.removeprefix("file:"), self.tables[slot])
         if not os.path.isdir(path):
             return None
         return sum(
@@ -338,6 +329,109 @@ def run_compaction_stream_jvm(
         )
     last_slot = meta[str(max(int(b) for b in meta))]
     return slots.read(last_slot).select("tbl", "rid", "cdc_action", *payload_cols)
+
+
+def run_retraction_stream_jvm(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    state_dir: str,
+    deltas_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Pure-JVM retraction stream — the foreachBatch twin of
+    ``run_retraction_stream`` (streaming/compact_stream.py:362), the
+    Flink-style changelog-of-the-aggregate with zero per-key Python
+    crossings.
+
+    Per micro-batch, the emitted delta rows are two JVM semi-joins
+    against the ping-pong state slots of the compaction twin:
+
+    * ``sign=-1`` × the prior slot's LIVE payload for every key the
+      batch touched (the retraction),
+    * ``sign=+1`` × the new slot's LIVE payload for the same keys (the
+      addition) — where LIVE means present and not folded to 'delete'.
+
+    Telescoping makes Σ sign·f(payload) equal f over the final live
+    state under ANY micro-batch slicing, exactly like the pandas twin
+    (pinned by tests/test_streaming_parity_jvm.py parity vs both the
+    pandas twin's emissions and the batch aggregate).
+
+    Exactly-once emissions (an upgrade over the pandas twin's
+    at-least-once append + _batch_id stamp): each batch overwrites its
+    own ``deltas_dir/batch_id=N`` partition BEFORE the meta commit, so
+    a retried batch replaces — never duplicates — its delta rows.
+    Reference anchor: this is the streaming form of the reference's
+    aggregate-maintenance pattern (rcache.py:224-259 merge keeps Redis
+    aggregates current per poll loop)."""
+    slots = _StateSlots(spark, state_dir)
+    touched_payloads = [F.col(c) for c in payload_cols]
+
+    def _live_rows(state: DataFrame, touched: DataFrame, sign: int) -> DataFrame:
+        return (
+            state.join(F.broadcast(touched), "bkey", "left_semi")
+            .filter(F.col("cdc_action") != "delete")
+            .select("tbl", "rid", F.lit(sign).cast("long").alias("sign"),
+                    *touched_payloads)
+        )
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = compact_batch_transitions(batch_df, pk_cols, payload_cols)
+        prev = slots.latest_before(batch_id)
+        if prev is None:
+            new_state = _delta_to_state(delta, payload_cols)
+            dst, prev_bytes, old_state = 0, None, None
+        else:
+            _, src = prev
+            old_state = slots.read(src)
+            new_state = merge_state_jvm(old_state, delta, payload_cols)
+            dst, prev_bytes = 1 - src, slots.table_bytes(src)
+        slots.write(new_state, dst, auto_bucket_count(prev_bytes, lo=16, default=16))
+        # emissions AFTER the slot write so the +1 side reads the
+        # bucketed table (one computation of the merge, not two)
+        touched = delta.select("bkey")
+        plus = _live_rows(slots.read(dst), touched, 1)
+        emit = (
+            _live_rows(old_state, touched, -1).unionByName(plus)
+            if old_state is not None
+            else plus
+        )
+        emit.write.mode("overwrite").parquet(
+            os.path.join(deltas_dir, f"batch_id={batch_id}")
+        )
+        slots.commit(batch_id, dst)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    empty = spark.createDataFrame(
+        [],
+        "tbl string, rid string, sign long"
+        + "".join(f", {c} {source_schema[c].dataType.simpleString()}"
+                  for c in payload_cols),
+    )
+    if not slots.load_meta():  # empty source: no batch ever fired
+        return empty
+    try:
+        out = spark.read.parquet(deltas_dir)
+    except Exception:
+        # every batch emitted zero rows: no parquet footer to infer from
+        return empty
+    return out.select("tbl", "rid", "sign", *payload_cols)
 
 
 def drop_state_jvm(spark: SparkSession, state_dir: str) -> None:

@@ -205,6 +205,108 @@ def test_jvm_retry_is_deterministic(spark, sf_dir):
         drop_state_jvm(spark, state_dir)
 
 
+def test_jvm_retraction_equals_pandas_twin_emissions(spark, sf_dir):
+    """The JVM retraction stream must emit the EXACT multiset of delta
+    rows the applyInPandasWithState twin emits under the same
+    micro-batch slicing — not just the same telescoped aggregate."""
+    from mysql_cdc_redis_spark.streaming import run_retraction_stream_jvm
+    from mysql_cdc_redis_spark.streaming.compact_stream import run_retraction_stream
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 5 == 2)
+    payload = ("o_orderstatus", "o_totalprice")
+    src = _tmp("jvm_retract_src")
+    stage_changelog_files(ch, src, n_chunks=3)
+    state_dir = _tmp("jvm_retract_state")
+    cols = ["tbl", "rid", "sign", *payload]
+    try:
+        jvm = run_retraction_stream_jvm(
+            spark, src, ch.schema, ORDERS_PK, payload,
+            checkpoint_dir=_tmp("jvm_retract_ckpt"),
+            state_dir=state_dir,
+            deltas_dir=_tmp("jvm_retract_out"),
+            max_files_per_trigger=1,
+        )
+        pandas_twin = run_retraction_stream(
+            spark, src, ch.schema, ORDERS_PK, payload,
+            checkpoint_dir=_tmp("pd_retract_ckpt"),
+            deltas_dir=_tmp("pd_retract_out"),
+            max_files_per_trigger=1,
+        )
+        assert _rows(jvm, cols) == _rows(pandas_twin, cols)
+        # and the telescoped sum equals the batch live state
+        live = compact(ch, ORDERS_PK, ORDERS_PAYLOAD).filter(
+            F.col("cdc_action") != "delete"
+        )
+        net = jvm.groupBy("rid").agg(F.sum("sign").alias("n"))
+        assert net.filter(F.col("n") == 1).count() == live.count()
+        assert net.filter(~F.col("n").isin(0, 1)).count() == 0
+    finally:
+        drop_state_jvm(spark, state_dir)
+
+
+def test_jvm_retraction_resume_midway(spark, sf_dir):
+    """Emissions accumulate exactly-once across a checkpoint restart:
+    the second run retracts payloads the FIRST run added (state spans
+    the restart), and the accumulated deltas telescope to the full
+    batch aggregate."""
+    from mysql_cdc_redis_spark.streaming import run_retraction_stream_jvm
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 3)
+    first = ch.filter(F.col("seq") % 4 == 0)   # the inserts
+    second = ch.filter(F.col("seq") % 4 == 1)  # the updates
+    payload = ("o_orderstatus", "o_totalprice")
+    d = _tmp("jvm_retract_resume_src")
+    ckpt = _tmp("jvm_retract_resume_ckpt")
+    state_dir = _tmp("jvm_retract_resume_state")
+    deltas_dir = _tmp("jvm_retract_resume_out")
+    stage_changelog_files(first, d, n_chunks=1)
+    try:
+        out1 = run_retraction_stream_jvm(
+            spark, d, ch.schema, ORDERS_PK, payload, ckpt, state_dir, deltas_dir
+        )
+        n1 = out1.count()
+        assert n1 > 0 and out1.filter(F.col("sign") == -1).count() == 0
+
+        tmp = f"{d}/_stage_x"
+        second.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{d}/chunk-9999.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (time.time(), time.time()))
+
+        out2 = run_retraction_stream_jvm(
+            spark, d, ch.schema, ORDERS_PK, payload, ckpt, state_dir, deltas_dir
+        )
+        # run 2 retracted every key the updates touched (they were all
+        # live after run 1) and re-added the updated payload
+        n_upd = second.select("o_orderkey").distinct().count()
+        assert out2.filter(F.col("sign") == -1).count() == n_upd
+        assert out2.count() == n1 + 2 * n_upd
+        # telescoped aggregate == one-shot batch over both halves
+        live = compact(
+            first.unionByName(second), ORDERS_PK, ORDERS_PAYLOAD
+        ).filter(F.col("cdc_action") != "delete")
+        got = (
+            out2.groupBy("o_orderstatus")
+            .agg(
+                F.sum("sign").alias("n"),
+                F.sum(
+                    F.col("sign") * F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("v"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        want = live.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v"),
+        )
+        key = ["o_orderstatus", "n", "v"]
+        assert _rows(got, key) == _rows(want, key)
+    finally:
+        drop_state_jvm(spark, state_dir)
+
+
 def test_jvm_merge_join_is_exchange_free_on_state_side(spark, sf_dir):
     """Plan guardrail: with the state table bucketed by bkey, the merge
     join must not re-shuffle the state side — at 100× the state is the
