@@ -951,6 +951,69 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rid", "version")
 
 
+@register(
+    "stream_scd2_history_jvm",
+    doc="Streaming SCD2, pure-JVM form (round-6): version assignment is "
+    "a per-batch window joined LEFT against the bucketed state slot "
+    "(version = stored_version + row_number, intra-batch closure via "
+    "lead), one correction row closes the state's open version.  Only "
+    "closed versions are emitted — the open versions ARE the state "
+    "rows — and emissions are exactly-once per-batch partitions.  Zero "
+    "per-key Python crossings; must hash-match the same batch SCD2 "
+    "oracle as the applyInPandasWithState twin.",
+    tags=("cdc", "streaming", "scd2", "jvm-state", "ext"),
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL})
+SELECT tbl, CAST(o_orderkey AS VARCHAR) AS rid, cdc_action,
+       cdc_ts AS valid_from,
+       lead(cdc_ts) OVER w AS valid_to,
+       (lead(seq) OVER w IS NULL) AS is_current,
+       CAST(row_number() OVER w AS INT) AS version,
+       o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM ch
+WHERE o_orderkey IS NOT NULL
+WINDOW w AS (PARTITION BY tbl, CAST(o_orderkey AS VARCHAR) ORDER BY seq)
+ORDER BY rid, version
+""",
+)
+def stream_scd2_history_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import stage_parquet
+    from ..streaming import drop_state_jvm, run_scd2_stream_jvm
+
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("scd2jvm_src")
+    stage_changelog_files(ch, source_dir, n_chunks=4)
+    state_dir = _tmp("scd2jvm_state")
+    hist = run_scd2_stream_jvm(
+        spark,
+        source_dir,
+        ch.schema,
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+        checkpoint_dir=_tmp("scd2jvm_ckpt"),
+        state_dir=state_dir,
+        emissions_dir=_tmp("scd2jvm_emit"),
+        max_files_per_trigger=1,
+    )
+    out = hist.select(
+        "tbl",
+        "rid",
+        "cdc_action",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        "is_current",
+        "version",
+        # cdc_ts rides the payload through the fold but is not a history
+        # column (it IS valid_from) — same exclusion as the pandas twin
+        *[c for c in ORDERS_PAYLOAD if c != "cdc_ts"],
+    )
+    # detach from the state tables, then drop them (warehouse hygiene);
+    # staging loses order, so re-sort for the ordered oracle
+    staged = stage_parquet(out, "scd2jvm_result")
+    drop_state_jvm(spark, state_dir)
+    return staged.orderBy("rid", "version")
+
+
 # ---------------------------------------------------------------------------
 # T6/W6 streaming: windowed top-k (streaming pre-agg + batch serving rank)
 # ---------------------------------------------------------------------------

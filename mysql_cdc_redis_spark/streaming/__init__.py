@@ -2,6 +2,7 @@ from .compact_jvm import (
     drop_state_jvm,
     run_compaction_stream_jvm,
     run_retraction_stream_jvm,
+    run_scd2_stream_jvm,
 )
 from .compact_stream import (
     compact_stream,
@@ -18,4 +19,5 @@ __all__ = [
     "run_compaction_stream",
     "run_compaction_stream_jvm",
     "run_retraction_stream_jvm",
+    "run_scd2_stream_jvm",
 ]

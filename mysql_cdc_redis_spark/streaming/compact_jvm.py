@@ -434,6 +434,159 @@ def run_retraction_stream_jvm(
     return out.select("tbl", "rid", "sign", *payload_cols)
 
 
+def run_scd2_stream_jvm(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    state_dir: str,
+    emissions_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Pure-JVM incremental SCD2 — the foreachBatch twin of
+    ``run_scd2_stream`` (streaming/compact_stream.py:497), zero per-key
+    Python crossings.
+
+    Per micro-batch, version assignment is a window over the (small)
+    batch joined LEFT against the bucketed state slot (replay guard:
+    ``seq > stored last_seq``, mirroring the pandas twin's per-event
+    skip): ``version = stored_version + row_number()``, intra-batch
+    closures via ``lead(ts)``, plus one correction row closing the
+    state's open version at the batch's first event.  Because the state
+    table is queryable (unlike applyInPandasWithState state), only
+    CLOSED versions are ever emitted — the open versions ARE the state
+    rows, so finalize is a plain union with no per-(key, version)
+    supersede pass.  Emissions are exactly-once (per-batch partition
+    overwrite before the meta commit), state durability/restart
+    semantics identical to ``run_compaction_stream_jvm``."""
+    from pyspark.sql.window import Window
+
+    slots = _StateSlots(spark, state_dir)
+    payload_ddl = "".join(
+        f", {c} {source_schema[c].dataType.simpleString()}" for c in payload_cols
+    )
+    state_ddl = (
+        "bkey string, tbl string, rid string, version long, last_seq long, "
+        "valid_from string, cdc_action string" + payload_ddl
+    )
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = (
+            with_rid(batch_df, pk_cols)
+            .filter(F.col("rid").isNotNull())
+            .withColumn("bkey", _bkey(F.col("tbl"), F.col("rid")))
+            .select(
+                "bkey", "tbl", "rid", "seq", "cdc_action",
+                F.col("cdc_ts").cast("string").alias("_ts"),
+                *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+            )
+            .dropDuplicates(["bkey", "seq"])
+        )
+        prev = slots.latest_before(batch_id)
+        if prev is None:
+            state_prev, dst, prev_bytes = (
+                spark.createDataFrame([], state_ddl), 0, None,
+            )
+        else:
+            _, src = prev
+            state_prev, dst, prev_bytes = (
+                slots.read(src), 1 - src, slots.table_bytes(src),
+            )
+        s = state_prev.select(
+            "bkey",
+            F.col("version").alias("_sv"),
+            F.col("last_seq").alias("_sls"),
+            F.col("valid_from").alias("_svf"),
+            F.col("cdc_action").alias("_sac"),
+            *[F.col(c).alias(f"_sp_{c}") for c in payload_cols],
+        )
+        w = Window.partitionBy("bkey").orderBy("seq")
+        evs = (
+            keyed.join(s, "bkey", "left")
+            .filter(F.col("seq") > F.coalesce(F.col("_sls"), F.lit(-1)))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_next_ts", F.lead("_ts").over(w))
+            .withColumn("_v", F.coalesce(F.col("_sv"), F.lit(0)) + F.col("_rn"))
+        )
+
+        def payload_as(prefix: str) -> list[Column]:
+            return [F.col(f"{prefix}{c}").alias(c) for c in payload_cols]
+
+        closed_batch = evs.filter(F.col("_next_ts").isNotNull()).select(
+            "tbl", "rid", F.col("_v").alias("version"), "cdc_action",
+            F.col("_ts").alias("valid_from"),
+            F.col("_next_ts").alias("valid_to"),
+            *payload_as("_p_"),
+        )
+        closed_prior = evs.filter(
+            (F.col("_rn") == 1) & F.col("_sv").isNotNull()
+        ).select(
+            "tbl", "rid", F.col("_sv").alias("version"),
+            F.col("_sac").alias("cdc_action"),
+            F.col("_svf").alias("valid_from"),
+            F.col("_ts").alias("valid_to"),
+            *payload_as("_sp_"),
+        )
+        closed_batch.unionByName(closed_prior).write.mode("overwrite").parquet(
+            os.path.join(emissions_dir, f"batch_id={batch_id}")
+        )
+        opens = evs.filter(F.col("_next_ts").isNull()).select(
+            "bkey", "tbl", "rid", F.col("_v").alias("version"),
+            F.col("seq").alias("last_seq"),
+            F.col("_ts").alias("valid_from"), "cdc_action",
+            *payload_as("_p_"),
+        )
+        touched = evs.select("bkey").distinct()
+        new_state = state_prev.join(
+            F.broadcast(touched), "bkey", "left_anti"
+        ).unionByName(opens)
+        slots.write(new_state, dst, auto_bucket_count(prev_bytes, lo=16, default=16))
+        slots.commit(batch_id, dst)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out_ddl = (
+        "tbl string, rid string, cdc_action string, valid_from string, "
+        "valid_to string, is_current boolean, version int" + payload_ddl
+    )
+    meta = slots.load_meta()
+    if not meta:  # empty source: no batch ever fired
+        return spark.createDataFrame([], out_ddl)
+    last_slot = meta[str(max(int(b) for b in meta))]
+    open_rows = slots.read(last_slot).select(
+        "tbl", "rid", "cdc_action", "valid_from",
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.col("version").cast("int").alias("version"),
+        *payload_cols,
+    )
+    try:
+        closed = spark.read.parquet(emissions_dir).select(
+            "tbl", "rid", "cdc_action", "valid_from", "valid_to",
+            F.lit(False).alias("is_current"),
+            F.col("version").cast("int").alias("version"),
+            *payload_cols,
+        )
+    except Exception:
+        # every batch emitted zero closed versions (e.g. one event/key)
+        return open_rows
+    return closed.unionByName(open_rows)
+
+
 def drop_state_jvm(spark: SparkSession, state_dir: str) -> None:
     """Dispose of a pipeline's state tables + commit log (the K6-style
     destructive clear for this twin)."""

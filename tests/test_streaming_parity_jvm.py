@@ -307,6 +307,115 @@ def test_jvm_retraction_resume_midway(spark, sf_dir):
         drop_state_jvm(spark, state_dir)
 
 
+def test_jvm_scd2_equals_pandas_twin(spark, sf_dir):
+    """The JVM SCD2 twin's finalized history must equal the
+    applyInPandasWithState twin's row-for-row under the same slicing —
+    and both must equal the one-window batch SCD2 (every event is a
+    version; valid_to = next event's ts; open versions are current)."""
+    from mysql_cdc_redis_spark.streaming import run_scd2_stream_jvm
+    from mysql_cdc_redis_spark.streaming.compact_stream import run_scd2_stream
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 5 == 1)
+    src = _tmp("jvm_scd2_src")
+    stage_changelog_files(ch, src, n_chunks=3)
+    state_dir = _tmp("jvm_scd2_state")
+    cols = [
+        "tbl", "rid", "cdc_action", "valid_from", "valid_to",
+        "is_current", "version", *ORDERS_PAYLOAD,
+    ]
+    try:
+        jvm = run_scd2_stream_jvm(
+            spark, src, ch.schema, ORDERS_PK, ORDERS_PAYLOAD,
+            checkpoint_dir=_tmp("jvm_scd2_ckpt"),
+            state_dir=state_dir,
+            emissions_dir=_tmp("jvm_scd2_emit"),
+            max_files_per_trigger=1,
+        )
+        pandas_twin = run_scd2_stream(
+            spark, src, ch.schema, ORDERS_PK, ORDERS_PAYLOAD,
+            checkpoint_dir=_tmp("pd_scd2_ckpt"),
+            emissions_dir=_tmp("pd_scd2_emit"),
+            max_files_per_trigger=1,
+        )
+        assert _rows(jvm, cols) == _rows(pandas_twin, cols)
+        # one-window batch oracle form
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("tbl", "rid").orderBy("seq")
+        batch = (
+            ch.withColumn("rid", F.col("o_orderkey").cast("string"))
+            .filter(F.col("rid").isNotNull())
+            .select(
+                "tbl", "rid", "cdc_action",
+                F.col("cdc_ts").cast("string").alias("valid_from"),
+                F.lead(F.col("cdc_ts").cast("string")).over(w).alias("valid_to"),
+                F.lead("seq").over(w).isNull().alias("is_current"),
+                F.row_number().over(w).cast("int").alias("version"),
+                *ORDERS_PAYLOAD,
+            )
+        )
+        assert _rows(jvm, cols) == _rows(batch, cols)
+    finally:
+        drop_state_jvm(spark, state_dir)
+
+
+def test_jvm_scd2_resume_midway(spark, sf_dir):
+    """History spans a checkpoint restart: versions opened by run 1 are
+    closed by run 2's events, version numbers continue, and the
+    accumulated history equals the one-shot batch window."""
+    from mysql_cdc_redis_spark.streaming import run_scd2_stream_jvm
+
+    ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 6)
+    first = ch.filter(F.col("seq") % 4 == 0)
+    second = ch.filter(F.col("seq") % 4 == 1)
+    d = _tmp("jvm_scd2_resume_src")
+    ckpt = _tmp("jvm_scd2_resume_ckpt")
+    state_dir = _tmp("jvm_scd2_resume_state")
+    emit = _tmp("jvm_scd2_resume_emit")
+    stage_changelog_files(first, d, n_chunks=1)
+    cols = [
+        "tbl", "rid", "cdc_action", "valid_from", "valid_to",
+        "is_current", "version", *ORDERS_PAYLOAD,
+    ]
+    try:
+        out1 = run_scd2_stream_jvm(
+            spark, d, ch.schema, ORDERS_PK, ORDERS_PAYLOAD,
+            ckpt, state_dir, emit,
+        )
+        assert out1.filter(~F.col("is_current")).count() == 0  # all open
+
+        tmp = f"{d}/_stage_x"
+        second.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{d}/chunk-9999.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (time.time(), time.time()))
+
+        out2 = run_scd2_stream_jvm(
+            spark, d, ch.schema, ORDERS_PK, ORDERS_PAYLOAD,
+            ckpt, state_dir, emit,
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("tbl", "rid").orderBy("seq")
+        batch = (
+            first.unionByName(second)
+            .withColumn("rid", F.col("o_orderkey").cast("string"))
+            .select(
+                "tbl", "rid", "cdc_action",
+                F.col("cdc_ts").cast("string").alias("valid_from"),
+                F.lead(F.col("cdc_ts").cast("string")).over(w).alias("valid_to"),
+                F.lead("seq").over(w).isNull().alias("is_current"),
+                F.row_number().over(w).cast("int").alias("version"),
+                *ORDERS_PAYLOAD,
+            )
+        )
+        assert _rows(out2, cols) == _rows(batch, cols)
+    finally:
+        drop_state_jvm(spark, state_dir)
+
+
 def test_jvm_merge_join_is_exchange_free_on_state_side(spark, sf_dir):
     """Plan guardrail: with the state table bucketed by bkey, the merge
     join must not re-shuffle the state side — at 100× the state is the
