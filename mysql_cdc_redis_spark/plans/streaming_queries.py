@@ -31,6 +31,7 @@ from ..streaming import run_compaction_stream
 from ..streaming.changelog_files import stage_changelog_files, stage_event_files
 from .catalog import register
 from .cdc import _FOLD_LAMBDA, _oracle_compact_sql
+from .llm import _minhash_oracle
 
 
 def _tmp(name: str) -> str:
@@ -1340,3 +1341,52 @@ def stream_distribution_drift_monitor(spark: SparkSession, sf_dir: str) -> DataF
         F.round("psi", 6).alias("psi"),
         (F.col("psi") > 0.1).alias("drift_alert"),
     ).orderBy("window_start")
+
+
+@register(
+    "dedup_stream_minhash_lsh",
+    doc="Streaming corpus dedup (EXT x T1/T4/K5): documents arrive as a "
+    "file-backed stream in doc_id-ordered chunks; each micro-batch is "
+    "MinHash-signed, LSH-probed against the ACCUMULATED corpus state "
+    "(an LSM of immutable bkey-sorted signature runs + a shingle "
+    "inverted index, both probed via broadcast joins that never "
+    "shuffle state), exact-Jaccard verified, and its pairs emitted "
+    "exactly-once to a per-batch partition.  The accumulated emission "
+    "set telescopes to the one-shot batch minhash_lsh_pairs under any "
+    "batch slicing, so it must hash-match the batch all-pairs DuckDB "
+    "oracle — per-batch cost stays proportional to the batch, never "
+    "the corpus (streaming/dedup_stream.py).",
+    tags=("dedup", "lsh", "streaming", "ext"),
+    oracle=_minhash_oracle(),
+)
+def dedup_stream_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import stage_parquet
+    from ..sources import load_table as _lt
+    from ..streaming import run_dedup_stream_minhash
+
+    docs = _lt(spark, sf_dir, "documents")
+    source_dir = _tmp("dedup_stream_src")
+    stage_changelog_files(docs, source_dir, n_chunks=4, key_col="doc_id")
+    state_dir = _tmp("dedup_stream_state")
+    pairs_dir = _tmp("dedup_stream_pairs")
+    out = run_dedup_stream_minhash(
+        spark,
+        source_dir,
+        docs.schema,
+        checkpoint_dir=_tmp("dedup_stream_ckpt"),
+        state_dir=state_dir,
+        pairs_dir=pairs_dir,
+        n=3,
+        k=16,
+        bands=4,
+        threshold=0.2,
+        max_files_per_trigger=1,
+    ).orderBy("a", "b")
+    # detach the result from the state/pairs dirs so they can be razed
+    # (per-invocation tmp hygiene: nothing accumulates past the call)
+    staged = stage_parquet(out, "dedup_stream_result")
+    import shutil
+
+    for d in (state_dir, pairs_dir, source_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    return staged
