@@ -1,5 +1,6 @@
 from .compact_jvm import (
     drop_state_jvm,
+    run_compaction_pipeline_dual_sink_jvm,
     run_compaction_stream_jvm,
     run_retraction_stream_jvm,
     run_scd2_stream_jvm,
@@ -18,6 +19,7 @@ __all__ = [
     "drop_state_jvm",
     "finalize_stream_output",
     "run_compaction_pipeline_dual_sink",
+    "run_compaction_pipeline_dual_sink_jvm",
     "run_compaction_stream",
     "run_compaction_stream_jvm",
     "run_dedup_stream_minhash",

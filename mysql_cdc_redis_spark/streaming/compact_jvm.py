@@ -587,6 +587,129 @@ def run_scd2_stream_jvm(
     return closed.unionByName(open_rows)
 
 
+def run_compaction_pipeline_dual_sink_jvm(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: StructType,
+    pk_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    emissions_dir: str,
+    csv_dir: str,
+    state_dir: str,
+    snapshot_dir: str,
+    date_col: str = "cdc_ts",
+    fmt: str = "yyyyMM",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The reference's COMPOSED loop — cdc.py (binlog tail) → rcache.py
+    (keyed cache merge) → dump2csv.py (date-partitioned CSV dump) — as
+    ONE streaming query, pure-JVM end to end (the foreachBatch twin of
+    ``run_compaction_pipeline_dual_sink``, zero Python row crossings):
+
+    * the micro-batch folds to transition tuples and merges into the
+      bucketed ping-pong state slots exactly like
+      ``run_compaction_stream_jvm``;
+    * sink 1 (K5): the batch's emission rows — one row per TOUCHED key
+      carrying its post-merge (cdc_action, last_seq, payload), with
+      annihilated keys emitted as explicit ``ACTION_FOLD_SENTINEL``
+      tombstones — overwrite ``emissions_dir/batch_id=N``: an
+      exactly-once commit log (an upgrade over the pandas twin's
+      at-least-once append + ``_batch_id`` stamp);
+    * sink 2 (K1): the same batch's LIVE rows accrete into the
+      date-partitioned CSV dump (``mode='append'`` — each poll adds
+      files under its date partitions exactly like the reference's
+      periodic dumps; a retried batch may re-append, and exactly like
+      the pandas twin the finalize below is immune because it reads
+      sink 1, not the CSVs);
+    * sink 3 (K4): after the availableNow run terminates, the finalized
+      compacted state is dumped table-partitioned to ``snapshot_dir``
+      (the durable Redis-state analog) and returned.
+
+    Finalize-from-emissions (last emission per key by batch_id, drop
+    tombstones) equals the final state slot AND the batch compactor —
+    pinned by tests/test_streaming_parity_jvm.py."""
+    if date_col not in payload_cols:
+        raise ValueError(f"date_col {date_col!r} must be in payload_cols")
+    from ..operators.dump import dump_state_parquet, dump_to_csv
+
+    slots = _StateSlots(spark, state_dir)
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = compact_batch_transitions(batch_df, pk_cols, payload_cols)
+        prev = slots.latest_before(batch_id)
+        if prev is None:
+            new_state = _delta_to_state(delta, payload_cols)
+            dst, prev_bytes = 0, None
+        else:
+            _, src = prev
+            new_state = merge_state_jvm(slots.read(src), delta, payload_cols)
+            dst, prev_bytes = 1 - src, slots.table_bytes(src)
+        slots.write(new_state, dst, auto_bucket_count(prev_bytes, lo=16, default=16))
+        # emissions read the WRITTEN slot (one computation of the merge);
+        # annihilated keys become explicit tombstones carrying the seq
+        # that killed them, so a per-key max_by(last_seq) finalize over
+        # the emission/CSV logs is total (a tombstone supersedes the
+        # key's earlier live rows; a re-insert supersedes the tombstone)
+        touched = delta.select("bkey", "tbl", "rid", "last_seq")
+        live = slots.read(dst).join(
+            F.broadcast(touched.select("bkey")), "bkey", "left_semi"
+        )
+        gone = (
+            touched.join(slots.read(dst).select("bkey"), "bkey", "left_anti")
+            .select(
+                "bkey", "tbl", "rid",
+                F.lit(ACTION_FOLD_SENTINEL).alias("cdc_action"),
+                "last_seq",
+                *[
+                    F.lit(None).cast(source_schema[c].dataType).alias(c)
+                    for c in payload_cols
+                ],
+            )
+        )
+        emit = live.unionByName(gone).select(
+            "tbl", "rid", "cdc_action", "last_seq", *payload_cols
+        )
+        emit.write.mode("overwrite").parquet(
+            os.path.join(emissions_dir, f"batch_id={batch_id}")
+        )
+        # tombstones ride into the CSV dump too (the pandas twin's
+        # emissions do the same): without them the dump's finalize
+        # could resurrect a key annihilated in a later poll.  Their
+        # date partition falls back to the dump's null-date bucket.
+        dump_to_csv(emit, csv_dir, date_col=date_col, fmt=fmt, mode="append")
+        slots.commit(batch_id, dst)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    meta = slots.load_meta()
+    if not meta:  # empty source: no batch ever fired
+        return spark.createDataFrame(
+            [],
+            "tbl string, rid string, cdc_action string"
+            + "".join(f", {c} {source_schema[c].dataType.simpleString()}"
+                      for c in payload_cols),
+        )
+    last_slot = meta[str(max(int(b) for b in meta))]
+    final = slots.read(last_slot).select("tbl", "rid", "cdc_action", *payload_cols)
+    dump_state_parquet(final, snapshot_dir)
+    return spark.read.parquet(snapshot_dir).select(
+        "tbl", "rid", "cdc_action", *payload_cols
+    )
+
+
 def drop_state_jvm(spark: SparkSession, state_dir: str) -> None:
     """Dispose of a pipeline's state tables + commit log (the K6-style
     destructive clear for this twin)."""

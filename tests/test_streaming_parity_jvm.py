@@ -456,3 +456,97 @@ def test_jvm_merge_join_is_exchange_free_on_state_side(spark, sf_dir):
         assert exchanges_before_state <= 1, plan
     finally:
         drop_state_jvm(spark, state_dir)
+
+
+def test_dual_sink_pipeline_jvm_equals_batch_with_midway_resume(spark, sf_dir):
+    """The composed reference loop (tail → keyed merge → CSV dump) in its
+    pure-JVM form, with the checkpoint resume happening MIDWAY: half the
+    changelog, run; append the rest, run again on the same checkpoint +
+    state slots.  All three sinks must then agree with the one-shot
+    batch compaction: the K4 snapshot directly, the K5 emission log and
+    the K1 CSV dump via the per-key max_by(last_seq) finalize (total
+    because annihilation tombstones carry the killing seq)."""
+    from pyspark.sql.types import StructType
+
+    from mysql_cdc_redis_spark.operators.dump import read_dump
+    from mysql_cdc_redis_spark.streaming import (
+        run_compaction_pipeline_dual_sink_jvm,
+    )
+
+    ch = orders_changelog(spark, sf_dir)
+    first = ch.filter(F.col("seq") % 4 <= 1)
+    second = ch.filter(F.col("seq") % 4 >= 2)
+    src = _tmp("jdual_src")
+    dirs = dict(
+        checkpoint_dir=_tmp("jdual_ckpt"),
+        emissions_dir=_tmp("jdual_emit"),
+        csv_dir=_tmp("jdual_csv"),
+        state_dir=_tmp("jdual_state"),
+        snapshot_dir=_tmp("jdual_snap"),
+    )
+    stage_changelog_files(first, src, n_chunks=2)
+    args = (spark, src, ch.schema, ORDERS_PK, ORDERS_PAYLOAD)
+    kw = dict(date_col="cdc_ts", fmt="yyyyMM", max_files_per_trigger=1, **dirs)
+
+    try:
+        run_compaction_pipeline_dual_sink_jvm(*args, **kw)
+        n_csv_mid = sum(
+            len([f for f in files if f.endswith(".csv")])
+            for _, _, files in os.walk(dirs["csv_dir"])
+        )
+        assert n_csv_mid > 0, "first run must have dumped CSV"
+
+        tmp = f"{src}/_stage_late"
+        second.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{src}/chunk-9999.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (time.time(), time.time()))
+
+        state = run_compaction_pipeline_dual_sink_jvm(*args, **kw)
+
+        batch = compact(ch, ORDERS_PK, ORDERS_PAYLOAD)
+        cols = ["tbl", "rid", "cdc_action", *ORDERS_PAYLOAD]
+        # K4 snapshot == batch compaction (state spanned the restart)
+        assert _rows(state.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+        # K5 emission log: exactly-once per-batch partitions; finalize =
+        # last emission per key by last_seq, tombstones dropped
+        emitted = spark.read.parquet(dirs["emissions_dir"])
+        fin_emit = (
+            emitted.groupBy("tbl", "rid")
+            .agg(
+                F.max_by(
+                    F.struct("cdc_action", *ORDERS_PAYLOAD), F.col("last_seq")
+                ).alias("s")
+            )
+            .select("tbl", "rid", "s.*")
+            .filter(F.col("cdc_action") != ACTION_FOLD_SENTINEL)
+        )
+        assert _rows(fin_emit.select(*cols), cols) == _rows(batch.select(*cols), cols)
+
+        # K1 CSV dump: same finalize over the read-back
+        csv_schema = (
+            StructType()
+            .add("tbl", "string")
+            .add("rid", "string")
+            .add("cdc_action", "string")
+            .add("last_seq", "long")
+        )
+        for c in ORDERS_PAYLOAD:
+            csv_schema = csv_schema.add(ch.schema[c])
+        back = read_dump(spark, dirs["csv_dir"], schema=csv_schema)
+        fin_csv = (
+            back.groupBy("tbl", "rid")
+            .agg(
+                F.max_by(
+                    F.struct("cdc_action", *ORDERS_PAYLOAD), F.col("last_seq")
+                ).alias("s")
+            )
+            .select("tbl", "rid", "s.*")
+            .filter(F.col("cdc_action") != ACTION_FOLD_SENTINEL)
+        )
+        assert _rows(fin_csv.select(*cols), cols) == _rows(batch.select(*cols), cols)
+    finally:
+        drop_state_jvm(spark, dirs["state_dir"])
