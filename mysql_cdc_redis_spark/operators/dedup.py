@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5long, norm_text
-from .scale import auto_bucket_count
+from .scale import auto_bucket_count, ensure_min_parallelism
 from .staging import reap_staged, stage_parquet, staged_bytes
 from .textstats import fingerprint
 
@@ -110,7 +110,14 @@ def shingles(
     expression: element_at over a column reference evaluates the split
     once per row, whereas inlining the split expression would re-execute
     it per gram element (~100× per row).  element_at is 1-based —
-    mirrors the oracle's DuckDB list indexing."""
+    mirrors the oracle's DuckDB list indexing.
+
+    The source is repartitioned up to the default parallelism when its
+    scan collapsed to fewer splits (ensure_min_parallelism): the
+    normalize/split/gram/md5 chain is the compute-heavy stage of every
+    dedup operator, and a single-row-group parquet input would otherwise
+    pin it to 1-2 cores (measured 11.6 → 2.9 s at sf1)."""
+    docs = ensure_min_parallelism(docs)
     toks_df = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(norm_text(F.col(text_col)), " ").alias("toks"),

@@ -15,6 +15,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import textstats as ts
+from ..operators.scale import ensure_min_parallelism
 from ..sources import load_table
 from .catalog import register
 
@@ -539,7 +540,10 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per row: ONE regexp_replace, ONE split, ONE regexp_extract_all,
     # ONE md5, ONE aggregate, ONE filter.  Output is expression-identical
     # to the composed form (same rounding, same raw-vs-rounded usage).
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_min_parallelism: the regex/tokenize chain is the cost, and
+    # a few-row-group documents file would pin it to a fraction of the
+    # box (operators/scale.py — no-op on many-split production scans).
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     normed = docs.select("doc_id", ts.norm_text(F.col("text")).alias("norm"))
     staged = normed.select(
         "doc_id",
@@ -1788,7 +1792,7 @@ FROM f GROUP BY source ORDER BY source
 """,
 )
 def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     # tokenize ONCE as a materialized column; the rule expressions then
     # reference the array instead of re-running split per rule
     toked = docs.select("source", ts.tokens(F.col("text")).alias("toks"))
