@@ -1025,6 +1025,7 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """16-bit SimHash per document: per-token 60-bit hash, token-frequency
     weighted ±1 votes per bit position, sign → bit.  Returns
     (doc_id, simhash)."""
+    docs = ensure_min_parallelism(docs)  # same few-split rescue as shingles()
     toks = (
         docs.select(
             F.col(id_col).alias("doc_id"),
