@@ -386,7 +386,12 @@ def test_paragraph_dedup_shuffles_hashes_not_text(spark, sf_dir):
 
 def test_gopher_filters_single_exchange(spark, sf_dir):
     """The quality gate is one scan + HOF flags + one hash aggregate:
-    exactly one data exchange (on source), everything else narrow."""
+    exactly one data exchange (on source), everything else narrow.
+    The few-split rescue (ensure_min_parallelism, operators/scale.py)
+    may add ONE RoundRobin exchange ahead of the flag projection on
+    small fixtures — that is pre-compute redistribution, not a
+    data-path shuffle, and is excluded from the discipline count (at
+    production split counts it does not plan at all)."""
     import re
 
     plan = _plan(_QUERIES["text_gopher_filters"].fn(spark, sf_dir))
@@ -396,8 +401,10 @@ def test_gopher_filters_single_exchange(spark, sf_dir):
         for l in body.splitlines()
         if re.match(r"\(\d+\) Exchange", l.strip()) and "Reused" not in l
     ]
+    n_rescue = len(re.findall(r"Arguments: RoundRobinPartitioning", body))
+    assert n_rescue <= 1, "at most the one ensure_min_parallelism rescue"
     # one partial/final agg exchange + the presentation sort's range exchange
-    assert len(exchanges) <= 2, exchanges
+    assert len(exchanges) - n_rescue <= 2, exchanges
     # the tokenizer must be materialized once, not re-expanded per rule
     assert body.count("regexp_replace(lower(trim(text") <= 2, "split not materialized"
 
