@@ -113,6 +113,23 @@ def _read_runs(
     return runs
 
 
+def _cross_candidates(state_sig: DataFrame, banded_b: DataFrame) -> DataFrame:
+    """Corpus × batch candidates: broadcast the batch's band digests so
+    the state scan is streamed through a BroadcastHashJoin — the corpus
+    side is read but NEVER exchanged, the plan property that makes the
+    per-batch cost independent of corpus size (pinned by
+    tests/test_plan_quality.py::test_stream_dedup_probe_never_shuffles_state)."""
+    return (
+        state_sig.select(F.col("doc_id").alias("a"), "band", "bkey")
+        .join(
+            F.broadcast(banded_b.select(F.col("doc_id").alias("b"), "band", "bkey")),
+            ["band", "bkey"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def run_dedup_stream_minhash(
     spark: SparkSession,
     source_dir: str,
@@ -166,19 +183,7 @@ def run_dedup_stream_minhash(
                 # corpus × batch: broadcast the batch's band digests —
                 # the state scan never exchanges, candidates are
                 # Σ_bucket |state_bucket ∩ batch_bucket| rows
-                cand_cross = (
-                    state_sig.select(F.col("doc_id").alias("a"), "band", "bkey")
-                    .join(
-                        F.broadcast(
-                            banded_b.select(
-                                F.col("doc_id").alias("b"), "band", "bkey"
-                            )
-                        ),
-                        ["band", "bkey"],
-                    )
-                    .select("a", "b")
-                    .distinct()
-                )
+                cand_cross = _cross_candidates(state_sig, banded_b)
                 # verify reads ONLY candidate docs' state shingle rows
                 # (broadcast semi-join: no state shuffle), and their
                 # n_sh falls out of the same filtered rows — the sizes

@@ -924,3 +924,67 @@ def test_knn_eval_ivf_no_corpus_nested_loop(spark, sf_dir):
         f"expected at most the 2 centroid-assignment nested loops, got "
         f"{n_bnlj}:\n" + plan
     )
+
+
+def test_stream_dedup_probe_never_shuffles_state(spark, sf_dir):
+    """The streaming dedup's 100-TB property: the per-batch candidate
+    probe against the accumulated LSH state must plan a
+    BroadcastHashJoin with the BATCH side broadcast — the corpus state
+    runs are scanned but never exchanged, so per-batch shuffle volume is
+    O(batch), independent of corpus size."""
+    import os
+    import re
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_redis_spark.operators.dedup import (
+        _banded,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from mysql_cdc_redis_spark.sources import load_table
+    from mysql_cdc_redis_spark.streaming.dedup_stream import (
+        _cross_candidates,
+        _read_runs,
+        _write_run,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    mh = lambda d: minhash_signatures(shingle_hashes(d, 3), 16, with_sizes=True)  # noqa: E731
+    mh_cols = [f"mh{i}" for i in range(16)]
+
+    sig_root = os.path.join(tempfile.gettempdir(), f"plq_sig_{uuid.uuid4().hex[:8]}")
+    try:
+        _write_run(
+            _banded(mh(corpus).select("doc_id", *mh_cols), 16, 4),
+            sig_root, 0, "bkey",
+        )
+        state_sig = _read_runs(spark, sig_root, 1)
+        banded_b = _banded(mh(batch).select("doc_id", *mh_cols), 16, 4)
+        plan = _plan(_cross_candidates(state_sig, banded_b))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        # the STATE side subtree (the join's streamed child: the tree
+        # lines between the BroadcastHashJoin node and its
+        # BroadcastExchange child) must contain NO Exchange — the corpus
+        # runs feed the join straight from the scan.  The exchanges
+        # under the BroadcastExchange are the BATCH side's own
+        # shingle/sign construction: O(batch) by definition.
+        tree = plan.split("\n\n")[0]
+        lines = tree.splitlines()
+        j = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+        b = next(i for i, l in enumerate(lines) if "BroadcastExchange" in l)
+        assert j < b, "streamed (state) side must print before the broadcast child"
+        state_side = lines[j + 1 : b]
+        assert state_side and not any("Exchange" in l for l in state_side), state_side
+        assert any("Scan parquet" in l for l in state_side), state_side
+        # above the join: only the candidate-distinct aggregate exchange
+        above = lines[:j]
+        assert sum("Exchange" in l for l in above) <= 1, above
+    finally:
+        shutil.rmtree(sig_root, ignore_errors=True)
