@@ -235,8 +235,7 @@ def main() -> None:
             ),
         }
 
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
@@ -259,8 +258,16 @@ def main() -> None:
                 "stream_compact_jvm_batches": -(-n_staged_files // 2),
                 **({"sf1": sf1_section} if sf1_section else {}),
             }
-        )
     )
+    print(payload)
+    # Persist the SAME object as a repo artifact (round-6 verdict item 3:
+    # the driver's BENCH_r06.json capture kept only the last 2000 chars of
+    # this stdout line, losing the per-query medians — the checked-in copy
+    # is the durable record).
+    round_no = os.environ.get("SPARK_GRAFT_ROUND", "")
+    name = f"BENCH_local_r{int(round_no):02d}.json" if round_no.isdigit() else "BENCH_local.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), name), "w") as f:
+        f.write(payload + "\n")
     spark.stop()
 
 

@@ -45,10 +45,44 @@ def auto_bucket_count(
     return int(min(hi, max(lo, p)))
 
 
+# Logical nodes that preserve a scan's partitioning (narrow, 1:1 on
+# partitions).  Anything else — joins, aggregates, windows, repartitions,
+# unions — means the input's partitioning was decided by a shuffle (or is
+# too derived to reason about), where the rescue below must not fire.
+_NARROW_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRDD",
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "View",
+        "GlobalLimit",
+        "LocalLimit",
+        "Generate",  # explode: still partition-preserving
+    }
+)
+
+
+def _is_scan_rooted(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is a chain of narrow operators
+    over a single source relation — the only shape where
+    ``df.rdd.getNumPartitions()`` faithfully reports the SCAN's split
+    count (on shuffle-derived inputs it reports the shuffle's partition
+    number instead, and the rescue would either skip or insert a
+    pointless re-shuffle of already-distributed data)."""
+    for line in df._jdf.queryExecution().analyzed().toString().splitlines():
+        node = line.lstrip("+-: ").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _NARROW_NODES:
+            return False
+    return True
+
+
 def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to the cluster's default
-    parallelism IF its scan produced fewer partitions — the
-    "expression-heavy stage over a few-split source" fix.
+    parallelism IF it is a narrow chain over a raw scan that produced
+    fewer partitions — the "expression-heavy stage over a few-split
+    source" fix.
 
     Parquet splits at row-group boundaries, so a small file (or a
     single-row-group large one) collapses to 1-2 input partitions no
@@ -59,7 +93,14 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     100 TB the condition never binds (any real corpus scans with
     thousands of splits), so the shuffle this inserts is strictly a
     small-input rescue — the repartition cost is bounded by the (small)
-    input it redistributes."""
+    input it redistributes.
+
+    Gated on ``_is_scan_rooted``: on inputs downstream of a shuffle the
+    partition count reflects the planner's shuffle sizing, not row-group
+    geometry, so the rescue is a structural no-op there and is skipped
+    without even converting the plan to an RDD (round-6 advice)."""
+    if not _is_scan_rooted(df):
+        return df
     sc = df.sparkSession.sparkContext
     want = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= want:

