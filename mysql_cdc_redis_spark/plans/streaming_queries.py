@@ -1348,14 +1348,17 @@ def stream_distribution_drift_monitor(spark: SparkSession, sf_dir: str) -> DataF
     doc="Streaming corpus dedup (EXT x T1/T4/K5): documents arrive as a "
     "file-backed stream in doc_id-ordered chunks; each micro-batch is "
     "MinHash-signed, LSH-probed against the ACCUMULATED corpus state "
-    "(an LSM of immutable bkey-sorted signature runs + a shingle "
-    "inverted index, both probed via broadcast joins that never "
-    "shuffle state), exact-Jaccard verified, and its pairs emitted "
-    "exactly-once to a per-batch partition.  The accumulated emission "
-    "set telescopes to the one-shot batch minhash_lsh_pairs under any "
-    "batch slicing, so it must hash-match the batch all-pairs DuckDB "
-    "oracle — per-batch cost stays proportional to the batch, never "
-    "the corpus (streaming/dedup_stream.py).",
+    "(an LSM of immutable key-bucketed, key-sorted signature runs + a "
+    "shingle inverted index — probes prune to the batch's touched "
+    "buckets at file listing AND push the probe-key set as a literal "
+    "IN for row-group skips, so per-batch read I/O scales with the "
+    "batch footprint; broadcast joins keep the state unshuffled), "
+    "exact-Jaccard verified, and its pairs emitted exactly-once to a "
+    "per-batch partition.  The accumulated emission set telescopes to "
+    "the one-shot batch minhash_lsh_pairs under any batch slicing, so "
+    "it must hash-match the batch all-pairs DuckDB oracle — per-batch "
+    "cost proportional to the batch, never the corpus, in compute, "
+    "shuffle AND read I/O (streaming/dedup_stream.py).",
     tags=("dedup", "lsh", "streaming", "ext"),
     oracle=_minhash_oracle(),
 )
