@@ -33,6 +33,12 @@ BATCH, never the corpus:
   ~256 MB.  Pinned by test_plan_quality.py (PartitionFilters +
   PushedFilters) and by a behavioral test that corrupts every untouched
   bucket's files and still probes correctly (test_streaming_dedup.py).
+  Pruning is ADAPTIVE (``prune_min_state_ratio``): while the state
+  holds fewer than ratio × batch docs, the footprint collects and
+  pushed predicates cost more than the batch-sized scan they would
+  save (measured 5-10× per-batch slowdown when un-gated), so the probe
+  reads the runs whole — still O(batch) I/O, since the gate bounds the
+  state itself.  Either branch is O(batch), never O(corpus).
 * **Probe = broadcast the batch, never shuffle the corpus.**  New-vs-
   corpus candidates come from ``state_sig ⋈ broadcast(batch_bands)`` on
   (band, bkey); exact-Jaccard verification reads only the state shingle
@@ -80,13 +86,16 @@ from ..operators.dedup import (
 )
 
 # Push the probe-key set as a literal IN predicate (row-group skipping
-# inside touched buckets) only while it stays cheap to ship: 20k 32-hex
-# band keys ≈ 1 MB of literals, and py4j transfers literal lists
-# element-wise, so very large IN lists cost more to BUILD than they
-# save.  Bigger batches fall back to bucket-dir pruning alone, whose
-# granularity auto_bucket_count keeps at ~256 MB per bucket at
-# warehouse scale — still O(batch) buckets read.
-_KEY_PUSH_CAP = 20_000
+# inside touched buckets) only while it stays cheap to ship.  MEASURED
+# (sf1, 2,500-doc batches = 10k band keys): a 10k-literal IN cost ~20 s
+# of driver time PER BATCH — ~2 ms per literal across py4j transfer,
+# Catalyst analysis, and parquet filter conversion — versus ~0 saved,
+# while bucket-dir pruning alone was within noise of the unpruned scan.
+# So the cap is small: the IN push is a bonus for tiny probe batches
+# (point lookups, trickle ingests); the load-bearing prune at scale is
+# the bucket-dir partition filter, whose granularity auto_bucket_count
+# keeps at ~256 MB per bucket — still O(batch) buckets read.
+_KEY_PUSH_CAP = 1_024
 
 _DEFAULT_BUCKETS = 16
 
@@ -154,7 +163,14 @@ def _write_run(
     predicate."""
     bucketed = df.withColumn("bucket", _bucket_of(F.col(sort_col), n_buckets))
     (
-        bucketed.repartitionByRange(n_buckets, "bucket", sort_col)
+        # hash-repartition on the bucket id, NOT repartitionByRange:
+        # range partitioning runs a sampling job per write (two extra
+        # jobs per micro-batch), and all it buys here is splitting an
+        # oversized bucket across tasks — but auto_bucket_count sizes
+        # buckets to ~256 MB precisely so one-task-per-bucket is right.
+        # Each bucket value still lands whole in one task, key-sorted,
+        # so per-file row-group min/max stats stay disjoint and tight.
+        bucketed.repartition(n_buckets, "bucket")
         .sortWithinPartitions("bucket", sort_col)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
@@ -268,6 +284,7 @@ def run_dedup_stream_minhash(
     max_files_per_trigger: int | None = None,
     n_buckets: int = _DEFAULT_BUCKETS,
     auto_compact_runs: int | None = 8,
+    prune_min_state_ratio: float = 8.0,
 ) -> DataFrame:
     """availableNow run of the streaming dedup: tail a file-backed
     document stream, emit each batch's verified near-dup pairs (within
@@ -282,7 +299,20 @@ def run_dedup_stream_minhash(
     stored value always wins).  ``auto_compact_runs`` bounds LSM growth:
     when more than that many committed runs exist after the stream
     drains, ``compact_lsh_state`` folds them (the stream has terminated,
-    so the no-live-query precondition holds by construction)."""
+    so the no-live-query precondition holds by construction).
+
+    ``prune_min_state_ratio`` gates the probe pruning ADAPTIVELY: the
+    footprint collects and pushed predicates are pure overhead while
+    the accumulated state is small (measured: un-gated pruning made
+    sf1 micro-batches 5-10× SLOWER than the full-state scan it
+    replaced — the scan of a batch-sized state is nearly free, the
+    prune machinery is not), so a batch only pays for pruning when the
+    state holds more than ``ratio × batch`` docs.  Below the gate the
+    probe reads the runs whole — which is still O(batch) I/O, because
+    the gate itself bounds the state at ratio × batch.  Above it, the
+    bucket-dir prune bounds I/O by the batch's key footprint.  Either
+    branch, per-batch cost is O(batch), never O(corpus); set 0 to
+    force pruning (tests), ``inf`` to disable."""
     mh_cols = [f"mh{i}" for i in range(k)]
     os.makedirs(state_dir, exist_ok=True)
     sig_root = os.path.join(state_dir, "sig")
@@ -305,6 +335,15 @@ def run_dedup_stream_minhash(
         cand_cross = None
         try:
             sizes_b = sig_b.select("doc_id", "n_sh")
+            # one bounded count over the persisted batch digests: feeds
+            # the adaptive prune gate here and the meta commit below
+            n_b = sig_b.count()
+            state_docs = sum(
+                v
+                for kid, v in _load_meta(state_dir).get("batches", {}).items()
+                if kid < batch_id
+            )
+            do_prune = state_docs > prune_min_state_ratio * max(n_b, 1)
 
             # within-batch pairs: the ordinary pairwise form over the
             # (small) batch — both sides' shingles are batch-local
@@ -320,13 +359,18 @@ def run_dedup_stream_minhash(
             )
             pairs = _verify_jaccard_pairs(cand_within, sh_b, sizes_b, threshold)
 
-            bkeys, bkts = _probe_footprint(banded_b, "bkey", eff_buckets)
+            bkeys, bkts = (
+                _probe_footprint(banded_b, "bkey", eff_buckets)
+                if do_prune
+                else (None, None)
+            )
+            probe = bool(bkts) if do_prune else bool(n_b and state_docs)
             state_sig = (
                 _read_runs(
                     spark, sig_root, batch_id,
                     key_col="bkey", keys=bkeys, buckets=bkts, schema=sig_schema,
                 )
-                if bkts  # empty batch probes nothing
+                if probe  # empty batch (or empty state) probes nothing
                 else None
             )
             if state_sig is not None:
@@ -334,8 +378,13 @@ def run_dedup_stream_minhash(
                 # the (pruned) state scan never exchanges, candidates
                 # are Σ_bucket |state_bucket ∩ batch_bucket| rows
                 cand_cross = _cross_candidates(state_sig, banded_b).persist()
-                a_ids, a_bkts = _probe_footprint(cand_cross, "a", eff_buckets)
-                if a_bkts:  # zero candidates: skip the sh state read entirely
+                if do_prune:
+                    a_ids, a_bkts = _probe_footprint(cand_cross, "a", eff_buckets)
+                    have_cands = bool(a_bkts)
+                else:
+                    a_ids, a_bkts = None, None
+                    have_cands = not cand_cross.isEmpty()
+                if have_cands:  # zero candidates: skip the sh state read entirely
                     # verify reads ONLY candidate docs' state shingle
                     # rows (bucket+IN prune at the scan, broadcast
                     # semi-join for exactness: no state shuffle), and
@@ -380,7 +429,7 @@ def run_dedup_stream_minhash(
             _write_run(
                 sh_b.select("doc_id", "h"), sh_root, batch_id, "doc_id", eff_buckets
             )
-            _commit(state_dir, batch_id, sig_b.count(), eff_buckets)
+            _commit(state_dir, batch_id, n_b, eff_buckets)
         finally:
             for df in (cand_cross, banded_b, sig_b, sh_b):
                 if df is not None:

@@ -65,6 +65,25 @@ def test_stream_dedup_equals_batch_any_slicing(spark, sf_dir):
         _cleanup(src, *dirs.values())
 
 
+def test_stream_dedup_prune_gate_branches_agree(spark, sf_dir):
+    """The adaptive prune gate is a pure I/O strategy choice: forcing
+    the pruned probe on every batch (ratio=0) and disabling it on every
+    batch (ratio=inf) must both reproduce the one-shot batch pair set.
+    The default gate picks between these two proven-identical branches
+    per batch, so no state/batch size ratio can change results."""
+    docs = load_table(spark, sf_dir, "documents").limit(600)
+    expected = _pairs(minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2))
+    assert expected
+    for ratio in (0.0, float("inf")):
+        src = _tmp("dstream_gate_src")
+        stage_changelog_files(docs, src, n_chunks=3, key_col="doc_id")
+        out, dirs = _run(
+            spark, src, docs.schema, prune_min_state_ratio=ratio
+        )
+        assert _pairs(out) == expected, f"ratio={ratio}"
+        _cleanup(src, *dirs.values())
+
+
 def test_stream_dedup_checkpoint_resume_midway(spark, sf_dir):
     """K5: ingest half the corpus, run to completion; add the rest as
     new files and re-run on the same checkpoint + state — cross pairs
