@@ -529,7 +529,10 @@ def compact_lsh_state(spark: SparkSession, state_dir: str) -> bool:
             .drop("ingest_id")
         )
         (
-            merged.repartitionByRange(n_buckets, "bucket", key)
+            # same layout discipline as _write_run: hash on the bucket
+            # id (no range-sampler job), whole buckets per task,
+            # key-sorted so the merged run's row-group stats stay tight
+            merged.repartition(n_buckets, "bucket")
             .sortWithinPartitions("bucket", key)
             .write.mode("overwrite")
             .partitionBy("bucket")

@@ -65,6 +65,33 @@ def test_stream_dedup_equals_batch_any_slicing(spark, sf_dir):
         _cleanup(src, *dirs.values())
 
 
+def test_stream_dedup_probe_footprint_overflow_falls_back_to_buckets(spark):
+    """Above _KEY_PUSH_CAP the footprint must drop the key list (a
+    many-thousand-literal IN costs ~2ms of driver time PER LITERAL per
+    batch — measured, SCALING.md round 7) and return only the touched
+    bucket ids; below it, both.  The bucket set must come from the same
+    _bucket_of expression the writes use."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mysql_cdc_redis_spark.streaming import dedup_stream as ds
+
+    big = spark.range(ds._KEY_PUSH_CAP + 200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("bkey")
+    )
+    keys, buckets = ds._probe_footprint(big, "bkey", 16)
+    assert keys is None, "overflow must not ship the key list"
+    assert buckets == list(range(16)), buckets  # that many keys hit all 16
+
+    small = spark.range(5).select(F.concat(F.lit("k"), F.col("id")).alias("bkey"))
+    keys, buckets = ds._probe_footprint(small, "bkey", 16)
+    assert keys is not None and len(keys) == 5
+    expected = sorted(
+        r[0]
+        for r in small.select(ds._bucket_of(F.col("bkey"), 16)).distinct().collect()
+    )
+    assert buckets == expected
+
+
 def test_stream_dedup_prune_gate_branches_agree(spark, sf_dir):
     """The adaptive prune gate is a pure I/O strategy choice: forcing
     the pruned probe on every batch (ratio=0) and disabling it on every

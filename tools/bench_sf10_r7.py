@@ -60,17 +60,38 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     q = all_queries()[name]
 
-    walls, counts, flushed = [], [], []
+    from pyspark.sql import functions as F
+
+    walls, counts, checks, flushed = [], [], [], []
     for i in range(n_passes):
         flushed.append(_flush_page_cache())
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        n = q.fn(spark, SF10).count()
+        # count + full-row checksum in ONE action: a bare .count() lets
+        # Catalyst prune every computed column (it measured the sf10
+        # text profiles at 0.8s where the honest materialized wall is
+        # ~10s), while xxhash64(struct(*)) forces all output columns
+        # AND upgrades the cross-pass check from cardinality to values.
+        row = (
+            q.fn(spark, SF10)
+            .select(
+                F.count(F.lit(1)).alias("n"),
+                # decimal sum: 27M 64-bit hashes overflow a long under
+                # ANSI mode; decimal(38,0) is exact far past that
+                F.sum(F.xxhash64(F.struct("*")).cast("decimal(38,0)")).alias("chk"),
+            )
+            .first()
+        )
         walls.append(round(time.perf_counter() - t0, 1))
-        counts.append(n)
-        print(f"# pass {i + 1}: {walls[-1]}s rows={n} cache_flushed={flushed[-1]}",
-              flush=True)
+        counts.append(row["n"])
+        checks.append(row["chk"])
+        print(
+            f"# pass {i + 1}: {walls[-1]}s rows={row['n']} "
+            f"chk={row['chk']} cache_flushed={flushed[-1]}",
+            flush=True,
+        )
     assert len(set(counts)) == 1, f"passes disagree on cardinality: {counts}"
+    assert len(set(checks)) == 1, f"passes disagree on values: {checks}"
     print(json.dumps({
         "metric": f"sf10_{name}_r7",
         "value": min(walls),
