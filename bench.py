@@ -6,8 +6,22 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query executes to completion through a noop sink (full plan runs,
-nothing collected to the driver beyond metrics).
+Each timed query executes to completion through ONE count+checksum
+action (benchutil.checksum_row): every output column is materialized
+(a bare count would let Catalyst prune computed columns — the round-7
+blind spot), and passes are value-comparable via the recorded checksum.
+
+Round-8 measurement discipline (inherited from tools/bench_sf10_r7.py,
+round-7 verdict item 2 — the driver's r7 capture was noise-dominated):
+* ``spark.local.dir`` pinned via SPARK_LOCAL_DIRS so passes never
+  migrate between devices mid-series (SPARK_GRAFT_SHUFFLE_DIR).
+* Page-cache flush ATTEMPTED before every pass; the per-pass outcome
+  is recorded either way so the reader knows the cache state.
+* Per-query value checksums persisted (round-7 advice #3) and compared
+  across passes — recorded, not asserted, because double-typed
+  aggregates may legitimately differ in the last ulps across
+  partitionings (round-7 advice #1; benchutil normalizes before
+  hashing to make that rare).
 """
 
 from __future__ import annotations
@@ -15,8 +29,21 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
+
+
+def _flush_page_cache() -> bool:
+    """Best-effort drop of the OS page cache between passes; the
+    outcome is recorded in the artifact either way."""
+    try:
+        subprocess.run(["sync"], check=True, timeout=120)
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except Exception:
+        return False
 
 
 def main() -> None:
@@ -24,7 +51,15 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    # pin the shuffle/staging device BEFORE the JVM comes up
+    shuffle_dir = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_DIR", "/tmp/spark_graft_shuffle"
+    )
+    os.makedirs(shuffle_dir, exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", shuffle_dir)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mysql_cdc_redis_spark.benchutil import checksum_row
     from mysql_cdc_redis_spark.plans import all_queries
     from mysql_cdc_redis_spark.session import get_spark
 
@@ -70,24 +105,41 @@ def main() -> None:
     # across passes; min is carried alongside for floor analysis.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in headline}
+    chks: dict[str, list] = {name: [] for name in headline}
+    flushed: list[bool] = []
     for _ in range(n_runs):
+        flushed.append(_flush_page_cache())
         spark.catalog.clearCache()
         for name, q in headline.items():
             t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            row = checksum_row(q.fn(spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+            chks[name].append((row["n"], str(row["chk"])))
 
     import statistics
 
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     timings_min = {n: round(min(v), 3) for n, v in samples.items()}
     spreads = [max(v) - min(v) for v in samples.values()]
+    chk_record = {
+        n: {"rows": v[0][0], "chk": v[0][1], "stable_across_passes": len(set(v)) == 1}
+        for n, v in chks.items()
+    }
+    unstable = sorted(n for n, r in chk_record.items() if not r["stable_across_passes"])
     variance_note = (
         f"n={n_runs} cold passes per query (clearCache between passes); "
+        f"action=count+normalized-xxhash64 checksum (all output columns "
+        f"materialized — r8 change from noop-write, see SCALING.md); "
+        f"SPARK_LOCAL_DIRS={os.environ.get('SPARK_LOCAL_DIRS')}; "
+        f"page_cache_flushed per pass={flushed}; "
         f"queries=median, queries_min=min; per-query spread max-min: "
         f"median {round(statistics.median(spreads), 3)}s, "
-        f"worst {round(max(spreads), 3)}s"
+        f"worst {round(max(spreads), 3)}s; "
+        + (
+            f"value-checksum UNSTABLE across passes for {unstable}"
+            if unstable
+            else "value checksums stable across all passes"
+        )
     )
 
     total = round(sum(timings.values()), 3)
@@ -204,11 +256,13 @@ def main() -> None:
         # from regression the same way tools/bench_sf10_r5.py does.
         sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
         sf1_samples: dict[str, list[float]] = {n: [] for n in headline}
+        sf1_flushed: list[bool] = []
         for _ in range(sf1_runs):
+            sf1_flushed.append(_flush_page_cache())
             spark.catalog.clearCache()
             for name, q in headline.items():
                 t0 = time.perf_counter()
-                q.fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                checksum_row(q.fn(spark, sf1_dir))
                 sf1_samples[name].append(round(time.perf_counter() - t0, 3))
         sf1_timings = {n: min(v) for n, v in sf1_samples.items()}
         sf1_spread = {n: round(max(v) - min(v), 3) for n, v in sf1_samples.items()}
@@ -226,6 +280,7 @@ def main() -> None:
         sf1_section = {
             "sf": float(m1.group(1).rstrip(".")) if m1 else -1.0,
             "n_runs": sf1_runs,
+            "page_cache_flushed": sf1_flushed,
             "total_wall": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,
             "spread": sf1_spread,
@@ -242,6 +297,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": timings_min,
+                "query_checksums": chk_record,
                 "n_runs": n_runs,
                 "variance_note": variance_note,
                 "sf": sf,

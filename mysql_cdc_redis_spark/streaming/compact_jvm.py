@@ -41,8 +41,9 @@ into a durable state table:
 * Exactly-once: Spark's checkpoint replays an uncommitted batch with
   the SAME batch_id; the merge recomputes DETERMINISTICALLY from the
   prior committed slot (never from the slot it is overwriting) and a
-  tiny ``_meta.json`` in ``state_dir`` — written atomically via
-  os.replace as the LAST step — records batch_id → slot.  A crash
+  tiny batch_id → slot map committed — as the LAST step — through the
+  PUT-only manifest log (streaming/commitlog.py: checksummed versioned
+  objects, no rename, correct on S3/GCS and POSIX alike).  A crash
   anywhere before the meta commit leaves the prior slot intact; the
   retry overwrites the partial slot.  This is the idempotent-replay
   contract the reference relies on (M5), upgraded to exactly-once.
@@ -55,7 +56,6 @@ action sequences × split points.
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 
@@ -65,6 +65,7 @@ from pyspark.sql.types import StructType
 
 from ..operators.compaction import ACTION_FOLD_SENTINEL, with_rid
 from ..operators.scale import auto_bucket_count
+from .commitlog import LocalFS, ManifestLog
 
 _TRANSITION_STATES = ("insert", "update", "delete")
 
@@ -196,32 +197,35 @@ def merge_state_jvm(
 
 
 class _StateSlots:
-    """Two bucketed warehouse tables + a _meta.json commit log keyed by
+    """Two bucketed warehouse tables + a manifest commit log keyed by
     foreachBatch batch_id.  Table names derive from state_dir, so a
     checkpoint-resumed run (same dirs) finds its tables; distinct runs
-    (distinct dirs) never collide in the shared warehouse."""
+    (distinct dirs) never collide in the shared warehouse.
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    The batch_id → slot map commits through the PUT-only ManifestLog
+    (streaming/commitlog.py) rather than an os.replace of _meta.json:
+    a torn commit self-invalidates and reads as the prior map — the
+    same crash semantics, with no atomic-rename requirement, so the
+    exactly-once contract survives on object stores (round-7 advice)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, fs=None):
         self.spark = spark
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
-        self.meta_path = os.path.join(state_dir, "_meta.json")
+        self.log = ManifestLog(fs or LocalFS(), state_dir)
         tag = uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(state_dir)).hex[:16]
         self.tables = [f"cdc_jvm_state_{tag}_{i}" for i in (0, 1)]
 
     def load_meta(self) -> dict[str, int]:
-        if not os.path.exists(self.meta_path):
+        head = self.log.head()
+        if head is None:
             return {}
-        with open(self.meta_path) as f:
-            return {str(k): int(v) for k, v in json.load(f).items()}
+        return {str(k): int(v) for k, v in head[1]["slots"].items()}
 
     def commit(self, batch_id: int, slot: int) -> None:
         meta = self.load_meta()
-        meta[str(batch_id)] = slot
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self.meta_path)  # atomic on POSIX
+        meta[str(batch_id)] = int(slot)
+        self.log.commit({"slots": meta})
 
     def latest_before(self, batch_id: int) -> tuple[int, int] | None:
         """(batch_id, slot) of the newest committed batch < batch_id —
@@ -282,7 +286,7 @@ def run_compaction_stream_jvm(
     (tbl, rid, cdc_action, payload...).
 
     Durability/restart: offsets live in ``checkpoint_dir`` (K5), state
-    in the two warehouse slots + ``state_dir/_meta.json``; a resumed
+    in the two warehouse slots + ``state_dir/_log``; a resumed
     run continues from the committed slot (tested: resume-midway parity
     and crash-retry determinism).  State tables persist across runs of
     the same state_dir — call ``drop_state_jvm`` to dispose of them

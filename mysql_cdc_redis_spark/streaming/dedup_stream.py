@@ -10,15 +10,21 @@ poll into durable state).  This module keeps the LSH index as durable
 Spark-native state and makes each micro-batch cost proportional to the
 BATCH, never the corpus:
 
-* **State = an LSM of immutable sorted BUCKETED runs.**  Each
-  micro-batch appends two runs under ``state_dir``: the batch's banded
-  MinHash digests (``sig/ingest_id=N/bucket=B``, bucketed by
+* **State = an LSM of immutable sorted BUCKETED runs, defined by a
+  MANIFEST, not by directory listings.**  Each micro-batch appends two
+  runs: the batch's banded MinHash digests
+  (``sig/gen=G/ingest_id=N/bucket=B``, bucketed by
   ``pmod(xxhash64(bkey), n_buckets)`` and key-sorted within buckets)
-  and its shingle inverted index (``sh/ingest_id=N/bucket=B``, bucketed
-  on doc id the same way).  Runs are written once and never rewritten —
-  the partition-dir-per-batch layout is exactly-once under foreachBatch
-  replay (a retried batch OVERWRITES its own ``ingest_id=N`` dirs,
-  never duplicates them).
+  and its shingle inverted index (``sh/gen=G/ingest_id=N/bucket=B``,
+  bucketed on doc id the same way), then COMMITS a manifest
+  (streaming/commitlog.py) listing every live run with its own bucket
+  modulus.  Runs are written once and never rewritten; readers take
+  their file list from the newest valid manifest, so partial data from
+  a crashed attempt is invisible until its retry commits (the
+  reference's upload.info/bqload.info manifest shape, dump2csv.py:
+  199-230, promoted to the engine's own commit protocol).  The whole
+  protocol is PUT-only — no rename, atomic or otherwise — so it is
+  correct on S3/GCS, where rename is copy+delete, exactly as on POSIX.
 * **Probe I/O scales with the batch, not the corpus** (the round-6
   perf-weak fix).  The batch's probe-key set is small and known before
   the state read, so it prunes at TWO granularities: (1) the touched
@@ -28,11 +34,12 @@ BATCH, never the corpus:
   IN predicate, which the key-sorted runs' tight row-group min/max
   footers turn into row-group skips WITHIN touched buckets.  Per-batch
   read cost is O(row-groups containing batch keys), independent of
-  accumulated corpus size; at cluster scale ``n_buckets`` comes from
-  ``auto_bucket_count`` (operators/scale.py) so each bucket stays
-  ~256 MB.  Pinned by test_plan_quality.py (PartitionFilters +
-  PushedFilters) and by a behavioral test that corrupts every untouched
-  bucket's files and still probes correctly (test_streaming_dedup.py).
+  accumulated corpus size; bucket moduli are powers of two, so a
+  footprint computed at the largest live modulus M projects exactly
+  onto every older run's modulus m via ``b mod m`` (m | M).  Pinned by
+  test_plan_quality.py (PartitionFilters + PushedFilters) and by a
+  behavioral test that corrupts every untouched bucket's files and
+  still probes correctly (test_streaming_dedup.py).
   Pruning is ADAPTIVE (``prune_min_state_ratio``): while the state
   holds fewer than ratio × batch docs, the footprint collects and
   pushed predicates cost more than the batch-sized scan they would
@@ -46,9 +53,10 @@ BATCH, never the corpus:
   relations are never exchanged; per-batch shuffle volume is
   O(batch + candidates).
 * **Emissions are exactly-once**: each batch's verified pairs overwrite
-  ``pairs_dir/ingest_id=N`` BEFORE the commit-log append, so a replay
-  replaces — never duplicates — its pairs (same contract as the
-  retraction twin, streaming/compact_jvm.py).
+  ``pairs_dir/ingest_id=N`` BEFORE the manifest commit, so a replay
+  replaces — never duplicates — its pairs, and the final read lists
+  only manifest-committed batches (a crashed batch's partial pairs are
+  unreadable by construction).
 * **Telescoping parity**: every unordered near-dup pair {x, y} is
   emitted exactly once — by the batch that ingests the later member
   (cross pairs) or by their shared batch (within pairs) — so the union
@@ -57,10 +65,18 @@ BATCH, never the corpus:
   (a, b) = (least, greatest) so the equality is literal; pinned by
   tests/test_streaming_dedup.py and the catalog entry's DuckDB oracle
   (the SAME oracle as the batch all-pairs form).
-* **Compaction is automatic, replay-safe, and crash-safe**
-  (``compact_lsh_state``): run count stays bounded under a long-lived
-  ingest loop, the possibly-replayable newest run is never a compaction
-  target, and the root swap is recoverable at every crash point.
+* **Compaction is automatic, replay-safe, crash-safe, and re-buckets.**
+  ``compact_lsh_state`` merges every committed run except the
+  possibly-replayable newest into one run per relation, written to a
+  FRESH generation directory and published by a manifest commit — no
+  root swap, no rename window.  The merged run's bucket modulus is
+  re-sized from its actual bytes (``auto_bucket_count``, power of two,
+  never shrinking), so a corpus that grows 1000× gets proportionally
+  more ~256 MB buckets instead of 16 multi-GB ones.  Superseded run
+  directories are garbage-collected AFTER the commit, best-effort: a
+  crash anywhere leaves either the old manifest (old state intact) or
+  the new one (new state complete) plus unreferenced garbage — never a
+  half-visible state.
 
 Everything is JVM expression algebra — zero Python row crossings.  The
 only collects are the per-batch probe-key collects, bounded by
@@ -70,9 +86,8 @@ batch by construction, never the corpus.
 
 from __future__ import annotations
 
-import json
+import functools
 import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,6 +99,8 @@ from ..operators.dedup import (
     minhash_signatures,
     shingle_hashes,
 )
+from ..operators.scale import auto_bucket_count
+from .commitlog import LocalFS, ManifestLog
 
 # Push the probe-key set as a literal IN predicate (row-group skipping
 # inside touched buckets) only while it stays cheap to ship.  MEASURED
@@ -100,6 +117,15 @@ _KEY_PUSH_CAP = 1_024
 _DEFAULT_BUCKETS = 16
 
 
+def _pow2_at_least(n: int) -> int:
+    """Smallest power of two >= n.  Every bucket modulus in the state
+    is a power of two so that moduli project onto each other exactly
+    (b mod M determines b mod m whenever m | M) — the property that
+    lets one probe footprint prune runs written at different scales."""
+    n = max(1, int(n))
+    return 1 << (n - 1).bit_length()
+
+
 def _bucket_of(col: Column, n_buckets: int) -> Column:
     """Stable bucket id for a run key: pmod (never abs%, see
     operators/scale.py:salt_from_hash) of the 64-bit hash.  The SAME
@@ -109,41 +135,17 @@ def _bucket_of(col: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
-def _meta_path(state_dir: str) -> str:
-    return os.path.join(state_dir, "_meta.json")
+def _run_dir(root: str, run: dict) -> str:
+    return os.path.join(root, f"gen={run['gen']}", f"ingest_id={run['rid']}")
 
 
-def _load_meta(state_dir: str) -> dict:
-    """{"n_buckets": int, "batches": {int batch_id: int n_docs}} —
-    empty dict if no batch ever committed."""
-    p = _meta_path(state_dir)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        raw = json.load(f)
-    return {
-        "n_buckets": int(raw["n_buckets"]),
-        "batches": {int(k): int(v) for k, v in raw["batches"].items()},
-    }
-
-
-def _save_meta(state_dir: str, meta: dict) -> None:
-    tmp = _meta_path(state_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "n_buckets": int(meta["n_buckets"]),
-                "batches": {str(k): int(v) for k, v in meta["batches"].items()},
-            },
-            f,
-        )
-    os.replace(tmp, _meta_path(state_dir))  # atomic on POSIX
-
-
-def _commit(state_dir: str, batch_id: int, n_docs: int, n_buckets: int) -> None:
-    meta = _load_meta(state_dir) or {"n_buckets": n_buckets, "batches": {}}
-    meta["batches"][int(batch_id)] = int(n_docs)
-    _save_meta(state_dir, meta)
+def _load_state(state_dir: str, fs) -> dict:
+    """{"runs": [{rid, gen, n_docs, n_buckets}...], "pair_batches": [...]}
+    from the newest valid manifest — empty state if none committed."""
+    head = ManifestLog(fs, state_dir).head()
+    if head is None:
+        return {"runs": [], "pair_batches": []}
+    return head[1]
 
 
 def _write_run(
@@ -152,15 +154,16 @@ def _write_run(
     batch_id: int,
     sort_col: str,
     n_buckets: int = _DEFAULT_BUCKETS,
+    gen: int = 0,
 ) -> None:
-    """One immutable sorted bucketed run: overwrite this batch's
-    partition dir (idempotent under replay — static overwrite replaces
-    the WHOLE ``ingest_id=N`` tree, so no stale bucket dir from a
+    """One immutable sorted bucketed run: overwrite this run's
+    directory (idempotent under replay — static overwrite replaces
+    the WHOLE ``gen=G/ingest_id=N`` tree, so no stale bucket dir from a
     crashed attempt survives a retry that happens to produce fewer
     buckets), bucketed by the probe key's hash so probes prune at the
     directory level, and key-sorted within buckets so row-group
     min/max statistics are disjoint and tight for the pushed IN
-    predicate."""
+    predicate.  The run is INVISIBLE until a manifest references it."""
     bucketed = df.withColumn("bucket", _bucket_of(F.col(sort_col), n_buckets))
     (
         # hash-repartition on the bucket id, NOT repartitionByRange:
@@ -170,52 +173,64 @@ def _write_run(
         # buckets to ~256 MB precisely so one-task-per-bucket is right.
         # Each bucket value still lands whole in one task, key-sorted,
         # so per-file row-group min/max stats stay disjoint and tight.
+        # (murmur3 collisions can co-locate 2-3 buckets in one task and
+        # leave ~1/e of tasks empty — a write-throughput wobble, not a
+        # correctness or probe-I/O concern, since each bucket value
+        # still lands whole and sorted in exactly one task.)
         bucketed.repartition(n_buckets, "bucket")
         .sortWithinPartitions("bucket", sort_col)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
-        .parquet(os.path.join(root, f"ingest_id={batch_id}"))
+        .parquet(_run_dir(root, {"gen": gen, "rid": batch_id}))
     )
 
 
 def _read_runs(
     spark: SparkSession,
     root: str,
-    before_batch_id: int,
+    runs: list[dict],
+    schema: str,
     key_col: str | None = None,
     keys: list | None = None,
-    buckets: list[int] | None = None,
-    schema: str | None = None,
+    touched: list[int] | None = None,
+    probe_modulus: int | None = None,
 ) -> DataFrame | None:
-    """Union of the committed runs strictly OLDER than the running
-    batch, pruned to the batch's probe footprint.  foreachBatch is
-    sequential, so every ``ingest_id < before_batch_id`` dir is fully
-    committed; the filter is a partition prune, which also excludes a
-    partial ``ingest_id=before_batch_id`` dir left by a crashed attempt
-    of the batch now retrying.
+    """Union of the given manifest runs, pruned to the batch's probe
+    footprint.  The file list comes from the MANIFEST (explicit run
+    directories), never from a listing — uncommitted or superseded
+    directories are invisible, which is what makes crashed attempts
+    and mid-GC states unreadable by construction.
 
-    ``buckets`` prunes at file-listing time (untouched ``bucket=B``
-    dirs are never listed, their footers never read); ``keys`` (when
-    the caller's key set fit under _KEY_PUSH_CAP) is pushed to the
-    parquet reader as a literal IN, skipping row groups inside touched
-    buckets via the runs' sorted min/max footers.  Both are semantic
-    no-ops — the downstream joins already restrict to these keys — so
-    correctness never depends on them.  ``schema`` (DDL string,
-    including the ingest_id/bucket partition columns) skips schema
-    inference — without it the reader opens ONE arbitrary footer to
-    infer, which may belong to a bucket the probe never touches."""
-    if not os.path.isdir(root):
+    ``touched`` (bucket ids at ``probe_modulus``) prunes at
+    file-listing time: each run's own modulus m receives the projected
+    set {b mod m} (exact, since moduli are powers of two and m divides
+    the probe modulus), and untouched ``bucket=B`` dirs are never
+    listed, their footers never read.  ``keys`` (when the caller's key
+    set fit under _KEY_PUSH_CAP) is pushed to the parquet reader as a
+    literal IN, skipping row groups inside touched buckets via the
+    runs' sorted min/max footers.  Both are semantic no-ops — the
+    downstream joins already restrict to these keys — so correctness
+    never depends on them.  ``schema`` (DDL string, including the
+    gen/ingest_id/bucket partition columns) skips schema inference —
+    without it the reader opens ONE arbitrary footer to infer, which
+    may belong to a bucket the probe never touches."""
+    if not runs:
         return None
-    reader = spark.read.option("basePath", root)
-    if schema is not None:
-        reader = reader.schema(schema)
-    runs = reader.parquet(root).filter(F.col("ingest_id") < before_batch_id)
-    if buckets is not None and "bucket" in runs.columns:
-        runs = runs.filter(F.col("bucket").isin([int(b) for b in buckets]))
+    paths = [_run_dir(root, r) for r in runs]
+    df = spark.read.option("basePath", root).schema(schema).parquet(*paths)
+    if touched is not None and probe_modulus is not None:
+        preds = []
+        for r in runs:
+            m = int(r["n_buckets"])
+            tb = sorted({int(b) % m for b in touched})
+            preds.append(
+                (F.col("ingest_id") == int(r["rid"])) & F.col("bucket").isin(tb)
+            )
+        df = df.filter(functools.reduce(lambda a, b: a | b, preds))
     if keys is not None and key_col is not None:
-        runs = runs.filter(F.col(key_col).isin(keys))
-    return runs
+        df = df.filter(F.col(key_col).isin(keys))
+    return df
 
 
 def _probe_footprint(
@@ -259,13 +274,25 @@ def _cross_candidates(state_sig: DataFrame, banded_b: DataFrame) -> DataFrame:
     )
 
 
-def _recover_root(root: str) -> None:
-    """Undo a compaction crash between the two root renames: the old
-    root was moved aside but the new one never moved in — restore it.
-    Idempotent; called before any compaction and before a stream run."""
-    old = root + ".old"
-    if not os.path.isdir(root) and os.path.isdir(old):
-        os.rename(old, root)
+def _gc_runs(fs, state_dir: str, live_runs: list[dict]) -> None:
+    """Best-effort removal of run directories no manifest references —
+    strictly OFF the correctness path (readers never list, so garbage
+    is invisible).  Runs after every commit and at compaction entry,
+    so a crash mid-GC is repaired by any later pass."""
+    live = {(int(r["gen"]), int(r["rid"])) for r in live_runs}
+    for rel in ("sig", "sh"):
+        root = os.path.join(state_dir, rel)
+        for gdir in fs.list(root):
+            if not gdir.startswith("gen="):
+                continue
+            gen = int(gdir.split("=", 1)[1])
+            gpath = os.path.join(root, gdir)
+            for rdir in fs.list(gpath):
+                if not rdir.startswith("ingest_id="):
+                    continue
+                rid = int(rdir.split("=", 1)[1])
+                if (gen, rid) not in live:
+                    fs.delete(os.path.join(gpath, rdir))
 
 
 def run_dedup_stream_minhash(
@@ -285,6 +312,7 @@ def run_dedup_stream_minhash(
     n_buckets: int = _DEFAULT_BUCKETS,
     auto_compact_runs: int | None = 8,
     prune_min_state_ratio: float = 8.0,
+    fs=None,
 ) -> DataFrame:
     """availableNow run of the streaming dedup: tail a file-backed
     document stream, emit each batch's verified near-dup pairs (within
@@ -293,13 +321,19 @@ def run_dedup_stream_minhash(
     (a, b, jaccard) == ``minhash_lsh_pairs`` over everything ingested so
     far (all runs of the same dirs, across restarts).
 
-    ``n_buckets`` fixes the state runs' bucket layout on the FIRST run
-    and is thereafter read back from the state meta (a probe computed
-    with a different modulus than the writes would prune wrong — the
-    stored value always wins).  ``auto_compact_runs`` bounds LSM growth:
-    when more than that many committed runs exist after the stream
-    drains, ``compact_lsh_state`` folds them (the stream has terminated,
-    so the no-live-query precondition holds by construction).
+    ``n_buckets`` (rounded up to a power of two) buckets each NEW
+    ingest run; every run records its own modulus in the manifest, so
+    compaction is free to re-bucket the merged corpus run by size
+    while probes project one footprint exactly onto every modulus.
+    ``auto_compact_runs`` bounds LSM growth: when more than that many
+    committed runs exist after the stream drains, ``compact_lsh_state``
+    folds them (the stream has terminated, so the no-live-query
+    precondition holds by construction).
+
+    ``fs`` is the state-commit filesystem (streaming/commitlog.py);
+    default LocalFS.  All state TRANSITIONS go through its PUT-only
+    manifest protocol — nothing in this module renames, so the
+    exactly-once story holds on object stores, not just POSIX.
 
     ``prune_min_state_ratio`` gates the probe pruning ADAPTIVELY: the
     footprint collects and pushed predicates are pure overhead while
@@ -313,20 +347,22 @@ def run_dedup_stream_minhash(
     bucket-dir prune bounds I/O by the batch's key footprint.  Either
     branch, per-batch cost is O(batch), never O(corpus); set 0 to
     force pruning (tests), ``inf`` to disable."""
+    fs = fs or LocalFS()
+    log = ManifestLog(fs, state_dir)
     mh_cols = [f"mh{i}" for i in range(k)]
     os.makedirs(state_dir, exist_ok=True)
     sig_root = os.path.join(state_dir, "sig")
     sh_root = os.path.join(state_dir, "sh")
-    for root in (sig_root, sh_root):
-        _recover_root(root)  # a compaction crash must not look like empty state
-    meta0 = _load_meta(state_dir)
-    eff_buckets = meta0["n_buckets"] if meta0 else n_buckets
+    w_buckets = _pow2_at_least(n_buckets)
     # explicit run schemas (incl. partition cols): state reads must
     # never infer — inference opens an arbitrary footer, which defeats
     # the bucket prune's "untouched files are never opened" guarantee
     id_type = source_schema[id_col].dataType.simpleString()
-    sig_schema = f"doc_id {id_type}, band int, bkey string, ingest_id int, bucket int"
-    sh_schema = f"doc_id {id_type}, h bigint, ingest_id int, bucket int"
+    sig_schema = (
+        f"doc_id {id_type}, band int, bkey string, gen int, ingest_id int, bucket int"
+    )
+    sh_schema = f"doc_id {id_type}, h bigint, gen int, ingest_id int, bucket int"
+    pairs_schema = f"a {id_type}, b {id_type}, jaccard double, ingest_id int"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sh_b = shingle_hashes(batch_df, n, id_col, text_col).persist()
@@ -336,14 +372,19 @@ def run_dedup_stream_minhash(
         try:
             sizes_b = sig_b.select("doc_id", "n_sh")
             # one bounded count over the persisted batch digests: feeds
-            # the adaptive prune gate here and the meta commit below
+            # the adaptive prune gate here and the manifest commit below
             n_b = sig_b.count()
-            state_docs = sum(
-                v
-                for kid, v in _load_meta(state_dir).get("batches", {}).items()
-                if kid < batch_id
-            )
+            state = _load_state(state_dir, fs)
+            # runs strictly older than this batch: a retried batch must
+            # not probe (or double-count) its own crashed attempt, and
+            # a checkpoint replay of the newest batch must see exactly
+            # the pre-batch corpus
+            runs_before = [r for r in state["runs"] if int(r["rid"]) < batch_id]
+            state_docs = sum(int(r["n_docs"]) for r in runs_before)
             do_prune = state_docs > prune_min_state_ratio * max(n_b, 1)
+            # footprints are computed at the LARGEST live modulus; each
+            # run's filter projects them down exactly (powers of two)
+            probe_m = max((int(r["n_buckets"]) for r in runs_before), default=w_buckets)
 
             # within-batch pairs: the ordinary pairwise form over the
             # (small) batch — both sides' shingles are batch-local
@@ -360,15 +401,16 @@ def run_dedup_stream_minhash(
             pairs = _verify_jaccard_pairs(cand_within, sh_b, sizes_b, threshold)
 
             bkeys, bkts = (
-                _probe_footprint(banded_b, "bkey", eff_buckets)
+                _probe_footprint(banded_b, "bkey", probe_m)
                 if do_prune
                 else (None, None)
             )
             probe = bool(bkts) if do_prune else bool(n_b and state_docs)
             state_sig = (
                 _read_runs(
-                    spark, sig_root, batch_id,
-                    key_col="bkey", keys=bkeys, buckets=bkts, schema=sig_schema,
+                    spark, sig_root, runs_before, sig_schema,
+                    key_col="bkey", keys=bkeys,
+                    touched=bkts, probe_modulus=probe_m if do_prune else None,
                 )
                 if probe  # empty batch (or empty state) probes nothing
                 else None
@@ -379,7 +421,7 @@ def run_dedup_stream_minhash(
                 # are Σ_bucket |state_bucket ∩ batch_bucket| rows
                 cand_cross = _cross_candidates(state_sig, banded_b).persist()
                 if do_prune:
-                    a_ids, a_bkts = _probe_footprint(cand_cross, "a", eff_buckets)
+                    a_ids, a_bkts = _probe_footprint(cand_cross, "a", probe_m)
                     have_cands = bool(a_bkts)
                 else:
                     a_ids, a_bkts = None, None
@@ -390,9 +432,9 @@ def run_dedup_stream_minhash(
                     # semi-join for exactness: no state shuffle), and
                     # their n_sh falls out of the same filtered rows
                     sh_a = _read_runs(
-                        spark, sh_root, batch_id,
-                        key_col="doc_id", keys=a_ids, buckets=a_bkts,
-                        schema=sh_schema,
+                        spark, sh_root, runs_before, sh_schema,
+                        key_col="doc_id", keys=a_ids,
+                        touched=a_bkts, probe_modulus=probe_m if do_prune else None,
                     ).join(
                         F.broadcast(
                             cand_cross.select(F.col("a").alias("doc_id")).distinct()
@@ -416,20 +458,36 @@ def run_dedup_stream_minhash(
                 F.greatest("a", "b").alias("b"),
                 "jaccard",
             )
-            # pairs partition BEFORE state runs BEFORE the meta commit:
-            # a crash between any two steps leaves only this batch's
-            # partitions partial, and the retry overwrites all of them
+            # pairs partition BEFORE state runs BEFORE the manifest
+            # commit: everything written stays INVISIBLE until the
+            # commit, and a retry overwrites all of it byte-identically
             canon.write.mode("overwrite").parquet(
                 os.path.join(pairs_dir, f"ingest_id={batch_id}")
             )
             _write_run(
                 banded_b.select("doc_id", "band", "bkey"),
-                sig_root, batch_id, "bkey", eff_buckets,
+                sig_root, batch_id, "bkey", w_buckets,
             )
             _write_run(
-                sh_b.select("doc_id", "h"), sh_root, batch_id, "doc_id", eff_buckets
+                sh_b.select("doc_id", "h"), sh_root, batch_id, "doc_id", w_buckets
             )
-            _commit(state_dir, batch_id, n_b, eff_buckets)
+            new_run = {
+                "rid": int(batch_id), "gen": 0,
+                "n_docs": int(n_b), "n_buckets": int(w_buckets),
+            }
+            log.commit(
+                {
+                    # a replayed batch REPLACES its own run entry
+                    "runs": sorted(
+                        [r for r in state["runs"] if int(r["rid"]) != batch_id]
+                        + [new_run],
+                        key=lambda r: int(r["rid"]),
+                    ),
+                    "pair_batches": sorted(
+                        set(state["pair_batches"]) | {int(batch_id)}
+                    ),
+                }
+            )
         finally:
             for df in (cand_cross, banded_b, sig_b, sh_b):
                 if df is not None:
@@ -448,112 +506,127 @@ def run_dedup_stream_minhash(
     )
     q.awaitTermination()
 
-    meta = _load_meta(state_dir)
-    if auto_compact_runs and len(meta.get("batches", ())) > auto_compact_runs:
-        compact_lsh_state(spark, state_dir)
+    state = _load_state(state_dir, fs)
+    if auto_compact_runs and len(state["runs"]) > auto_compact_runs:
+        compact_lsh_state(spark, state_dir, fs=fs)
+        state = _load_state(state_dir, fs)
 
     empty = spark.createDataFrame([], f"a {id_type}, b {id_type}, jaccard double")
-    if not meta:  # empty source: no batch ever fired
+    if not state["pair_batches"]:  # empty source: no batch ever fired
         return empty
-    # zero-pairs detection is a directory pre-check, not an exception
-    # net: a genuine read failure (corrupt file, permissions) must
-    # propagate, never masquerade as "no near-dups" (round-6 advice)
-    part_files = [
-        f
-        for d in os.listdir(pairs_dir)
-        if d.startswith("ingest_id=")
-        for f in os.listdir(os.path.join(pairs_dir, d))
-        if f.startswith("part-") and f.endswith(".parquet")
-    ] if os.path.isdir(pairs_dir) else []
-    if not part_files:
-        return empty
-    return spark.read.parquet(pairs_dir).select("a", "b", "jaccard")
+    # only manifest-committed batches' pairs partitions are readable —
+    # a crashed batch's partial overwrite is invisible, and a genuine
+    # read failure (corrupt file, permissions) propagates from the scan
+    paths = [
+        os.path.join(pairs_dir, f"ingest_id={b}") for b in state["pair_batches"]
+    ]
+    return (
+        spark.read.option("basePath", pairs_dir)
+        .schema(pairs_schema)
+        .parquet(*paths)
+        .select("a", "b", "jaccard")
+    )
 
 
-def compact_lsh_state(spark: SparkSession, state_dir: str) -> bool:
+def compact_lsh_state(
+    spark: SparkSession,
+    state_dir: str,
+    fs=None,
+    target_bucket_bytes: int = 256 << 20,
+) -> bool:
     """LSM compaction for the dedup stream's state: merge every
     committed run EXCEPT the newest into ONE sorted bucketed run per
-    relation, at the second-highest committed ingest_id.  Returns True
-    iff a compaction ran.  Run between stream runs — it rewrites state,
-    so it must not race a live query (``run_dedup_stream_minhash``
-    invokes it itself after the availableNow query terminates, which
-    satisfies the precondition by construction).
+    relation, at the second-highest committed ingest_id, published by
+    a manifest commit.  Returns True iff a compaction ran.  Run between
+    stream runs — it rewrites state, so it must not race a live query
+    (``run_dedup_stream_minhash`` invokes it itself after the
+    availableNow query terminates, which satisfies the precondition by
+    construction).
 
-    REPLAY SAFETY (round-6 advice #1): ``_commit`` runs inside
+    REPLAY SAFETY (round-6 advice #1): the manifest commit runs inside
     foreachBatch BEFORE the streaming checkpoint commits the batch, so
-    the HIGHEST meta batch may be a batch a restarted stream will
-    replay — compacting it away (or into itself) would make the
-    replay's ``ingest_id < top`` probe see an empty corpus and its run
+    the HIGHEST manifest run may belong to a batch a restarted stream
+    will replay — compacting it away (or into itself) would make the
+    replay's ``rid < top`` probe see an empty corpus and its run
     overwrite destroy the merged state.  Every batch BELOW the max is
     provably checkpoint-committed (foreachBatch is sequential: batch
-    N+1 appearing in meta implies N's checkpoint commit preceded it),
-    so the merge target is the SECOND-highest id: the newest run is
-    never rewritten, and a replayed top batch sees exactly the same
-    row set through its ``< top`` filter before and after compaction.
+    N+1 appearing in the manifest implies N's checkpoint commit
+    preceded it), so the merge target is the SECOND-highest id: the
+    newest run is never rewritten or garbage-collected, and a replayed
+    top batch sees exactly the same row set through its run-list filter
+    before and after compaction.
 
-    CRASH SAFETY (round-6 advice #2): the new root — merged run PLUS
-    the preserved newest run — is built COMPLETE in a temp dir, the old
-    root is renamed aside (``root -> root.old``), the new root renamed
-    in, then ``root.old`` deleted.  A crash before the first rename
-    leaves the old root untouched (temp leftovers are cleared on the
-    next call); between the renames, ``_recover_root`` (called here and
-    at stream start) restores the old root; after the second rename,
-    the new root is already complete and the leftover ``root.old`` is
-    cleared on the next call.  No window leaves the root missing-and-
-    unrecoverable or half-populated.
+    CRASH SAFETY, rename-free (round-7 advice #1): the merged run is
+    written COMPLETE into a fresh generation directory
+    (``gen=G/ingest_id=target``, G = max live gen + 1 — a name no
+    manifest references), then ONE manifest commit flips the live run
+    set to {merged, newest}, then superseded directories are
+    garbage-collected best-effort.  A crash before the commit leaves
+    the old manifest pointing at intact old runs (the partial new
+    directory is unreferenced garbage, cleared by the next pass); a
+    torn manifest write self-invalidates via its checksum and reads as
+    the old state; a crash mid-GC leaves garbage, never corruption.
+    No step renames anything — the protocol is PUT + (deferred) DELETE
+    only, so it behaves identically on S3/GCS and POSIX.
 
-    Bucket layout is preserved (same n_buckets, re-sorted per bucket),
-    so probe pruning semantics are identical before and after; on a
-    cluster this is where ``auto_bucket_count`` (operators/scale.py)
-    would re-size the merged run's bucket count — power-of-two counts
-    keep old and new layouts co-partition-compatible."""
-    meta = _load_meta(state_dir)
-    batches = meta.get("batches", {})
-    if len(batches) < 2:
+    RE-BUCKETING (round-7 advice #4): the merged run's bucket modulus
+    is re-sized from its ACTUAL on-disk bytes via ``auto_bucket_count``
+    (floor = the largest modulus among the merged runs — never shrink;
+    always a power of two), so bucket granularity tracks corpus growth
+    and the probe's touched-bucket I/O stays ~``target_bucket_bytes``
+    per touched bucket instead of ballooning with the corpus.  Probes
+    project their footprint onto each run's own modulus, so mixed
+    moduli (freshly re-bucketed merged run + small new ingest runs)
+    prune exactly."""
+    fs = fs or LocalFS()
+    log = ManifestLog(fs, state_dir)
+    head = log.head()
+    if head is None:
+        return False
+    state = head[1]
+    runs = sorted(state["runs"], key=lambda r: int(r["rid"]))
+    # clear garbage from a previously crashed compaction or batch
+    # attempt — idempotent, and everything it removes is unreferenced
+    _gc_runs(fs, state_dir, runs)
+    if len(runs) < 2:
         return False  # nothing safely mergeable below the newest run
-    ids = sorted(batches)
-    target, newest = ids[-2], ids[-1]
-    n_buckets = meta["n_buckets"]
+    merged_runs, newest = runs[:-1], runs[-1]
+    target = int(merged_runs[-1]["rid"])
+    gen_new = max(int(r["gen"]) for r in runs) + 1
+    # size the merged run from what it will actually hold: the bigger
+    # relation's bytes govern (sig and sh share the modulus so one
+    # footprint collect serves both probes)
+    n_bytes = max(
+        sum(fs.du(_run_dir(os.path.join(state_dir, rel), r)) for r in merged_runs)
+        for rel in ("sig", "sh")
+    )
+    floor = max(int(r["n_buckets"]) for r in merged_runs)
+    new_m = auto_bucket_count(
+        n_bytes, target_bucket_bytes=target_bucket_bytes,
+        lo=floor, hi=1 << 20, default=floor,
+    )
     for rel, key in (("sig", "bkey"), ("sh", "doc_id")):
         root = os.path.join(state_dir, rel)
-        _recover_root(root)
-        old = root + ".old"
-        if os.path.isdir(old):  # leftover of a crash AFTER a completed swap
-            shutil.rmtree(old)
-        tmp = os.path.join(state_dir, f"_compact_{rel}")
-        shutil.rmtree(tmp, ignore_errors=True)
         merged = (
             spark.read.option("basePath", root)
-            .parquet(root)
-            .filter(F.col("ingest_id") <= target)
-            .drop("ingest_id")
+            .parquet(*[_run_dir(root, r) for r in merged_runs])
+            .drop("gen", "ingest_id", "bucket")
         )
-        (
-            # same layout discipline as _write_run: hash on the bucket
-            # id (no range-sampler job), whole buckets per task,
-            # key-sorted so the merged run's row-group stats stay tight
-            merged.repartition(n_buckets, "bucket")
-            .sortWithinPartitions("bucket", key)
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(tmp, f"ingest_id={target}"))
-        )
-        # preserve runs newer than the target (COPY, not move: the old
-        # root must stay complete until the atomic swap)
-        for d in os.listdir(root):
-            if d.startswith("ingest_id=") and int(d.split("=", 1)[1]) > target:
-                shutil.copytree(os.path.join(root, d), os.path.join(tmp, d))
-        os.rename(root, old)
-        os.rename(tmp, root)
-        shutil.rmtree(old)
-    _save_meta(
-        state_dir,
+        # same layout discipline as _write_run (bucket recomputed at
+        # the new modulus, whole buckets per task, key-sorted tight
+        # row-group stats), into the fresh generation dir
+        _write_run(merged, root, target, key, new_m, gen=gen_new)
+    merged_entry = {
+        "rid": target,
+        "gen": gen_new,
+        "n_docs": sum(int(r["n_docs"]) for r in merged_runs),
+        "n_buckets": int(new_m),
+    }
+    log.commit(
         {
-            "n_buckets": n_buckets,
-            "batches": {
-                target: sum(v for b, v in batches.items() if b <= target),
-                newest: batches[newest],
-            },
-        },
+            "runs": [merged_entry, newest],
+            "pair_batches": state["pair_batches"],
+        }
     )
+    _gc_runs(fs, state_dir, [merged_entry, newest])
     return True

@@ -1,0 +1,106 @@
+"""The manifest commit log (streaming/commitlog.py) — the PUT-only,
+rename-free protocol every durable streaming state transition rides on.
+No SparkSession needed: this layer is pure filesystem contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from mysql_cdc_redis_spark.streaming.commitlog import LocalFS, ManifestLog
+
+from .fs_double import HostileFS, InjectedCrash
+
+
+@pytest.fixture()
+def root():
+    p = os.path.join(tempfile.gettempdir(), f"cl_{uuid.uuid4().hex[:8]}")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def test_commit_then_head_roundtrip(root):
+    log = ManifestLog(LocalFS(), root)
+    assert log.head() is None
+    v1 = log.commit({"runs": [1, 2], "x": "a"})
+    v2 = log.commit({"runs": [1, 2, 3], "x": "b"})
+    assert v2 > v1
+    head = log.head()
+    assert head == (v2, {"runs": [1, 2, 3], "x": "b"})
+
+
+def test_torn_commit_reads_as_previous_state(root):
+    """A crash mid-PUT leaves a torn manifest; the checksum invalidates
+    it and head() falls back — the transition never happened."""
+    fs = HostileFS()
+    log = ManifestLog(fs, root)
+    v1 = log.commit({"state": "old"})
+    fs.arm_tear_write()
+    with pytest.raises(InjectedCrash):
+        log.commit({"state": "new"})
+    fs.disarm()
+    assert log.head() == (v1, {"state": "old"})
+
+
+def test_retry_after_torn_commit_never_overwrites(root):
+    """The retry must claim a FRESH version number (overwriting an
+    existing object is the one mutation object stores read non-
+    atomically), and the torn object must stay inert."""
+    fs = HostileFS()
+    log = ManifestLog(fs, root)
+    log.commit({"state": "old"})
+    fs.arm_tear_write()
+    with pytest.raises(InjectedCrash):
+        log.commit({"state": "new"})
+    fs.disarm()
+    torn = [f for f in os.listdir(log.dir)]
+    v3 = log.commit({"state": "new"})
+    assert log.head() == (v3, {"state": "new"})
+    # the torn file was not reused as the retry's name
+    assert f"v{v3:020d}.json" not in torn
+
+
+def test_garbage_and_foreign_files_are_skipped(root):
+    fs = LocalFS()
+    log = ManifestLog(fs, root)
+    v = log.commit({"ok": True})
+    # hand-plant: valid-JSON-wrong-checksum, non-JSON, foreign names
+    fs.write_bytes(
+        os.path.join(log.dir, f"v{v + 5:020d}.json"),
+        json.dumps({"payload": {"evil": 1}, "sha256": "0" * 64}).encode(),
+    )
+    fs.write_bytes(os.path.join(log.dir, f"v{v + 6:020d}.json"), b"\x00not json")
+    fs.write_bytes(os.path.join(log.dir, "README.txt"), b"hi")
+    assert log.head() == (v, {"ok": True})
+    # and the next commit goes past ALL existing numbers, valid or not
+    v2 = log.commit({"ok": 2})
+    assert v2 > v + 6
+
+
+def test_retention_prunes_old_versions_but_keeps_fallback(root):
+    log = ManifestLog(LocalFS(), root, keep=3)
+    for i in range(10):
+        log.commit({"i": i})
+    names = [f for f in os.listdir(log.dir) if f.endswith(".json")]
+    assert len(names) <= 3
+    assert log.head()[1] == {"i": 9}
+
+
+def test_crash_mid_retention_delete_is_harmless(root):
+    fs = HostileFS()
+    log = ManifestLog(fs, root, keep=2)
+    log.commit({"i": 0})
+    log.commit({"i": 1})
+    fs.arm_crash_delete()  # the commit below prunes v1 — die during it
+    with pytest.raises(InjectedCrash):
+        log.commit({"i": 2})
+    fs.disarm()
+    # the new head was already durable before retention ran
+    assert log.head()[1] == {"i": 2}
+    log.commit({"i": 3})
+    assert log.head()[1] == {"i": 3}

@@ -964,7 +964,11 @@ def test_stream_dedup_probe_never_shuffles_state(spark, sf_dir):
             _banded(mh(corpus).select("doc_id", *mh_cols), 16, 4),
             sig_root, 0, "bkey",
         )
-        state_sig = _read_runs(spark, sig_root, 1)
+        state_sig = _read_runs(
+            spark, sig_root,
+            [{"rid": 0, "gen": 0, "n_buckets": 16}],
+            "doc_id bigint, band int, bkey string, gen int, ingest_id int, bucket int",
+        )
         banded_b = _banded(mh(batch).select("doc_id", *mh_cols), 16, 4)
         plan = _plan(_cross_candidates(state_sig, banded_b))
         assert "BroadcastHashJoin" in plan
@@ -1024,11 +1028,13 @@ def test_stream_dedup_state_read_prunes_buckets_and_keys(spark, sf_dir):
     try:
         _write_run(banded, sig_root, 0, "bkey", n_buckets=16)
         pruned = _read_runs(
-            spark, sig_root, 1,
+            spark, sig_root,
+            [{"rid": 0, "gen": 0, "n_buckets": 16}],
+            "doc_id bigint, band int, bkey string, gen int, ingest_id int, bucket int",
             key_col="bkey",
             keys=["00deadbeef", "00cafebabe"],
-            buckets=[3, 7],
-            schema="doc_id bigint, band int, bkey string, ingest_id int, bucket int",
+            touched=[3, 7],
+            probe_modulus=16,
         )
         plan = _plan(pruned)
         scan = plan.split("Scan parquet", 1)[1]

@@ -2,7 +2,10 @@
 (streaming/dedup_stream.py): the accumulated emissions must equal the
 one-shot batch ``minhash_lsh_pairs`` under any micro-batch slicing,
 survive a checkpoint restart, replay exactly-once, keep the cache clean,
-and stay correct across an LSM state compaction."""
+and stay correct across an LSM state compaction.  The durability tests
+run against BOTH the POSIX backend and the hostile object-store double
+(tests/fs_double.py — no rename, torn writes, half-dead deletes): the
+commit protocol must need nothing the weaker substrate can't give."""
 
 from __future__ import annotations
 
@@ -12,6 +15,7 @@ import tempfile
 import time
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 
 from mysql_cdc_redis_spark.operators.dedup import minhash_lsh_pairs
@@ -21,6 +25,12 @@ from mysql_cdc_redis_spark.streaming import (
     run_dedup_stream_minhash,
 )
 from mysql_cdc_redis_spark.streaming.changelog_files import stage_changelog_files
+from mysql_cdc_redis_spark.streaming.commitlog import LocalFS
+from mysql_cdc_redis_spark.streaming.dedup_stream import _load_state
+
+from .fs_double import HostileFS, InjectedCrash
+
+FS_BACKENDS = [LocalFS, HostileFS]
 
 
 def _tmp(name):
@@ -50,17 +60,19 @@ def _cleanup(*paths):
         shutil.rmtree(p, ignore_errors=True)
 
 
-def test_stream_dedup_equals_batch_any_slicing(spark, sf_dir):
+@pytest.mark.parametrize("fs_cls", FS_BACKENDS)
+def test_stream_dedup_equals_batch_any_slicing(spark, sf_dir, fs_cls):
     """Telescoping parity: 1-chunk (single batch, within-pairs only) and
     4-chunk (cross-batch probes dominate) slicings both reproduce the
-    one-shot batch pair set exactly."""
+    one-shot batch pair set exactly — on POSIX and on the rename-free
+    object-store double alike."""
     docs = load_table(spark, sf_dir, "documents")
     expected = _pairs(minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2))
     assert expected  # fixture plants near-dup groups; empty would be vacuous
     for n_chunks in (1, 4):
         src = _tmp("dstream_src")
         stage_changelog_files(docs, src, n_chunks=n_chunks, key_col="doc_id")
-        out, dirs = _run(spark, src, docs.schema)
+        out, dirs = _run(spark, src, docs.schema, fs=fs_cls())
         assert _pairs(out) == expected, f"n_chunks={n_chunks}"
         _cleanup(src, *dirs.values())
 
@@ -111,7 +123,8 @@ def test_stream_dedup_prune_gate_branches_agree(spark, sf_dir):
         _cleanup(src, *dirs.values())
 
 
-def test_stream_dedup_checkpoint_resume_midway(spark, sf_dir):
+@pytest.mark.parametrize("fs_cls", FS_BACKENDS)
+def test_stream_dedup_checkpoint_resume_midway(spark, sf_dir, fs_cls):
     """K5: ingest half the corpus, run to completion; add the rest as
     new files and re-run on the same checkpoint + state — cross pairs
     between the halves must appear, and the final set must equal the
@@ -121,7 +134,7 @@ def test_stream_dedup_checkpoint_resume_midway(spark, sf_dir):
     second = docs.filter(F.col("doc_id") % 2 == 1)
     src = _tmp("dstream_resume_src")
     stage_changelog_files(first, src, n_chunks=2, key_col="doc_id")
-    out1, dirs = _run(spark, src, docs.schema)
+    out1, dirs = _run(spark, src, docs.schema, fs=fs_cls())
     assert _pairs(out1) == _pairs(
         minhash_lsh_pairs(first, n=3, k=16, bands=4, threshold=0.2)
     )
@@ -135,7 +148,7 @@ def test_stream_dedup_checkpoint_resume_midway(spark, sf_dir):
     shutil.rmtree(tmp)
     os.utime(dst, (time.time(), time.time()))
 
-    out2, _ = _run(spark, src, docs.schema, dirs=dirs)
+    out2, _ = _run(spark, src, docs.schema, dirs=dirs, fs=fs_cls())
     assert _pairs(out2) == _pairs(
         minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
     )
@@ -205,11 +218,22 @@ def test_stream_dedup_lsm_compaction_preserves_results(spark, sf_dir):
     out1.count()  # drain
 
     assert compact_lsh_state(spark, dirs["state_dir"])
+    # merged run at the second-highest id + the preserved newest run
+    # (the possibly-replayable one is never a compaction target); GC
+    # leaves exactly those two directories on disk per relation
+    state = _load_state(dirs["state_dir"], LocalFS())
+    assert len(state["runs"]) == 2, state["runs"]
+    assert state["runs"][0]["gen"] > state["runs"][1]["gen"]  # merged is fresh-gen
     for rel in ("sig", "sh"):
-        runs = os.listdir(os.path.join(dirs["state_dir"], rel))
-        # merged run at the second-highest id + the preserved newest run
-        # (the possibly-replayable one is never a compaction target)
-        assert len([r for r in runs if r.startswith("ingest_id=")]) == 2, rel
+        root = os.path.join(dirs["state_dir"], rel)
+        on_disk = [
+            (g, r)
+            for g in os.listdir(root)
+            if g.startswith("gen=")
+            for r in os.listdir(os.path.join(root, g))
+            if r.startswith("ingest_id=")
+        ]
+        assert len(on_disk) == 2, (rel, on_disk)
 
     tmp = f"{src}/_stage_x"
     second.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -284,19 +308,23 @@ def test_stream_dedup_probe_reads_only_touched_buckets(spark, sf_dir):
     n_corrupted = 0
     for rel, touched in (("sig", sig_touched), ("sh", sh_touched)):
         root = os.path.join(dirs["state_dir"], rel)
-        for run in os.listdir(root):
-            if not run.startswith("ingest_id="):
+        for gdir in os.listdir(root):
+            if not gdir.startswith("gen="):
                 continue
-            for bdir in os.listdir(os.path.join(root, run)):
-                if not bdir.startswith("bucket="):
+            for run in os.listdir(os.path.join(root, gdir)):
+                if not run.startswith("ingest_id="):
                     continue
-                if int(bdir.split("=", 1)[1]) in touched:
-                    continue
-                for f in os.listdir(os.path.join(root, run, bdir)):
-                    if f.endswith(".parquet"):
-                        with open(os.path.join(root, run, bdir, f), "wb") as fh:
-                            fh.write(b"\x00garbage, not parquet\x00")
-                        n_corrupted += 1
+                rdir = os.path.join(root, gdir, run)
+                for bdir in os.listdir(rdir):
+                    if not bdir.startswith("bucket="):
+                        continue
+                    if int(bdir.split("=", 1)[1]) in touched:
+                        continue
+                    for f in os.listdir(os.path.join(rdir, bdir)):
+                        if f.endswith(".parquet"):
+                            with open(os.path.join(rdir, bdir, f), "wb") as fh:
+                                fh.write(b"\x00garbage, not parquet\x00")
+                            n_corrupted += 1
     assert n_corrupted > 0, "vacuous: the batch touched every bucket"
 
     # ingest the probe doc: must succeed despite the corruption...
@@ -330,9 +358,7 @@ def test_stream_dedup_auto_compaction_bounds_runs(spark, sf_dir):
     assert _pairs(out) == _pairs(
         minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
     )
-    for rel in ("sig", "sh"):
-        runs = os.listdir(os.path.join(dirs["state_dir"], rel))
-        assert len([r for r in runs if r.startswith("ingest_id=")]) == 2, rel
+    assert len(_load_state(dirs["state_dir"], LocalFS())["runs"]) == 2
     _cleanup(src, *dirs.values())
 
 
@@ -364,30 +390,129 @@ def test_stream_dedup_compaction_safe_under_checkpoint_replay(spark, sf_dir):
     _cleanup(src, *dirs.values())
 
 
-def test_stream_dedup_compaction_crash_between_renames_recovers(spark, sf_dir):
-    """Crash-safe swap: if a compaction died between `root -> root.old`
-    and the new root's rename, the state looks missing — both the next
-    compaction and the next stream run must restore it instead of
-    treating the corpus as empty."""
+def test_stream_dedup_compaction_torn_manifest_commit_recovers(spark, sf_dir):
+    """The commit-layer crash window: the compaction wrote its merged
+    run but DIED mid-manifest-PUT (torn object).  The torn manifest
+    self-invalidates, so the state reads as pre-compaction (old runs
+    intact, merged dir = invisible garbage); a later compaction and a
+    later stream run must both proceed to the full correct result."""
     docs = load_table(spark, sf_dir, "documents")
-    src = _tmp("dstream_cr_src")
-    stage_changelog_files(docs, src, n_chunks=2, key_col="doc_id")
+    src = _tmp("dstream_torn_src")
+    stage_changelog_files(docs, src, n_chunks=3, key_col="doc_id")
+    out1, dirs = _run(spark, src, docs.schema, auto_compact_runs=None)
+    out1.count()
+    before = _load_state(dirs["state_dir"], LocalFS())
+
+    fs = HostileFS()
+    fs.arm_tear_write()  # the compaction's only fs write IS the commit
+    with pytest.raises(InjectedCrash):
+        compact_lsh_state(spark, dirs["state_dir"], fs=fs)
+    # the transition never happened: state is byte-identical
+    assert _load_state(dirs["state_dir"], LocalFS()) == before
+
+    fs.disarm()
+    assert compact_lsh_state(spark, dirs["state_dir"], fs=fs)
+    assert len(_load_state(dirs["state_dir"], LocalFS())["runs"]) == 2
+    out2, _ = _run(spark, src, docs.schema, dirs=dirs, auto_compact_runs=None)
+    assert _pairs(out2) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_compaction_crash_mid_gc_recovers(spark, sf_dir):
+    """GC is off the correctness path: a compaction that committed its
+    manifest but died HALFWAY through deleting superseded run dirs must
+    leave a fully consistent state — garbage is invisible to readers
+    and cleared by the next compaction pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = _tmp("dstream_gc_src")
+    stage_changelog_files(docs, src, n_chunks=3, key_col="doc_id")
     out1, dirs = _run(spark, src, docs.schema, auto_compact_runs=None)
     out1.count()
 
-    # simulate the crash window for both relations
-    for rel in ("sig", "sh"):
-        root = os.path.join(dirs["state_dir"], rel)
-        os.rename(root, root + ".old")
+    fs = HostileFS()
+    fs.arm_crash_delete()  # first post-commit GC delete dies halfway
+    with pytest.raises(InjectedCrash):
+        compact_lsh_state(spark, dirs["state_dir"], fs=fs)
+    # the commit preceded GC: the compacted state is already live
+    state = _load_state(dirs["state_dir"], LocalFS())
+    assert len(state["runs"]) == 2
 
-    # next compaction recovers, then compacts normally
-    assert compact_lsh_state(spark, dirs["state_dir"])
-    for rel in ("sig", "sh"):
-        root = os.path.join(dirs["state_dir"], rel)
-        assert os.path.isdir(root) and not os.path.isdir(root + ".old")
+    fs.disarm()
+    out2, _ = _run(spark, src, docs.schema, dirs=dirs, auto_compact_runs=None, fs=fs)
+    assert _pairs(out2) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    _cleanup(src, *dirs.values())
 
-    # and a drained stream re-run still returns the full accumulated set
-    out2, _ = _run(spark, src, docs.schema, dirs=dirs, auto_compact_runs=None)
+
+def test_stream_dedup_batch_torn_manifest_commit_replays(spark, sf_dir):
+    """A micro-batch that wrote its pairs and runs but DIED mid-
+    manifest-PUT never checkpoint-committed either: the restart must
+    replay it, overwrite its partial artifacts, and converge to the
+    batch oracle — the exactly-once story with zero renames anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = _tmp("dstream_bt_src")
+    stage_changelog_files(docs, src, n_chunks=3, key_col="doc_id")
+    fs2 = HostileFS()
+    dirs = {
+        "checkpoint_dir": _tmp("dstream_bt_ckpt"),
+        "state_dir": _tmp("dstream_bt_state"),
+        "pairs_dir": _tmp("dstream_bt_pairs"),
+    }
+    fs2.tear_write_at = 2  # batch 0 commits (write 1); batch 1 tears
+    with pytest.raises(Exception):  # surfaces as a StreamingQueryException
+        run_dedup_stream_minhash(
+            spark, src, docs.schema, max_files_per_trigger=1, **dirs, fs=fs2
+        )
+    state_mid = _load_state(dirs["state_dir"], LocalFS())
+    assert [r["rid"] for r in state_mid["runs"]] == [0]  # batch 1 never committed
+
+    fs2.disarm()
+    out = run_dedup_stream_minhash(
+        spark, src, docs.schema, max_files_per_trigger=1, **dirs, fs=fs2
+    )
+    assert _pairs(out) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_compaction_rebuckets_when_state_outgrows_layout(spark, sf_dir):
+    """Round-7 advice #4: compaction re-sizes the merged run's bucket
+    modulus from its actual bytes.  With a tiny target_bucket_bytes the
+    merged run must come out with MORE (power-of-two) buckets than the
+    ingest runs' 16, new ingest runs keep their own modulus, and the
+    mixed-moduli probe still telescopes to the batch oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    src = _tmp("dstream_rb_src")
+    stage_changelog_files(first, src, n_chunks=3, key_col="doc_id")
+    out1, dirs = _run(spark, src, docs.schema, auto_compact_runs=None)
+    out1.count()
+
+    assert compact_lsh_state(spark, dirs["state_dir"], target_bucket_bytes=4096)
+    state = _load_state(dirs["state_dir"], LocalFS())
+    merged = min(state["runs"], key=lambda r: r["rid"])
+    m = merged["n_buckets"]
+    assert m > 16 and (m & (m - 1)) == 0, state["runs"]
+
+    tmp = f"{src}/_stage_x"
+    second.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = f"{src}/chunk-9999.parquet"
+    shutil.move(f"{tmp}/{part}", dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (time.time(), time.time()))
+
+    # force the PRUNED probe across the re-bucketed state: the footprint
+    # at the (larger) merged modulus must project exactly onto both
+    out2, _ = _run(
+        spark, src, docs.schema, dirs=dirs, auto_compact_runs=None,
+        prune_min_state_ratio=0.0,
+    )
     assert _pairs(out2) == _pairs(
         minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
     )
