@@ -421,10 +421,10 @@ _LSH_PLANES = 4
 _LSH_TABLES = 12
 
 
-def _lsh_oracle() -> str:
+def _lsh_oracle(n_tables: int = _LSH_TABLES, n_planes: int = _LSH_PLANES) -> str:
     plane_hash = _MD5LONG.format(e="CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)")
     w_expr = f"CASE WHEN {plane_hash} % 2 = 0 THEN 1.0 ELSE -1.0 END"
-    total = _LSH_TABLES * _LSH_PLANES
+    total = n_tables * n_planes
     return f"""
 WITH planes AS (
   SELECT p, d, {w_expr} AS w
@@ -439,10 +439,10 @@ proj AS (
   FROM vecd JOIN planes USING (d) GROUP BY vec_id, p
 ),
 bucket AS (
-  SELECT vec_id, p // {_LSH_PLANES} AS tbl,
-         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % {_LSH_PLANES})) ELSE 0 END)
+  SELECT vec_id, p // {n_planes} AS tbl,
+         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % {n_planes})) ELSE 0 END)
               AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id, p // {_LSH_PLANES}
+  FROM proj GROUP BY vec_id, p // {n_planes}
 ),
 cand AS (
   SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
@@ -486,6 +486,41 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         "q_id", "rank"
     )
+
+
+# Recall-targeted ANN defaults (round-7 verdict #5): the fixture
+# embeddings are isotropic random — the hardest case — so the measured
+# recall-vs-scan frontier is the honest contract a user buys into.
+# Measured recall@5 against brute force on the sf0.01 fixtures
+# (tests/test_ann_recall.py pins the documented configs):
+#   LSH  L×b : 12x4→0.75 @0.56 cand-frac   16x4→0.875 @0.65
+#              24x4→0.925 @0.78            32x4→0.975 @0.86
+#   IVF probe (of 16 cells): 4→0.325  6→0.50  8→0.65  10→0.80
+#              12→0.925  16→1.0 (≡ brute force)
+# On clustered real embeddings the same recall costs far less scan;
+# the full curve + guidance live in COVERAGE.md.
+_LSH_TABLES_R80 = 16  # recall ≥0.8 target: measured 0.875
+_IVF_PROBE_R80 = 12  # recall ≥0.8 target: measured 0.925
+
+
+@register(
+    "sim_cosine_topk_lsh_recall",
+    doc="Recall-targeted multi-table LSH ANN (16 tables x 4 planes): "
+    "the measured ≥0.8-recall@5 configuration on the isotropic fixture "
+    "embeddings (0.875 at ~0.65 candidate fraction).  Same one-pass "
+    "plane construction and hash-join candidate generation as "
+    "sim_cosine_topk_lsh — only the table count differs; the "
+    "recall-vs-scan frontier is documented in COVERAGE.md.",
+    tags=("similarity", "lsh", "ext"),
+    oracle=_lsh_oracle(n_tables=_LSH_TABLES_R80),
+)
+def sim_cosine_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return sim.cosine_topk_lsh(
+        queries, corpus, k=5, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES_R80
+    ).orderBy("q_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -652,7 +687,7 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_metadata(mm.attach_binary_payload(docs)).orderBy("doc_id")
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(n_probe: int = 4) -> str:
     cos_qc = _COS_EXPR.format(a="qv", b="cv")
     cos_nc = _COS_EXPR.format(a="nv", b="cv")
     cos_qn = _COS_EXPR.format(a="qv", b="nv")
@@ -675,7 +710,7 @@ query_cells AS (
     SELECT q_id, cid,
            row_number() OVER (PARTITION BY q_id ORDER BY {cos_qc} DESC, cid) AS rankc
     FROM queries, cent
-  ) WHERE rankc <= 4
+  ) WHERE rankc <= {n_probe}
 ),
 scored AS (
   SELECT DISTINCT q.q_id, c.n_id, {cos_qn} AS cos
@@ -713,6 +748,30 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_ivf(queries, corpus, centroids, k=5, n_probe=4).orderBy(
         "q_id", "rank"
     )
+
+
+@register(
+    "sim_cosine_topk_ivf_recall",
+    doc="Recall-targeted IVF ANN: probe 12 of 16 cells — the measured "
+    "≥0.8-recall@5 configuration on the isotropic fixture embeddings "
+    "(0.925; probe 10 is exactly 0.80).  Isotropic data is IVF's worst "
+    "case (no cluster structure to exploit), so this scans ~75% of "
+    "cells; on clustered real embeddings the same recall needs far "
+    "fewer probes — the measured curve lives in COVERAGE.md and is "
+    "pinned by tests/test_ann_recall.py.",
+    tags=("similarity", "ivf", "ext"),
+    oracle=_ivf_oracle(n_probe=_IVF_PROBE_R80),
+)
+def sim_cosine_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    centroids = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return sim.cosine_topk_ivf(
+        queries, corpus, centroids, k=5, n_probe=_IVF_PROBE_R80
+    ).orderBy("q_id", "rank")
 
 
 @register(

@@ -155,6 +155,7 @@ def _write_run(
     sort_col: str,
     n_buckets: int = _DEFAULT_BUCKETS,
     gen: int = 0,
+    single_task: bool = False,
 ) -> None:
     """One immutable sorted bucketed run: overwrite this run's
     directory (idempotent under replay — static overwrite replaces
@@ -165,20 +166,28 @@ def _write_run(
     min/max statistics are disjoint and tight for the pushed IN
     predicate.  The run is INVISIBLE until a manifest references it."""
     bucketed = df.withColumn("bucket", _bucket_of(F.col(sort_col), n_buckets))
-    (
+    # Layout invariant either branch: one file per bucket dir
+    # (partitionBy splits a task's output by partition value), rows
+    # key-sorted within each file, so per-file row-group min/max stats
+    # stay disjoint and tight for the pushed IN predicate.
+    if single_task:
+        # tiny batch (point probe / trickle ingest): n_buckets tasks of
+        # a handful of rows each are pure scheduler overhead — one task
+        # writes every bucket dir in one pass (round-7 advice #6)
+        bucketed = bucketed.coalesce(1)
+    else:
         # hash-repartition on the bucket id, NOT repartitionByRange:
         # range partitioning runs a sampling job per write (two extra
         # jobs per micro-batch), and all it buys here is splitting an
         # oversized bucket across tasks — but auto_bucket_count sizes
         # buckets to ~256 MB precisely so one-task-per-bucket is right.
-        # Each bucket value still lands whole in one task, key-sorted,
-        # so per-file row-group min/max stats stay disjoint and tight.
         # (murmur3 collisions can co-locate 2-3 buckets in one task and
         # leave ~1/e of tasks empty — a write-throughput wobble, not a
         # correctness or probe-I/O concern, since each bucket value
         # still lands whole and sorted in exactly one task.)
-        bucketed.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("bucket", sort_col)
+        bucketed = bucketed.repartition(n_buckets, "bucket")
+    (
+        bucketed.sortWithinPartitions("bucket", sort_col)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "static")
         .partitionBy("bucket")
@@ -371,9 +380,6 @@ def run_dedup_stream_minhash(
         cand_cross = None
         try:
             sizes_b = sig_b.select("doc_id", "n_sh")
-            # one bounded count over the persisted batch digests: feeds
-            # the adaptive prune gate here and the manifest commit below
-            n_b = sig_b.count()
             state = _load_state(state_dir, fs)
             # runs strictly older than this batch: a retried batch must
             # not probe (or double-count) its own crashed attempt, and
@@ -381,10 +387,21 @@ def run_dedup_stream_minhash(
             # the pre-batch corpus
             runs_before = [r for r in state["runs"] if int(r["rid"]) < batch_id]
             state_docs = sum(int(r["n_docs"]) for r in runs_before)
-            do_prune = state_docs > prune_min_state_ratio * max(n_b, 1)
             # footprints are computed at the LARGEST live modulus; each
             # run's filter projects them down exactly (powers of two)
             probe_m = max((int(r["n_buckets"]) for r in runs_before), default=w_buckets)
+            # ONE bounded agg job (round-7 advice #6 — this replaces the
+            # separate count job AND the overflow bucket-footprint job):
+            # exact batch size for the gate + manifest, distinct probe-
+            # key count, and the touched bucket set.  Every output is
+            # O(1) or ≤ probe_m values — never key- or corpus-sized.
+            fp = banded_b.agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.countDistinct("bkey").alias("n_keys"),
+                F.collect_set(_bucket_of(F.col("bkey"), probe_m)).alias("buckets"),
+            ).first()
+            n_b = int(fp["n_docs"])
+            do_prune = state_docs > prune_min_state_ratio * max(n_b, 1)
 
             # within-batch pairs: the ordinary pairwise form over the
             # (small) batch — both sides' shingles are batch-local
@@ -400,11 +417,17 @@ def run_dedup_stream_minhash(
             )
             pairs = _verify_jaccard_pairs(cand_within, sh_b, sizes_b, threshold)
 
-            bkeys, bkts = (
-                _probe_footprint(banded_b, "bkey", probe_m)
-                if do_prune
-                else (None, None)
-            )
+            bkts = sorted(int(b) for b in fp["buckets"]) if do_prune else None
+            bkeys = None
+            if do_prune and int(fp["n_keys"]) <= _KEY_PUSH_CAP:
+                # the key list is worth shipping (row-group skips inside
+                # touched buckets) only under the cap; one small collect
+                bkeys = [
+                    r["k"]
+                    for r in banded_b.select(F.col("bkey").alias("k"))
+                    .distinct()
+                    .collect()
+                ]
             probe = bool(bkts) if do_prune else bool(n_b and state_docs)
             state_sig = (
                 _read_runs(
@@ -424,8 +447,13 @@ def run_dedup_stream_minhash(
                     a_ids, a_bkts = _probe_footprint(cand_cross, "a", probe_m)
                     have_cands = bool(a_bkts)
                 else:
+                    # below the gate the state is ratio-bounded small:
+                    # reading it through the verify join costs less than
+                    # a driver job spent checking for zero candidates
+                    # (an empty cand side just makes the join a no-op
+                    # inside the pairs-write action)
                     a_ids, a_bkts = None, None
-                    have_cands = not cand_cross.isEmpty()
+                    have_cands = True
                 if have_cands:  # zero candidates: skip the sh state read entirely
                     # verify reads ONLY candidate docs' state shingle
                     # rows (bucket+IN prune at the scan, broadcast
@@ -464,12 +492,18 @@ def run_dedup_stream_minhash(
             canon.write.mode("overwrite").parquet(
                 os.path.join(pairs_dir, f"ingest_id={batch_id}")
             )
+            # tiny batches write their runs in one task: w_buckets tasks
+            # of a few rows each are scheduler overhead, and the bucket
+            # dirs + in-file key sort (the probe's prune surface) come
+            # out identical either way
+            tiny = n_b <= 2_048
             _write_run(
                 banded_b.select("doc_id", "band", "bkey"),
-                sig_root, batch_id, "bkey", w_buckets,
+                sig_root, batch_id, "bkey", w_buckets, single_task=tiny,
             )
             _write_run(
-                sh_b.select("doc_id", "h"), sh_root, batch_id, "doc_id", w_buckets
+                sh_b.select("doc_id", "h"), sh_root, batch_id, "doc_id",
+                w_buckets, single_task=tiny,
             )
             new_run = {
                 "rid": int(batch_id), "gen": 0,

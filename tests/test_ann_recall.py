@@ -28,6 +28,20 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert ivf_recall >= 0.25, f"IVF recall degraded: {ivf_recall}"
 
 
+def test_ann_recall_targeted_configs_hit_documented_recall(spark, sf_dir):
+    """Round-7 verdict #5: the recall-targeted catalog entries must
+    deliver the recall their docs claim (≥0.8 on the isotropic fixture
+    embeddings — IVF's and LSH's hardest case).  Measured on sf0.01:
+    LSH 16x4 → 0.875, IVF probe-12/16 → 0.925; the full frontier is in
+    COVERAGE.md.  Anything below 0.8 here means the documented contract
+    broke — fail, don't re-tune silently."""
+    brute = _pairs(spark, sf_dir, "sim_cosine_topk_bruteforce")
+    for name in ("sim_cosine_topk_lsh_recall", "sim_cosine_topk_ivf_recall"):
+        got = _pairs(spark, sf_dir, name)
+        recall = len(brute & got) / len(brute)
+        assert recall >= 0.8, f"{name} below its documented recall: {recall}"
+
+
 def test_pq_seed_vectors_self_encode(spark, sf_dir):
     # the codebook is built from the 16 lowest-id vectors' subvectors —
     # those vectors must therefore encode to their own centroid id in

@@ -1,0 +1,148 @@
+"""Round-8 experiment: large-ingest-batch ECONOMICS of the streaming
+dedup (round-7 verdict item #3) plus the per-trigger FLOOR re-measure
+(item #6), against ONE fixed state.
+
+The round-7 docstring claim — "a million-doc batch touches every bucket
+and amortizes one bounded state read" — was asserted, not measured.
+This sweeps ingest batch size (1, 10³, 10⁴, 10⁵ docs) against the SAME
+accumulated state and reports per-doc cost; the curve must FALL as the
+batch grows (fixed per-trigger machinery amortizes over more docs),
+which the tool ASSERTS as a regression gate (strict monotone
+non-increase of per-doc cost with batch size).
+
+Fixed-state protocol: the state/checkpoint/pairs/source tree is built
+once (40k sf10 docs, two micro-batches — the round-7 build), then
+SNAPSHOTTED; every probe arm runs against a fresh COPY of the snapshot,
+so arms never see each other's ingests (this removes the 1-doc-drift
+caveat the round-7 point-probe tool documented: there, probes mutated
+the shared state; here the copy makes every arm's state byte-identical).
+Per-batch walls come from the checkpoint's own offsets/commits mtimes —
+zero instrumentation in measured code.  Probe docs come from slices
+never ingested into state, so every arm exercises the real
+cross-corpus candidate + verify path.
+
+    SPARK_DRIVER_MEMORY=64g python tools/measure_stream_dedup_batch_econ.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_redis_spark.session import get_spark
+    from mysql_cdc_redis_spark.sources import load_table
+    from mysql_cdc_redis_spark.streaming.changelog_files import (
+        stage_changelog_files,
+    )
+    from mysql_cdc_redis_spark.streaming.dedup_stream import (
+        run_dedup_stream_minhash,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, ".localdata", "sf10"
+    )
+    spark = get_spark(app_name="dstream-batch-econ")
+    docs = load_table(spark, sf_dir, "documents")
+    sliced = docs.withColumn("_sl", F.pmod(F.xxhash64("doc_id"), F.lit(250)))
+
+    base = os.path.join(tempfile.gettempdir(), f"dbe8_{uuid.uuid4().hex[:8]}")
+    build = os.path.join(base, "build")
+    os.makedirs(os.path.join(build, "src"))
+    t_mt = time.time()
+
+    def stage_into(tree: str, wdf, n_files: int, seq0: int) -> int:
+        stage = os.path.join(base, "_stage")
+        stage_changelog_files(wdf.drop("_sl"), stage, n_chunks=n_files,
+                              key_col="doc_id")
+        seq = seq0
+        for f in sorted(os.listdir(stage)):
+            dst = os.path.join(tree, "src", f"w{seq:04d}-{f}")
+            shutil.move(os.path.join(stage, f), dst)
+            os.utime(dst, (t_mt + seq, t_mt + seq))
+            seq += 1
+        shutil.rmtree(stage)
+        return seq
+
+    def run(tree: str) -> int:
+        out = run_dedup_stream_minhash(
+            spark, os.path.join(tree, "src"), docs.schema,
+            checkpoint_dir=os.path.join(tree, "ckpt"),
+            state_dir=os.path.join(tree, "state"),
+            pairs_dir=os.path.join(tree, "pairs"),
+            n=3, k=16, bands=4, threshold=0.2,
+            max_files_per_trigger=1, auto_compact_runs=None,
+        )
+        return out.count()
+
+    def last_batch_wall(tree: str) -> float:
+        ck = os.path.join(tree, "ckpt")
+        b = max(int(x) for x in os.listdir(f"{ck}/commits") if x.isdigit())
+        return round(
+            os.path.getmtime(f"{ck}/commits/{b}")
+            - os.path.getmtime(f"{ck}/offsets/{b}"), 2)
+
+    try:
+        # ---- fixed state: 40k docs over two micro-batches, snapshotted
+        seq = stage_into(build, sliced.filter("_sl >= 20 AND _sl < 40"), 2, 0)
+        n_pairs_base = run(build)
+        print(f"# state built: 40k docs, pairs={n_pairs_base}", flush=True)
+
+        # ---- sweep: each arm = ONE micro-batch of `size` docs against a
+        # fresh copy of the snapshot (never-ingested slices)
+        arm_slices = {1: "_sl = 0", 1_000: "_sl IN (1,2)",
+                      10_000: "_sl >= 100 AND _sl < 107",
+                      100_000: "_sl >= 107 AND _sl < 170"}
+        per_doc: dict[int, float] = {}
+        walls: dict[int, float] = {}
+        actual: dict[int, int] = {}
+        for size, cond in sorted(arm_slices.items()):
+            arm = os.path.join(base, f"arm_{size}")
+            shutil.copytree(build, arm)
+            batch = sliced.filter(cond).limit(size)
+            n_docs = batch.count()
+            stage_into(arm, batch, 1, seq)
+            run(arm)
+            walls[size] = last_batch_wall(arm)
+            actual[size] = n_docs
+            per_doc[size] = round(walls[size] / max(n_docs, 1), 5)
+            print(f"# batch={size} (actual {n_docs} docs): wall={walls[size]}s "
+                  f"per_doc={per_doc[size] * 1000:.2f}ms", flush=True)
+            shutil.rmtree(arm, ignore_errors=True)
+
+        sizes = sorted(per_doc)
+        # the regression gate: per-doc cost must fall (non-increase, 10%
+        # slack for wall noise) as batch size grows — the amortization
+        # claim, now asserted instead of asserted-in-prose
+        for a, b in zip(sizes, sizes[1:]):
+            assert per_doc[b] <= per_doc[a] * 1.10, (
+                f"per-doc cost rose {a}->{b}: {per_doc[a]} -> {per_doc[b]}")
+
+        print(json.dumps({
+            "metric": "stream_dedup_batch_economics_sf10",
+            "state_docs": 40_000,
+            "batch_walls_sec": walls,
+            "batch_docs": actual,
+            "per_doc_sec": per_doc,
+            "point_probe_floor_sec": walls.get(1),
+        }))
+    finally:
+        # ALWAYS reclaim the multi-GB state trees, success or crash
+        # (round-7 advice #4)
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

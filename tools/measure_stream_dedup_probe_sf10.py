@@ -24,6 +24,13 @@ Probe docs are drawn from slices never ingested into state, so each
 probe exercises the real cross-corpus candidate+verify path against
 its near-dup copies in state.
 
+Known protocol caveat (round-7 advice #4): each probe doc is ITSELF
+ingested into the shared state, so later probes measure against a
+state larger by one doc per preceding probe — negligible against 40k+
+docs, but the arms are not byte-identical.  The round-8 batch-economics
+tool (measure_stream_dedup_batch_econ.py) removes this by running every
+arm against a fresh copy of a snapshotted state.
+
     python tools/measure_stream_dedup_probe_sf10.py [sf_dir]
 """
 
@@ -64,6 +71,24 @@ def main() -> None:
     src, ckpt = f"{base}/src", f"{base}/ckpt"
     state, pairs = f"{base}/state", f"{base}/pairs"
     os.makedirs(src)
+    try:
+        _experiment(spark, docs, sliced, base, src, ckpt, state, pairs)
+    finally:
+        # ALWAYS reclaim the multi-GB state tree (round-7 advice #4)
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+def _experiment(spark, docs, sliced, base, src, ckpt, state, pairs) -> None:
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_redis_spark.streaming.changelog_files import (
+        stage_changelog_files,
+    )
+    from mysql_cdc_redis_spark.streaming.dedup_stream import (
+        run_dedup_stream_minhash,
+    )
+
     seq = 0
     t_mt = time.time()
     batch_walls: dict[int, float] = {}
@@ -121,8 +146,6 @@ def main() -> None:
         "probes": probes,
         "all_batch_walls": batch_walls,
     }))
-    shutil.rmtree(base, ignore_errors=True)
-    spark.stop()
 
 
 if __name__ == "__main__":
