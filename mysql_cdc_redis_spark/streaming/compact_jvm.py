@@ -278,6 +278,7 @@ def run_compaction_stream_jvm(
     checkpoint_dir: str,
     state_dir: str,
     max_files_per_trigger: int | None = None,
+    fs=None,
 ) -> DataFrame:
     """End-to-end availableNow run of the JVM streaming compactor
     (blocking=False mode, cdc_config.py:36): tail the file changelog,
@@ -291,7 +292,7 @@ def run_compaction_stream_jvm(
     and crash-retry determinism).  State tables persist across runs of
     the same state_dir — call ``drop_state_jvm`` to dispose of them
     when the pipeline is decommissioned."""
-    slots = _StateSlots(spark, state_dir)
+    slots = _StateSlots(spark, state_dir, fs=fs)
 
     reader = spark.readStream.schema(source_schema)
     if max_files_per_trigger:
@@ -345,6 +346,7 @@ def run_retraction_stream_jvm(
     state_dir: str,
     deltas_dir: str,
     max_files_per_trigger: int | None = None,
+    fs=None,
 ) -> DataFrame:
     """Pure-JVM retraction stream — the foreachBatch twin of
     ``run_retraction_stream`` (streaming/compact_stream.py:362), the
@@ -371,7 +373,7 @@ def run_retraction_stream_jvm(
     Reference anchor: this is the streaming form of the reference's
     aggregate-maintenance pattern (rcache.py:224-259 merge keeps Redis
     aggregates current per poll loop)."""
-    slots = _StateSlots(spark, state_dir)
+    slots = _StateSlots(spark, state_dir, fs=fs)
     touched_payloads = [F.col(c) for c in payload_cols]
 
     def _live_rows(state: DataFrame, touched: DataFrame, sign: int) -> DataFrame:
@@ -448,6 +450,7 @@ def run_scd2_stream_jvm(
     state_dir: str,
     emissions_dir: str,
     max_files_per_trigger: int | None = None,
+    fs=None,
 ) -> DataFrame:
     """Pure-JVM incremental SCD2 — the foreachBatch twin of
     ``run_scd2_stream`` (streaming/compact_stream.py:497), zero per-key
@@ -467,7 +470,7 @@ def run_scd2_stream_jvm(
     semantics identical to ``run_compaction_stream_jvm``."""
     from pyspark.sql.window import Window
 
-    slots = _StateSlots(spark, state_dir)
+    slots = _StateSlots(spark, state_dir, fs=fs)
     payload_ddl = "".join(
         f", {c} {source_schema[c].dataType.simpleString()}" for c in payload_cols
     )
@@ -605,6 +608,7 @@ def run_compaction_pipeline_dual_sink_jvm(
     date_col: str = "cdc_ts",
     fmt: str = "yyyyMM",
     max_files_per_trigger: int | None = None,
+    fs=None,
 ) -> DataFrame:
     """The reference's COMPOSED loop — cdc.py (binlog tail) → rcache.py
     (keyed cache merge) → dump2csv.py (date-partitioned CSV dump) — as
@@ -637,7 +641,7 @@ def run_compaction_pipeline_dual_sink_jvm(
         raise ValueError(f"date_col {date_col!r} must be in payload_cols")
     from ..operators.dump import dump_state_parquet, dump_to_csv
 
-    slots = _StateSlots(spark, state_dir)
+    slots = _StateSlots(spark, state_dir, fs=fs)
 
     reader = spark.readStream.schema(source_schema)
     if max_files_per_trigger:

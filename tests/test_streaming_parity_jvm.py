@@ -63,6 +63,46 @@ def test_jvm_stream_equals_batch(spark, sf_dir):
         drop_state_jvm(spark, state_dir)
 
 
+def test_jvm_stream_torn_meta_commit_replays_to_batch_parity(spark, sf_dir):
+    """End-to-end object-store-safety of the JVM compactor: the batch
+    whose slot-map commit TEARS mid-PUT never checkpoint-committed
+    either, so the restart replays it deterministically from the prior
+    slot and the final state still equals the batch compactor."""
+    import pytest
+
+    from .fs_double import HostileFS, InjectedCrash
+
+    ch = orders_changelog(spark, sf_dir)
+    source_dir = _tmp("jvm_torn_chglog")
+    stage_changelog_files(ch, source_dir, n_chunks=3)
+    state_dir = _tmp("jvm_torn_state")
+    ckpt = _tmp("jvm_torn_ckpt")
+    fs = HostileFS()
+    fs.tear_write_at = 2  # batch 0 commits; batch 1's commit tears
+    try:
+        with pytest.raises(Exception) as ei:
+            run_compaction_stream_jvm(
+                spark, source_dir, ch.schema, ORDERS_PK, ORDERS_PAYLOAD,
+                checkpoint_dir=ckpt, state_dir=state_dir,
+                max_files_per_trigger=1, fs=fs,
+            )
+        assert "InjectedCrash" in str(ei.value) or isinstance(
+            ei.value, InjectedCrash
+        )
+        fs.disarm()
+        streamed = run_compaction_stream_jvm(
+            spark, source_dir, ch.schema, ORDERS_PK, ORDERS_PAYLOAD,
+            checkpoint_dir=ckpt, state_dir=state_dir,
+            max_files_per_trigger=1, fs=fs,
+        )
+        cols = ["tbl", "rid", "cdc_action", *ORDERS_PAYLOAD]
+        assert _rows(streamed, cols) == _rows(
+            compact(ch, ORDERS_PK, ORDERS_PAYLOAD), cols
+        )
+    finally:
+        drop_state_jvm(spark, state_dir)
+
+
 def test_jvm_checkpoint_resume_midway(spark, sf_dir):
     """K5/T1: half the changelog, run; append the rest, run again on the
     same checkpoint + state dir — per-key state must span the restart
@@ -203,6 +243,36 @@ def test_jvm_retry_is_deterministic(spark, sf_dir):
         )
     finally:
         drop_state_jvm(spark, state_dir)
+
+
+def test_jvm_slot_meta_torn_commit_reads_as_prior_state(spark):
+    """The slot commit log rides the PUT-only manifest protocol
+    (round-7 advice #1): a commit torn mid-write must read back as the
+    PRIOR batch→slot map (the transition never happened), and the retry
+    must land under a fresh version — no rename, no atomic-replace
+    assumption anywhere."""
+    import pytest
+
+    from mysql_cdc_redis_spark.streaming.compact_jvm import _StateSlots
+
+    from .fs_double import HostileFS, InjectedCrash
+
+    state_dir = _tmp("jvm_torn_meta")
+    fs = HostileFS()
+    slots = _StateSlots(spark, state_dir, fs=fs)
+    try:
+        slots.commit(0, 0)
+        assert slots.latest_before(1) == (0, 0)
+        fs.arm_tear_write()
+        with pytest.raises(InjectedCrash):
+            slots.commit(1, 1)
+        # the torn commit is invisible: batch 1 still merges from slot 0
+        assert slots.latest_before(2) == (0, 0)
+        fs.disarm()
+        slots.commit(1, 1)  # the replay's commit
+        assert slots.latest_before(2) == (1, 1)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def test_jvm_retraction_equals_pandas_twin_emissions(spark, sf_dir):

@@ -10,12 +10,18 @@ batch grows (fixed per-trigger machinery amortizes over more docs),
 which the tool ASSERTS as a regression gate (strict monotone
 non-increase of per-doc cost with batch size).
 
-Fixed-state protocol: the state/checkpoint/pairs/source tree is built
-once (40k sf10 docs, two micro-batches — the round-7 build), then
+Fixed-state protocol: the state/checkpoint/pairs tree is built once
+(40k sf10 docs, two micro-batches — the round-7 build), then
 SNAPSHOTTED; every probe arm runs against a fresh COPY of the snapshot,
 so arms never see each other's ingests (this removes the 1-doc-drift
 caveat the round-7 point-probe tool documented: there, probes mutated
 the shared state; here the copy makes every arm's state byte-identical).
+The SOURCE directory is shared at one fixed absolute path — Spark's
+file-stream checkpoint records seen files by absolute path, so the
+copied checkpoint only recognizes its build files if they still live
+where it saw them; each arm stages its probe chunk into that shared
+dir and removes it afterward, so the next arm's (fresh) checkpoint
+never sees it.
 Per-batch walls come from the checkpoint's own offsets/commits mtimes —
 zero instrumentation in measured code.  Probe docs come from slices
 never ingested into state, so every arm exercises the real
@@ -59,25 +65,28 @@ def main() -> None:
 
     base = os.path.join(tempfile.gettempdir(), f"dbe8_{uuid.uuid4().hex[:8]}")
     build = os.path.join(base, "build")
-    os.makedirs(os.path.join(build, "src"))
+    src = os.path.join(base, "src")  # SHARED: one absolute path, all arms
+    os.makedirs(src)
+    os.makedirs(build)
     t_mt = time.time()
 
-    def stage_into(tree: str, wdf, n_files: int, seq0: int) -> int:
+    def stage_into(wdf, n_files: int, seq0: int) -> tuple[int, list[str]]:
         stage = os.path.join(base, "_stage")
         stage_changelog_files(wdf.drop("_sl"), stage, n_chunks=n_files,
                               key_col="doc_id")
-        seq = seq0
+        seq, staged = seq0, []
         for f in sorted(os.listdir(stage)):
-            dst = os.path.join(tree, "src", f"w{seq:04d}-{f}")
+            dst = os.path.join(src, f"w{seq:04d}-{f}")
             shutil.move(os.path.join(stage, f), dst)
             os.utime(dst, (t_mt + seq, t_mt + seq))
+            staged.append(dst)
             seq += 1
         shutil.rmtree(stage)
-        return seq
+        return seq, staged
 
     def run(tree: str) -> int:
         out = run_dedup_stream_minhash(
-            spark, os.path.join(tree, "src"), docs.schema,
+            spark, src, docs.schema,
             checkpoint_dir=os.path.join(tree, "ckpt"),
             state_dir=os.path.join(tree, "state"),
             pairs_dir=os.path.join(tree, "pairs"),
@@ -95,12 +104,14 @@ def main() -> None:
 
     try:
         # ---- fixed state: 40k docs over two micro-batches, snapshotted
-        seq = stage_into(build, sliced.filter("_sl >= 20 AND _sl < 40"), 2, 0)
+        seq, _ = stage_into(sliced.filter("_sl >= 20 AND _sl < 40"), 2, 0)
         n_pairs_base = run(build)
         print(f"# state built: 40k docs, pairs={n_pairs_base}", flush=True)
 
         # ---- sweep: each arm = ONE micro-batch of `size` docs against a
-        # fresh copy of the snapshot (never-ingested slices)
+        # fresh copy of the snapshot (never-ingested slices).  The probe
+        # chunk is staged into the SHARED src and removed after the arm,
+        # so every arm's checkpoint sees exactly build-files + its own.
         arm_slices = {1: "_sl = 0", 1_000: "_sl IN (1,2)",
                       10_000: "_sl >= 100 AND _sl < 107",
                       100_000: "_sl >= 107 AND _sl < 170"}
@@ -112,13 +123,15 @@ def main() -> None:
             shutil.copytree(build, arm)
             batch = sliced.filter(cond).limit(size)
             n_docs = batch.count()
-            stage_into(arm, batch, 1, seq)
+            seq, staged = stage_into(batch, 1, seq)
             run(arm)
             walls[size] = last_batch_wall(arm)
             actual[size] = n_docs
             per_doc[size] = round(walls[size] / max(n_docs, 1), 5)
             print(f"# batch={size} (actual {n_docs} docs): wall={walls[size]}s "
                   f"per_doc={per_doc[size] * 1000:.2f}ms", flush=True)
+            for f in staged:
+                os.remove(f)
             shutil.rmtree(arm, ignore_errors=True)
 
         sizes = sorted(per_doc)
