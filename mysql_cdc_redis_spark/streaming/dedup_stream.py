@@ -116,6 +116,15 @@ _KEY_PUSH_CAP = 1_024
 
 _DEFAULT_BUCKETS = 16
 
+# Per-batch run sizing: a run's bucket modulus grows with the batch
+# that writes it (~128k docs ≈ 512k sig rows per bucket), floored at
+# the configured n_buckets — so a mega-batch (10^7 docs) writes ~128
+# proportionate buckets instead of 16 multi-GB ones, while trickle
+# batches keep the small layout.  Probes project one footprint onto
+# every run's own modulus (all powers of two), so mixed layouts are
+# free; compaction later re-sizes the merged run from actual bytes.
+_DOCS_PER_BUCKET = 131_072
+
 
 def _pow2_at_least(n: int) -> int:
     """Smallest power of two >= n.  Every bucket modulus in the state
@@ -330,10 +339,12 @@ def run_dedup_stream_minhash(
     (a, b, jaccard) == ``minhash_lsh_pairs`` over everything ingested so
     far (all runs of the same dirs, across restarts).
 
-    ``n_buckets`` (rounded up to a power of two) buckets each NEW
-    ingest run; every run records its own modulus in the manifest, so
-    compaction is free to re-bucket the merged corpus run by size
-    while probes project one footprint exactly onto every modulus.
+    ``n_buckets`` (rounded up to a power of two) is the FLOOR modulus
+    for new ingest runs; a run's actual modulus grows with the batch
+    that writes it (``_DOCS_PER_BUCKET``), every run records its own
+    modulus in the manifest, and compaction re-buckets the merged
+    corpus run from its actual bytes — probes project one footprint
+    exactly onto every modulus, so mixed layouts prune exactly.
     ``auto_compact_runs`` bounds LSM growth: when more than that many
     committed runs exist after the stream drains, ``compact_lsh_state``
     folds them (the stream has terminated, so the no-live-query
@@ -492,22 +503,27 @@ def run_dedup_stream_minhash(
             canon.write.mode("overwrite").parquet(
                 os.path.join(pairs_dir, f"ingest_id={batch_id}")
             )
-            # tiny batches write their runs in one task: w_buckets tasks
+            # tiny batches write their runs in one task: run_m tasks
             # of a few rows each are scheduler overhead, and the bucket
             # dirs + in-file key sort (the probe's prune surface) come
-            # out identical either way
+            # out identical either way; mega-batches get proportionally
+            # more buckets (per-run moduli — see _DOCS_PER_BUCKET)
             tiny = n_b <= 2_048
+            run_m = max(
+                w_buckets,
+                _pow2_at_least(-(-n_b // _DOCS_PER_BUCKET)) if n_b else w_buckets,
+            )
             _write_run(
                 banded_b.select("doc_id", "band", "bkey"),
-                sig_root, batch_id, "bkey", w_buckets, single_task=tiny,
+                sig_root, batch_id, "bkey", run_m, single_task=tiny,
             )
             _write_run(
                 sh_b.select("doc_id", "h"), sh_root, batch_id, "doc_id",
-                w_buckets, single_task=tiny,
+                run_m, single_task=tiny,
             )
             new_run = {
                 "rid": int(batch_id), "gen": 0,
-                "n_docs": int(n_b), "n_buckets": int(w_buckets),
+                "n_docs": int(n_b), "n_buckets": int(run_m),
             }
             log.commit(
                 {
@@ -546,20 +562,27 @@ def run_dedup_stream_minhash(
         state = _load_state(state_dir, fs)
 
     empty = spark.createDataFrame([], f"a {id_type}, b {id_type}, jaccard double")
-    if not state["pair_batches"]:  # empty source: no batch ever fired
+    pb = state["pair_batches"]
+    if not pb:  # empty source: no batch ever fired
         return empty
     # only manifest-committed batches' pairs partitions are readable —
     # a crashed batch's partial overwrite is invisible, and a genuine
-    # read failure (corrupt file, permissions) propagates from the scan
-    paths = [
-        os.path.join(pairs_dir, f"ingest_id={b}") for b in state["pair_batches"]
-    ]
-    return (
-        spark.read.option("basePath", pairs_dir)
-        .schema(pairs_schema)
-        .parquet(*paths)
-        .select("a", "b", "jaccard")
-    )
+    # read failure (corrupt file, permissions) propagates from the scan.
+    # foreachBatch ids are contiguous from 0 across restarts, so the
+    # committed set is normally the full range and ONE partition filter
+    # covers it (a long-lived stream's 10^5 batches must not become
+    # 10^5 explicit reader paths); the explicit-path form stays as the
+    # defensive fallback for a non-contiguous set.
+    reader = spark.read.option("basePath", pairs_dir).schema(pairs_schema)
+    if pb == list(range(pb[0], pb[-1] + 1)):
+        pairs = reader.parquet(pairs_dir).filter(
+            (F.col("ingest_id") >= pb[0]) & (F.col("ingest_id") <= pb[-1])
+        )
+    else:
+        pairs = reader.parquet(
+            *[os.path.join(pairs_dir, f"ingest_id={b}") for b in pb]
+        )
+    return pairs.select("a", "b", "jaccard")
 
 
 def compact_lsh_state(

@@ -479,6 +479,50 @@ def test_stream_dedup_batch_torn_manifest_commit_replays(spark, sf_dir):
     _cleanup(src, *dirs.values())
 
 
+def test_stream_dedup_large_batch_writes_proportionally_more_buckets(
+    spark, sf_dir, monkeypatch
+):
+    """Per-batch run sizing: a batch bigger than _DOCS_PER_BUCKET ×
+    floor must write its run at a larger power-of-two modulus (recorded
+    in the manifest), and the next batch's probe — computed at the new
+    larger modulus, projected onto every run — must still telescope to
+    the batch oracle."""
+    from mysql_cdc_redis_spark.streaming import dedup_stream as ds
+
+    monkeypatch.setattr(ds, "_DOCS_PER_BUCKET", 100)
+    docs = load_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    n_first = first.count()
+    assert n_first > 200  # enough to outgrow the floor at 100 docs/bucket
+    src = _tmp("dstream_big_src")
+    stage_changelog_files(first, src, n_chunks=1, key_col="doc_id")
+    out1, dirs = _run(
+        spark, src, docs.schema, n_buckets=2, auto_compact_runs=None
+    )
+    out1.count()
+    state = _load_state(dirs["state_dir"], LocalFS())
+    m = state["runs"][0]["n_buckets"]
+    want = 1 << ((-(-n_first // 100)) - 1).bit_length()
+    assert m == max(2, want) and m > 2, state["runs"]
+
+    tmp = f"{src}/_stage_x"
+    second.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = f"{src}/chunk-9999.parquet"
+    shutil.move(f"{tmp}/{part}", dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (time.time(), time.time()))
+    out2, _ = _run(
+        spark, src, docs.schema, dirs=dirs, n_buckets=2,
+        auto_compact_runs=None, prune_min_state_ratio=0.0,
+    )
+    assert _pairs(out2) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    _cleanup(src, *dirs.values())
+
+
 def test_stream_dedup_compaction_rebuckets_when_state_outgrows_layout(spark, sf_dir):
     """Round-7 advice #4: compaction re-sizes the merged run's bucket
     modulus from its actual bytes.  With a tiny target_bucket_bytes the
