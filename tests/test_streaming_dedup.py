@@ -563,6 +563,55 @@ def test_stream_dedup_compaction_rebuckets_when_state_outgrows_layout(spark, sf_
     _cleanup(src, *dirs.values())
 
 
+def test_stream_dedup_grand_composition(spark, sf_dir, monkeypatch):
+    """Everything at once — the round-8 feature set composed: hostile
+    object-store FS (no rename), per-batch run sizing producing MIXED
+    bucket moduli, auto-compaction folding runs mid-lifecycle (with its
+    size-based re-bucket), forced pruned probes across the mixed
+    layout, and a checkpoint resume — the final pair set must still
+    telescope to the one-shot batch oracle."""
+    from mysql_cdc_redis_spark.streaming import dedup_stream as ds
+
+    monkeypatch.setattr(ds, "_DOCS_PER_BUCKET", 64)
+    docs = load_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    second = docs.filter(F.col("doc_id") % 3 == 0)
+    src = _tmp("dstream_grand_src")
+    stage_changelog_files(first, src, n_chunks=3, key_col="doc_id")
+    fs = HostileFS()
+    dirs = {
+        "checkpoint_dir": _tmp("dstream_grand_ckpt"),
+        "state_dir": _tmp("dstream_grand_state"),
+        "pairs_dir": _tmp("dstream_grand_pairs"),
+    }
+    out1 = run_dedup_stream_minhash(
+        spark, src, docs.schema, max_files_per_trigger=1, **dirs,
+        n_buckets=2, auto_compact_runs=2, prune_min_state_ratio=0.0, fs=fs,
+    )
+    out1.count()
+    state = _load_state(dirs["state_dir"], LocalFS())
+    assert len(state["runs"]) == 2  # auto-compacted
+    moduli = {r["n_buckets"] for r in state["runs"]}
+    assert all(m & (m - 1) == 0 for m in moduli)
+
+    tmp = f"{src}/_stage_x"
+    second.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = f"{src}/chunk-9999.parquet"
+    shutil.move(f"{tmp}/{part}", dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (time.time(), time.time()))
+
+    out2 = run_dedup_stream_minhash(
+        spark, src, docs.schema, max_files_per_trigger=1, **dirs,
+        n_buckets=2, auto_compact_runs=2, prune_min_state_ratio=0.0, fs=fs,
+    )
+    assert _pairs(out2) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    _cleanup(src, *dirs.values())
+
+
 def test_stream_dedup_leaves_no_persisted_rdds(spark, sf_dir):
     """The per-batch persists (shingles + signatures) are scope-released
     inside foreachBatch — the two-discipline staging lifecycle."""
