@@ -125,6 +125,16 @@ _DEFAULT_BUCKETS = 16
 # free; compaction later re-sizes the merged run from actual bytes.
 _DOCS_PER_BUCKET = 131_072
 
+# "Broadcast the batch, never shuffle the corpus" holds up to the point
+# where the batch itself no longer fits an executor: beyond this many
+# docs (~4 band rows each ≈ hundreds of MB serialized) the broadcast
+# hint is DROPPED and AQE plans the probe join — for a mega-batch the
+# shuffle it picks is bounded by the same touched-bucket state subset
+# the amortized read already pays for, whereas a forced broadcast is an
+# OOM cliff.  Trickle/point batches (the latency-sensitive regime)
+# stay on the broadcast plan.
+_BROADCAST_DOC_CAP = 2_000_000
+
 
 def _pow2_at_least(n: int) -> int:
     """Smallest power of two >= n.  Every bucket modulus in the state
@@ -275,18 +285,23 @@ def _probe_footprint(
     return None, sorted(r["b"] for r in buckets)
 
 
-def _cross_candidates(state_sig: DataFrame, banded_b: DataFrame) -> DataFrame:
+def _cross_candidates(
+    state_sig: DataFrame, banded_b: DataFrame, broadcast_batch: bool = True
+) -> DataFrame:
     """Corpus × batch candidates: broadcast the batch's band digests so
     the state scan is streamed through a BroadcastHashJoin — the corpus
     side is read but NEVER exchanged, the plan property that makes the
     per-batch cost independent of corpus size (pinned by
-    tests/test_plan_quality.py::test_stream_dedup_probe_never_shuffles_state)."""
+    tests/test_plan_quality.py::test_stream_dedup_probe_never_shuffles_state).
+    ``broadcast_batch=False`` (mega-batches, _BROADCAST_DOC_CAP) drops
+    the hint and lets AQE pick the join — forcing a broadcast of a
+    batch that doesn't fit an executor is an OOM, not a plan."""
+    batch_side = banded_b.select(F.col("doc_id").alias("b"), "band", "bkey")
+    if broadcast_batch:
+        batch_side = F.broadcast(batch_side)
     return (
         state_sig.select(F.col("doc_id").alias("a"), "band", "bkey")
-        .join(
-            F.broadcast(banded_b.select(F.col("doc_id").alias("b"), "band", "bkey")),
-            ["band", "bkey"],
-        )
+        .join(batch_side, ["band", "bkey"])
         .select("a", "b")
         .distinct()
     )
@@ -449,11 +464,14 @@ def run_dedup_stream_minhash(
                 if probe  # empty batch (or empty state) probes nothing
                 else None
             )
+            small_batch = n_b <= _BROADCAST_DOC_CAP
             if state_sig is not None:
                 # corpus × batch: broadcast the batch's band digests —
                 # the (pruned) state scan never exchanges, candidates
                 # are Σ_bucket |state_bucket ∩ batch_bucket| rows
-                cand_cross = _cross_candidates(state_sig, banded_b).persist()
+                cand_cross = _cross_candidates(
+                    state_sig, banded_b, broadcast_batch=small_batch
+                ).persist()
                 if do_prune:
                     a_ids, a_bkts = _probe_footprint(cand_cross, "a", probe_m)
                     have_cands = bool(a_bkts)
@@ -470,17 +488,19 @@ def run_dedup_stream_minhash(
                     # rows (bucket+IN prune at the scan, broadcast
                     # semi-join for exactness: no state shuffle), and
                     # their n_sh falls out of the same filtered rows
+                    cand_ids = cand_cross.select(
+                        F.col("a").alias("doc_id")
+                    ).distinct()
+                    if small_batch:
+                        # candidate count is bounded by the batch's
+                        # band collisions — broadcastable exactly when
+                        # the batch itself is
+                        cand_ids = F.broadcast(cand_ids)
                     sh_a = _read_runs(
                         spark, sh_root, runs_before, sh_schema,
                         key_col="doc_id", keys=a_ids,
                         touched=a_bkts, probe_modulus=probe_m if do_prune else None,
-                    ).join(
-                        F.broadcast(
-                            cand_cross.select(F.col("a").alias("doc_id")).distinct()
-                        ),
-                        "doc_id",
-                        "left_semi",
-                    )
+                    ).join(cand_ids, "doc_id", "left_semi")
                     sizes_a = sh_a.groupBy("doc_id").agg(
                         F.count(F.lit(1)).alias("n_sh")
                     )

@@ -563,6 +563,26 @@ def test_stream_dedup_compaction_rebuckets_when_state_outgrows_layout(spark, sf_
     _cleanup(src, *dirs.values())
 
 
+def test_stream_dedup_mega_batch_path_drops_broadcast_and_agrees(
+    spark, sf_dir, monkeypatch
+):
+    """Beyond _BROADCAST_DOC_CAP the probe must not force-broadcast a
+    batch that wouldn't fit an executor — AQE plans the join instead.
+    Monkeypatching the cap to 1 forces every batch onto the mega-batch
+    plan; the pair set must still telescope to the batch oracle (the
+    broadcast is a strategy hint, never semantics)."""
+    from mysql_cdc_redis_spark.streaming import dedup_stream as ds
+
+    monkeypatch.setattr(ds, "_BROADCAST_DOC_CAP", 1)
+    docs = load_table(spark, sf_dir, "documents")
+    expected = _pairs(minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2))
+    src = _tmp("dstream_mega_src")
+    stage_changelog_files(docs, src, n_chunks=3, key_col="doc_id")
+    out, dirs = _run(spark, src, docs.schema)
+    assert _pairs(out) == expected
+    _cleanup(src, *dirs.values())
+
+
 def test_stream_dedup_grand_composition(spark, sf_dir, monkeypatch):
     """Everything at once — the round-8 feature set composed: hostile
     object-store FS (no rename), per-batch run sizing producing MIXED
