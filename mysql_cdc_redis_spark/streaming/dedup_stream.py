@@ -159,12 +159,30 @@ def _run_dir(root: str, run: dict) -> str:
 
 
 def _load_state(state_dir: str, fs) -> dict:
-    """{"runs": [{rid, gen, n_docs, n_buckets}...], "pair_batches": [...]}
-    from the newest valid manifest — empty state if none committed."""
+    """{"runs": [{rid, gen, n_docs, n_buckets}...], "pair_ranges":
+    [[lo, hi]...]} from the newest valid manifest — empty state if none
+    committed.  Committed pairs partitions are tracked as merged id
+    RANGES, not a per-batch list: a year-long trickle stream commits
+    10^5-10^6 batches, and the manifest must stay O(1), not O(batches)
+    (foreachBatch ids are contiguous, so it is almost always ONE
+    range)."""
     head = ManifestLog(fs, state_dir).head()
     if head is None:
-        return {"runs": [], "pair_batches": []}
+        return {"runs": [], "pair_ranges": []}
     return head[1]
+
+
+def _add_to_ranges(ranges: list, b: int) -> list:
+    """Merged sorted inclusive ranges with ``b`` added (idempotent —
+    a replayed batch id is already covered)."""
+    out = sorted([list(map(int, r)) for r in ranges] + [[int(b), int(b)]])
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return merged
 
 
 def _write_run(
@@ -553,8 +571,8 @@ def run_dedup_stream_minhash(
                         + [new_run],
                         key=lambda r: int(r["rid"]),
                     ),
-                    "pair_batches": sorted(
-                        set(state["pair_batches"]) | {int(batch_id)}
+                    "pair_ranges": _add_to_ranges(
+                        state["pair_ranges"], int(batch_id)
                     ),
                 }
             )
@@ -582,27 +600,30 @@ def run_dedup_stream_minhash(
         state = _load_state(state_dir, fs)
 
     empty = spark.createDataFrame([], f"a {id_type}, b {id_type}, jaccard double")
-    pb = state["pair_batches"]
-    if not pb:  # empty source: no batch ever fired
+    pr = state["pair_ranges"]
+    if not pr:  # empty source: no batch ever fired
         return empty
     # only manifest-committed batches' pairs partitions are readable —
-    # a crashed batch's partial overwrite is invisible, and a genuine
-    # read failure (corrupt file, permissions) propagates from the scan.
-    # foreachBatch ids are contiguous from 0 across restarts, so the
-    # committed set is normally the full range and ONE partition filter
-    # covers it (a long-lived stream's 10^5 batches must not become
-    # 10^5 explicit reader paths); the explicit-path form stays as the
-    # defensive fallback for a non-contiguous set.
-    reader = spark.read.option("basePath", pairs_dir).schema(pairs_schema)
-    if pb == list(range(pb[0], pb[-1] + 1)):
-        pairs = reader.parquet(pairs_dir).filter(
-            (F.col("ingest_id") >= pb[0]) & (F.col("ingest_id") <= pb[-1])
-        )
-    else:
-        pairs = reader.parquet(
-            *[os.path.join(pairs_dir, f"ingest_id={b}") for b in pb]
-        )
-    return pairs.select("a", "b", "jaccard")
+    # a crashed batch's partial overwrite is partition-pruned away, and
+    # a genuine read failure (corrupt file, permissions) propagates from
+    # the scan.  foreachBatch ids are contiguous across restarts, so the
+    # committed set is normally ONE range and the whole read is one
+    # partition filter — never a 10^5-path reader for a 10^5-batch
+    # stream.
+    pred = functools.reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("ingest_id") >= int(lo)) & (F.col("ingest_id") <= int(hi))
+            for lo, hi in pr
+        ],
+    )
+    return (
+        spark.read.option("basePath", pairs_dir)
+        .schema(pairs_schema)
+        .parquet(pairs_dir)
+        .filter(pred)
+        .select("a", "b", "jaccard")
+    )
 
 
 def compact_lsh_state(
@@ -702,7 +723,7 @@ def compact_lsh_state(
     log.commit(
         {
             "runs": [merged_entry, newest],
-            "pair_batches": state["pair_batches"],
+            "pair_ranges": state["pair_ranges"],
         }
     )
     _gc_runs(fs, state_dir, [merged_entry, newest])

@@ -77,6 +77,22 @@ def test_stream_dedup_equals_batch_any_slicing(spark, sf_dir, fs_cls):
         _cleanup(src, *dirs.values())
 
 
+def test_stream_dedup_pair_ranges_merge_and_stay_bounded():
+    """The manifest tracks committed pairs partitions as merged RANGES:
+    contiguous foreachBatch ids collapse to one [lo, hi] (a 10^6-batch
+    stream's manifest stays O(1)), replayed ids are idempotent, and a
+    hypothetical gap stays represented exactly."""
+    from mysql_cdc_redis_spark.streaming.dedup_stream import _add_to_ranges
+
+    r = []
+    for b in range(100):
+        r = _add_to_ranges(r, b)
+    assert r == [[0, 99]]
+    assert _add_to_ranges(r, 50) == [[0, 99]]  # replay: no change
+    assert _add_to_ranges(r, 101) == [[0, 99], [101, 101]]  # gap kept
+    assert _add_to_ranges([[0, 99], [101, 101]], 100) == [[0, 101]]  # heals
+
+
 def test_stream_dedup_probe_footprint_overflow_falls_back_to_buckets(spark):
     """Above _KEY_PUSH_CAP the footprint must drop the key list (a
     many-thousand-literal IN costs ~2ms of driver time PER LITERAL per
