@@ -648,6 +648,27 @@ def test_stream_dedup_grand_composition(spark, sf_dir, monkeypatch):
     _cleanup(src, *dirs.values())
 
 
+def test_stream_dedup_uncommitted_pairs_partition_is_invisible(spark, sf_dir):
+    """The pairs read is manifest-gated: a partition left by a crashed
+    (never-committed) batch — here GARBAGE bytes at an id beyond the
+    committed ranges — must be partition-pruned at the scan, not read
+    (reading it would abort on the corrupt footer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = _tmp("dstream_upp_src")
+    stage_changelog_files(docs, src, n_chunks=2, key_col="doc_id")
+    out1, dirs = _run(spark, src, docs.schema)
+    expected = _pairs(out1)
+
+    junk = os.path.join(dirs["pairs_dir"], "ingest_id=9999")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00not parquet at all\x00")
+
+    out2, _ = _run(spark, src, docs.schema, dirs=dirs)  # drained re-run
+    assert _pairs(out2) == expected
+    _cleanup(src, *dirs.values())
+
+
 def test_stream_dedup_leaves_no_persisted_rdds(spark, sf_dir):
     """The per-batch persists (shingles + signatures) are scope-released
     inside foreachBatch — the two-discipline staging lifecycle."""
