@@ -18,12 +18,18 @@ Design — a **versioned, self-validating manifest log**:
   payload lists the live artifacts (run directories, slot ids, batch
   watermarks).  The current state is the HIGHEST-numbered manifest
   whose embedded checksum validates.
-* Commits are PUT-only.  A commit writes ONE new object under a name
-  no other writer uses (single logical writer — the same T5 stance as
-  the rest of the engine: foreachBatch is sequential).  No rename, no
+* Commits are PUT-only and FENCED.  A commit writes ONE new object
+  whose name it claims with a conditional PUT (local ``O_EXCL``; S3
+  ``If-None-Match: *``; GCS generation-0 precondition): under the
+  normal single-logical-writer regime (foreachBatch is sequential, the
+  same T5 stance as the rest of the engine) the condition never fires,
+  and when the regime is violated — a zombie driver revives and races
+  its replacement for the same version number — exactly one writer's
+  manifest lands and the other gets a loud ManifestConflict instead of
+  a silent last-writer-wins overwrite (the window the reference closed
+  with its Redis NX/EX lock, rcache.py:36-54).  No rename, no
   overwrite, no delete is on the commit path, so the protocol needs
-  nothing from the store beyond "a finished PUT is readable" — which
-  S3/GCS/local all guarantee.  A crash mid-PUT leaves a torn object;
+  nothing more from the store.  A crash mid-PUT leaves a torn object;
   the checksum makes torn manifests self-invalidating, and the reader
   falls back to the previous version (the state transition simply
   never happened — exactly the semantics ``os.replace`` provided,
@@ -38,9 +44,9 @@ Design — a **versioned, self-validating manifest log**:
   A crash mid-GC leaves unreferenced garbage, never corruption.
 
 ``StateFS`` is the narrow filesystem contract all of this needs —
-write (possibly torn), read, list, delete, stat.  ``LocalFS`` is the
-POSIX backend; an object-store backend implements the same five
-operations with PUT/GET/LIST/DELETE/HEAD.  Tests run the whole state
+write (possibly torn), conditional write, read, list, delete, stat.
+``LocalFS`` is the POSIX backend; an object-store backend implements
+the same six operations with PUT/GET/LIST/DELETE/HEAD.  Tests run the whole state
 layer against a hostile double (tests/fs_double.py) whose writes can
 be truncated mid-object and whose deletes can die halfway — the modes
 an eventually-consistent store exhibits — proving no code path needs
@@ -55,11 +61,31 @@ import os
 import shutil
 
 
+class PutConflict(Exception):
+    """A conditional PUT lost its race: an object already exists at the
+    target name.  Raised by ``StateFS.write_bytes_if_absent`` — the
+    local analog of S3's ``If-None-Match: *`` 412 and GCS's
+    ``ifGenerationMatch=0`` precondition failure."""
+
+
+class ManifestConflict(Exception):
+    """Two writers raced ``ManifestLog.commit`` for the same version.
+
+    The fenced PUT turned what used to be a silent last-writer-wins
+    overwrite into a detected conflict: the loser's payload — computed
+    from a now-stale head — was NEVER published.  The right response is
+    to re-read ``head()`` and recompute (or, for a zombie writer that
+    was superseded, to stop): blindly re-committing the same payload at
+    the next version would re-lose the other writer's update at the
+    payload level even though the log itself stayed consistent."""
+
+
 class LocalFS:
     """POSIX backend of the minimal state-filesystem contract.
 
-    The contract is five operations, chosen so an S3/GCS client maps
-    1:1 (PUT / GET / LIST / DELETE / HEAD+LIST for sizes).  There is
+    The contract is six operations, chosen so an S3/GCS client maps
+    1:1 (PUT / conditional PUT / GET / LIST / DELETE / HEAD+LIST for
+    sizes).  There is
     deliberately NO rename/move operation: the commit protocol above
     never needs one, and omitting it from the interface makes a
     rename-dependence regression a type error, not a latent bug."""
@@ -69,6 +95,23 @@ class LocalFS:
         objects self-invalidating (ManifestLog does, via checksum)."""
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
+            f.write(data)
+
+    def write_bytes_if_absent(self, path: str, data: bytes) -> None:
+        """Conditional PUT: write iff no object exists at ``path``,
+        else raise PutConflict — the write-fencing primitive.  Locally
+        this is ``O_EXCL``; on S3 it is ``If-None-Match: *``, on GCS a
+        generation-0 precondition — every target substrate offers it,
+        and it is the ONLY extra capability fencing needs.  May still
+        tear on crash (the object then EXISTS, torn, and claims its
+        name — callers allocate a fresh name on retry, which ManifestLog
+        already does for torn versions)."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            f = open(path, "xb")
+        except FileExistsError:
+            raise PutConflict(path) from None
+        with f:
             f.write(data)
 
     def read_bytes(self, path: str) -> bytes:
@@ -116,7 +159,10 @@ class ManifestLog:
     ``max(existing)+1`` (existing counts invalid versions too: a torn
     ``v7`` must not be overwritten by the retry, which becomes ``v8``
     — overwriting an existing object is the one mutation object stores
-    make non-atomic reads of).  Old valid manifests are retained as
+    make non-atomic reads of).  The version PUT is CONDITIONAL
+    (``write_bytes_if_absent``), so a concurrent writer racing for the
+    same version gets a loud ManifestConflict instead of silently
+    shadowing the other's commit.  Old valid manifests are retained as
     fallback and pruned beyond ``keep`` generations, off the commit
     path."""
 
@@ -163,11 +209,37 @@ class ManifestLog:
                 return v, payload
         return None
 
+    def recent(self, k: int) -> list[tuple[int, dict]]:
+        """Up to ``k`` newest VALID (version, payload) pairs, newest
+        first — the reader-snapshot window retention-lagged GC keys off
+        (data referenced by any of these manifests must stay on disk)."""
+        out: list[tuple[int, dict]] = []
+        for v in reversed(self._versions()):
+            payload = self._load(v)
+            if payload is not None:
+                out.append((v, payload))
+                if len(out) == k:
+                    break
+        return out
+
     def commit(self, payload: dict) -> int:
-        """Publish a new state version.  The write is a single PUT of
-        a self-validating object; there is no window in which a reader
-        can observe a half-applied transition (it either validates or
-        is skipped)."""
+        """Publish a new state version.  The write is a single
+        CONDITIONAL PUT of a self-validating object; there is no window
+        in which a reader can observe a half-applied transition (it
+        either validates or is skipped).
+
+        WRITE FENCING (round-8 verdict #1): the version number is
+        claimed with ``write_bytes_if_absent``, so two writers that
+        both computed ``max(existing)+1`` — the zombie-driver window
+        the reference closed with its Redis NX/EX lock (rcache.py:
+        36-54, T5) — produce ONE committed manifest and ONE
+        ManifestConflict, never a silent last-writer-wins overwrite.
+        The conflict is raised, not retried: the loser's payload was
+        derived from a stale head, so the only sound continuation is
+        to re-read state and recompute (see ManifestConflict).  A
+        retry after the SAME writer's own torn write never conflicts:
+        the torn object keeps its version number and the retry
+        allocates the next one."""
         versions = self._versions()
         v = (versions[-1] if versions else 0) + 1
         body = json.dumps(payload, sort_keys=True)
@@ -175,7 +247,15 @@ class ManifestLog:
             "payload": payload,
             "sha256": hashlib.sha256(body.encode("utf-8")).hexdigest(),
         }
-        self.fs.write_bytes(self._path(v), json.dumps(doc).encode("utf-8"))
+        try:
+            self.fs.write_bytes_if_absent(
+                self._path(v), json.dumps(doc).encode("utf-8")
+            )
+        except PutConflict:
+            raise ManifestConflict(
+                f"manifest version {v} at {self.dir} was claimed by a "
+                f"concurrent writer; re-read head() and recompute"
+            ) from None
         # retention: prune far-behind versions, best-effort, AFTER the
         # new head is durable (a crash here leaves extra history only)
         for old in versions[: max(0, len(versions) + 1 - self.keep)]:

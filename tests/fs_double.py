@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from mysql_cdc_redis_spark.streaming.commitlog import LocalFS
+from mysql_cdc_redis_spark.streaming.commitlog import LocalFS, PutConflict
 
 
 class InjectedCrash(Exception):
@@ -51,6 +51,20 @@ class HostileFS(LocalFS):
             super().write_bytes(path, data[: max(1, len(data) // 2)])
             raise InjectedCrash(f"torn write: {path}")
         super().write_bytes(path, data)
+
+    def write_bytes_if_absent(self, path: str, data: bytes) -> None:
+        """Models the conditional-PUT contract (S3 If-None-Match:* /
+        GCS generation-0): an existing object fails the precondition
+        CLEANLY (PutConflict, no tear — the store rejects before any
+        body bytes land), while a PUT that wins the condition can still
+        die mid-body, leaving a torn object that CLAIMS the name."""
+        self.writes += 1
+        if self.tear_write_at is not None and self.writes == self.tear_write_at:
+            if os.path.exists(path):
+                raise PutConflict(path)
+            super(HostileFS, self).write_bytes(path, data[: max(1, len(data) // 2)])
+            raise InjectedCrash(f"torn write: {path}")
+        super().write_bytes_if_absent(path, data)
 
     def delete(self, path: str) -> None:
         self.deletes += 1

@@ -12,7 +12,12 @@ import uuid
 
 import pytest
 
-from mysql_cdc_redis_spark.streaming.commitlog import LocalFS, ManifestLog
+from mysql_cdc_redis_spark.streaming.commitlog import (
+    LocalFS,
+    ManifestConflict,
+    ManifestLog,
+    PutConflict,
+)
 
 from .fs_double import HostileFS, InjectedCrash
 
@@ -89,6 +94,78 @@ def test_retention_prunes_old_versions_but_keeps_fallback(root):
     names = [f for f in os.listdir(log.dir) if f.endswith(".json")]
     assert len(names) <= 3
     assert log.head()[1] == {"i": 9}
+
+
+class _StaleListFS(LocalFS):
+    """A zombie writer's view of the log: directory listings frozen at
+    ``freeze()`` time (the driver stalled; the world moved on), while
+    writes still hit the real store — the exact interleaving that used
+    to silently lose a commit."""
+
+    def __init__(self):
+        self._snap: list[str] | None = None
+
+    def freeze(self, path: str) -> None:
+        self._snap = super().list(path)
+
+    def list(self, path: str) -> list[str]:
+        return list(self._snap) if self._snap is not None else super().list(path)
+
+
+def test_conditional_put_contract(root):
+    """write_bytes_if_absent: wins on a fresh name, raises PutConflict
+    on an existing object and leaves its bytes untouched."""
+    fs = LocalFS()
+    p = os.path.join(root, "obj")
+    fs.write_bytes_if_absent(p, b"first")
+    with pytest.raises(PutConflict):
+        fs.write_bytes_if_absent(p, b"second")
+    assert fs.read_bytes(p) == b"first"
+
+
+def test_zombie_writer_commit_is_detected_not_lost(root):
+    """Round-8 verdict #1: a zombie driver and its replacement both
+    compute max(existing)+1; the fenced PUT must turn the second
+    committer of that version into a DETECTED ManifestConflict — never
+    a silent last-writer-wins overwrite of the first."""
+    zombie_fs = _StaleListFS()
+    zombie = ManifestLog(zombie_fs, root)
+    replacement = ManifestLog(LocalFS(), root)
+    replacement.commit({"writer": "init"})
+    zombie_fs.freeze(zombie.dir)  # the zombie stalls holding this view
+    vb = replacement.commit({"writer": "replacement"})
+    with pytest.raises(ManifestConflict):
+        zombie.commit({"writer": "zombie"})  # computes the same version
+    # the replacement's commit is intact and still the head
+    assert replacement.head() == (vb, {"writer": "replacement"})
+
+
+def test_own_torn_retry_never_conflicts(root):
+    """Fencing must not break single-writer crash recovery: a writer's
+    own torn commit claims its version number (the object exists,
+    torn), and the retry allocates the NEXT version — no conflict."""
+    fs = HostileFS()
+    log = ManifestLog(fs, root)
+    log.commit({"state": "old"})
+    fs.arm_tear_write()
+    with pytest.raises(InjectedCrash):
+        log.commit({"state": "new"})
+    fs.disarm()
+    v = log.commit({"state": "new"})  # must succeed, not conflict
+    assert log.head() == (v, {"state": "new"})
+
+
+def test_hostile_conditional_put_rejects_existing_cleanly(root):
+    """The double models the store contract: a conditional PUT against
+    an existing object fails the precondition BEFORE any body bytes
+    land — even with a tear armed, the existing object is untouched."""
+    fs = HostileFS()
+    p = os.path.join(root, "obj")
+    fs.write_bytes_if_absent(p, b"first")
+    fs.arm_tear_write()
+    with pytest.raises(PutConflict):
+        fs.write_bytes_if_absent(p, b"second")
+    assert fs.read_bytes(p) == b"first"
 
 
 def test_crash_mid_retention_delete_is_harmless(root):
