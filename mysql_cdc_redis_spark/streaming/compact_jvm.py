@@ -223,19 +223,30 @@ class _StateSlots:
         return {str(k): int(v) for k, v in head[1]["slots"].items()}
 
     def commit(self, batch_id: int, slot: int) -> None:
+        """Record batch_id → slot, pruned to the TOP TWO batch ids
+        (round-8 verdict #2): ``latest_before`` only ever consults the
+        newest entry below its batch, and the one batch that can still
+        be replayed is the newest — whose replay reads the second-
+        newest.  Anything older is unreachable, so carrying it forward
+        would grow every manifest O(batches) (O(batches²) cumulative
+        bytes over a year-long stream) for zero reads — the same
+        standard the dedup stream's merged pair RANGES already set
+        (dedup_stream.py)."""
         meta = self.load_meta()
         meta[str(batch_id)] = int(slot)
-        self.log.commit({"slots": meta})
+        top = sorted((int(b) for b in meta), reverse=True)[:2]
+        self.log.commit({"slots": {str(b): meta[str(b)] for b in top}})
 
     def latest_before(self, batch_id: int) -> tuple[int, int] | None:
         """(batch_id, slot) of the newest committed batch < batch_id —
         the deterministic merge source for batch_id (commits ≥ batch_id
         are replays of the batch being retried and are ignored)."""
-        prior = [int(b) for b in self.load_meta() if int(b) < batch_id]
+        meta = self.load_meta()
+        prior = [int(b) for b in meta if int(b) < batch_id]
         if not prior:
             return None
         b = max(prior)
-        return b, self.load_meta()[str(b)]
+        return b, meta[str(b)]
 
     def read(self, slot: int) -> DataFrame:
         return self.spark.table(self.tables[slot])

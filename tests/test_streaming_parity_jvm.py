@@ -275,6 +275,41 @@ def test_jvm_slot_meta_torn_commit_reads_as_prior_state(spark):
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def test_jvm_slot_map_stays_o1_over_many_batches(spark):
+    """Round-8 verdict #2: the batch→slot map must NOT grow O(batches)
+    — a year-long stream commits 10^5-10^6 batches and the manifest
+    must stay O(1), the same standard the dedup stream's merged pair
+    ranges set.  After 100 commits the HEAD manifest carries at most
+    the top two entries (newest = current, second-newest = what the
+    newest batch's replay would merge from), and both reachable lookups
+    still resolve."""
+    import json
+
+    from mysql_cdc_redis_spark.streaming.commitlog import LocalFS
+    from mysql_cdc_redis_spark.streaming.compact_jvm import _StateSlots
+
+    state_dir = _tmp("jvm_o1_meta")
+    slots = _StateSlots(spark, state_dir, fs=LocalFS())
+    try:
+        for b in range(100):
+            slots.commit(b, b % 2)
+        meta = slots.load_meta()
+        assert set(meta) == {"98", "99"}, meta
+        # the two lookups the protocol can still issue:
+        assert slots.latest_before(100) == (99, 99 % 2)  # next batch
+        assert slots.latest_before(99) == (98, 98 % 2)  # replay of newest
+        # the on-disk head payload itself is bounded, not just the view
+        log_dir = os.path.join(state_dir, "_log")
+        newest = sorted(os.listdir(log_dir))[-1]
+        with open(os.path.join(log_dir, newest)) as f:
+            assert len(json.load(f)["payload"]["slots"]) <= 2
+        # a replayed newest batch re-commits without growing the map
+        slots.commit(99, 1)
+        assert set(slots.load_meta()) == {"98", "99"}
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def test_jvm_retraction_equals_pandas_twin_emissions(spark, sf_dir):
     """The JVM retraction stream must emit the EXACT multiset of delta
     rows the applyInPandasWithState twin emits under the same
