@@ -65,18 +65,25 @@ BATCH, never the corpus:
   (a, b) = (least, greatest) so the equality is literal; pinned by
   tests/test_streaming_dedup.py and the catalog entry's DuckDB oracle
   (the SAME oracle as the batch all-pairs form).
-* **Compaction is automatic, replay-safe, crash-safe, and re-buckets.**
-  ``compact_lsh_state`` merges every committed run except the
-  possibly-replayable newest into one run per relation, written to a
-  FRESH generation directory and published by a manifest commit — no
-  root swap, no rename window.  The merged run's bucket modulus is
-  re-sized from its actual bytes (``auto_bucket_count``, power of two,
-  never shrinking), so a corpus that grows 1000× gets proportionally
-  more ~256 MB buckets instead of 16 multi-GB ones.  Superseded run
-  directories are garbage-collected AFTER the commit, best-effort: a
-  crash anywhere leaves either the old manifest (old state intact) or
-  the new one (new state complete) plus unreferenced garbage — never a
-  half-visible state.
+* **Compaction is automatic, replay-safe, crash-safe, and re-buckets —
+  and fires MID-STREAM.**  ``compact_lsh_state`` merges every committed
+  run except the possibly-replayable newest into one run per relation,
+  written to a FRESH generation directory and published by a manifest
+  commit — no root swap, no rename window.  It triggers inside the
+  foreachBatch body whenever the committed run count exceeds
+  ``auto_compact_runs`` (batches are sequential, so the rewrite races
+  nothing — the safe point a 24/7 trickle stream needs to stay
+  bounded) and once more after an availableNow drain.  The merged
+  run's bucket modulus is re-sized from its actual bytes
+  (``auto_bucket_count``, power of two, never shrinking), so a corpus
+  that grows 1000× gets proportionally more ~256 MB buckets instead of
+  16 multi-GB ones.  Superseded run directories are garbage-collected
+  with RETENTION LAG, best-effort: a directory is deleted only once no
+  manifest among the newest ``_GC_RETAIN_MANIFESTS`` references it, so
+  a reader that planned a scan from a recent manifest completes it
+  even across a concurrent compaction.  A crash anywhere leaves either
+  the old manifest (old state intact) or the new one (new state
+  complete) plus unreferenced garbage — never a half-visible state.
 
 Everything is JVM expression algebra — zero Python row crossings.  The
 only collects are the per-batch probe-key collects, bounded by
@@ -135,6 +142,26 @@ _DOCS_PER_BUCKET = 131_072
 # stay on the broadcast plan.
 _BROADCAST_DOC_CAP = 2_000_000
 
+# Touched-bucket partition filters are literal isin lists; after
+# compaction re-buckets to a large modulus (auto_bucket_count hi=1<<20
+# at 100-TB scale) a large batch can touch tens of thousands of
+# buckets, and per-literal driver planning cost is the same ~2 ms/value
+# the key push's _KEY_PUSH_CAP exists to avoid.  Past this many
+# projected bucket ids for a run, the bucket filter is DROPPED for that
+# run (the footprint covers most of it anyway — a filter passing >4k of
+# the buckets prunes little) and only the ingest_id partition predicate
+# remains; correctness never depended on the prune (it is a semantic
+# no-op under the downstream joins).
+_BUCKET_PUSH_CAP = 4_096
+
+# Data GC retention (round-8 verdict #4): a run directory is reclaimed
+# only once NO manifest among the newest _GC_RETAIN_MANIFESTS valid
+# generations references it — so a reader that planned its scan from
+# manifest vN keeps every file it needs for the next retain-1 commits
+# (the reader-snapshot grace window), while a crashed attempt's
+# directory (referenced by NO manifest, ever) is reclaimed immediately.
+_GC_RETAIN_MANIFESTS = 3
+
 
 def _pow2_at_least(n: int) -> int:
     """Smallest power of two >= n.  Every bucket modulus in the state
@@ -165,9 +192,30 @@ def _load_state(state_dir: str, fs) -> dict:
     RANGES, not a per-batch list: a year-long trickle stream commits
     10^5-10^6 batches, and the manifest must stay O(1), not O(batches)
     (foreachBatch ids are contiguous, so it is almost always ONE
-    range)."""
+    range).
+
+    A state_dir holding PRE-MANIFEST state (the retired _meta.json /
+    rename-based layout: root-level ``_meta.json``, or ``sig/
+    ingest_id=N`` without the ``gen=`` level) has data but no manifest;
+    reading it as empty would make a resumed stream probe against
+    nothing and silently drop every cross-corpus pair.  That is data
+    loss, not a fresh start — fail loudly with a migration hint."""
     head = ManifestLog(fs, state_dir).head()
     if head is None:
+        legacy = "_meta.json" in fs.list(state_dir) or any(
+            name.startswith("ingest_id=")
+            for name in fs.list(os.path.join(state_dir, "sig"))
+        )
+        if legacy:
+            raise ValueError(
+                f"state_dir {state_dir!r} holds state in the retired "
+                "pre-manifest layout (_meta.json / root-level "
+                "ingest_id= runs) but no manifest log — refusing to "
+                "read it as empty (that would silently drop the "
+                "accumulated corpus).  Re-ingest the corpus into a "
+                "fresh state_dir, or migrate by committing a manifest "
+                "that lists the legacy runs under gen=0."
+            )
         return {"runs": [], "pair_ranges": []}
     return head[1]
 
@@ -270,9 +318,16 @@ def _read_runs(
         for r in runs:
             m = int(r["n_buckets"])
             tb = sorted({int(b) % m for b in touched})
-            preds.append(
-                (F.col("ingest_id") == int(r["rid"])) & F.col("bucket").isin(tb)
-            )
+            rp = F.col("ingest_id") == int(r["rid"])
+            # cap the pushed literal set (round-8 advice #2): past
+            # _BUCKET_PUSH_CAP projected ids the per-literal planning
+            # cost (~2 ms/value, the _KEY_PUSH_CAP measurement) exceeds
+            # what a that-unselective filter can prune — and a set
+            # covering the whole modulus prunes nothing by definition.
+            # Dropping the bucket term is safe: it was a semantic no-op.
+            if 0 < len(tb) < m and len(tb) <= _BUCKET_PUSH_CAP:
+                rp = rp & F.col("bucket").isin(tb)
+            preds.append(rp)
         df = df.filter(functools.reduce(lambda a, b: a | b, preds))
     if keys is not None and key_col is not None:
         df = df.filter(F.col(key_col).isin(keys))
@@ -325,12 +380,30 @@ def _cross_candidates(
     )
 
 
-def _gc_runs(fs, state_dir: str, live_runs: list[dict]) -> None:
-    """Best-effort removal of run directories no manifest references —
+def _gc_runs(fs, state_dir: str, log: ManifestLog, retain: int) -> None:
+    """Best-effort, RETENTION-LAGGED removal of run directories —
     strictly OFF the correctness path (readers never list, so garbage
-    is invisible).  Runs after every commit and at compaction entry,
-    so a crash mid-GC is repaired by any later pass."""
-    live = {(int(r["gen"]), int(r["rid"])) for r in live_runs}
+    is invisible).  A directory is reclaimed only when NONE of the
+    newest ``retain`` valid manifests references it (round-8 verdict
+    #4): manifest retention alone was not snapshot isolation for DATA —
+    a long-running reader that planned its scan from manifest vN would
+    have lost files mid-query when the compactor committed vN+1 and
+    GC'd immediately.  Now the reader-snapshot contract is explicit:
+    a scan planned from any of the newest ``retain`` manifests keeps
+    its files for at least ``retain - 1`` further commits.  A crashed
+    attempt's directory is in NO manifest and is reclaimed on the next
+    pass regardless.
+
+    GC runs only during compaction — at entry (clearing garbage from
+    prior crashed attempts) and after the compaction commit (superseded
+    generations, once they age out of the retention window); ingest
+    batches never delete anything (superseded directories first appear
+    at compaction)."""
+    live = {
+        (int(r["gen"]), int(r["rid"]))
+        for _v, payload in log.recent(retain)
+        for r in payload.get("runs", [])
+    }
     for rel in ("sig", "sh"):
         root = os.path.join(state_dir, rel)
         for gdir in fs.list(root):
@@ -378,10 +451,13 @@ def run_dedup_stream_minhash(
     modulus in the manifest, and compaction re-buckets the merged
     corpus run from its actual bytes — probes project one footprint
     exactly onto every modulus, so mixed layouts prune exactly.
-    ``auto_compact_runs`` bounds LSM growth: when more than that many
-    committed runs exist after the stream drains, ``compact_lsh_state``
-    folds them (the stream has terminated, so the no-live-query
-    precondition holds by construction).
+    ``auto_compact_runs`` bounds LSM growth: whenever more than that
+    many committed runs exist — checked inside EVERY foreachBatch body
+    (the mid-stream safe point: batches are sequential, so no probe
+    races the rewrite; a 24/7 ``blocking=True`` trickle stream compacts
+    on cadence instead of growing forever) and once more after an
+    availableNow drain — ``compact_lsh_state`` folds all but the
+    newest (possibly-replayable) run.
 
     ``fs`` is the state-commit filesystem (streaming/commitlog.py);
     default LocalFS.  All state TRANSITIONS go through its PUT-only
@@ -563,19 +639,31 @@ def run_dedup_stream_minhash(
                 "rid": int(batch_id), "gen": 0,
                 "n_docs": int(n_b), "n_buckets": int(run_m),
             }
+            committed_runs = sorted(
+                [r for r in state["runs"] if int(r["rid"]) != batch_id]
+                + [new_run],
+                key=lambda r: int(r["rid"]),
+            )
             log.commit(
                 {
                     # a replayed batch REPLACES its own run entry
-                    "runs": sorted(
-                        [r for r in state["runs"] if int(r["rid"]) != batch_id]
-                        + [new_run],
-                        key=lambda r: int(r["rid"]),
-                    ),
+                    "runs": committed_runs,
                     "pair_ranges": _add_to_ranges(
                         state["pair_ranges"], int(batch_id)
                     ),
                 }
             )
+            # mid-stream compaction safe point (round-8 verdict #5): a
+            # 24/7 trickle stream (blocking=True mode, cdc_config.py:36)
+            # never drains, so without this its run count — and every
+            # probe's run-list union — would grow without bound.  The
+            # foreachBatch body IS the safe point: batches are
+            # sequential, so nothing is mid-probe while state rewrites,
+            # and the newest run (this batch, the only replayable one)
+            # is never a merge target, so the existing replay rule
+            # holds unchanged.
+            if auto_compact_runs and len(committed_runs) > auto_compact_runs:
+                compact_lsh_state(spark, state_dir, fs=fs)
         finally:
             for df in (cand_cross, banded_b, sig_b, sh_b):
                 if df is not None:
@@ -631,15 +719,20 @@ def compact_lsh_state(
     state_dir: str,
     fs=None,
     target_bucket_bytes: int = 256 << 20,
+    gc_retain_manifests: int = _GC_RETAIN_MANIFESTS,
 ) -> bool:
     """LSM compaction for the dedup stream's state: merge every
     committed run EXCEPT the newest into ONE sorted bucketed run per
     relation, at the second-highest committed ingest_id, published by
-    a manifest commit.  Returns True iff a compaction ran.  Run between
-    stream runs — it rewrites state, so it must not race a live query
-    (``run_dedup_stream_minhash`` invokes it itself after the
-    availableNow query terminates, which satisfies the precondition by
-    construction).
+    a manifest commit.  Returns True iff a compaction ran.  It rewrites
+    state, so it must not race a concurrent state reader outside the
+    retention window; both of its invocation sites satisfy the
+    precondition by construction — ``run_dedup_stream_minhash`` calls
+    it after the availableNow query terminates AND inside the
+    foreachBatch body (foreachBatch is sequential: no other batch is
+    mid-probe while it runs — the mid-stream safe point that keeps a
+    24/7 ``blocking=True`` trickle stream's run count bounded,
+    round-8 verdict #5).
 
     REPLAY SAFETY (round-6 advice #1): the manifest commit runs inside
     foreachBatch BEFORE the streaming checkpoint commits the batch, so
@@ -658,14 +751,18 @@ def compact_lsh_state(
     written COMPLETE into a fresh generation directory
     (``gen=G/ingest_id=target``, G = max live gen + 1 — a name no
     manifest references), then ONE manifest commit flips the live run
-    set to {merged, newest}, then superseded directories are
-    garbage-collected best-effort.  A crash before the commit leaves
-    the old manifest pointing at intact old runs (the partial new
-    directory is unreferenced garbage, cleared by the next pass); a
-    torn manifest write self-invalidates via its checksum and reads as
-    the old state; a crash mid-GC leaves garbage, never corruption.
-    No step renames anything — the protocol is PUT + (deferred) DELETE
-    only, so it behaves identically on S3/GCS and POSIX.
+    set to {merged, newest}, then directories outside the retention
+    window are garbage-collected best-effort (RETENTION LAG, round-8
+    verdict #4: superseded runs stay on disk until they age out of the
+    newest ``gc_retain_manifests`` manifests, so a reader that planned
+    its scan from a recent manifest completes it — see ``_gc_runs``).
+    A crash before the commit leaves the old manifest pointing at
+    intact old runs (the partial new directory is unreferenced garbage,
+    cleared by the next pass); a torn manifest write self-invalidates
+    via its checksum and reads as the old state; a crash mid-GC leaves
+    garbage, never corruption.  No step renames anything — the protocol
+    is PUT + (deferred) DELETE only, so it behaves identically on
+    S3/GCS and POSIX.
 
     RE-BUCKETING (round-7 advice #4): the merged run's bucket modulus
     is re-sized from its ACTUAL on-disk bytes via ``auto_bucket_count``
@@ -684,8 +781,9 @@ def compact_lsh_state(
     state = head[1]
     runs = sorted(state["runs"], key=lambda r: int(r["rid"]))
     # clear garbage from a previously crashed compaction or batch
-    # attempt — idempotent, and everything it removes is unreferenced
-    _gc_runs(fs, state_dir, runs)
+    # attempt — idempotent; everything it removes is outside the
+    # manifest retention window (crashed attempts are in NO manifest)
+    _gc_runs(fs, state_dir, log, gc_retain_manifests)
     if len(runs) < 2:
         return False  # nothing safely mergeable below the newest run
     merged_runs, newest = runs[:-1], runs[-1]
@@ -726,5 +824,5 @@ def compact_lsh_state(
             "pair_ranges": state["pair_ranges"],
         }
     )
-    _gc_runs(fs, state_dir, [merged_entry, newest])
+    _gc_runs(fs, state_dir, log, gc_retain_manifests)
     return True

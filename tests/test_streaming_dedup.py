@@ -198,16 +198,19 @@ def test_stream_dedup_crashed_partial_run_is_replaced(spark, sf_dir):
         "state_dir": _tmp("dstream_crash_state"),
         "pairs_dir": _tmp("dstream_crash_pairs"),
     }
-    # partial state/pairs from a "crashed attempt" of batch 0
+    # partial state/pairs from a "crashed attempt" of batch 0 — at the
+    # locations the CURRENT writer claims (gen=0/ingest_id=0; the
+    # root-level ingest_id= location is the retired legacy layout,
+    # which _load_state now rejects loudly — tested separately)
     junk_sig = spark.createDataFrame(
         [(999_999_999, 0, "deadbeef")], "doc_id long, band int, bkey string"
     )
     junk_sig.write.parquet(
-        os.path.join(dirs["state_dir"], "sig", "ingest_id=0")
+        os.path.join(dirs["state_dir"], "sig", "gen=0", "ingest_id=0")
     )
     spark.createDataFrame(
         [(999_999_999, 1_234_567_890_123)], "doc_id long, h long"
-    ).write.parquet(os.path.join(dirs["state_dir"], "sh", "ingest_id=0"))
+    ).write.parquet(os.path.join(dirs["state_dir"], "sh", "gen=0", "ingest_id=0"))
     spark.createDataFrame(
         [(1, 2, 0.999999)], "a long, b long, jaccard double"
     ).write.parquet(os.path.join(dirs["pairs_dir"], "ingest_id=0"))
@@ -235,21 +238,25 @@ def test_stream_dedup_lsm_compaction_preserves_results(spark, sf_dir):
 
     assert compact_lsh_state(spark, dirs["state_dir"])
     # merged run at the second-highest id + the preserved newest run
-    # (the possibly-replayable one is never a compaction target); GC
-    # leaves exactly those two directories on disk per relation
+    # (the possibly-replayable one is never a compaction target).  GC
+    # is retention-lagged (round-8 verdict #4): the LIVE set is the two
+    # manifest runs, which must both be on disk; superseded runs may
+    # linger until they age out of the retention window — that is the
+    # reader-snapshot contract, tested separately below.
     state = _load_state(dirs["state_dir"], LocalFS())
     assert len(state["runs"]) == 2, state["runs"]
     assert state["runs"][0]["gen"] > state["runs"][1]["gen"]  # merged is fresh-gen
     for rel in ("sig", "sh"):
         root = os.path.join(dirs["state_dir"], rel)
-        on_disk = [
-            (g, r)
+        on_disk = {
+            (int(g.split("=", 1)[1]), int(r.split("=", 1)[1]))
             for g in os.listdir(root)
             if g.startswith("gen=")
             for r in os.listdir(os.path.join(root, g))
             if r.startswith("ingest_id=")
-        ]
-        assert len(on_disk) == 2, (rel, on_disk)
+        }
+        live = {(int(r["gen"]), int(r["rid"])) for r in state["runs"]}
+        assert live <= on_disk, (rel, live, on_disk)
 
     tmp = f"{src}/_stage_x"
     second.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -364,9 +371,16 @@ def test_stream_dedup_probe_reads_only_touched_buckets(spark, sf_dir):
 
 
 def test_stream_dedup_auto_compaction_bounds_runs(spark, sf_dir):
-    """A long-lived ingest loop must not grow the LSM forever: with
-    auto_compact_runs=2, every drain that leaves >2 committed runs
-    folds them, so the run count stays bounded while parity holds."""
+    """A long-lived ingest loop must not grow the LSM forever — and
+    compaction must fire MID-STREAM (round-8 verdict #5: a 24/7
+    blocking=True trickle stream never drains, so a drain-only trigger
+    would grow its run count without bound).  With auto_compact_runs=2
+    and 5 one-file batches, the run count after batch 2 exceeds the
+    bound, so compaction MUST fire inside the foreachBatch loop more
+    than once: every retained manifest stays ≤ bound+1 runs, the merged
+    run's generation counts multiple compactions, and parity holds."""
+    from mysql_cdc_redis_spark.streaming.commitlog import ManifestLog
+
     docs = load_table(spark, sf_dir, "documents")
     src = _tmp("dstream_auto_src")
     stage_changelog_files(docs, src, n_chunks=5, key_col="doc_id")
@@ -374,7 +388,19 @@ def test_stream_dedup_auto_compaction_bounds_runs(spark, sf_dir):
     assert _pairs(out) == _pairs(
         minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
     )
-    assert len(_load_state(dirs["state_dir"], LocalFS())["runs"]) == 2
+    state = _load_state(dirs["state_dir"], LocalFS())
+    assert len(state["runs"]) == 2
+    # the run count was bounded THROUGHOUT the stream, not just at the
+    # end: no committed manifest ever listed more than bound+1 runs
+    # (bound+1 is the instant the over-bound batch commits, before its
+    # own safe-point compaction folds it)
+    log = ManifestLog(LocalFS(), dirs["state_dir"])
+    history = log.recent(1_000)
+    assert len(history) >= 8  # 5 batch commits + >=3 compaction commits
+    assert max(len(p["runs"]) for _v, p in history) <= 3
+    # >=2 generations of merged runs = compaction fired mid-stream
+    # (a single drain-time pass could only ever reach gen 1)
+    assert max(int(r["gen"]) for r in state["runs"]) >= 2, state["runs"]
     _cleanup(src, *dirs.values())
 
 
@@ -449,8 +475,11 @@ def test_stream_dedup_compaction_crash_mid_gc_recovers(spark, sf_dir):
 
     fs = HostileFS()
     fs.arm_crash_delete()  # first post-commit GC delete dies halfway
+    # gc_retain_manifests=1 collapses the retention window so the
+    # post-commit GC has something to delete in this short lifecycle
+    # (the retention contract itself is tested separately)
     with pytest.raises(InjectedCrash):
-        compact_lsh_state(spark, dirs["state_dir"], fs=fs)
+        compact_lsh_state(spark, dirs["state_dir"], fs=fs, gc_retain_manifests=1)
     # the commit preceded GC: the compacted state is already live
     state = _load_state(dirs["state_dir"], LocalFS())
     assert len(state["runs"]) == 2
@@ -461,6 +490,145 @@ def test_stream_dedup_compaction_crash_mid_gc_recovers(spark, sf_dir):
         minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
     )
     _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_reader_snapshot_survives_compaction(spark, sf_dir):
+    """Round-8 verdict #4: a reader that planned its scan from the
+    pre-compaction manifest must COMPLETE that scan after a concurrent
+    compaction commits and garbage-collects — retention-lagged GC keeps
+    every directory any of the newest _GC_RETAIN_MANIFESTS manifests
+    references.  (Immediate GC failed exactly this: the planned file
+    list pointed at deleted runs.)"""
+    from mysql_cdc_redis_spark.streaming.dedup_stream import _run_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = _tmp("dstream_snap_src")
+    stage_changelog_files(docs, src, n_chunks=3, key_col="doc_id")
+    out1, dirs = _run(spark, src, docs.schema, auto_compact_runs=None)
+    out1.count()
+
+    # the reader: plan (lazily) a full scan of the sig relation from
+    # the CURRENT manifest's explicit run list — the engine's own read
+    # idiom — and record what it should see
+    state_v_n = _load_state(dirs["state_dir"], LocalFS())
+    sig_root = os.path.join(dirs["state_dir"], "sig")
+    planned = spark.read.option("basePath", sig_root).parquet(
+        *[_run_dir(sig_root, r) for r in state_v_n["runs"]]
+    )
+    expected_rows = sum(4 * r["n_docs"] for r in state_v_n["runs"])  # 4 bands/doc
+
+    # the compactor commits vN+1 and GCs — with retention lag
+    assert compact_lsh_state(spark, dirs["state_dir"])
+
+    # the vN reader still completes (files intact on disk)
+    assert planned.count() == expected_rows
+    _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_gc_eventually_reclaims_aged_out_runs(spark, sf_dir):
+    """The flip side of the reader-snapshot grace: once a superseded
+    run falls out of the newest _GC_RETAIN_MANIFESTS manifests, the
+    next compaction pass reclaims its directory — retention is a LAG,
+    not a leak."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    src = _tmp("dstream_reclaim_src")
+    stage_changelog_files(first, src, n_chunks=3, key_col="doc_id")
+    out1, dirs = _run(spark, src, docs.schema, auto_compact_runs=None)
+    out1.count()
+    gen0_runs = {
+        (r["gen"], r["rid"])
+        for r in _load_state(dirs["state_dir"], LocalFS())["runs"]
+    }
+
+    def on_disk(rel):
+        root = os.path.join(dirs["state_dir"], rel)
+        return {
+            (int(g.split("=", 1)[1]), int(r.split("=", 1)[1]))
+            for g in os.listdir(root)
+            if g.startswith("gen=")
+            for r in os.listdir(os.path.join(root, g))
+            if r.startswith("ingest_id=")
+        }
+
+    assert compact_lsh_state(spark, dirs["state_dir"])
+    # within the retention window: superseded gen-0 runs still on disk
+    assert gen0_runs <= on_disk("sig")
+
+    # age the superseded runs out of the window: more ingests + another
+    # compaction push >= _GC_RETAIN_MANIFESTS commits past them
+    tmp = f"{src}/_stage_x"
+    second.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = f"{src}/chunk-9999.parquet"
+    shutil.move(f"{tmp}/{part}", dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (time.time(), time.time()))
+    out2, _ = _run(spark, src, docs.schema, dirs=dirs, auto_compact_runs=None)
+    out2.count()
+    assert compact_lsh_state(spark, dirs["state_dir"])
+    assert compact_lsh_state(spark, dirs["state_dir"])
+
+    # exactly the runs outside the CURRENT retention window must be
+    # gone; anything a retained manifest still references must remain
+    from mysql_cdc_redis_spark.streaming import dedup_stream as ds
+    from mysql_cdc_redis_spark.streaming.commitlog import ManifestLog
+
+    log = ManifestLog(LocalFS(), dirs["state_dir"])
+    recent_live = {
+        (int(r["gen"]), int(r["rid"]))
+        for _v, p in log.recent(ds._GC_RETAIN_MANIFESTS)
+        for r in p["runs"]
+    }
+    reclaimable = gen0_runs - recent_live
+    assert reclaimable, "vacuous: no gen-0 run aged out of the window"
+    for rel in ("sig", "sh"):
+        assert not (on_disk(rel) & reclaimable), (rel, on_disk(rel), reclaimable)
+    # and parity survived the whole lifecycle
+    assert _pairs(out2) == _pairs(
+        minhash_lsh_pairs(docs, n=3, k=16, bands=4, threshold=0.2)
+    )
+    _cleanup(src, *dirs.values())
+
+
+def test_stream_dedup_legacy_pre_manifest_state_rejected_loudly(spark, sf_dir):
+    """Round-8 ADVICE #1: a state_dir written by the retired
+    _meta.json/rename-based format has data but no manifest — reading
+    it as EMPTY state would silently drop the accumulated corpus
+    (probes against nothing, final read returns no pairs).  It must
+    raise with a migration hint instead, for both legacy markers."""
+    from mysql_cdc_redis_spark.streaming.dedup_stream import _load_state as _ls
+
+    # marker 1: root-level _meta.json
+    d1 = _tmp("dstream_legacy1")
+    os.makedirs(d1)
+    with open(os.path.join(d1, "_meta.json"), "w") as f:
+        f.write('{"runs": [0, 1]}')
+    with pytest.raises(ValueError, match="pre-manifest"):
+        _ls(d1, LocalFS())
+
+    # marker 2: sig/ingest_id=N runs without the gen= level
+    d2 = _tmp("dstream_legacy2")
+    os.makedirs(os.path.join(d2, "sig", "ingest_id=0"))
+    with pytest.raises(ValueError, match="pre-manifest"):
+        _ls(d2, LocalFS())
+
+    # a genuinely fresh dir still reads as empty state
+    d3 = _tmp("dstream_legacy3")
+    os.makedirs(d3)
+    assert _ls(d3, LocalFS()) == {"runs": [], "pair_ranges": []}
+    # ...and the stream itself surfaces the legacy error, not empty output
+    docs = load_table(spark, sf_dir, "documents")
+    src = _tmp("dstream_legacy_src")
+    stage_changelog_files(docs.limit(20), src, n_chunks=1, key_col="doc_id")
+    with pytest.raises(Exception, match="pre-manifest"):
+        run_dedup_stream_minhash(
+            spark, src, docs.schema,
+            checkpoint_dir=_tmp("dstream_legacy_ckpt"),
+            state_dir=d1, pairs_dir=_tmp("dstream_legacy_pairs"),
+        )
+    _cleanup(d1, d2, d3, src)
 
 
 def test_stream_dedup_batch_torn_manifest_commit_replays(spark, sf_dir):
