@@ -120,7 +120,11 @@ def main() -> None:
 
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     timings_min = {n: round(min(v), 3) for n, v in samples.items()}
+    # per-pass samples persisted whole (round-8 verdict #6): spread
+    # attribution needs the raw walls, not just median/min
+    query_samples = {n: [round(x, 3) for x in v] for n, v in samples.items()}
     spreads = [max(v) - min(v) for v in samples.values()]
+    worst_q = max(samples, key=lambda n: max(samples[n]) - min(samples[n]))
     chk_record = {
         n: {"rows": v[0][0], "chk": v[0][1], "stable_across_passes": len(set(v)) == 1}
         for n, v in chks.items()
@@ -134,7 +138,8 @@ def main() -> None:
         f"page_cache_flushed per pass={flushed}; "
         f"queries=median, queries_min=min; per-query spread max-min: "
         f"median {round(statistics.median(spreads), 3)}s, "
-        f"worst {round(max(spreads), 3)}s; "
+        f"worst {round(max(spreads), 3)}s "
+        f"(carrier: {worst_q}, per-pass walls {query_samples[worst_q]}); "
         + (
             f"value-checksum UNSTABLE across passes for {unstable}"
             if unstable
@@ -284,6 +289,7 @@ def main() -> None:
             "total_wall": round(sum(sf1_timings.values()), 3),
             "queries": sf1_timings,
             "spread": sf1_spread,
+            "samples": sf1_samples,
             "compaction_events": sf1_events,
             "compaction_events_per_sec": (
                 round(sf1_events / sf1_compact_wall) if sf1_compact_wall else None
@@ -297,6 +303,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": timings_min,
+                "query_samples": query_samples,
                 "query_checksums": chk_record,
                 "n_runs": n_runs,
                 "variance_note": variance_note,

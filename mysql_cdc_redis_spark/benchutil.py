@@ -26,31 +26,58 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _contains_map(dt: T.DataType) -> bool:
-    if isinstance(dt, T.MapType):
+def _needs_norm(dt: T.DataType) -> bool:
+    """True iff the type contains a float/double (ulp-unstable across
+    reduction orders) or a map (unhashable by Spark) at ANY depth."""
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.MapType)):
         return True
     if isinstance(dt, T.ArrayType):
-        return _contains_map(dt.elementType)
+        return _needs_norm(dt.elementType)
     if isinstance(dt, T.StructType):
-        return any(_contains_map(f.dataType) for f in dt.fields)
+        return any(_needs_norm(f.dataType) for f in dt.fields)
     return False
 
 
-def _normalized(field: T.StructField) -> Column:
-    """A hash-safe, cross-pass-stable projection of one output column:
-    floating types are rounded (4 dp) through an exact decimal so
-    reduction-order jitter in the last ulps doesn't flip the checksum;
-    anything containing a map is JSON-stringified (Spark disallows
-    hashing maps); other types hash as-is."""
-    c = F.col(field.name)
-    dt = field.dataType
+def _norm_expr(c: Column, dt: T.DataType) -> Column:
+    """Recursive hash-safe projection (round-8 advice #4: top-level-only
+    rounding left doubles nested in arrays/structs hashing raw, so such
+    queries reported spuriously unstable cross-pass checksums):
+
+    * float/double → round(4 dp) through an exact decimal, stringified
+      (try_cast: NaN/Infinity normalize to null instead of throwing
+      under ANSI mode — a checksum must never abort the measurement);
+    * array → F.transform over the normalized element;
+    * struct → rebuilt from normalized fields;
+    * map → values normalized via transform_values, then to_json
+      (Spark disallows hashing maps at any nesting level).
+
+    Containers whose element types need no normalization pass through
+    untouched — the common all-JVM-stable case costs nothing extra."""
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        # try_cast: NaN/Infinity normalize to null instead of throwing
-        # under ANSI mode — a checksum must never abort the measurement
         return F.round(c, 4).try_cast("decimal(38,4)").cast("string")
-    if _contains_map(dt):
-        return F.to_json(c)
+    if not _needs_norm(dt):
+        return c
+    if isinstance(dt, T.ArrayType):
+        return F.transform(c, lambda x: _norm_expr(x, dt.elementType))
+    if isinstance(dt, T.StructType):
+        return F.struct(
+            *[_norm_expr(c[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+    if isinstance(dt, T.MapType):
+        inner = (
+            F.transform_values(c, lambda _k, v: _norm_expr(v, dt.valueType))
+            if _needs_norm(dt.valueType)
+            else c
+        )
+        return F.to_json(inner)
     return c
+
+
+def _normalized(field: T.StructField) -> Column:
+    """A hash-safe, cross-pass-stable projection of one output column —
+    see ``_norm_expr`` (recursive: nested doubles and maps are
+    normalized at every depth)."""
+    return _norm_expr(F.col(field.name), field.dataType)
 
 
 def checksum_row(df: DataFrame):
