@@ -497,8 +497,13 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              24x4→0.925 @0.78            32x4→0.975 @0.86
 #   IVF probe (of 16 cells): 4→0.325  6→0.50  8→0.65  10→0.80
 #              12→0.925  16→1.0 (≡ brute force)
-# On clustered real embeddings the same recall costs far less scan;
-# the full curve + guidance live in COVERAGE.md.
+# On clustered embeddings the same recall costs far less scan —
+# MEASURED (round 9, mixture-of-Gaussians fixture, COVERAGE.md §"ANN
+# recall — isotropic vs clustered"): recall ≥0.8 at candidate fraction
+# 0.12-0.13 (LSH 8x8, IVF probe-2) vs the isotropic 0.63-0.65 — a ~5×
+# reduction, via MORE SELECTIVE configs that cluster structure makes
+# viable; pinned by tests/test_ann_recall_clustered.py.  The full
+# two-regime curve + guidance live in COVERAGE.md.
 _LSH_TABLES_R80 = 16  # recall ≥0.8 target: measured 0.875
 _IVF_PROBE_R80 = 12  # recall ≥0.8 target: measured 0.925
 
@@ -756,9 +761,9 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "≥0.8-recall@5 configuration on the isotropic fixture embeddings "
     "(0.925; probe 10 is exactly 0.80).  Isotropic data is IVF's worst "
     "case (no cluster structure to exploit), so this scans ~75% of "
-    "cells; on clustered real embeddings the same recall needs far "
-    "fewer probes — the measured curve lives in COVERAGE.md and is "
-    "pinned by tests/test_ann_recall.py.",
+    "cells; on clustered embeddings probe-2 already measures 1.0 "
+    "recall at 12.5% of the scan (COVERAGE.md two-regime table, "
+    "pinned by tests/test_ann_recall.py + test_ann_recall_clustered.py).",
     tags=("similarity", "ivf", "ext"),
     oracle=_ivf_oracle(n_probe=_IVF_PROBE_R80),
 )
