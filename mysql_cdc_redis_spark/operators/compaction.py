@@ -78,10 +78,13 @@ def reject_null_keys(df: DataFrame, pk_cols: list[str] | tuple[str, ...]) -> Dat
     return with_rid(df, pk_cols).filter(F.col("rid").isNull())
 
 
-def _fold_actions(sorted_actions: Column) -> Column:
+def _fold_actions_from(sorted_actions: Column, init: str) -> Column:
     """Left-fold the reference's `_merge_row` algebra (rcache.py:196-222)
-    over a seq-sorted array of action strings.  Runs entirely in JVM
-    codegen via F.aggregate."""
+    over a seq-sorted array of action strings, starting from an
+    arbitrary state ``init`` — the generalization that lets a batch be
+    summarized as a TRANSITION TUPLE (one fold per possible incoming
+    state), the same shape streaming/compact_jvm.py proved
+    composition-exact.  Runs entirely in JVM codegen via F.aggregate."""
     sentinel = F.lit(ACTION_FOLD_SENTINEL)
 
     def merge(state: Column, x: Column) -> Column:
@@ -96,7 +99,12 @@ def _fold_actions(sorted_actions: Column) -> Column:
             .otherwise(F.when(x == "insert", F.lit("update")).otherwise(x))
         )
 
-    return F.aggregate(sorted_actions, sentinel, merge)
+    return F.aggregate(sorted_actions, F.lit(init), merge)
+
+
+def _fold_actions(sorted_actions: Column) -> Column:
+    """The from-empty fold (initial state = absent cache row)."""
+    return _fold_actions_from(sorted_actions, ACTION_FOLD_SENTINEL)
 
 
 def compact(
@@ -151,25 +159,91 @@ def merge_state(
     (SURVEY.md §4 'incremental computation': only changed rows flow;
     state holds ≤1 row per key).
 
-    A compacted state re-enters the merge as a changelog whose per-key
-    event is its stored action (exactly what the save path does when it
-    HGETALLs the old row before merging, rcache.py:246-254).  Replaying
-    state events with seq = -∞ (below every new seq) and folding the
-    union through the same algebra reproduces event-at-a-time ingestion:
-    state action ∘ new events ≡ fold(state_events ++ new_events).
+    Algebra: the new batch is folded per key into a TRANSITION TUPLE
+    ``(f_absent, f_insert, f_ud)`` — the fold outcome had the key's
+    state been absent / insert / update-or-delete when the batch
+    arrived (``update`` and ``delete`` transition identically under
+    rcache's merge table, so one fold covers both) — then full-outer
+    joined with the state on (tbl, rid) and composed: exactly
+    event-at-a-time ingestion,
+    state action ∘ new events ≡ fold(state_events ++ new_events)
+    (pinned over every action sequence × split point in
+    tests/test_compaction_exhaustive.py).  This is the same
+    composition-exact transition form the streaming JVM twin commits
+    per micro-batch (streaming/compact_jvm.py), brought to the batch
+    operator.
 
-    Batch cost per increment ∝ |state keys touched| + |new events| after
-    the groupBy — at scale, partition the state by bucket(rid) so the
-    union co-locates."""
-    state_as_events = state.withColumn(seq_col, F.lit(-(2**62)).cast("long")).select(
-        [table_col, seq_col, "cdc_action", *payload_cols]
+    Why a join and not the r1-r8 union-and-recompact (guide §2.3/2.4 —
+    shuffle fewer bytes, remove shuffles outright): both join sides
+    arrive hash-partitioned by (tbl, rid) from their own groupBy, so
+    the merge plans WITHOUT re-exchanging the accumulated state — per
+    increment the only Exchange moves the new batch's events, cost
+    ∝ |new events|, while the union form re-exchanged
+    |state| + |new events| on every merge.  On a merge CASCADE the
+    per-batch folds are independent subtrees that execute concurrently
+    instead of strictly one-after-another."""
+    delta = _batch_transitions(new_changelog, pk_cols, payload_cols, table_col, seq_col)
+    s = state.select(
+        F.col(table_col).alias("tbl"), "rid", F.col("cdc_action").alias("_s_act"),
+        *payload_cols,
     )
-    fresh = with_rid(new_changelog, pk_cols).filter(F.col("rid").isNotNull()).select(
-        [table_col, seq_col, "cdc_action", *payload_cols]
+    j = s.join(delta, ["tbl", "rid"], "full_outer")
+    d_present = F.col("f_absent").isNotNull()
+    s_present = F.col("_s_act").isNotNull()
+    new_action = (
+        F.when(~d_present, F.col("_s_act"))
+        .when(~s_present, F.col("f_absent"))
+        .when(F.col("_s_act") == "insert", F.col("f_insert"))
+        .otherwise(F.col("f_ud"))  # update and delete transition alike
     )
-    unioned = state_as_events.unionByName(fresh)
-    # state rows already carry their rid-able pk columns in the payload
-    return compact(unioned, pk_cols, payload_cols, table_col, seq_col)
+    merged = j.select(
+        "tbl",
+        "rid",
+        new_action.alias("cdc_action"),
+        *[
+            F.when(d_present, F.col(f"_last.{c}")).otherwise(F.col(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return merged.filter(F.col("cdc_action") != ACTION_FOLD_SENTINEL)
+
+
+def _batch_transitions(
+    changelog: DataFrame,
+    pk_cols: list[str] | tuple[str, ...],
+    payload_cols: list[str] | tuple[str, ...],
+    table_col: str = "tbl",
+    seq_col: str = "seq",
+    action_col: str = "cdc_action",
+) -> DataFrame:
+    """One row per (tbl, rid) summarizing a changelog batch as its fold
+    transition tuple + last payload: ``f_absent`` / ``f_insert`` /
+    ``f_ud`` = the fold outcome from that incoming state (update and
+    delete transition identically under rcache's merge table — both
+    rows of the table map insert→update and keep update/delete — so one
+    fold covers both), ``_last`` = the newest event's payload struct
+    (values win wholesale, rcache.py:222).  Same single-shuffle groupBy
+    shape as compact()."""
+    keyed = with_rid(changelog, pk_cols).filter(F.col("rid").isNotNull())
+    grouped = keyed.groupBy(F.col(table_col).alias("tbl"), "rid").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]), F.col(seq_col)
+        ).alias("_last"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(seq_col).alias("s"), F.col(action_col).alias("a"))
+            )
+        ).alias("_evs"),
+    )
+    acts = F.transform(F.col("_evs"), lambda ev: ev["a"])
+    return grouped.select(
+        "tbl",
+        "rid",
+        _fold_actions_from(acts, ACTION_FOLD_SENTINEL).alias("f_absent"),
+        _fold_actions_from(acts, "insert").alias("f_insert"),
+        _fold_actions_from(acts, "update").alias("f_ud"),
+        "_last",
+    )
 
 
 def merge_into(
@@ -291,6 +365,7 @@ def state_diff(
     payload_cols: list[str] | tuple[str, ...],
     rid_col: str = "rid",
     action_col: str = "cdc_action",
+    co_group_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Change-data-feed synthesis: diff two compacted states into the
     minimal changelog that transforms one into the other — the INVERSE
@@ -305,17 +380,29 @@ def state_diff(
     at 100 TB both states are already rid-keyed parquet, so with
     bucketed layouts even that exchange disappears.
 
+    ``co_group_cols``: extra join columns (dropped from the output)
+    whose ONLY job is letting the join reuse the inputs' existing
+    partitioning (guide §2.4 — two operations keyed the same way share
+    one exchange): states that come straight out of ``compact`` are
+    hash-partitioned by (tbl, rid), so diffing them with
+    ``co_group_cols=("tbl",)`` plans the full-outer join with ZERO new
+    Exchanges, where a bare rid join re-shuffled both sides.  Only pass
+    columns that are functionally determined by rid on both sides (a
+    single-table state trivially satisfies this); otherwise the join
+    key (cols, rid) would split rows a bare rid join would match.
+
     Returns (rid, change_type, before_<c>/after_<c> per payload col).
     """
     def live(df: DataFrame, side: str) -> DataFrame:
         return df.filter(F.col(action_col) != "delete").select(
+            *co_group_cols,
             F.col(rid_col).alias("rid"),
             F.lit(True).alias(f"_{side}"),
             *[F.col(c).alias(f"{side}_{c}") for c in payload_cols],
         )
 
     o, n = live(old_state, "before"), live(new_state, "after")
-    j = o.join(n, "rid", "full_outer")
+    j = o.join(n, [*co_group_cols, "rid"], "full_outer")
     differs = reduce(
         or_,
         [

@@ -206,7 +206,15 @@ def _scenario_events(k: Column, extra_pred: Column) -> Column:
 
 
 def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # The explode + wide event projection below fuse into the scan
+    # stage; a single-row-group fixture file scans as ONE task, pinning
+    # the whole synthesis to one core of the box (guide §2.5 "input
+    # skew: one huge unsplittable file — repartition immediately after
+    # the read").  ensure_min_parallelism is a no-op whenever the scan
+    # already has enough splits, i.e. on any real multi-file changelog.
+    from ..operators.scale import ensure_min_parallelism
+
+    o = ensure_min_parallelism(load_table(spark, sf_dir, "orders"))
     k = (F.col("o_orderkey") % 10).cast("int")
     ev = o.withColumn("ev", F.explode(_scenario_events(k, F.col("o_orderkey") % 97 == 0)))
     e = F.col("ev.e")
@@ -230,7 +238,12 @@ def orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lineitem_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # same single-split rescue as orders_changelog: without it the
+    # dedup groupBy's PARTIAL aggregate (600k rows at sf0.1) runs inside
+    # the one-task scan stage — measured as ~1 s of the synthesis wall
+    from ..operators.scale import ensure_min_parallelism
+
+    li = ensure_min_parallelism(load_table(spark, sf_dir, "lineitem"))
     base = li.groupBy("l_orderkey", "l_linenumber").agg(
         F.max("l_partkey").alias("l_partkey"),
         F.max("l_suppkey").alias("l_suppkey"),

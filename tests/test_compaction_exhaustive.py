@@ -76,3 +76,39 @@ def test_random_long_sequences_seeded(spark):
     out = compact(df, ("id",), ("id", "v"))
     got = {r["rid"]: (r["cdc_action"], r["v"]) for r in out.collect()}
     assert got == expected
+
+
+def test_merge_state_all_sequences_all_split_points(spark):
+    """r9: merge_state's transition-compose form (per-key batch fold
+    tuple + co-partitioned join, operators/compaction.py) proven
+    composition-exact at the BATCH operator level: every action
+    sequence up to length 4 × EVERY split point s (state = compact of
+    events[:s], batch = events[s:]) must reproduce the independent
+    Python fold of the whole sequence.  s=0 exercises the empty-state
+    edge; s=len exercises the empty-batch edge."""
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_redis_spark.operators.compaction import merge_state
+
+    state_rows, batch_rows = [], []
+    expected = {}
+    key = 0
+    for length in range(1, 5):
+        for combo in itertools.product(ACTIONS, repeat=length):
+            for s in range(0, length + 1):
+                key += 1
+                for i, a in enumerate(combo[:s]):
+                    state_rows.append((i + 1, key, a, f"v{i}", "t"))
+                for i, a in enumerate(combo[s:], start=s):
+                    batch_rows.append((i + 1, key, a, f"v{i}", "t"))
+                final = _python_fold(combo)
+                if final is not None:
+                    expected[str(key)] = (final, f"v{length - 1}")
+    schema = "seq long, id int, cdc_action string, v string, tbl string"
+    state = compact(spark.createDataFrame(state_rows, schema), ("id",), ("id", "v"))
+    batch = spark.createDataFrame(batch_rows, schema)
+    merged = merge_state(state, batch, ("id",), ("id", "v"))
+    got = {r["rid"]: (r["cdc_action"], r["v"]) for r in merged.collect()}
+    assert got == expected
+    # output schema contract unchanged: tbl, rid, cdc_action, payload
+    assert merged.columns == ["tbl", "rid", "cdc_action", "id", "v"]
