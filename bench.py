@@ -97,6 +97,30 @@ def main() -> None:
     compact(_oc(spark, sf_dir).limit(1000), _OK, _OP).write.format("noop").mode(
         "overwrite"
     ).save()
+    # r9: complete the warmup — one untimed execution of EVERY headline
+    # query against the tiny sf0.001 fixture (when present next to
+    # sf_dir).  Whole-stage codegen compiles per generated-source hash,
+    # and the source depends only on the plan shape/schemas (identical
+    # across scale factors), so this populates the codegen + classloader
+    # caches for exactly the plans the timed passes run — the r9 spread
+    # audit measured first-execution compilation spikes of 2-5x (worst
+    # observed 36 s on a 2.5 s query) landing entirely in pass 1 and
+    # carrying the worst per-query spread.  No result or data reuse is
+    # possible across directories: the timed passes run on sf_dir with
+    # the page cache flushed and spark.catalog cleared per pass, same
+    # as r8.  SPARK_GRAFT_WARM_DIR overrides; empty disables.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"),
+    )
+    if warm_dir and os.path.isdir(warm_dir) and os.path.abspath(
+        warm_dir
+    ) != os.path.abspath(sf_dir):
+        for name, q in headline.items():
+            try:
+                checksum_row(q.fn(spark, warm_dir))
+            except Exception:
+                pass  # warmup must never fail the bench
 
     # >=5 full passes (round-2 verdict: n=2 deltas were indistinguishable
     # from noise).  clearCache() between passes keeps every pass cold —
