@@ -204,7 +204,17 @@ def main() -> None:
 
     staged_base = tempfile.mkdtemp(prefix="bench_staged_")
     staged_dir = os.path.join(staged_base, "changelog")
-    lineitem_changelog(spark, sf_dir).write.mode("overwrite").parquet(staged_dir)
+    # The staged layout is part of the MEASUREMENT HARNESS, not the
+    # workload: maxFilesPerTrigger=2 below turns the file count into the
+    # micro-batch count, so the count must not drift with the synthesis
+    # plan's internal parallelism (the r9 single-split rescue moved the
+    # changelog's natural output 10 -> 16 files, which silently changed
+    # the streaming measurement from 5 to 8 micro-batches).  Pin the
+    # r1-r8 layout explicitly: 10 files, ~87k events each.
+    n_staged_target = int(os.environ.get("SPARK_GRAFT_STAGED_FILES", "10"))
+    lineitem_changelog(spark, sf_dir).repartition(n_staged_target).write.mode(
+        "overwrite"
+    ).parquet(staged_dir)
     staged = spark.read.parquet(staged_dir)
     n_staged = staged.count()
     t0 = time.perf_counter()
