@@ -211,10 +211,27 @@ def main() -> None:
     # changelog's natural output 10 -> 16 files, which silently changed
     # the streaming measurement from 5 to 8 micro-batches).  Pin the
     # r1-r8 layout explicitly: 10 files, ~87k events each.
+    #
+    # The pin MUST preserve binlog order across files: a CDC stream's
+    # contract is in-order delivery, and FileStreamSource feeds files to
+    # micro-batches oldest-mtime-first.  A round-robin repartition()
+    # scatters seq ranges across files, so later batches carry earlier
+    # seqs and the streamed state diverges from the batch compactor
+    # (observed: 383626 vs 365563 state rows).  Range-partition by seq
+    # (file N = seq-range N) and stamp strictly increasing mtimes in
+    # part-name order so the source's mtime ordering IS seq order —
+    # parallel part-file writes otherwise finish with arbitrary mtimes.
     n_staged_target = int(os.environ.get("SPARK_GRAFT_STAGED_FILES", "10"))
-    lineitem_changelog(spark, sf_dir).repartition(n_staged_target).write.mode(
-        "overwrite"
-    ).parquet(staged_dir)
+    lineitem_changelog(spark, sf_dir).repartitionByRange(
+        n_staged_target, "seq"
+    ).write.mode("overwrite").parquet(staged_dir)
+    _staged_parts = sorted(
+        f for f in os.listdir(staged_dir) if f.endswith(".parquet")
+    )
+    _mtime_base = int(time.time()) - 2 * len(_staged_parts)
+    for _i, _fname in enumerate(_staged_parts):
+        _p = os.path.join(staged_dir, _fname)
+        os.utime(_p, (_mtime_base + 2 * _i, _mtime_base + 2 * _i))
     staged = spark.read.parquet(staged_dir)
     n_staged = staged.count()
     t0 = time.perf_counter()
@@ -222,6 +239,10 @@ def main() -> None:
         "overwrite"
     ).save()
     pure_rate = round(n_staged / (time.perf_counter() - t0))
+    # untimed oracle for the streaming sections below: both streaming
+    # twins must finalize to the batch compactor's state (the ordering
+    # bug above shipped silently once; this makes it loud in the artifact)
+    n_batch_state = compact(staged, LINEITEM_PK, LINEITEM_PAYLOAD).count()
 
     # STREAMING ingest throughput (round-3 verdict #6): the reference's
     # identity is the streaming loop (cdc.py tail -> per-row merge ->
@@ -353,6 +374,11 @@ def main() -> None:
                 "stream_compact_jvm_events_per_sec": jvm_stream_rate,
                 "stream_compact_jvm_state_rows": n_jvm_state,
                 "stream_compact_jvm_batches": -(-n_staged_files // 2),
+                "stream_compact_batch_state_rows": n_batch_state,
+                "stream_compact_state_parity": bool(
+                    n_stream_state == n_batch_state
+                    and n_jvm_state == n_batch_state
+                ),
                 **({"sf1": sf1_section} if sf1_section else {}),
             }
     )
