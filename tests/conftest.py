@@ -227,3 +227,86 @@ def compare_with_oracle(spark_df, duck_con, oracle: str):
         diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:5]
         return False, f"value mismatch; first diffs (spark vs duck): {diffs}"
     return True, "ok"
+
+
+# ---------------------------------------------------------------------------
+# Slow-test split (round-9 verdict item 2a): the exhaustive/crash
+# matrices and multi-batch streaming end-to-end runs below each cost
+# 12-100 s (measured full-suite r10 durations snapshot) and together
+# ~55% of the suite wall, which overran the driver's verification
+# budget (VERIFY_r09 tests_ok:false was a mid-dots truncation).  They
+# are marked `slow` and deselected by default via pytest.ini addopts;
+# run the FULL matrix with  -m "slow or not slow".  Every marked test
+# keeps a faster default-run sibling covering the same operator, and
+# the full catalog is oracle-verified separately each round.
+# ---------------------------------------------------------------------------
+_SLOW_NODE_IDS = frozenset({
+    "tests/test_advanced_properties.py::test_containment_prefix_equals_naive",
+    "tests/test_advanced_properties.py::test_lsh_dedup_edges_same_clusters",
+    "tests/test_advanced_properties.py::test_prefix_filter_equals_naive_jaccard",
+    "tests/test_ann_recall.py::test_ann_recall_targeted_configs_hit_documented_recall",
+    "tests/test_ann_recall.py::test_ann_recall_vs_bruteforce",
+    "tests/test_ann_recall_clustered.py::test_clustered_data_buys_selective_lsh_tables",
+    "tests/test_ann_recall_clustered.py::test_shipped_recall_configs_hold_on_clustered_data",
+    "tests/test_compaction_semantics.py::test_state_diff_feed_roundtrip",
+    "tests/test_dedup_hygiene.py::test_dedup_operators_leave_no_persisted_rdds",
+    "tests/test_graph_components.py::test_chain_propagates_to_minimum",
+    "tests/test_graph_components.py::test_random_graphs_match_union_find",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[cdc_compact_stream_lineitem]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[dedup_stream_minhash_lsh]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[sim_srp_lsh_hamming]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_retraction_agg]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_scd2_history]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_scd2_history_jvm]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_session_event_spans]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_sliding_event_counts]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_static_enrich_revenue]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_stream_interval_join]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_stream_left_outer_join]",
+    "tests/test_oracle_differential.py::test_query_matches_oracle[stream_stream_semi_join]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[cdc_compact_stream_lineitem]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[dedup_stream_minhash_lsh]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[stream_dedup_within_watermark]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[stream_retraction_agg]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[stream_scd2_history]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[stream_scd2_history_jvm]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[stream_session_event_spans]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[stream_stream_interval_join]",
+    "tests/test_oracle_types.py::test_oracle_types_match_spark_schema[stream_stream_left_outer_join]",
+    "tests/test_pipeline.py::test_full_pipeline_ingest_dump_replay",
+    "tests/test_streaming_dedup.py::test_stream_dedup_auto_compaction_bounds_runs",
+    "tests/test_streaming_dedup.py::test_stream_dedup_batch_torn_manifest_commit_replays",
+    "tests/test_streaming_dedup.py::test_stream_dedup_checkpoint_resume_midway[HostileFS]",
+    "tests/test_streaming_dedup.py::test_stream_dedup_checkpoint_resume_midway[LocalFS]",
+    "tests/test_streaming_dedup.py::test_stream_dedup_compaction_crash_mid_gc_recovers",
+    "tests/test_streaming_dedup.py::test_stream_dedup_compaction_rebuckets_when_state_outgrows_layout",
+    "tests/test_streaming_dedup.py::test_stream_dedup_compaction_safe_under_checkpoint_replay",
+    "tests/test_streaming_dedup.py::test_stream_dedup_compaction_torn_manifest_commit_recovers",
+    "tests/test_streaming_dedup.py::test_stream_dedup_equals_batch_any_slicing[HostileFS]",
+    "tests/test_streaming_dedup.py::test_stream_dedup_equals_batch_any_slicing[LocalFS]",
+    "tests/test_streaming_dedup.py::test_stream_dedup_gc_eventually_reclaims_aged_out_runs",
+    "tests/test_streaming_dedup.py::test_stream_dedup_grand_composition",
+    "tests/test_streaming_dedup.py::test_stream_dedup_leaves_no_persisted_rdds",
+    "tests/test_streaming_dedup.py::test_stream_dedup_lsm_compaction_preserves_results",
+    "tests/test_streaming_dedup.py::test_stream_dedup_mega_batch_path_drops_broadcast_and_agrees",
+    "tests/test_streaming_dedup.py::test_stream_dedup_probe_reads_only_touched_buckets",
+    "tests/test_streaming_dedup.py::test_stream_dedup_prune_gate_branches_agree",
+    "tests/test_streaming_dedup.py::test_stream_dedup_reader_snapshot_survives_compaction",
+    "tests/test_streaming_dedup.py::test_stream_dedup_rerun_is_idempotent",
+    "tests/test_streaming_dedup.py::test_stream_dedup_uncommitted_pairs_partition_is_invisible",
+    "tests/test_streaming_parity.py::test_checkpoint_resume_processes_only_new_files",
+    "tests/test_streaming_parity.py::test_composed_pipeline_dual_sink_equals_batch",
+    "tests/test_streaming_parity.py::test_retraction_stream_slicing_invariant",
+    "tests/test_streaming_parity.py::test_stream_equals_batch",
+    "tests/test_streaming_parity_jvm.py::test_dual_sink_pipeline_jvm_equals_batch_with_midway_resume",
+    "tests/test_streaming_parity_jvm.py::test_jvm_retraction_equals_pandas_twin_emissions",
+    "tests/test_streaming_parity_jvm.py::test_jvm_scd2_equals_pandas_twin",
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if nodeid in _SLOW_NODE_IDS:
+            item.add_marker(slow)

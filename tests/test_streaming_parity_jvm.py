@@ -198,45 +198,116 @@ def test_transition_tuple_composes_exhaustively(spark):
     )
 
 
+def test_compose_transition_runs_exhaustively(spark):
+    """The heart of the LSM read path: for EVERY action sequence up to
+    length 4 and EVERY ordered 3-way split, composing the three
+    per-batch transition runs (`compose_transition_runs`) must equal
+    the one-shot batch fold — both from empty (runs only) and applied
+    on top of a base state built from the first run
+    (`fold_transition_state`).  All scenarios ride in ONE DataFrame
+    set — key id encodes the scenario — so the space is a few Spark
+    jobs."""
+    from mysql_cdc_redis_spark.streaming.compact_jvm import (
+        _delta_to_state,
+        compact_batch_transitions,
+        fold_transition_state,
+    )
+
+    actions = ("insert", "update", "delete")
+    scenarios = []  # (key, events, i, j): runs = [0:i), [i:j), [j:len)
+    k = 0
+    for length in range(1, 5):
+        for seq in product(actions, repeat=length):
+            for i in range(0, length + 1):
+                for j in range(i, length + 1):
+                    scenarios.append((f"k{k}", list(seq), i, j))
+                    k += 1
+
+    rows_all, parts = [], ([], [], [])
+    for key, evs, i, j in scenarios:
+        for n, a in enumerate(evs):
+            row = ("t", key, n, a, f"v{n}")
+            rows_all.append(row)
+            parts[0 if n < i else (1 if n < j else 2)].append(row)
+    schema = "tbl string, pk string, seq long, cdc_action string, val string"
+    all_df = spark.createDataFrame(rows_all, schema)
+    pk, payload = ("pk",), ("pk", "val")
+    expected = compact(all_df, pk, payload)
+
+    deltas = [
+        compact_batch_transitions(
+            spark.createDataFrame(rows, schema) if rows else all_df.limit(0),
+            pk,
+            payload,
+        ).withColumn("_run", F.lit(b))
+        for b, rows in enumerate(parts)
+    ]
+    runs = deltas[0].unionByName(deltas[1]).unionByName(deltas[2])
+
+    cols = ["tbl", "rid", "cdc_action", "pk", "val"]
+    # (a) fold from empty: compose all three runs
+    from_empty = fold_transition_state(None, runs, payload)
+    assert _rows(from_empty.select(*cols), cols) == _rows(
+        expected.select(*cols), cols
+    ), "3-run compose from empty diverged from the one-shot fold"
+    # (b) fold onto a base: run 0 materialized as state, runs 1-2 composed
+    base = _delta_to_state(deltas[0].drop("_run"), payload)
+    on_base = fold_transition_state(
+        base, deltas[1].unionByName(deltas[2]), payload
+    )
+    assert _rows(on_base.select(*cols), cols) == _rows(
+        expected.select(*cols), cols
+    ), "base ∘ composed-runs diverged from the one-shot fold"
+    assert (
+        from_empty.filter(F.col("cdc_action") == ACTION_FOLD_SENTINEL).count() == 0
+    )
+
+
 def test_jvm_retry_is_deterministic(spark, sf_dir):
     """Exactly-once: re-running an already-committed batch id (the
     foreachBatch retry case) must reproduce the identical state — the
-    merge reads the latest slot committed BEFORE the batch, never the
-    slot it overwrites."""
+    replay reads the view committed by the latest batch BEFORE it
+    (immutable runs + the base slot it does not overwrite), including
+    when the retried batch triggers a compaction."""
     from mysql_cdc_redis_spark.streaming.compact_jvm import (
-        _delta_to_state,
-        _StateSlots,
+        _StateRuns,
         compact_batch_transitions,
-        merge_state_jvm,
+        fold_transition_state,
     )
 
     ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 20 == 7)
     b1 = ch.filter(F.col("seq") % 2 == 0)
     b2 = ch.filter(F.col("seq") % 2 == 1)
     state_dir = _tmp("jvm_retry_state")
-    slots = _StateSlots(spark, state_dir)
     pk, payload = ORDERS_PK, ORDERS_PAYLOAD
+    # max_runs=2 → batch 1 triggers a compaction, the risky replay path
+    slots = _StateRuns(spark, state_dir, max_runs=2)
+
+    def fold(base, runs, buckets=None):
+        return fold_transition_state(base, runs, payload, buckets)
+
     cols = ["tbl", "rid", "cdc_action", *payload]
     try:
-        slots.write(
-            _delta_to_state(compact_batch_transitions(b1, pk, payload), payload),
-            0, 4,
-        )
-        slots.commit(0, 0)
+        prev0 = slots.view_before(0)
+        assert prev0 is None
+        slots.commit(0, slots.append(
+            compact_batch_transitions(b1, pk, payload), 0, prev0, fold
+        ))
 
         def apply_batch_1():
-            prev_b, src = slots.latest_before(1)
-            assert (prev_b, src) == (0, 0)
-            new_state = merge_state_jvm(
-                slots.read(src), compact_batch_transitions(b2, pk, payload), payload
+            prev = slots.view_before(1)
+            assert prev is not None and prev[0] == 0
+            view = slots.append(
+                compact_batch_transitions(b2, pk, payload), 1, prev, fold
             )
-            slots.write(new_state, 1 - src, 4)
-            slots.commit(1, 1 - src)
+            slots.commit(1, view)
+            return view
 
-        apply_batch_1()
-        first = _rows(slots.read(1).select(*cols), cols)
-        apply_batch_1()  # the retry: same batch id, meta already has it
-        second = _rows(slots.read(1).select(*cols), cols)
+        v1 = apply_batch_1()
+        assert v1["base"] is not None and v1["runs"] == []  # compacted
+        first = _rows(slots.state_at(v1, fold).select(*cols), cols)
+        v1b = apply_batch_1()  # the retry: same batch id, meta has it
+        second = _rows(slots.state_at(v1b, fold).select(*cols), cols)
         assert first == second
         assert first == _rows(
             compact(b1.unionByName(b2), pk, payload).select(*cols), cols
@@ -245,69 +316,161 @@ def test_jvm_retry_is_deterministic(spark, sf_dir):
         drop_state_jvm(spark, state_dir)
 
 
-def test_jvm_slot_meta_torn_commit_reads_as_prior_state(spark):
-    """The slot commit log rides the PUT-only manifest protocol
+def test_jvm_view_meta_torn_commit_reads_as_prior_state(spark):
+    """The view commit log rides the PUT-only manifest protocol
     (round-7 advice #1): a commit torn mid-write must read back as the
-    PRIOR batch→slot map (the transition never happened), and the retry
+    PRIOR batch→view map (the transition never happened), and the retry
     must land under a fresh version — no rename, no atomic-replace
     assumption anywhere."""
     import pytest
 
-    from mysql_cdc_redis_spark.streaming.compact_jvm import _StateSlots
+    from mysql_cdc_redis_spark.streaming.compact_jvm import _StateRuns
 
     from .fs_double import HostileFS, InjectedCrash
 
     state_dir = _tmp("jvm_torn_meta")
     fs = HostileFS()
-    slots = _StateSlots(spark, state_dir, fs=fs)
+    slots = _StateRuns(spark, state_dir, fs=fs)
+    v0 = {"base": None, "buckets": None, "runs": [0]}
+    v1 = {"base": None, "buckets": None, "runs": [0, 1]}
     try:
-        slots.commit(0, 0)
-        assert slots.latest_before(1) == (0, 0)
+        slots.commit(0, v0)
+        assert slots.view_before(1) == (0, v0)
         fs.arm_tear_write()
         with pytest.raises(InjectedCrash):
-            slots.commit(1, 1)
-        # the torn commit is invisible: batch 1 still merges from slot 0
-        assert slots.latest_before(2) == (0, 0)
+            slots.commit(1, v1)
+        # the torn commit is invisible: batch 1 still folds from view 0
+        assert slots.view_before(2) == (0, v0)
         fs.disarm()
-        slots.commit(1, 1)  # the replay's commit
-        assert slots.latest_before(2) == (1, 1)
+        slots.commit(1, v1)  # the replay's commit
+        assert slots.view_before(2) == (1, v1)
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
-def test_jvm_slot_map_stays_o1_over_many_batches(spark):
-    """Round-8 verdict #2: the batch→slot map must NOT grow O(batches)
-    — a year-long stream commits 10^5-10^6 batches and the manifest
-    must stay O(1), the same standard the dedup stream's merged pair
-    ranges set.  After 100 commits the HEAD manifest carries at most
-    the top two entries (newest = current, second-newest = what the
-    newest batch's replay would merge from), and both reachable lookups
-    still resolve."""
+def test_jvm_view_map_stays_o1_over_many_batches(spark):
+    """Round-8 verdict #2 standard, carried to the LSM: the batch→view
+    map must NOT grow O(batches) — a year-long stream commits 10^5-10^6
+    batches and the manifest must stay O(1).  After 100 commits the
+    HEAD manifest carries at most the top two views (newest = current,
+    second-newest = what the newest batch's replay would fold from),
+    and both reachable lookups still resolve."""
     import json
 
     from mysql_cdc_redis_spark.streaming.commitlog import LocalFS
-    from mysql_cdc_redis_spark.streaming.compact_jvm import _StateSlots
+    from mysql_cdc_redis_spark.streaming.compact_jvm import _StateRuns
 
     state_dir = _tmp("jvm_o1_meta")
-    slots = _StateSlots(spark, state_dir, fs=LocalFS())
+    slots = _StateRuns(spark, state_dir, fs=LocalFS(), max_runs=4)
     try:
         for b in range(100):
-            slots.commit(b, b % 2)
-        meta = slots.load_meta()
-        assert set(meta) == {"98", "99"}, meta
+            slots.commit(b, {"base": b % 2, "runs": [b]})
+        views = slots.load_views()
+        assert set(views) == {98, 99}, views
         # the two lookups the protocol can still issue:
-        assert slots.latest_before(100) == (99, 99 % 2)  # next batch
-        assert slots.latest_before(99) == (98, 98 % 2)  # replay of newest
+        assert slots.view_before(100) == (
+            99, {"base": 1, "buckets": None, "runs": [99]}
+        )
+        assert slots.view_before(99) == (
+            98, {"base": 0, "buckets": None, "runs": [98]}
+        )
         # the on-disk head payload itself is bounded, not just the view
         log_dir = os.path.join(state_dir, "_log")
         newest = sorted(os.listdir(log_dir))[-1]
         with open(os.path.join(log_dir, newest)) as f:
-            assert len(json.load(f)["payload"]["slots"]) <= 2
+            assert len(json.load(f)["payload"]["views"]) <= 2
         # a replayed newest batch re-commits without growing the map
-        slots.commit(99, 1)
-        assert set(slots.load_meta()) == {"98", "99"}
+        slots.commit(99, {"base": 1, "runs": [99]})
+        assert set(slots.load_views()) == {98, 99}
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_jvm_legacy_pingpong_manifest_rejected(spark):
+    """A pre-LSM ping-pong manifest (``slots`` payload) must be rejected
+    loudly, not silently restarted from empty state — the dedup
+    stream's legacy-state standard."""
+    import pytest
+
+    from mysql_cdc_redis_spark.streaming.commitlog import LocalFS, ManifestLog
+    from mysql_cdc_redis_spark.streaming.compact_jvm import _StateRuns
+
+    state_dir = _tmp("jvm_legacy_meta")
+    try:
+        ManifestLog(LocalFS(), state_dir).commit({"slots": {"0": 0}})
+        slots = _StateRuns(spark, state_dir)
+        with pytest.raises(ValueError, match="legacy ping-pong"):
+            slots.load_views()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+def test_jvm_commit_cost_scales_with_batch_not_state(spark, sf_dir):
+    """Round-9 verdict item 1 (the named scale-killer): the per-batch
+    commit must write O(|batch|) bytes, not O(|state|).  Feed the same
+    keys' events as one big first batch then a tiny second batch: the
+    tiny batch's run bytes must be a small fraction of the state's, no
+    base compaction may fire below max_runs, and runs older than the
+    retained views must be GC'd after a compaction."""
+    from mysql_cdc_redis_spark.streaming.compact_jvm import (
+        _StateRuns,
+        compact_batch_transitions,
+        fold_transition_state,
+    )
+
+    ch = orders_changelog(spark, sf_dir)
+    # key-disjoint slices (a key's events never span batches, so batch
+    # order is immaterial and seqs never collide across batches)
+    big = ch.filter(F.col("o_orderkey") % 16 > 1)     # ~88% of keys
+    tiny = ch.filter(F.col("o_orderkey") % 16 == 0)   # ~6%
+    tiny2 = ch.filter(F.col("o_orderkey") % 16 == 1)  # ~6%
+    state_dir = _tmp("jvm_cost_state")
+    pk, payload = ORDERS_PK, ORDERS_PAYLOAD
+    slots = _StateRuns(spark, state_dir, max_runs=3)
+
+    def fold(base, runs, buckets=None):
+        return fold_transition_state(base, runs, payload, buckets)
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        ) if os.path.isdir(p) else 0
+
+    try:
+        slots.commit(0, slots.append(
+            compact_batch_transitions(big, pk, payload), 0, None, fold
+        ))
+        big_run_bytes = dir_bytes(slots.run_path(0))
+        state_rows = spark.read.parquet(slots.run_path(0)).count()
+        prev = slots.view_before(1)
+        v1 = slots.append(compact_batch_transitions(tiny, pk, payload), 1, prev, fold)
+        slots.commit(1, v1)
+        tiny_run_bytes = dir_bytes(slots.run_path(1))
+        tiny_run_rows = spark.read.parquet(slots.run_path(1)).count()
+        # commit cost followed the batch, not the accumulated state:
+        # the tiny batch's run holds its own keys only (rows are the
+        # honest O(|batch|) metric — bytes carry fixed parquet footer
+        # overhead), and nothing else was rewritten
+        assert v1["base"] is None and v1["runs"] == [0, 1]  # no compaction yet
+        assert tiny_run_rows < state_rows / 3, (tiny_run_rows, state_rows)
+        assert tiny_run_bytes < big_run_bytes / 2, (tiny_run_bytes, big_run_bytes)
+        # third batch reaches max_runs: compaction folds into a base...
+        prev = slots.view_before(2)
+        v2 = slots.append(compact_batch_transitions(tiny2, pk, payload), 2, prev, fold)
+        slots.commit(2, v2)
+        assert v2["base"] is not None and v2["runs"] == []
+        # ...and the state equals the batch compactor over everything
+        cols = ["tbl", "rid", "cdc_action", *payload]
+        assert _rows(slots.state_at(v2, fold).select(*cols), cols) == _rows(
+            compact(big.unionByName(tiny).unionByName(tiny2), pk, payload), cols
+        )
+        # GC: run 0 is reachable from neither retained view (views 1, 2)
+        slots.commit(3, v2)  # advance once more so view 0/1's runs age out
+        assert not os.path.isdir(slots.run_path(0))
+    finally:
+        drop_state_jvm(spark, state_dir)
 
 
 def test_jvm_retraction_equals_pandas_twin_emissions(spark, sf_dir):
@@ -521,41 +684,48 @@ def test_jvm_scd2_resume_midway(spark, sf_dir):
         drop_state_jvm(spark, state_dir)
 
 
-def test_jvm_merge_join_is_exchange_free_on_state_side(spark, sf_dir):
-    """Plan guardrail: with the state table bucketed by bkey, the merge
-    join must not re-shuffle the state side — at 100× the state is the
-    big side and its per-batch re-shuffle would be the whole cost.  The
-    delta side (small) may shuffle."""
+def test_jvm_compaction_join_is_exchange_free_on_base_side(spark, sf_dir):
+    """Plan guardrail: the PERIODIC COMPACTION's merge join (bucketed
+    base ∘ composed runs) must not re-shuffle the base side — at 100×
+    the base is the big side and its re-shuffle would be the whole
+    compaction cost.  The composed-runs side (bounded by max_runs
+    batches) may shuffle."""
     from mysql_cdc_redis_spark.streaming.compact_jvm import (
         _delta_to_state,
-        _StateSlots,
+        _StateRuns,
         compact_batch_transitions,
-        merge_state_jvm,
+        fold_transition_state,
     )
 
     ch = orders_changelog(spark, sf_dir).filter(F.col("o_orderkey") % 20 == 7)
     state_dir = _tmp("jvm_plan_state")
-    slots = _StateSlots(spark, state_dir)
+    slots = _StateRuns(spark, state_dir)
     pk, payload = ORDERS_PK, ORDERS_PAYLOAD
     try:
-        slots.write(
-            _delta_to_state(compact_batch_transitions(ch, pk, payload), payload),
-            0, 8,
-        )
-        merged = merge_state_jvm(
-            slots.read(0), compact_batch_transitions(ch, pk, payload), payload
+        delta = compact_batch_transitions(ch, pk, payload)
+        slots.write_base(_delta_to_state(delta, payload), 0, 8)
+        # base_buckets=8 pre-partitions the runs side into the base's
+        # bucket count — without it the planner disables the bucketed
+        # scan and re-shuffles the (big) base to the runs' partition
+        # count instead (observed: "Bucketed: false (disabled by query
+        # planner)" + Exchange over the base)
+        merged = fold_transition_state(
+            slots.read_base(0),
+            delta.withColumn("_run", F.lit(1)),
+            payload,
+            base_buckets=8,
         )
         plan = merged._jdf.queryExecution().executedPlan().toString()
         # walk the plan: no Exchange may sit between the join and the
-        # state table's FileScan (the delta branch legitimately has one)
+        # base table's FileScan (the runs branch legitimately has one)
         join_at = plan.find("SortMergeJoin")
         assert join_at >= 0, plan
         state_scan_at = plan.find(slots.tables[0])
         assert state_scan_at > join_at, plan
         exchanges_before_state = plan.count("Exchange", join_at, state_scan_at)
-        # exactly ONE exchange (the delta's hash repartition) may appear
-        # between the join and the state scan in the printed tree,
-        # because the delta branch prints first; the state branch itself
+        # exactly ONE exchange (the runs' hash repartition) may appear
+        # between the join and the base scan in the printed tree,
+        # because the runs branch prints first; the base branch itself
         # must be exchange-free — verify via bucketed-scan marker
         assert "SelectedBucketsCount" in plan, plan
         assert exchanges_before_state <= 1, plan
