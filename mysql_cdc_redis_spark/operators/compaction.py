@@ -173,6 +173,14 @@ def merge_state(
     per micro-batch (streaming/compact_jvm.py), brought to the batch
     operator.
 
+    Contract: ``table_col`` must be NON-NULL (every changelog source
+    here emits a literal or schema-derived table name; a CDC event
+    without a table is not addressable).  The equi-join below treats a
+    NULL tbl as matching nothing, so a hypothetical NULL-tbl key
+    present on both sides would emit two rows where the union+groupBy
+    form emitted one — coalesce tbl to a sentinel before merging if an
+    upstream ever produces NULL table names (r9 ADVICE #3).
+
     Why a join and not the r1-r8 union-and-recompact (guide §2.3/2.4 —
     shuffle fewer bytes, remove shuffles outright): both join sides
     arrive hash-partitioned by (tbl, rid) from their own groupBy, so
@@ -183,6 +191,29 @@ def merge_state(
     per-batch folds are independent subtrees that execute concurrently
     instead of strictly one-after-another."""
     delta = _batch_transitions(new_changelog, pk_cols, payload_cols, table_col, seq_col)
+    return merge_state_delta(state, delta, payload_cols, table_col)
+
+
+def merge_state_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    payload_cols: list[str] | tuple[str, ...],
+    table_col: str = "tbl",
+) -> DataFrame:
+    """Compose a PRE-FOLDED transition delta (``_batch_transitions``
+    output — one row per key: f_absent/f_insert/f_ud + _last payload)
+    into a compacted state: the join half of ``merge_state``, split out
+    so a pipeline that stages its per-batch deltas merges them WITHOUT
+    re-folding the raw events per level (the incremental-merge bench
+    path folds all batches in ONE shared groupBy at staging time,
+    guide §2.3 "aggregate before you shuffle") — and so the state side
+    can come from a PERSISTED rid-bucketed table
+    (operators/scale.py::write_bucketed): a rid-bucketed state scan
+    satisfies the merge join's distribution, so a merge against
+    persisted state plans with ZERO state-side exchanges — only the
+    delta shuffles (guide §2.4; plan-pinned in
+    tests/test_plan_quality.py).  Same non-null ``table_col`` contract
+    as ``merge_state``."""
     s = state.select(
         F.col(table_col).alias("tbl"), "rid", F.col("cdc_action").alias("_s_act"),
         *payload_cols,
@@ -215,6 +246,7 @@ def _batch_transitions(
     table_col: str = "tbl",
     seq_col: str = "seq",
     action_col: str = "cdc_action",
+    extra_group_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per (tbl, rid) summarizing a changelog batch as its fold
     transition tuple + last payload: ``f_absent`` / ``f_insert`` /
@@ -225,7 +257,9 @@ def _batch_transitions(
     (values win wholesale, rcache.py:222).  Same single-shuffle groupBy
     shape as compact()."""
     keyed = with_rid(changelog, pk_cols).filter(F.col("rid").isNotNull())
-    grouped = keyed.groupBy(F.col(table_col).alias("tbl"), "rid").agg(
+    grouped = keyed.groupBy(
+        *extra_group_cols, F.col(table_col).alias("tbl"), "rid"
+    ).agg(
         F.max_by(
             F.struct(*[F.col(c) for c in payload_cols]), F.col(seq_col)
         ).alias("_last"),
@@ -237,12 +271,28 @@ def _batch_transitions(
     )
     acts = F.transform(F.col("_evs"), lambda ev: ev["a"])
     return grouped.select(
+        *extra_group_cols,
         "tbl",
         "rid",
         _fold_actions_from(acts, ACTION_FOLD_SENTINEL).alias("f_absent"),
         _fold_actions_from(acts, "insert").alias("f_insert"),
         _fold_actions_from(acts, "update").alias("f_ud"),
         "_last",
+    )
+
+
+def delta_to_state(
+    delta: DataFrame, payload_cols: list[str] | tuple[str, ...]
+) -> DataFrame:
+    """First batch (no prior state): the from-empty fold IS the state —
+    ``delta_to_state(_batch_transitions(b)) ≡ compact(b)`` by
+    construction (same fold, same wholesale-newest payload; pinned in
+    tests/test_compaction_exhaustive.py); annihilated keys vanish."""
+    return delta.filter(F.col("f_absent") != ACTION_FOLD_SENTINEL).select(
+        "tbl",
+        "rid",
+        F.col("f_absent").alias("cdc_action"),
+        *[F.col(f"_last.{c}").alias(c) for c in payload_cols],
     )
 
 

@@ -432,16 +432,23 @@ def _merge4x_cuts(spark: SparkSession, sf_dir: str, fracs):
     "monotone cuts yield seq-ordered batches and the identical merged "
     "state — and the raw scan costs one cheap pass where the r1-r8 "
     "form re-executed the full dedup+explode synthesis just to place "
-    "cuts).  Each merge shuffles only the batch's events: merge_state "
-    "folds the batch to per-key transition tuples and composes them "
-    "with the state through a co-partitioned join (guide §2.3/2.4), "
-    "never re-exchanging the accumulated state.",
+    "cuts).  Each batch is staged as its PRE-FOLDED per-key transition "
+    "tuple (the capture-time fold of a real ingest: all 4 batches fold "
+    "in ONE shared groupBy at staging, guide §2.3 'aggregate before "
+    "you shuffle', where the r9 cascade re-folded the raw events once "
+    "per level), and each merge composes a staged delta with the "
+    "state through merge_state_delta — per level only the (compact) "
+    "delta tuples shuffle.",
     tags=("cdc", "incremental", "ref:M1", "ref:M2"),
     bench=True,
     oracle=_oracle_compact_sql(LINEITEM_CHANGELOG_SQL, LINEITEM_PK, LINEITEM_PAYLOAD),
 )
 def cdc_incremental_merge_4x(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.compaction import merge_state
+    from ..operators.compaction import (
+        _batch_transitions,
+        delta_to_state,
+        merge_state_delta,
+    )
 
     n_batches = 4
     ch = lineitem_changelog(spark, sf_dir)
@@ -455,16 +462,19 @@ def cdc_incremental_merge_4x(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ),
     )
-    # the 4 batch branches all scan the split changelog: STAGE it once as
-    # a _b-partitioned parquet (a real ingest reads a materialized
-    # changelog anyway) so the md5-keyed event synthesis runs once, each
-    # batch filter is pure partition pruning, and — unlike .cache(),
-    # which this replaced — nothing stays pinned in executor storage.
+    # All 4 batches are folded to per-key transition tuples in ONE
+    # groupBy fused with the synthesis pass and STAGED _b-partitioned
+    # (a real ingest reads materialized per-batch deltas anyway — the
+    # same shape the JVM streaming twin commits per micro-batch).  The
+    # r9 form staged the RAW events (2.3M rows × 10 cols at sf0.1) and
+    # re-folded each batch inside the cascade: 4 groupBy shuffles and
+    # ~1.6× the staged bytes for the same final state (guide §2.3).
+    # Each batch filter below is pure partition pruning.
     # Staging hygiene (round-3 ADVICE): mkdtemp gives a per-invocation
     # unique 0700 directory (no cross-session overwrite race, not
     # squattable), the merge cascade is driven to completion by writing
-    # the FINAL compacted state, and the large staged changelog tree is
-    # removed immediately after that action — only the (much smaller)
+    # the FINAL compacted state, and the staged delta tree is removed
+    # immediately after that action — only the (much smaller)
     # final-state parquet lives on, reaped at process exit.  On a real
     # cluster these paths would be object-store URIs managed through the
     # Hadoop FileSystem API; local tempfile/shutil is the local[] analog.
@@ -475,16 +485,20 @@ def cdc_incremental_merge_4x(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged_dir = tempfile.mkdtemp(prefix="cdc_merge4x_stage_")
     final_dir = tempfile.mkdtemp(prefix="cdc_merge4x_state_")
     try:
-        ch2.drop("_cuts").write.mode("overwrite").partitionBy("_b").parquet(staged_dir)
+        _batch_transitions(
+            ch2.drop("_cuts"),
+            LINEITEM_PK,
+            LINEITEM_PAYLOAD,
+            extra_group_cols=("_b",),
+        ).write.mode("overwrite").partitionBy("_b").parquet(staged_dir)
         staged = spark.read.parquet(staged_dir)
-        state = compact(
-            staged.filter(F.col("_b") == 0).drop("_b"), LINEITEM_PK, LINEITEM_PAYLOAD
+        state = delta_to_state(
+            staged.filter(F.col("_b") == 0).drop("_b"), LINEITEM_PAYLOAD
         )
         for i in range(1, n_batches):
-            state = merge_state(
+            state = merge_state_delta(
                 state,
                 staged.filter(F.col("_b") == i).drop("_b"),
-                LINEITEM_PK,
                 LINEITEM_PAYLOAD,
             )
         state.write.mode("overwrite").parquet(final_dir)

@@ -43,13 +43,15 @@ def _tmp(name: str) -> str:
     doc="T1/T4/K5, pure-JVM form (round-5 verdict item 1): the "
     "foreachBatch + transition-tuple merge streaming compactor "
     "(streaming/compact_jvm.py) — each micro-batch folds to its full "
-    "action-transition tuple (four JVM F.aggregate folds), then merges "
-    "into a bucketed-by-key state table via a full-outer join whose "
-    "state side plans Exchange-free.  Zero per-key Python crossings — "
-    "the 100x replacement for the applyInPandasWithState twin's pandas "
-    "crossing (21k ev/s -> >100k ev/s measured on the same staged "
-    "changelog).  Exactly-once via ping-pong state slots + an atomic "
-    "batch_id commit log; must hash-match the batch compaction oracle.",
+    "action-transition tuple (four JVM F.aggregate folds) and commits "
+    "as an immutable LSM run, O(|batch|) per commit; periodic "
+    "compaction folds base+runs into a bucketed-by-key state table "
+    "via a full-outer join whose base side plans Exchange-free.  Zero "
+    "per-key Python crossings — the 100x replacement for the "
+    "applyInPandasWithState twin's pandas crossing (21k ev/s -> >100k "
+    "ev/s measured on the same staged changelog).  Exactly-once via "
+    "immutable runs + an atomic batch_id->view commit log; must "
+    "hash-match the batch compaction oracle.",
     tags=("cdc", "streaming", "jvm-state", "ref:T1", "ref:T4", "ref:K5"),
     oracle=_oracle_compact_sql(ORDERS_CHANGELOG_SQL, ORDERS_PK, ORDERS_PAYLOAD),
 )
@@ -831,8 +833,9 @@ def stream_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_retraction_agg_jvm",
     doc="Retraction stream, pure-JVM form (round-6: the foreachBatch "
     "twin of stream_retraction_agg): per micro-batch the -1/+1 delta "
-    "rows are two broadcast semi-joins against the bucketed ping-pong "
-    "state slots of the JVM compactor — zero per-key Python crossings, "
+    "rows are two key-restricted point-reads of the JVM compactor's "
+    "LSM state (broadcast semi-joins against base+runs, folded per "
+    "key) — zero per-key Python crossings, "
     "and emissions are exactly-once (each batch overwrites its own "
     "batch_id=N partition before the state commit, vs the pandas "
     "twin's at-least-once append).  Same telescoping identity, same "

@@ -100,6 +100,9 @@ def _compact_group(
         acts = pdf["cdc_action"].values
         for i in seqs.argsort(kind="stable"):
             fold_state = _fold(fold_state, acts[i])
+        # argmax picks the FIRST row among tied max seqs where the old
+        # sort_values+iloc[-1] picked the last; seq is unique per key
+        # (binlog position), so ties cannot occur (r9 ADVICE #5)
         imax = int(seqs.argmax())
         if int(seqs[imax]) > last_seq:
             last_seq = int(seqs[imax])
@@ -350,6 +353,9 @@ def _retract_group(
         acts = pdf["cdc_action"].values
         for i in seqs.argsort(kind="stable"):
             fold_state = _fold(fold_state, acts[i])
+        # argmax picks the FIRST row among tied max seqs where the old
+        # sort_values+iloc[-1] picked the last; seq is unique per key
+        # (binlog position), so ties cannot occur (r9 ADVICE #5)
         imax = int(seqs.argmax())
         if int(seqs[imax]) > last_seq:
             last_seq = int(seqs[imax])

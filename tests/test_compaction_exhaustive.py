@@ -112,3 +112,34 @@ def test_merge_state_all_sequences_all_split_points(spark):
     assert got == expected
     # output schema contract unchanged: tbl, rid, cdc_action, payload
     assert merged.columns == ["tbl", "rid", "cdc_action", "id", "v"]
+
+
+def test_delta_to_state_equals_compact_all_sequences(spark):
+    """r10: ``delta_to_state(_batch_transitions(b)) ≡ compact(b)`` for
+    every action sequence up to length 4 — the from-empty leg of the
+    staged-delta incremental merge (plans/cdc.py merge_4x stages
+    pre-folded transition tuples; level 0 materializes the first
+    batch's tuples as the initial state through this helper)."""
+    from mysql_cdc_redis_spark.operators.compaction import (
+        _batch_transitions,
+        delta_to_state,
+    )
+
+    rows = []
+    key = 0
+    for length in range(1, 5):
+        for combo in itertools.product(ACTIONS, repeat=length):
+            key += 1
+            for i, a in enumerate(combo):
+                rows.append((i + 1, key, a, f"v{i}", "t"))
+    schema = "seq long, id int, cdc_action string, v string, tbl string"
+    df = spark.createDataFrame(rows, schema)
+    via_delta = delta_to_state(
+        _batch_transitions(df, ("id",), ("id", "v")), ("id", "v")
+    )
+    direct = compact(df, ("id",), ("id", "v"))
+    k = lambda r: (r["tbl"], r["rid"])  # noqa: E731
+    got = {k(r): (r["cdc_action"], r["v"]) for r in via_delta.collect()}
+    want = {k(r): (r["cdc_action"], r["v"]) for r in direct.collect()}
+    assert got == want
+    assert via_delta.columns == direct.columns

@@ -1092,3 +1092,69 @@ def test_state_diff_co_group_cols_reuses_compact_partitioning(spark):
     assert sorted(map(tuple, plan and state_diff(
         old, new, ("id", "v"), co_group_cols=("tbl",)).collect())) == sorted(
         map(tuple, bare.collect()))
+
+
+def test_merge_state_delta_bucketed_state_is_exchange_free(spark, sf_dir):
+    """r10 (r9 verdict item 3): a merge against PERSISTED state — the
+    real incremental operating shape, where the state is read from a
+    rid-bucketed warehouse table rather than living in the plan — must
+    not re-shuffle the state side: only the delta may exchange.  The
+    bucketed scan satisfies the full-outer join's distribution
+    (SelectedBucketsCount in the scan), so at 100 TB the merge cost is
+    ∝ |delta|, not |state|."""
+    from mysql_cdc_redis_spark.operators.compaction import (
+        _batch_transitions,
+        merge_state_delta,
+    )
+
+    from mysql_cdc_redis_spark.sources.changelog import (
+        ORDERS_PAYLOAD,
+        ORDERS_PK,
+        orders_changelog,
+    )
+
+    # the real changelog shape: tbl is a literal, so Catalyst folds it
+    # out of the join keys and rid is the effective key — a rid-bucketed
+    # state covers ALL remaining cluster keys and the planner keeps the
+    # bucketed scan.  (A genuinely multi-table state would bucket on
+    # (tbl, rid) instead; with tbl folded to a literal that bucketing
+    # can never match, which is the same planner fact state_diff's
+    # co_group_cols documents.)
+    ch = orders_changelog(spark, sf_dir)
+    # seq = orderkey*4 + e with e in 0..3, so e<2 / e>=2 is a
+    # seq-ordered per-key split (state events precede batch events)
+    state = compact(ch.filter(F.col("seq") % 4 <= 1), ORDERS_PK, ORDERS_PAYLOAD)
+    tbl = "plan_merge_bucketed_state"
+    spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+    try:
+        (
+            state.repartition(8, "rid")
+            .write.mode("overwrite")
+            .bucketBy(8, "rid")
+            .sortBy("rid")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        delta = _batch_transitions(
+            ch.filter(F.col("seq") % 4 >= 2), ORDERS_PK, ORDERS_PAYLOAD
+        )
+        merged = merge_state_delta(spark.table(tbl), delta, ORDERS_PAYLOAD)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        # the state is the join's LEFT child, so its subtree prints
+        # first: between the join and the bucketed state scan there
+        # must be NO Exchange at all (the delta's exchange prints after
+        # the state scan)
+        join_at = plan.find("SortMergeJoin")
+        scan_at = plan.find(tbl)
+        assert 0 <= join_at < scan_at, plan
+        assert plan.count("Exchange", join_at, scan_at) == 0, plan
+        # and the merged result equals the all-at-once compact
+        want = compact(ch, ORDERS_PK, ORDERS_PAYLOAD)
+        cols = ["tbl", "rid", "cdc_action", *ORDERS_PAYLOAD]
+        key = lambda r: tuple(str(r[c]) for c in cols)  # noqa: E731
+        assert sorted(map(key, merged.select(*cols).collect())) == sorted(
+            map(key, want.select(*cols).collect())
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
