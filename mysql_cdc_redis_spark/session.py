@@ -96,6 +96,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: parquet splits that fit executor memory ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # floor the SCAN parallelism at the core count (scale-adaptive:
+        # tracks SPARK_GRAFT_CPUS through defaultParallelism, never a
+        # box constant): without it a table smaller than one
+        # maxPartitionBytes split scans as ONE task no matter how many
+        # row groups it has — at sf1 every fact scan was 1-6 tasks on a
+        # 32-core box (guide §6 "spark.sql.files.minPartitionNum sets a
+        # floor on scan parallelism"; r9 verdict item 4).  Row groups
+        # still bound the effective split count, so fixtures are written
+        # with bounded row groups too (tools/gen_sf1.py).
+        .config("spark.sql.files.minPartitionNum", cpus)
         # --- broadcast: dims up to 64 MB go map-side, no shuffle ---
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
         # quiet the local harness

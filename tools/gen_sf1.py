@@ -123,7 +123,21 @@ def main() -> None:
             scaled = pa.concat_tables(
                 [_copy(name, t, i, strides) for i in range(factor)]
             )
-        pq.write_table(scaled, os.path.join(out, f"{name}.parquet"))
+        # r10 (guide §6 / r9 verdict item 4): bounded row groups so the
+        # scan can SPLIT.  The r1-r9 fixture wrote pyarrow's default
+        # ~1M-row groups — lineitem landed as one 110 MB file of 6 row
+        # groups inside a single 128 MB split, so every sf1 scan stage
+        # ran 1-6 tasks on a 32-core box and the 32-vs-8-core bench
+        # ratio could never exceed ~1.5x.  ~128k-row groups give the
+        # scheduler 8-48 schedulable chunks per table (paired with
+        # spark.sql.files.minPartitionNum = defaultParallelism in
+        # session.py, which shrinks the advisory split below the file
+        # size).  Row-group size changes bytes/layout only, never data.
+        pq.write_table(
+            scaled,
+            os.path.join(out, f"{name}.parquet"),
+            row_group_size=131072,
+        )
         print(name, t.num_rows, "->", scaled.num_rows)
 
 
