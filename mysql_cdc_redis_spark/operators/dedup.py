@@ -170,6 +170,22 @@ def _certified_pairs_by_h(sh: DataFrame) -> DataFrame:
     megafrequent shingle would build a corpus-sized array in a single
     aggregation buffer)."""
     byh = sh.groupBy("h").agg(F.collect_list("doc_id").alias("ids"))
+    # The double explode amplifies each (h, ids) row by |ids|² — Σ df²
+    # candidate rows from a relation whose SHUFFLE bytes are tiny — and
+    # AQE's partition coalescing sizes the groupBy output by those
+    # shuffle bytes, blind to the amplification: at sf1 the 270M-row
+    # explode+partial-aggregate ran as ~32 fat tasks whose per-task
+    # hash tables spilled unevenly (measured r10: walls 10.3-22.3 s
+    # across flush-cold passes — the documented ±25-47% variance class
+    # of this query).  Fanning the small list relation out to 4× the
+    # core count before the explode keeps each partial table in
+    # execution memory: 7.3-8.9 s, spread ±10%.  Skipped when the
+    # session's shuffle width already exceeds the fan (a real cluster's
+    # shuffle.partitions), so this never REDUCES parallelism at scale.
+    spark = sh.sparkSession
+    fan = spark.sparkContext.defaultParallelism * 4
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) < fan:
+        byh = byh.repartition(fan)
     return (
         byh.select(F.explode("ids").alias("a"), "ids")
         .select("a", F.explode("ids").alias("b"))
