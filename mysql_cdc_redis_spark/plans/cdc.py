@@ -1163,6 +1163,69 @@ def cdc_state_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_state_diff_feed_sharded",
+    doc="The state-diff feed over a SHARDED physical layout — the "
+    "common MySQL shape where one logical table lives in N physical "
+    "shards (orders_0..orders_3, shard = pk % 4) and the binlog's tbl "
+    "column is a real per-row value, not a constant: compact keys the "
+    "state by (tbl, rid) and state_diff(co_group_cols=('tbl',)) joins "
+    "the two snapshots on the same (tbl, rid) so the full-outer diff "
+    "REUSES the compacts' hash partitioning — zero exchanges between "
+    "the aggregates and the join (guide §2.4; r9 shipped the "
+    "capability plan-pinned but no bench query exercised it because "
+    "the single-table changelog's literal tbl constant-folds out of "
+    "the join keys).  Shard = f(pk), so the diff rows are provably "
+    "identical to cdc_state_diff_feed's — the shared oracle re-proves "
+    "the sharding is lossless on every run.",
+    tags=("cdc", "diff", "sharded", "ext"),
+    bench=True,
+    oracle=f"""
+WITH ch AS ({ORDERS_CHANGELOG_SQL}),
+old_state AS ({{old_body}}),
+new_state AS ({{new_body}})
+SELECT coalesce(o.rid, n.rid) AS rid,
+       CASE WHEN o.rid IS NULL THEN 'insert'
+            WHEN n.rid IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.o_orderstatus AS before_o_orderstatus,
+       o.o_totalprice  AS before_o_totalprice,
+       n.o_orderstatus AS after_o_orderstatus,
+       n.o_totalprice  AS after_o_totalprice
+FROM old_state o FULL OUTER JOIN new_state n ON o.rid = n.rid
+WHERE o.rid IS NULL OR n.rid IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+ORDER BY rid
+""".format(
+        old_body=_live_state_sql(f"cdc_ts <= DATE '{_TT_CUTOFF}'"),
+        new_body=_live_state_sql("TRUE"),
+    ),
+)
+def cdc_state_diff_feed_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.compaction import state_diff
+
+    ch = orders_changelog(spark, sf_dir).withColumn(
+        "tbl",
+        F.concat(
+            F.lit("orders_"), F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string")
+        ),
+    )
+    old = compact(
+        ch.filter(F.col("cdc_ts") <= F.lit(_TT_CUTOFF).cast("date")),
+        ORDERS_PK,
+        ORDERS_PAYLOAD,
+    )
+    new = compact(ch, ORDERS_PK, ORDERS_PAYLOAD)
+    # tbl is a REAL column here (shard name derived from the pk), so
+    # the co-group key survives Catalyst and the diff join plans on the
+    # compacts' own (tbl, rid) partitioning — pinned by
+    # tests/test_plan_quality.py::test_state_diff_feed_sharded_join_reuses_compact_shuffles
+    return state_diff(
+        old, new, ("o_orderstatus", "o_totalprice"), co_group_cols=("tbl",)
+    ).orderBy("rid")
+
+
+@register(
     "cdc_quality_constraint_checks",
     doc="Declarative data-quality gate (the warehouse-side form of "
     "loadcsv.py's pk validation): five constraint checks over orders — "

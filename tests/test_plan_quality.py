@@ -1158,3 +1158,36 @@ def test_merge_state_delta_bucketed_state_is_exchange_free(spark, sf_dir):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+
+
+def test_state_diff_feed_sharded_join_reuses_compact_shuffles(spark, sf_dir):
+    """r10 (r9 verdict item 6): the sharded state-diff bench query's
+    full-outer diff join must sit directly on the two compact
+    aggregates — zero Exchange between either aggregate and the join
+    (the join reuses the compacts' (tbl, rid) hash partitioning via
+    co_group_cols).  The only exchanges in the whole query: one
+    parallelism rescue + one groupBy per compact branch, plus the
+    output-contract orderBy's range partitioning."""
+    q = all_queries()["cdc_state_diff_feed_sharded"]
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    join_at = plan.find("SortMergeJoin")
+    assert join_at >= 0, plan
+    # between the join and each child's FINAL aggregate there must be
+    # no Exchange.  In the printed tree each child branch starts with
+    # its "Sort [tbl" line and its first Aggregate line is the final
+    # (post-shuffle) aggregate, so: walk each branch from its Sort to
+    # its first Aggregate and require no Exchange in between.  (The
+    # exchanges BELOW the final aggregates — one groupBy hash per
+    # compact and one parallelism rescue per scan — are the branch's
+    # own, not the join's.)
+    tail = plan[join_at:].splitlines()
+    branch_starts = [i for i, ln in enumerate(tail) if "Sort [tbl" in ln]
+    assert len(branch_starts) == 2, plan
+    for start in branch_starts:
+        for ln in tail[start:]:
+            if "Aggregate" in ln:
+                break
+            assert "Exchange" not in ln, (ln, plan)
+        else:
+            raise AssertionError(plan)
